@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from cybersecurity_ioc_etl_spark.session import get_spark
+
+# headline set: one per operator family, the ones whose plans matter at scale
+HEADLINE = [
+    "ioc_flagship",
+    "ioc_type_counts",
+    "pricing_summary",
+    "region_nation_revenue",
+    "segment_sales",
+    "top_order_per_customer",
+    "top_orders",
+    "events_hourly",
+    "events_sessionize",
+    "doc_token_stats",
+    "dedup_exact_groups",
+    "minhash_band_pairs",
+    "knn_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("ioc-etl-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    queries = entrymod.queries()
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure
+    # the plan, not first-call JIT + session setup.
+    queries["pricing_summary"]( spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

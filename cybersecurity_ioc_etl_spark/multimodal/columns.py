@@ -1,0 +1,121 @@
+"""Multimodal column plumbing — north-star extension.
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct.  The Spark-side machinery (schema, Arrow-batched mapInPandas,
+batch shapes, partition sizing) is real and tested; the actual codec
+calls are STUBBED — the container has no image/audio libraries, so
+``decode_stub`` derives deterministic fake features from the bytes and
+``decode_real`` raises NotImplementedError with the integration point
+documented.
+
+Scale notes: mapInPandas streams Arrow batches, so a 100 TB media corpus
+is processed at (batch_rows × avg_blob) memory per task — control it with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` and keep blobs under the
+task-size budget by storing media chunked with a manifest table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table from `documents`: the utf-8 text
+    bytes stand in for an encoded blob.  Exercises the real binary-column
+    path end to end."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(content: bytes, kind: str):
+    """Integration point for real codecs (PIL / torchaudio / pyav).
+
+    STUB: media libraries are not available in this environment."""
+    raise NotImplementedError(
+        "media decode requires PIL/torchaudio/pyav — not present in this "
+        "container; wire the codec here and keep extract_features unchanged"
+    )
+
+
+def _fake_feature(blob: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature: byte-histogram moments folded to
+    `dim` doubles.  Replaces decode_real in tests."""
+    if not blob:
+        return [0.0] * dim
+    out = []
+    n = len(blob)
+    for d in range(dim):
+        acc = 0
+        for i in range(d, n, dim):
+            acc = (acc + blob[i]) % 100003
+        out.append(acc / 100003.0)
+    return out
+
+
+def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Arrow-batched feature extraction over binary blobs via mapInPandas.
+
+    The UDF boundary is the *only* Python in the pipeline; everything
+    before (scan/filter/partition) and after (joins with features) stays
+    JVM-side.  With a real codec, swap _fake_feature for decode_real —
+    signature and batch shape are identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(len),
+                    "feature": pdf["content"].map(_fake_feature),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

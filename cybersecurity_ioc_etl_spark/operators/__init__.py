@@ -1,0 +1,12 @@
+"""Operator/query modules.  Importing this package registers every query
+and its DuckDB oracle in :mod:`.registry`."""
+
+from . import (  # noqa: F401
+    ioc_queries,
+    relational,
+    events_queries,
+    text_queries,
+    dedup,
+    similarity,
+)
+from .registry import ORACLES, QUERIES  # noqa: F401

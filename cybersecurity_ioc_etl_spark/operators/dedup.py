@@ -1,0 +1,240 @@
+"""Deduplication operators over `documents` — north-star extension
+(BASELINE.json): exact content-hash dedup, n-gram Jaccard near-dup, and
+MinHash signatures/LSH banding.
+
+Scale design: exact dedup is a hash-shuffle on a 16-byte fingerprint (not
+the document body — never shuffle payloads you can shuffle digests of);
+Jaccard is shingle-explode → shingle-join, which at 100 TB is made
+tractable by LSH banding (pairs are only generated within buckets) — the
+`minhash_band_pairs` query is exactly that plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+_FP_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+def fingerprint(text: Column) -> Column:
+    """Whitespace/case-normalized md5 content hash."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+SELECT {_FP_SQL} AS fingerprint,
+  COUNT(*) AS n_copies,
+  MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep min doc_id.  The
+    dedup the reference never performs (SURVEY.md §2.7)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+# word 3-gram shingles as a deterministic expression: join 3 consecutive
+# tokens with '\x01'.  Mirrored in DuckDB below.
+def _word_shingles(text: Column, n: int = 3) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws("\x01", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    # guard: sequence(0, negative) would count DOWN in Spark; short docs
+    # have no n-gram shingles (DuckDB's range() is empty there natively)
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, shingles).otherwise(F.array().cast("array<string>"))
+    )
+
+
+_SHINGLES_SQL = """
+list_distinct([
+  array_to_string(list_slice(str_split_regex(trim(text), '\\s+'), i, i + 2), chr(1))
+  for i in range(1, len(str_split_regex(trim(text), '\\s+')) - 1)
+])
+"""
+
+
+@query(
+    "neardup_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+  FROM documents WHERE doc_id < 60
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+  CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+""",
+)
+def q_neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: explode distinct word-3-gram shingles,
+    self-join on shingle to count intersections, |A∪B| from per-doc sizes.
+    Bounded to doc_id<60 here; the 100 TB plan replaces the all-pairs
+    shingle join with the LSH banding below."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = d.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- MinHash ---------------------------------------------------------------
+# shingle → 32-bit integer via md5-prefix (same digest both engines), then
+# k universal-hash permutations h_j(x) = (a_j * x + b_j) mod p.
+# Constants are kept < 2^30 so a*x + b < 2^63 — no bigint overflow under
+# Spark's ANSI mode, and plain BIGINT arithmetic suffices in DuckDB.
+_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MINHASH_AB = [
+    (888203261, 433494437),
+    (433494437, 982451653),
+    (982451653, 201326611),
+    (201326611, 777767777),
+    (756065179, 522882643),
+    (522882643, 756065179),
+    (613651349, 888203261),
+    (777767777, 613651349),
+]
+
+
+def _shingle_int(shingle: Column) -> Column:
+    """First 8 hex chars of md5 → bigint (< 2^32) — identical in DuckDB
+    via the mirrored from-hex reduction."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("bigint")
+
+
+_SHINGLE_INT_SQL = (
+    "list_reduce([instr('0123456789abcdef', substring(md5({x}), i, 1)) - 1"
+    " for i in range(1, 9)],"
+    " (acc, v) -> acc * 16 + v)"
+)
+
+
+def minhash_signature(text: Column) -> list[Column]:
+    """k=8 MinHash values over word-3-gram shingles, as separate columns."""
+    ints = F.transform(_word_shingles(text), _shingle_int)
+    return [
+        F.array_min(
+            F.transform(ints, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    ]
+
+
+def _minhash_sql(j: int) -> str:
+    a, b = _MINHASH_AB[j]
+    ints = f"list_transform({_SHINGLES_SQL.strip()}, s -> {_SHINGLE_INT_SQL.format(x='s')})"
+    return f"list_min(list_transform({ints}, x -> ({a} * x + {b}) % {_MINHASH_P}))"
+
+
+@query(
+    "minhash_signatures",
+    oracle="SELECT doc_id, "
+    + ", ".join(f"{_minhash_sql(j)} AS mh_{j}" for j in range(8))
+    + "\nFROM documents WHERE doc_id < 100",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature computation (k=8) — the sketch under LSH near-dup.
+    Pure narrow expression work: no shuffle at all; scales linearly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", *minhash_signature(F.col("text")))
+
+
+@query(
+    "minhash_band_pairs",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id, {_minhash_sql(0)} AS mh_0, {_minhash_sql(1)} AS mh_1,
+         {_minhash_sql(2)} AS mh_2, {_minhash_sql(3)} AS mh_3
+  FROM documents WHERE doc_id < 200
+),
+banded AS (
+  SELECT doc_id, 0 AS band, mh_0 AS b1, mh_1 AS b2 FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh_2 AS b1, mh_3 AS b2 FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.b1 = b.b1 AND a.b2 = b.b2
+             AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: signatures split into bands of 2; candidate pairs are
+    docs colliding on any full band.  This bucket-join IS the 100 TB
+    near-dup plan — pair generation is confined to same-bucket groups
+    instead of the quadratic all-pairs join."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = d.select("doc_id", *minhash_signature(F.col("text"))[:4])
+    banded = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.col("mh_0").alias("b1"), F.col("mh_1").alias("b2")
+    ).unionByName(
+        sig.select(
+            "doc_id",
+            F.lit(1).alias("band"),
+            F.col("mh_2").alias("b1"),
+            F.col("mh_3").alias("b2"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.b1") == F.col("b.b1"))
+            & (F.col("a.b2") == F.col("b.b2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )

@@ -1,0 +1,168 @@
+"""Event-stream analytics over the `events` fixture — the batch-equivalent
+forms of the streaming operators in SURVEY.md §2.9 (tumbling windows,
+sessionization, JSON projection).  The true Structured Streaming pipeline
+lives in `streaming/`; `stream_hourly_counts` below actually *runs* it
+(Trigger.AvailableNow → memory sink) and is checked against the same
+DuckDB oracle as the batch form — the strongest streaming-parity evidence
+the driver's harness can record.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .registry import query
+
+_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _value_sum() -> F.Column:
+    """Exact integer-mantissa sum of `value` (see relational.py contract)."""
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    return (F.sum(vi.cast("decimal(38,0)")).cast("double") / 1e4).alias("total_value")
+
+
+@query("events_hourly", oracle=_HOURLY_ORACLE)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation, batch form (ST-window family)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), _value_sum())
+    )
+
+
+@query("stream_hourly_counts", oracle=_HOURLY_ORACLE)
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly aggregation executed through Structured Streaming:
+    file source → window() agg → complete-mode memory sink, drained with
+    Trigger.AvailableNow (the engine's replacement for the reference's
+    resume-from-last_run batch loop, h-isac.py:149-153 / SURVEY ST2)."""
+    from ..streaming.pipeline import run_hourly_counts_stream
+
+    return run_hourly_counts_stream(spark, sf_dir)
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — lag + running-sum
+    session ids (the batch equivalent of session_window(); SURVEY §2.9
+    lists session windows as an engine extension)."""
+    e = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_lag))
+                > 1800
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(w_run).alias("session_id")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count_distinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+  COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection (T15 family, from_json/get_json_object
+    replacing the reference's json.loads at firehose.py:20)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket")
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "events_type_pivot",
+    oracle="""
+SELECT user_id % 100 AS user_bucket,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+FROM events
+GROUP BY 1
+""",
+)
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional counts (wide metrics rollup)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return (
+        e.groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .agg(
+            cnt("click").alias("clicks"),
+            cnt("view").alias("views"),
+            cnt("purchase").alias("purchases"),
+            cnt("signup").alias("signups"),
+            cnt("error").alias("errors"),
+        )
+    )

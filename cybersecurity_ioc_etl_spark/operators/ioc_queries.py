@@ -1,0 +1,205 @@
+"""IOC pipeline queries — the reference's §3.1 batch pipeline restated as
+one declarative Spark job (SURVEY.md §7.2 flagship).
+
+Pipeline: synthetic feed → subject filter (h-isac.py:158) → reply-chain
+truncation (h-isac.py:51-67) → 4× regexp_extract_all (h-isac.py:70-79) →
+refang / mailto-strip (h-isac.py:46-49,84) → explode to the canonical
+8-column IOC table (README.md:13-29) → metrics aggregation
+(h-isac.py:171-174).
+
+Scale notes: the whole pipeline is narrow (no shuffle) until the final
+aggregations; extraction is 4 regex passes inside one whole-stage-codegen
+stage over the scan, so it partitions embarrassingly at 100 TB.  The
+per-message pandas concat loop of the reference (h-isac.py:156-163)
+simply does not exist here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import ioc as K
+from ..sources.readers import FEED_CTE_SQL, RUN_DATE, synthetic_feed
+from .registry import query
+
+# DuckDB mirrors of the kernel expressions (RE2 dialect: backreference \1,
+# explicit 'g' flag for replace-all).
+_SQL_REFANG = (
+    "regexp_replace(regexp_replace({x}, 'h[xX]{{2}}p([s:])', 'http\\1', 'g'),"
+    " '\\[([.@])\\]', '\\1', 'g')"
+)
+_SQL_CLEAN = (
+    "regexp_replace(body, '(?s)(^|\\n)[^\\n]*From: H-ISAC Amber.*$', '')"
+)
+
+# shared oracle prefix: feed → subject filter → clean → 4 extraction lists
+_EXTRACT_CTE = f"""
+WITH {FEED_CTE_SQL},
+cleaned AS (
+  SELECT id, source, date_received, {_SQL_CLEAN} AS body
+  FROM feed
+  WHERE contains(lower(subject), 'indicator')
+),
+extracted AS (
+  SELECT id, source, date_received,
+    list_transform(regexp_extract_all(body, '{K.IP_PATTERN}', 1),
+                   x -> {_SQL_REFANG.format(x='x')}) AS ips,
+    regexp_extract_all(body, '{K.HASH_PATTERN}', 1) AS hashes,
+    list_transform(regexp_extract_all(body, '{K.URL_PATTERN}', 1),
+                   x -> {_SQL_REFANG.format(x='x')}) AS urls,
+    list_transform(regexp_extract_all(body, '{K.EMAIL_PATTERN}', 1),
+                   x -> regexp_replace({_SQL_REFANG.format(x='x')}, '^mailto:', '')) AS emails
+  FROM cleaned
+),
+ioc_rows AS (
+  SELECT id, source, date_received, 'ip' AS type, unnest(ips) AS ioc FROM extracted
+  UNION ALL
+  SELECT id, source, date_received, 'hash', unnest(hashes) FROM extracted
+  UNION ALL
+  SELECT id, source, date_received, 'url', unnest(urls) FROM extracted
+  UNION ALL
+  SELECT id, source, date_received, 'email', unnest(emails) FROM extracted
+)
+"""
+
+
+def ioc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical 8-column IOC table (README.md:13-29) from the feed."""
+    feed = synthetic_feed(spark, sf_dir)
+    filtered = feed.filter(F.lower(F.col("subject")).contains("indicator"))
+    iocs = K.extract_iocs(F.col("body"))
+    pairs = F.array(
+        F.struct(F.lit("ip").alias("type"), iocs["ip"].alias("iocs")),
+        F.struct(F.lit("hash").alias("type"), iocs["hash"].alias("iocs")),
+        F.struct(F.lit("url").alias("type"), iocs["url"].alias("iocs")),
+        F.struct(F.lit("email").alias("type"), iocs["email"].alias("iocs")),
+    )
+    return (
+        filtered.select("id", "source", "date_received", F.explode(pairs).alias("p"))
+        .select(
+            "id",
+            F.lit(RUN_DATE).alias("date_added"),
+            "date_received",
+            F.explode(F.col("p.iocs")).alias("ioc"),
+            F.lit("H-ISAC").alias("platform"),
+            "source",
+            F.lit("N/A").alias("tag"),
+            F.col("p.type").alias("type"),
+        )
+    )
+
+
+@query(
+    "ioc_flagship",
+    oracle=_EXTRACT_CTE
+    + f"""
+SELECT id, '{RUN_DATE}' AS date_added, date_received, ioc,
+       'H-ISAC' AS platform, source, 'N/A' AS tag, type
+FROM ioc_rows
+""",
+)
+def q_ioc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ioc_table(spark, sf_dir)
+
+
+@query(
+    "ioc_type_counts",
+    oracle=_EXTRACT_CTE
+    + """
+SELECT type, count(*) AS n_iocs, count(DISTINCT ioc) AS n_distinct
+FROM ioc_rows GROUP BY type
+""",
+)
+def q_ioc_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics aggregation (A1, h-isac.py:171-174) + distinct-IOC count —
+    the dedup the reference never does (SURVEY.md §2.7)."""
+    return (
+        ioc_table(spark, sf_dir)
+        .groupBy("type")
+        .agg(
+            F.count("*").alias("n_iocs"),
+            F.count_distinct("ioc").alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "ioc_per_source_daily",
+    oracle=_EXTRACT_CTE
+    + """
+SELECT source, date_received, count(*) AS n_iocs
+FROM ioc_rows
+GROUP BY source, date_received
+""",
+)
+def q_ioc_per_source_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-contributor daily IOC volume — the grouping the README's `id`
+    field exists for (README.md:15)."""
+    return (
+        ioc_table(spark, sf_dir)
+        .groupBy("source", "date_received")
+        .agg(F.count("*").alias("n_iocs"))
+    )
+
+
+@query(
+    "ioc_classify",
+    oracle=f"""
+WITH items AS (
+  SELECT unnest([
+    CAST(doc_id % 223 + 1 AS VARCHAR) || '.' || CAST(doc_id % 251 AS VARCHAR)
+      || '.' || CAST(doc_id % 17 AS VARCHAR) || '.' || CAST(doc_id % 254 + 1 AS VARCHAR),
+    'https://evil' || CAST(doc_id % 40 AS VARCHAR) || '.example/p',
+    'cdn' || CAST(doc_id % 31 AS VARCHAR) || '.host.example',
+    md5(text),
+    'free text item ' || CAST(doc_id % 11 AS VARCHAR)
+  ]) AS item
+  FROM documents
+),
+classified AS (
+  SELECT
+    CASE
+      WHEN regexp_matches(
+             CASE WHEN contains(item, '//')
+                  THEN regexp_extract(item, '//([^/?#]*)', 1) ELSE item END,
+             '^(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}$') THEN 'ip'
+      WHEN contains(
+             CASE WHEN contains(item, '//')
+                  THEN regexp_extract(item, '//([^/?#]*)', 1) ELSE item END,
+             '.') THEN 'url'
+      WHEN regexp_matches(item, '^[a-zA-Z0-9]{{32,64}}$') THEN 'hash'
+      ELSE 'unmatched'
+    END AS type
+  FROM items
+)
+SELECT type, count(*) AS n FROM classified GROUP BY type
+""",
+)
+def q_ioc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_iocs parity (T12, firehose.py:82-103): classify scraped-item
+    strings into ip/url/hash/unmatched and count per class."""
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    items = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.concat(
+                    (d % 223 + 1).cast("string"), F.lit("."),
+                    (d % 251).cast("string"), F.lit("."),
+                    (d % 17).cast("string"), F.lit("."),
+                    (d % 254 + 1).cast("string"),
+                ),
+                F.concat(F.lit("https://evil"), (d % 40).cast("string"), F.lit(".example/p")),
+                F.concat(F.lit("cdn"), (d % 31).cast("string"), F.lit(".host.example")),
+                F.md5(F.col("text")),
+                F.concat(F.lit("free text item "), (d % 11).cast("string")),
+            )
+        ).alias("item"),
+    )
+    return (
+        items.select(K.classify_ioc(F.col("item")).alias("type"))
+        .groupBy("type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,608 @@
+"""Relational operator coverage over the TPC-H-ish fixture tables —
+SURVEY.md §7.3 step 4.  The reference has no joins/windows/sorts
+(SURVEY.md §2.3-2.6: "none in reference"); these queries provide the full
+relational surface a user of the engine gets, each with a DuckDB oracle.
+
+Float-determinism contract (integer-mantissa arithmetic):
+double money/rate values are quantized once per row to an integer
+mantissa ``ROUND(x * 10^s)::BIGINT`` — identical in Spark and DuckDB
+(same IEEE multiply, both round half-away-from-zero, exact int cast).
+All aggregation then happens on exact integers (Spark: DECIMAL(38,0)
+accumulator, DuckDB: HUGEINT), and the final value is produced as
+``CAST(sum AS DOUBLE) / 10^s`` — an int→double conversion plus a
+division by an exactly-representable power of ten, each a single
+correctly-rounded IEEE op in both engines.  Result: bit-identical
+doubles regardless of partitioning, AQE, or summation order.
+(Decimal-typed accumulation was rejected: DuckDB truncates decimal
+downscale casts where Spark rounds, and DuckDB's decimal→double cast
+multiplies by an inexact 10^-s where Java divides correctly-rounded.)
+
+Raw doubles are only ever passed through or min/max'ed, never
+re-associated.
+
+Scale notes per query are inline: broadcast hints on dimension joins,
+shuffle-key choices, and why each plan survives a 1000-executor 100 TB
+run (partial aggregation + AQE handle the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .registry import query
+
+# --- integer-mantissa helpers (mirrored in oracle SQL strings) ------------
+
+
+def mi(c: Column, scale: int = 4) -> Column:
+    """Quantize a double to an exact integer mantissa at 10^scale."""
+    return F.round(c * F.lit(float(10**scale))).cast("bigint")
+
+
+def isum(c: Column) -> Column:
+    """Exact integer sum: DECIMAL(38,0) accumulator (ANSI-overflow-proof),
+    emitted as the int→double single rounding."""
+    return F.sum(c.cast("decimal(38,0)")).cast("double")
+
+
+MI = "CAST(ROUND({x} * 10000.0) AS BIGINT)"  # oracle-side mi(scale=4)
+ISUM = "CAST(SUM({x}) AS DOUBLE)"  # DuckDB SUM(BIGINT) is HUGEINT → exact
+
+# Product mantissas (scale 8/12) are truncate-divided down to scale 6
+# before summing: the summed integer must stay well under 2^53, because
+# both DuckDB's hugeint→double and a 2^63+ mantissa introduce a second
+# rounding that breaks bit-parity.  `div`/`//` truncation on non-negative
+# integers is identical in both engines.
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  {ISUM.format(x=MI.format(x='l_quantity'))} / 10000.0 AS sum_qty,
+  {ISUM.format(x=MI.format(x='l_extendedprice'))} / 10000.0 AS sum_base_price,
+  {ISUM.format(x='(' + MI.format(x='l_extendedprice') + ' * (10000 - ' + MI.format(x='l_discount') + ')) // 100')} / 1000000.0 AS sum_disc_price,
+  {ISUM.format(x='(' + MI.format(x='l_extendedprice') + ' * (10000 - ' + MI.format(x='l_discount') + ') * (10000 + ' + MI.format(x='l_tax') + ')) // 1000000')} / 1000000.0 AS sum_charge,
+  {ISUM.format(x=MI.format(x='l_quantity'))} / 10000.0 / COUNT(*) AS avg_qty,
+  {ISUM.format(x=MI.format(x='l_extendedprice'))} / 10000.0 / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary.  One shuffle on the (tiny-cardinality)
+    grouping key; partial aggregation makes the map side do ~all the work, so
+    the reduce side is O(distinct groups) regardless of input size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = mi(F.col("l_quantity"))
+    ext = mi(F.col("l_extendedprice"))
+    disc = mi(F.col("l_discount"))
+    tax = mi(F.col("l_tax"))
+    pre = (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty.alias("qty_m"),
+            ext.alias("ext_m"),
+            (ext * (10000 - disc)).alias("disc_m_raw"),
+            (ext * (10000 - disc) * (10000 + tax)).alias("charge_m_raw"),
+        )
+        # exact integer truncate-divide to scale 6 (see module docstring)
+        .withColumn("disc_m", F.expr("disc_m_raw div 100"))
+        .withColumn("charge_m", F.expr("charge_m_raw div 1000000"))
+    )
+    return (
+        pre.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (isum(F.col("qty_m")) / 1e4).alias("sum_qty"),
+            (isum(F.col("ext_m")) / 1e4).alias("sum_base_price"),
+            (isum(F.col("disc_m")) / 1e6).alias("sum_disc_price"),
+            (isum(F.col("charge_m")) / 1e6).alias("sum_charge"),
+            (isum(F.col("qty_m")) / 1e4 / F.count("*")).alias("avg_qty"),
+            (isum(F.col("ext_m")) / 1e4 / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_project_revenue",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+  CAST({MI.format(x='l_extendedprice')} * (10000 - {MI.format(x='l_discount')}) AS DOUBLE)
+    / 100000000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_quantity > 45
+""",
+)
+def q_filter_project_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan→filter→project: both predicates and the 5-column read
+    schema must reach the parquet scan (PushedFilters / column pruning) —
+    asserted in tests/test_plans.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        mi(F.col("l_extendedprice")) * (10000 - mi(F.col("l_discount")))
+    ).cast("double") / 1e8
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", rev.alias("revenue"))
+
+
+@query(
+    "top_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k: Spark plans orderBy().limit(k) as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "segment_sales",
+    oracle=f"""
+SELECT c.c_mktsegment,
+  COUNT(*) AS n_orders,
+  {ISUM.format(x=MI.format(x='o.o_totalprice'))} / 10000.0 AS total_sales
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast hint: customer is ~1.5 M rows at
+    SF100 (~200 MB) — broadcastable; orders never shuffles for the join, and
+    the groupBy key (5 segments) reduces map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (isum(mi(F.col("o_totalprice"))) / 1e4).alias("total_sales"),
+        )
+    )
+
+
+@query(
+    "brand_quantity",
+    oracle=f"""
+SELECT p.p_brand,
+  COUNT(*) AS n_lines,
+  {ISUM.format(x=MI.format(x='l.l_quantity'))} / 10000.0 AS sum_qty,
+  {ISUM.format(x=MI.format(x='l.l_quantity'))} / 10000.0 / COUNT(*) AS avg_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈part broadcast join + low-cardinality agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty = mi(F.col("l_quantity"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (isum(qty) / 1e4).alias("sum_qty"),
+            (isum(qty) / 1e4 / F.count("*")).alias("avg_qty"),
+        )
+    )
+
+
+@query(
+    "region_nation_revenue",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+  {ISUM.format(x='(' + MI.format(x='l.l_extendedprice') + ' * (10000 - ' + MI.format(x='l.l_discount') + ')) // 100')}
+    / 1000000.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join.  The only big⋈big join is
+    lineitem⋈orders (shuffle on orderkey); customer/nation/region are
+    broadcast so the chain adds no further shuffles before the final
+    small-key aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = mi(F.col("l_extendedprice")) * (10000 - mi(F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", rev.alias("rev_m_raw"))
+        .withColumn("rev_m", F.expr("rev_m_raw div 100"))
+        .groupBy("r_name", "n_name")
+        .agg((isum(F.col("rev_m")) / 1e6).alias("revenue"))
+    )
+
+
+@query(
+    "customers_with_open_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): no row multiplication, orders side reduced
+    to distinct keys by the semi-join itself."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+@query(
+    "top_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (SURVEY.md §2.5 — absent in reference).  One shuffle
+    on o_custkey; ties broken by orderkey so the result is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "customer_running_spend",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM({MI.format(x='o_totalprice')}) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0
+    AS running_spend
+FROM orders
+WHERE o_custkey <= 50
+""",
+)
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with frame (running total) — integer-mantissa
+    accumulation so every prefix sum is exact in both engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(mi(F.col("o_totalprice")).cast("decimal(38,0)")).over(w).cast("double")
+            / 1e4
+        ).alias("running_spend"),
+    )
+
+
+@query(
+    "monthly_order_stats",
+    oracle=f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+  COUNT(*) AS n_orders,
+  {ISUM.format(x=MI.format(x='o_totalprice'))} / 10000.0 AS total_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+""",
+)
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing (T13/T14 family) + min/max on raw doubles
+    (comparison-only — safe)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            (isum(mi(F.col("o_totalprice"))) / 1e4).alias("total_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "rollup_region_nation_customers",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(c.c_custkey) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def q_rollup_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY.md §2.4 — absent in reference)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n,
+  {ISUM.format(x=MI.format(x='o_totalprice'))} / 10000.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "orders")
+    return c.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (isum(mi(F.col("o_totalprice"))) / 1e4).alias("total_price"),
+    )
+
+
+@query(
+    "distinct_suppliers_per_flag",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation (expand + two-phase agg in the physical plan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "open_not_finished_customers",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q_open_not_finished_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT) — SURVEY.md §2.7."""
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.subtract(fin_c)
+
+
+@query(
+    "both_status_customers",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q_both_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(fin_c)
+
+
+@query(
+    "big_brands",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+GROUP BY p_brand
+HAVING COUNT(*) >= 10
+""",
+)
+def q_big_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .filter(F.col("n_parts") >= 10)
+    )
+
+
+@query(
+    "parts_above_brand_avg",
+    oracle=f"""
+SELECT p.p_partkey, p.p_brand, p.p_retailprice
+FROM part p
+JOIN (SELECT p_brand,
+             {ISUM.format(x=MI.format(x='p_retailprice'))} / 10000.0 / COUNT(*) AS avg_price
+      FROM part GROUP BY p_brand) b
+  ON p.p_brand = b.p_brand
+WHERE p.p_retailprice > b.avg_price
+""",
+)
+def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (TPC-H Q17 family) decorrelated into an
+    aggregate + self-join — the rewrite Catalyst itself applies to
+    correlated scalar subqueries."""
+    p = load_table(spark, sf_dir, "part")
+    avg_b = p.groupBy("p_brand").agg(
+        (isum(mi(F.col("p_retailprice"))) / 1e4 / F.count("*")).alias("avg_price")
+    )
+    return (
+        p.join(F.broadcast(avg_b), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@query(
+    "priority_return_counts",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+""",
+)
+def q_priority_return_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then agg."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_DISC_PRICE_SQL = (
+    "("
+    + MI.format(x="l.l_extendedprice")
+    + " * (10000 - "
+    + MI.format(x="l.l_discount")
+    + ")) // 100"
+)
+_PROMO_CASE_SQL = (
+    "CASE WHEN contains(p.p_type, 'a') THEN " + _DISC_PRICE_SQL + " ELSE 0 END"
+)
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+SELECT
+  {ISUM.format(x=_PROMO_CASE_SQL)} / 1000000.0 AS promo_revenue,
+  {ISUM.format(x=_DISC_PRICE_SQL)} / 1000000.0 AS total_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q14 shape) over a broadcast join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc_price = mi(F.col("l_extendedprice")) * (10000 - mi(F.col("l_discount")))
+    pre = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("p_type", disc_price.alias("dp_raw"))
+        .withColumn("dp", F.expr("dp_raw div 100"))
+    )
+    return pre.agg(
+        (
+            isum(F.when(F.col("p_type").contains("a"), F.col("dp")).otherwise(F.lit(0)))
+            / 1e6
+        ).alias("promo_revenue"),
+        (isum(F.col("dp")) / 1e6).alias("total_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "part_name_tokens",
+    oracle="""
+SELECT upper(substr(p_name, 1, 4)) AS name_prefix,
+  COUNT(*) AS n,
+  MIN(length(p_name)) AS min_len,
+  MAX(length(p_name)) AS max_len
+FROM part
+WHERE p_name LIKE '%a%'
+GROUP BY 1
+""",
+)
+def q_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (T9 family: upper/substr/length/LIKE)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .groupBy(F.upper(F.substring("p_name", 1, 4)).alias("name_prefix"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.length("p_name")).alias("min_len"),
+            F.max(F.length("p_name")).alias("max_len"),
+        )
+    )

@@ -1,0 +1,206 @@
+"""Vector similarity search over `embeddings` — north-star extension.
+
+Brute-force cosine top-k is the baseline plan (TakeOrderedAndProject: a
+per-partition heap, no global sort — the right shape even at 100 TB when
+the query side is one vector).  The scale path for many-query workloads
+is the LSH-bucketed variant at the bottom (random-hyperplane signatures,
+same bucketing idea as dedup's MinHash bands).
+
+Float-determinism: embedding components are quantized once to integer
+mantissas at 10^7 (well beyond float32's precision), dot products and
+norms accumulate as exact integers, and the final doubles come from
+single int→double + power-of-ten divisions — identical in Spark and the
+DuckDB oracle (see relational.py for why decimal accumulation was
+rejected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+_S = 7  # mantissa scale: |x|<=1 → |xi|<=1e7; xi*yi<=1e14; 64-dim sum<=6.4e15 < 2^63
+
+
+def _mi(x: Column) -> Column:
+    return F.round(x * F.lit(float(10**_S))).cast("bigint")
+
+
+def _dot_int(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<double> columns (scale 2*_S)."""
+    prods = F.zip_with(a, b, lambda x, y: _mi(x) * _mi(y))
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    return _dot_int(a, b).cast("double") / F.lit(float(10 ** (2 * _S)))
+
+
+_MI_SQL = "CAST(ROUND({x} * 10000000.0) AS BIGINT)"
+
+# oracle-side: unnest-with-subscripts join, integer accumulation
+_DOT_SQL = f"""
+SELECT v.vec_id,
+  CAST(SUM({_MI_SQL.format(x='v.x')} * {_MI_SQL.format(x='q.x')}) AS DOUBLE)
+    / 100000000000000.0 AS dot_d,
+  CAST(SUM({_MI_SQL.format(x='v.x')} * {_MI_SQL.format(x='v.x')}) AS DOUBLE)
+    / 100000000000000.0 AS sq_v,
+  CAST(SUM({_MI_SQL.format(x='q.x')} * {_MI_SQL.format(x='q.x')}) AS DOUBLE)
+    / 100000000000000.0 AS sq_q
+FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS i FROM embeddings) v
+JOIN (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0) q
+  ON v.i = q.i
+GROUP BY v.vec_id
+"""
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+WITH dots AS ({_DOT_SQL})
+SELECT vec_id,
+  round(dot_d / (sqrt(sq_v) * sqrt(sq_q)), 6) AS cosine_sim
+FROM dots
+WHERE vec_id != 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbours of vec_id=0.  Single narrow
+    pass over embeddings + TakeOrderedAndProject; the one-row query side
+    is a broadcast cross-join (no shuffle of the big side)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    sim = _dot_double(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot_double(F.col("v"), F.col("v")))
+        * F.sqrt(_dot_double(F.col("qv"), F.col("qv")))
+    )
+    return (
+        joined.select("vec_id", F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "vector_norms",
+    oracle=f"""
+SELECT vec_id, label,
+  round(sqrt(CAST(SUM({_MI_SQL.format(x='x')} * {_MI_SQL.format(x='x')}) AS DOUBLE)
+             / 100000000000000.0), 6) AS l2_norm,
+  COUNT(*) AS dim
+FROM (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+GROUP BY vec_id, label
+""",
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + dimensionality — array aggregation exercise."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(_dot_double(F.col("v"), F.col("v"))), 6).alias("l2_norm"),
+        F.size("v").alias("dim"),
+    )
+
+
+@query(
+    "label_centroid_norms",
+    oracle=f"""
+WITH comp AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+dim_means AS (
+  SELECT label, i,
+    CAST(SUM({_MI_SQL.format(x='x')}) AS DOUBLE) / 10000000.0 / COUNT(*) AS mean_x
+  FROM comp GROUP BY label, i
+)
+SELECT label,
+  round(sqrt(CAST(SUM({_MI_SQL.format(x='mean_x')} * {_MI_SQL.format(x='mean_x')}) AS DOUBLE)
+             / 100000000000000.0), 6) AS centroid_norm,
+  COUNT(*) AS dim
+FROM dim_means GROUP BY label
+""",
+)
+def q_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (mean vector) L2 norm: posexplode → per-(label,
+    dim) exact mean → re-quantize → exact re-aggregation.  The 'cluster
+    summary' shape of an IVF index build — the coarse-quantizer step."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    dim_means = e.groupBy("label", "i").agg(
+        (F.sum(_mi(F.col("x"))).cast("double") / F.lit(1e7) / F.count("*")).alias(
+            "mean_x"
+        )
+    )
+    mq = _mi(F.col("mean_x"))
+    return dim_means.groupBy("label").agg(
+        F.round(
+            F.sqrt(F.sum(mq * mq).cast("double") / F.lit(1e14)), 6
+        ).alias("centroid_norm"),
+        F.count("*").alias("dim"),
+    )
+
+
+@query(
+    "ann_hyperplane_buckets",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+signs AS (
+  SELECT vec_id,
+    SUM(CASE WHEN i % 2 = 0 THEN {_MI_SQL.format(x='x')}
+             ELSE -{_MI_SQL.format(x='x')} END) AS proj_a,
+    SUM(CASE WHEN i % 3 = 0 THEN {_MI_SQL.format(x='x')}
+             ELSE -{_MI_SQL.format(x='x')} END) AS proj_b
+  FROM comp GROUP BY vec_id
+)
+SELECT (CASE WHEN proj_a > 0 THEN 2 ELSE 0 END
+      + CASE WHEN proj_b > 0 THEN 1 ELSE 0 END) AS bucket,
+  COUNT(*) AS n_vectors
+FROM signs GROUP BY 1
+""",
+)
+def q_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (sign of fixed ±1 projections) —
+    the scale path for ANN: at 100 TB, candidate search happens within a
+    bucket (shuffle on a small int key), not across all vectors."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    # DuckDB's generate_subscripts is 1-based; posexplode is 0-based —
+    # shift so the ±1 sign patterns match exactly.
+    i1 = F.col("i") + 1
+    xi = _mi(F.col("x"))
+    signs = e.groupBy("vec_id").agg(
+        F.sum(F.when((i1 % 2) == 0, xi).otherwise(-xi)).alias("proj_a"),
+        F.sum(F.when((i1 % 3) == 0, xi).otherwise(-xi)).alias("proj_b"),
+    )
+    return (
+        signs.select(
+            (
+                F.when(F.col("proj_a") > 0, F.lit(2)).otherwise(F.lit(0))
+                + F.when(F.col("proj_b") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )

@@ -1,0 +1,187 @@
+"""Text-analysis operators over `documents` — the LLM-data-pipeline
+surface (BASELINE.json north star): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.  All JVM-native
+expressions (no UDFs) so they run inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+# tiny embedded stopword lists for the language-ID heuristic; the fixture
+# corpus is synthetic English-ish word salad, so the interesting property
+# is determinism, not linguistic accuracy.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "it")
+
+_TOKENIZE_SQL = "str_split_regex(trim(text), '\\s+')"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer — split on runs of whitespace after trim."""
+    return F.split(F.trim(text), r"\s+")
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+SELECT doc_id,
+  len({_TOKENIZE_SQL}) AS n_tokens,
+  length(text) AS n_chars_measured,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKENIZE_SQL}) AS avg_token_len,
+  len(list_distinct({_TOKENIZE_SQL})) AS n_unique_tokens
+FROM documents
+""",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text op): token count, average token
+    length, vocabulary size per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+SELECT doc_id,
+  len({_TOKENIZE_SQL}) AS n_tokens,
+  CAST(len(list_filter({_TOKENIZE_SQL},
+        t -> list_contains(['the','a','and','of','to','in','is','for','on','it'], t)))
+       AS DOUBLE) / len({_TOKENIZE_SQL}) AS stopword_ratio,
+  CAST(len(list_distinct({_TOKENIZE_SQL})) AS DOUBLE) / len({_TOKENIZE_SQL}) AS ttr
+FROM documents
+WHERE len({_TOKENIZE_SQL}) >= 5
+""",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + type-token ratio, with a minimum
+    length gate (the classic pretraining-corpus filter shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        )
+        .filter(F.col("n_tokens") >= 5)
+    )
+
+
+@query(
+    "doc_lang_stats",
+    oracle=f"""
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+  CAST(SUM(len({_TOKENIZE_SQL})) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        (F.sum(F.size(toks).cast("bigint")).cast("double") / F.count("*")).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN len(list_filter({_TOKENIZE_SQL},
+         t -> list_contains(['the','a','and','of','to','in','is','for','on','it'], t))) * 5
+            >= len({_TOKENIZE_SQL})
+       THEN 'en' ELSE 'unknown' END AS detected_lang
+FROM documents
+""",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (north-star): stopword-density vote.  A real
+    deployment swaps the stopword table per language; the operator shape
+    (array_filter density over tokens) is the scalable part."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(n_stop * 5 >= F.size(toks), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("detected_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace/case-normalized md5 — the exact
+    content-hash used by the exact-dedup operator."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@query(
+    "doc_shingle_profile",
+    oracle="""
+SELECT doc_id,
+  len(list_distinct([substring(text, i, 8)
+                     for i in range(1, length(text) - 6)])) AS n_shingles,
+  length(text) AS n_chars_measured
+FROM documents
+WHERE length(text) >= 8
+""",
+)
+def q_doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 8-gram shingle cardinality per doc — the shingling stage
+    under MinHash/Jaccard dedup, as a native sequence+transform expression."""
+    d = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 7),
+            lambda i: F.substring(F.col("text"), i, F.lit(8)),
+        )
+    )
+    return (
+        d.filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.size(shingles).alias("n_shingles"),
+            F.length("text").alias("n_chars_measured"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Sinks — SURVEY.md §2.1 S5-S8.
+
+The reference's Splunk KV sink serializes row-by-row on one thread and
+flushes 1 000-record JSON batches (h-isac.py:11-44); its streaming path
+posts one HTTPS request per IOC (firehose.py:131-133).  Here both become
+partition-parallel batched writers: ``to_json(struct(*))`` happens
+JVM-side (eliminating the injection-prone string templating at
+firehose.py:126-128), and each partition independently buffers and
+flushes ``batch_size`` records, so sink throughput scales with executor
+count instead of being a single synchronous loop.
+
+The HTTP transport is injectable (``poster``) — tests inject a collector;
+a real deployment injects a requests-based poster with auth.  No network
+I/O happens in this module by default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPLUNK_BATCH_LIMIT = 1000  # Splunk batch_save cap (h-isac.py:34-36)
+
+
+def rows_to_json(df: DataFrame) -> DataFrame:
+    """Serialize every row to a JSON string column JVM-side (T15) —
+    replaces the per-row ``data.loc[row, :].to_json()`` loop
+    (h-isac.py:31-32)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("payload"))
+
+
+def write_kv_batched(
+    df: DataFrame,
+    poster: Callable[[list[str]], Any],
+    batch_size: int = SPLUNK_BATCH_LIMIT,
+) -> None:
+    """Batched KV sink (S5): per-partition buffering with ``batch_size``
+    flushes + a final remainder flush — the exact batching contract of
+    h-isac.py:31-43, parallel across partitions.
+
+    ``poster`` receives a list of JSON strings (one batch).  It must be
+    picklable (it runs on executors).
+    """
+
+    def flush_partition(rows: Iterator[Any]) -> None:
+        buf: list[str] = []
+        for row in rows:
+            buf.append(row.payload)
+            if len(buf) == batch_size:
+                poster(buf)
+                buf = []
+        if buf:  # remainder flush (h-isac.py:41-43)
+            poster(buf)
+
+    rows_to_json(df).foreachPartition(flush_partition)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (S7, h-isac.py:166-168).  ``single_file=True`` coalesces
+    to one part for parity with pandas ``to_csv`` — only sane for small
+    outputs; large extracts keep their partitioning."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_metrics(df: DataFrame, path: str) -> None:
+    """Metrics/state store (S8): append per-run per-type counts to a
+    parquet table — replaces the read-modify-write JSON state file
+    (h-isac.py:125-139,177-179).  Totals are a query over the table
+    (sum over runs), so concurrent runs can't lose updates the way the
+    reference's stamp-then-overwrite dance can (SURVEY §4.3.2)."""
+    (
+        df.groupBy("type")
+        .agg(F.count("*").alias("n_iocs"))
+        .withColumn("run_ts", F.current_timestamp())
+        .write.mode("append")
+        .parquet(path)
+    )

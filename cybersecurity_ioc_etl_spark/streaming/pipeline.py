@@ -1,0 +1,197 @@
+"""Structured Streaming pipelines — SURVEY.md §2.9.
+
+The reference's stream is a single-threaded tweepy callback with no
+delivery guarantees (firehose.py:19-48).  Here the same semantics run as
+micro-batch Structured Streaming with checkpointing: readStream →
+from_json(schema) → retweet filter → nested projection → IOC extraction →
+explode → sink.  ``Trigger.AvailableNow`` replaces the reference's
+resume-from-last_run batch loop (h-isac.py:149-153): process everything
+new, then stop — with the checkpoint playing the role of the
+~/pyioc_hisac_meta.json state file, minus its AM/PM bug (SURVEY §4.3.2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import ioc as K
+
+# tweet envelope schema (firehose.py:20-37) — explicit StructType replacing
+# json.loads duck-typing; PERMISSIVE parsing puts malformed payloads in
+# _corrupt_record instead of crashing the stream.
+TWEET_SCHEMA = T.StructType(
+    [
+        T.StructField("created_at", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("retweeted", T.BooleanType()),
+        T.StructField(
+            "extended_tweet",
+            T.StructType([T.StructField("full_text", T.StringType())]),
+        ),
+        T.StructField(
+            "user", T.StructType([T.StructField("screen_name", T.StringType())])
+        ),
+        T.StructField(
+            "entities",
+            T.StructType(
+                [
+                    T.StructField(
+                        "hashtags",
+                        T.ArrayType(
+                            T.StructType([T.StructField("text", T.StringType())])
+                        ),
+                    ),
+                    T.StructField(
+                        "urls",
+                        T.ArrayType(
+                            T.StructType(
+                                [T.StructField("expanded_url", T.StringType())]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def parse_tweets(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """raw JSON strings → flat tweet projection (firehose.py:19-37).
+
+    - retweet filter (firehose.py:23-24)
+    - extended_tweet.full_text fallback via coalesce (firehose.py:29-32)
+    - whitespace normalization (T8)
+    - hashtags/urls kept as real arrays (SURVEY §1.1 schema fix)
+    """
+    t = raw.select(
+        F.from_json(F.col(json_col), TWEET_SCHEMA).alias("tw")
+    ).select("tw.*")
+    return (
+        t.filter(
+            ~F.coalesce(F.col("retweeted"), F.lit(False))
+            & ~F.coalesce(F.col("text"), F.lit("")).startswith("RT @")
+        )
+        .select(
+            F.col("created_at"),
+            F.col("id"),
+            K.normalize_ws(
+                F.coalesce(F.col("extended_tweet.full_text"), F.col("text"))
+            ).alias("text"),
+            F.col("user.screen_name").alias("source"),
+            F.transform(F.col("entities.hashtags"), lambda h: h["text"]).alias("tags"),
+            F.transform(F.col("entities.urls"), lambda u: u["expanded_url"]).alias(
+                "urls"
+            ),
+        )
+    )
+
+
+def tweets_to_ioc_rows(tweets: DataFrame) -> DataFrame:
+    """Tweet projection → canonical long IOC table (stream flavour of the
+    batch explode; unified 8-column contract per SURVEY §1.1, with the
+    stream path gaining refang + email extraction — documented fix)."""
+    iocs = K.extract_iocs(F.col("text"))
+    pairs = F.array(
+        F.struct(F.lit("ip").alias("type"), iocs["ip"].alias("iocs")),
+        F.struct(F.lit("hash").alias("type"), iocs["hash"].alias("iocs")),
+        F.struct(F.lit("url").alias("type"), iocs["url"].alias("iocs")),
+        F.struct(F.lit("email").alias("type"), iocs["email"].alias("iocs")),
+    )
+    return tweets.select(
+        F.col("id").cast("string").alias("id"),
+        F.col("created_at").alias("date_added"),
+        F.lit(None).cast("string").alias("date_received"),
+        F.col("source"),
+        F.coalesce(F.array_join("tags", ";"), F.lit("N/A")).alias("tag"),
+        F.explode(pairs).alias("p"),
+    ).select(
+        "id",
+        "date_added",
+        "date_received",
+        F.explode(F.col("p.iocs")).alias("ioc"),
+        F.lit("twitter").alias("platform"),
+        "source",
+        "tag",
+        F.col("p.type").alias("type"),
+    )
+
+
+def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling-window hourly aggregation of `events` as a real
+    Structured Streaming query (file source → window() → memory sink,
+    complete mode, Trigger.AvailableNow) and return the drained result.
+
+    Output matches the batch/DuckDB form of the same aggregation —
+    streaming/batch parity is the correctness claim here.
+    """
+    import os
+
+    from ..sources.readers import normalize_event_ts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source lists a *directory*; expose the single fixture
+    # file through a symlinked dir (zero-copy)
+    src_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(vi.cast("decimal(38,0)")).cast("double") / 1e4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"hourly_counts_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_hourly_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_ioc_stream(
+    spark: SparkSession, json_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """End-to-end streaming IOC pipeline over a directory of tweet-JSON
+    files (the test harness feeds micro-batches by dropping files):
+    readStream(text) → parse → extract → explode → append-mode memory sink.
+    """
+    raw = spark.readStream.format("text").load(json_dir)
+    rows = tweets_to_ioc_rows(parse_tweets(raw, "value"))
+    name = f"ioc_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        rows.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,79 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet, compare row count, column names, and order-insensitive
+values.  Runs at sf0.001 by default (fast); set
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the driver's exact SF.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # full precision: the driver hashes exact values, so the decimal
+        # accumulation contract must make Spark and DuckDB bit-identical
+        return f"{v:.17g}"
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def _rowset(rows, cols):
+    return sorted(tuple(_norm(r[c]) for c in cols) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [r.asDict() for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    try:
+        res = con.execute(ORACLES[name])
+        dcols = [d[0] for d in res.description]
+        drows = [dict(zip(dcols, row)) for row in res.fetchall()]
+    finally:
+        con.close()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    cols = sorted(scols)
+    sset, dset = _rowset(srows, cols), _rowset(drows, cols)
+    if sset != dset:
+        diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
