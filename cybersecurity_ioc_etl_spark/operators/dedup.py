@@ -158,15 +158,25 @@ _SHINGLE_INT_SQL = (
 )
 
 
-def minhash_signature(text: Column) -> list[Column]:
-    """k=8 MinHash values over word-3-gram shingles, as separate columns."""
-    ints = F.transform(_word_shingles(text), _shingle_int)
-    return [
-        F.array_min(
-            F.transform(ints, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
-        ).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(_MINHASH_AB)
-    ]
+def minhash_agg(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """k MinHash values over word-3-gram shingles, one row per document.
+
+    Plan shape: explode shingles → md5 ONCE per shingle → k min-aggregates
+    with map-side partial aggregation.  Digesting each shingle once (not
+    once per hash function) is the dominant cost at scale; the k
+    permutations are two integer ops each on the shared digest."""
+    sh = docs.select(
+        F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle")
+    )
+    ints = sh.select(id_col, _shingle_int(F.col("shingle")).alias("x"))
+    return ints.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+                f"mh_{j}"
+            )
+            for j, (a, b) in enumerate(_MINHASH_AB[:k])
+        ]
+    )
 
 
 def _minhash_sql(j: int) -> str:
@@ -182,10 +192,9 @@ def _minhash_sql(j: int) -> str:
     + "\nFROM documents WHERE doc_id < 100",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature computation (k=8) — the sketch under LSH near-dup.
-    Pure narrow expression work: no shuffle at all; scales linearly."""
+    """MinHash signature computation (k=8) — the sketch under LSH near-dup."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select("doc_id", *minhash_signature(F.col("text")))
+    return minhash_agg(d, "doc_id", "text", k=8)
 
 
 @query(
@@ -214,7 +223,7 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup plan — pair generation is confined to same-bucket groups
     instead of the quadratic all-pairs join."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sig = d.select("doc_id", *minhash_signature(F.col("text"))[:4])
+    sig = minhash_agg(d, "doc_id", "text", k=4)
     banded = sig.select(
         "doc_id", F.lit(0).alias("band"), F.col("mh_0").alias("b1"), F.col("mh_1").alias("b2")
     ).unionByName(

@@ -143,6 +143,97 @@ def q_ioc_per_source_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- batch tweet pipeline (§3.2 end-to-end) -------------------------------
+# deterministic tweet-JSON envelopes built from `documents`, run through
+# the REAL streaming-path code (parse_tweets → tweets_to_ioc_rows); the
+# oracle computes the equivalent result directly from the payload text.
+
+_TWEET_TEXT_SQL = """
+(CASE WHEN doc_id % 11 = 0 THEN 'RT @bot ' ELSE '' END)
+  || 'alert ' || CAST(doc_id % 223 + 1 AS VARCHAR) || '[.]' || CAST(doc_id % 251 AS VARCHAR)
+  || '.' || CAST(doc_id % 17 AS VARCHAR) || '[.]' || CAST(doc_id % 254 + 1 AS VARCHAR)
+  || ' hash ' || md5(text) || ' link hxxp://t' || CAST(doc_id AS VARCHAR) || '[.]co/x'
+"""
+
+
+def synthetic_tweet_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One JSON tweet envelope per document (models FIXTURES.md B2)."""
+    d = F.col("doc_id")
+    text = F.concat(
+        F.when(d % 11 == 0, F.lit("RT @bot ")).otherwise(F.lit("")),
+        F.lit("alert "),
+        (d % 223 + 1).cast("string"), F.lit("[.]"),
+        (d % 251).cast("string"), F.lit("."),
+        (d % 17).cast("string"), F.lit("[.]"),
+        (d % 254 + 1).cast("string"),
+        F.lit(" hash "), F.md5(F.col("text")),
+        F.lit(" link hxxp://t"), d.cast("string"), F.lit("[.]co/x"),
+    )
+    payload = F.concat(
+        F.lit('{"created_at":"2024-01-'),
+        F.lpad((d % 27 + 1).cast("string"), 2, "0"),
+        F.lit(' 12:00:00","id":'), d.cast("string"),
+        F.lit(',"text":"'), text,
+        F.lit('","retweeted":'),
+        F.when(d % 6 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"user":{"screen_name":"'), F.col("source"),
+        F.lit('"},"entities":{"hashtags":[{"text":"malspam"}],"urls":'),
+        F.lit('[{"expanded_url":"https://past.example/'), d.cast("string"),
+        F.lit('"}]}}'),
+    )
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        payload.alias("value")
+    )
+
+
+@query(
+    "tweet_batch_pipeline",
+    oracle=f"""
+WITH tweets AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+    '2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') || ' 12:00:00' AS date_added,
+    source,
+    {_TWEET_TEXT_SQL} AS text,
+    (doc_id % 6 = 0) AS retweeted
+  FROM documents
+),
+kept AS (
+  SELECT * FROM tweets WHERE NOT retweeted AND NOT (text LIKE 'RT @%')
+),
+extracted AS (
+  SELECT id, date_added, source,
+    list_transform(regexp_extract_all(text, '{K.IP_PATTERN}', 1),
+                   x -> {_SQL_REFANG.format(x='x')}) AS ips,
+    regexp_extract_all(text, '{K.HASH_PATTERN}', 1) AS hashes,
+    list_transform(regexp_extract_all(text, '{K.URL_PATTERN}', 1),
+                   x -> {_SQL_REFANG.format(x='x')}) AS urls,
+    list_transform(regexp_extract_all(text, '{K.EMAIL_PATTERN}', 1),
+                   x -> regexp_replace({_SQL_REFANG.format(x='x')}, '^mailto:', '')) AS emails
+  FROM kept
+),
+ioc_rows AS (
+  SELECT id, date_added, source, 'ip' AS type, unnest(ips) AS ioc FROM extracted
+  UNION ALL SELECT id, date_added, source, 'hash', unnest(hashes) FROM extracted
+  UNION ALL SELECT id, date_added, source, 'url', unnest(urls) FROM extracted
+  UNION ALL SELECT id, date_added, source, 'email', unnest(emails) FROM extracted
+)
+SELECT id, date_added, CAST(NULL AS VARCHAR) AS date_received, ioc,
+       'twitter' AS platform, source, 'malspam' AS tag, type
+FROM ioc_rows
+""",
+)
+def q_tweet_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The firehose pipeline (§3.2) in batch: JSON envelope → from_json
+    against the explicit tweet schema → retweet filter → nested projection
+    → unified extraction → explode.  Runs the SAME code the streaming
+    query uses (streaming/pipeline.py), proving batch/stream parity of the
+    tweet path, with full oracle coverage."""
+    from ..streaming.pipeline import parse_tweets, tweets_to_ioc_rows
+
+    raw = synthetic_tweet_json(spark, sf_dir)
+    return tweets_to_ioc_rows(parse_tweets(raw, "value"))
+
+
 @query(
     "ioc_classify",
     oracle=f"""

@@ -602,7 +602,7 @@ def q_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.upper(F.substring("p_name", 1, 4)).alias("name_prefix"))
         .agg(
             F.count("*").alias("n"),
-            F.min(F.length("p_name")).alias("min_len"),
-            F.max(F.length("p_name")).alias("max_len"),
+            F.min(F.length("p_name").cast("long")).alias("min_len"),
+            F.max(F.length("p_name").cast("long")).alias("max_len"),
         )
     )

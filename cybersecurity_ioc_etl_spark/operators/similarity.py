@@ -112,7 +112,7 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(F.sqrt(_dot_double(F.col("v"), F.col("v"))), 6).alias("l2_norm"),
-        F.size("v").alias("dim"),
+        F.size("v").cast("long").alias("dim"),
     )
 
 

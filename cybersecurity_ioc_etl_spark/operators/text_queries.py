@@ -43,13 +43,13 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars_measured"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
         (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
             / F.size(toks)
         ).alias("avg_token_len"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
     )
 
 
@@ -76,7 +76,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            F.size(toks).alias("n_tokens"),
+            F.size(toks).cast("long").alias("n_tokens"),
             (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
             (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
         )
@@ -181,7 +181,7 @@ def q_doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.length("text") >= 8)
         .select(
             "doc_id",
-            F.size(shingles).alias("n_shingles"),
-            F.length("text").alias("n_chars_measured"),
+            F.size(shingles).cast("long").alias("n_shingles"),
+            F.length("text").cast("long").alias("n_chars_measured"),
         )
     )
