@@ -197,6 +197,144 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_agg(d, "doc_id", "text", k=8)
 
 
+# --- SimHash ---------------------------------------------------------------
+# 16-bit SimHash over word tokens: token → 32-bit md5-prefix int (same
+# digest both engines), bit b of the signature is the sign of
+# Σ_tokens (±1 depending on bit b of the token hash).  Near-dups differ
+# in few bits → Hamming distance ≤ t.  At 100 TB the pair search is NOT
+# all-pairs: the signature is split into t+1 bands (pigeonhole — any
+# pair within Hamming t shares at least one intact band), candidates are
+# generated by a bucket-join on (band, band_bits) and only candidates
+# pay the Hamming check.
+
+_SIMHASH_BITS = 16
+_HAMMING_T = 3
+_SIMHASH_BANDS = 4  # > _HAMMING_T guarantees no missed pair (pigeonhole)
+
+
+def _token_ints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    ).select(id_col, _shingle_int(F.col("tok")).alias("x"))
+
+
+def simhash_agg(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One 16-bit SimHash per document.
+
+    Plan shape: explode tokens → md5 ONCE per token → 16 conditional-sum
+    aggregates (map-side partial) → sign-pack into one int.  Like
+    MinHash, the digest is shared across all bit positions; each bit
+    costs two integer ops on the pre-aggregated sums."""
+    ints = _token_ints(docs, id_col, text_col)
+    sums = ints.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = sum(
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(_SIMHASH_BITS)
+        ],
+        F.lit(0),
+    )
+    return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+_TOKEN_INTS_SQL = (
+    "SELECT doc_id, "
+    + _SHINGLE_INT_SQL.format(x="tok")
+    + " AS x FROM (SELECT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS tok"
+    " FROM documents WHERE doc_id < {bound})"
+)
+
+_SIMHASH_SIG_SQL = (
+    "SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    + " AS BIGINT) AS simhash FROM ({toks}) GROUP BY doc_id"
+)
+
+
+@query(
+    "simhash_signatures",
+    oracle=_SIMHASH_SIG_SQL.format(toks=_TOKEN_INTS_SQL.format(bound=200)),
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature computation — the sketch under Hamming near-dup."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_agg(d, "doc_id", "text")
+
+
+@query(
+    "simhash_neardup_pairs",
+    oracle=f"""
+WITH sig AS ({_SIMHASH_SIG_SQL.format(toks=_TOKEN_INTS_SQL.format(bound=500))})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+""",
+)
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: Hamming-distance-≤-3 pairs via banded LSH.
+
+    The oracle states the spec as an all-pairs O(n²) join; the Spark
+    plan is the scale shape — signatures split into 4 four-bit bands,
+    candidates generated only within (band, bits) buckets (pigeonhole
+    guarantees identical results), then the exact Hamming filter.  At
+    100 TB the bucket-join shuffles ~n·4 tiny rows instead of n²."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sig = simhash_agg(d, "doc_id", "text")
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("simhash"), k * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for k in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # a pair may collide on several bands — dedup before the Hamming check
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .agg(F.count("*").alias("_nb"))
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= _HAMMING_T).select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    )
+
+
 @query(
     "minhash_band_pairs",
     oracle=f"""

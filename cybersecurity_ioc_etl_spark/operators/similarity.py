@@ -158,6 +158,158 @@ def q_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS x
+  FROM embeddings WHERE vec_id < 300
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SUM(a.x * b.x) AS dot_i, SUM(a.x * a.x) AS sq_a, SUM(b.x * b.x) AS sq_b
+  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+  round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+        / (sqrt(CAST(sq_a AS DOUBLE) / 100000000000000.0)
+         * sqrt(CAST(sq_b AS DOUBLE) / 100000000000000.0)), 6) AS cosine_sim
+FROM pairs
+WHERE round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+        / (sqrt(CAST(sq_a AS DOUBLE) / 100000000000000.0)
+         * sqrt(CAST(sq_b AS DOUBLE) / 100000000000000.0)), 6) >= 0.4
+""",
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4 (bounded to
+    vec_id<300 — the fixture has no true dup vectors, so the threshold
+    sits at the top of the background-similarity distribution).  The
+    filter applies to the ROUNDED value so the boundary set is identical
+    in both engines.  At 100 TB the all-pairs join is replaced by the
+    hyperplane-bucket candidates of `ann_hyperplane_buckets` — pairs are
+    only generated within a bucket, exactly like MinHash banding."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = F.round(
+        _dot_double(F.col("a.v"), F.col("b.v"))
+        / (
+            F.sqrt(_dot_double(F.col("a.v"), F.col("a.v")))
+            * F.sqrt(_dot_double(F.col("b.v"), F.col("b.v")))
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.4)
+    )
+
+
+@query(
+    "ivf_topk",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+cent AS (  -- coarse quantizer: per-(label, dim) exact integer mean, re-quantized
+  SELECT label, i,
+    {_MI_SQL.format(x=f"CAST(SUM({_MI_SQL.format(x='x')}) AS DOUBLE) / 10000000.0 / COUNT(*)")} AS cx
+  FROM comp GROUP BY label, i
+),
+qv AS (SELECT i, {_MI_SQL.format(x='x')} AS qx FROM comp WHERE vec_id = 0),
+probe AS (  -- nearest centroid to the query (nprobe = 1)
+  SELECT c.label
+  FROM cent c JOIN qv ON c.i = qv.i
+  GROUP BY c.label
+  ORDER BY CAST(SUM(c.cx * qv.qx) AS DOUBLE)
+           / sqrt(CAST(SUM(c.cx * c.cx) AS DOUBLE)) DESC, c.label
+  LIMIT 1
+),
+cell AS (  -- fine search confined to the probed cell
+  SELECT v.vec_id, v.label,
+    SUM({_MI_SQL.format(x='v.x')} * qv.qx) AS dot_i,
+    SUM({_MI_SQL.format(x='v.x')} * {_MI_SQL.format(x='v.x')}) AS sq_v,
+    SUM(qv.qx * qv.qx) AS sq_q
+  FROM comp v JOIN qv ON v.i = qv.i
+  WHERE v.label = (SELECT label FROM probe) AND v.vec_id != 0
+  GROUP BY v.vec_id, v.label
+)
+SELECT vec_id, label,
+  round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+        / (sqrt(CAST(sq_v AS DOUBLE) / 100000000000000.0)
+         * sqrt(CAST(sq_q AS DOUBLE) / 100000000000000.0)), 6) AS cosine_sim
+FROM cell
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: build per-label centroids (coarse
+    quantizer), route the query vector to its nearest centroid
+    (nprobe=1), brute-force cosine only within that cell.
+
+    This is THE 100 TB many-query ANN plan: the centroid table is tiny
+    (k × dim) and broadcast; the big side is partitioned by cell id, so
+    a query touches 1/k of the data and the per-cell top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    comp = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    cent = comp.groupBy("label", "i").agg(
+        _mi(F.sum(_mi(F.col("x"))).cast("double") / F.lit(1e7) / F.count("*")).alias("cx")
+    )
+    qv = comp.filter(F.col("vec_id") == 0).select("i", _mi(F.col("x")).alias("qx"))
+    probe = (
+        cent.join(F.broadcast(qv), "i")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("cx") * F.col("qx")).cast("double")
+                / F.sqrt(F.sum(F.col("cx") * F.col("cx")).cast("double"))
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("label"))
+        .limit(1)
+        .select("label")
+    )
+    cell = (
+        comp.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "label")
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(_mi(F.col("x")) * F.col("qx")).alias("dot_i"),
+            F.sum(_mi(F.col("x")) * _mi(F.col("x"))).alias("sq_v"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sq_q"),
+        )
+    )
+    cos = F.round(
+        (F.col("dot_i").cast("double") / F.lit(1e14))
+        / (
+            F.sqrt(F.col("sq_v").cast("double") / F.lit(1e14))
+            * F.sqrt(F.col("sq_q").cast("double") / F.lit(1e14))
+        ),
+        6,
+    )
+    return (
+        cell.select("vec_id", "label", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
     "ann_hyperplane_buckets",
     oracle=f"""
 WITH comp AS (
