@@ -20,9 +20,12 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..operators.registry import query
+from ..sources.readers import load_table
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -119,3 +122,30 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "media_byte_profile",
+    oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  COUNT(*) AS n_media,
+  SUM(octet_length(encode(text))) AS total_bytes,
+  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1
+""",
+)
+def q_media_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline profile: synthesize binary media from
+    `documents`, run the REAL Arrow/mapInPandas feature-extraction stage,
+    aggregate per media kind.  The oracle checks the columns DuckDB can
+    derive (counts + byte sizes flow THROUGH the Python stage, so a batch
+    -shape or schema bug upstream breaks parity); feature values are
+    covered by tests/test_multimodal.py."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

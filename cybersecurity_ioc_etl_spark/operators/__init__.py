@@ -9,5 +9,7 @@ from . import (  # noqa: F401
     dedup,
     similarity,
     advanced,
+    analytics,
 )
+from ..multimodal import columns as _multimodal_columns  # noqa: F401,E402
 from .registry import ORACLES, QUERIES  # noqa: F401

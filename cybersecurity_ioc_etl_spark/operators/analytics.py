@@ -1,0 +1,200 @@
+"""Analytic breadth: GROUPING SETS, lag/lead windows, time-range joins,
+and moment-based statistics (stddev / correlation) — SURVEY.md §2.4-2.6
+capability categories the reference lacks ("none in reference"), provided
+here as first-class engine queries with DuckDB oracles.
+
+Float determinism follows the integer-mantissa contract documented in
+relational.py: quantize once per row, aggregate exact integers, convert
+each aggregate to double exactly once, then evaluate the SAME closed-form
+double expression in both engines (IEEE ops are individually correctly
+rounded, so an identical expression tree yields identical bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .registry import query
+from .relational import ISUM, MI, isum, mi
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  {ISUM.format(x=MI.format(x='l_extendedprice'))} / 10000.0 AS sum_base_price,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over (flag, status) / (flag) / (): three aggregation
+    granularities in ONE shuffle — Spark expands the sets map-side and
+    partially aggregates each, so the cost is one pass over lineitem, not
+    three queries.  (SURVEY.md §2.4: no grouping sets in reference.)"""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 10000.0) AS BIGINT) AS DECIMAL(38,0)))
+       AS DOUBLE) / 10000.0 AS sum_base_price,
+  COUNT(*) AS n_items
+FROM gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+    )
+
+
+@query(
+    "order_gap_days",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders WHERE o_custkey < 200
+)
+SELECT o_custkey, o_orderkey,
+  CAST(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT)
+    AS gap_days
+FROM seq WHERE prev_date IS NOT NULL
+""",
+)
+def q_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: days between consecutive orders per customer.  One
+    shuffle on o_custkey; the per-partition sort is the window's only
+    cost and AQE keeps partitions balanced under customer skew.
+    (SURVEY.md §2.5: no window functions in reference.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+        )
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
+
+
+@query(
+    "click_error_range_join",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS error_id,
+  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'error' AND a.user_id < 40
+""",
+)
+def q_click_error_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: error events within 10 minutes after a click by
+    the same user.  Equi-key (user_id) carries the shuffle; the range
+    predicate is evaluated inside the joined partition, so the plan is a
+    plain hash join, NOT a nested-loop — the shape that survives 100 TB
+    (bound the range to keep per-key fan-out finite; at cluster scale
+    add a coarse time-bucket to the key to cap skew)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 40)).alias("a")
+    b = ev.filter(F.col("event_type") == "error").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return joined.select(
+        F.col("a.event_id").alias("click_id"),
+        F.col("b.event_id").alias("error_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("lag_us"),
+    )
+
+
+# moment sums for stddev/corr: quantity quantized at 10^2, extendedprice
+# at 10^0 (dollar) — keeps Σy² < 2^53 at sf0.1 so every aggregate→double
+# conversion is a single rounding in both engines.
+_QX = "CAST(ROUND(l_quantity * 100.0) AS BIGINT)"
+_QY = "CAST(ROUND(l_extendedprice) AS BIGINT)"
+
+
+@query(
+    "lineitem_stats_by_flag",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM({_QX}) AS DOUBLE) AS sx,
+    CAST(SUM({_QY}) AS DOUBLE) AS sy,
+    CAST(SUM({_QX} * {_QX}) AS DOUBLE) AS sxx,
+    CAST(SUM({_QY} * {_QY}) AS DOUBLE) AS syy,
+    CAST(SUM({_QX} * {_QY}) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 100.0, 6) AS stddev_qty,
+  round((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+  round(sx / n / 100.0, 6) AS avg_qty
+FROM s
+""",
+)
+def q_lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev + Pearson correlation per return flag, computed from
+    exact integer moment sums (n, Σx, Σy, Σx², Σy², Σxy) — the two-pass
+    textbook formulas collapsed into one map-side-combinable pass.  This
+    is how moment statistics distribute at 100 TB: the shuffle carries
+    six numbers per group, never the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = mi(F.col("l_quantity"), 2)
+    y = mi(F.col("l_extendedprice"), 0)
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        isum(x).alias("sx"),
+        isum(y).alias("sy"),
+        isum(x * x).alias("sxx"),
+        isum(y * y).alias("syy"),
+        isum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(var_x / (n * (n - F.lit(1.0)))) / F.lit(100.0), 6).alias(
+            "stddev_qty"
+        ),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(F.col("sx") / n / F.lit(100.0), 6).alias("avg_qty"),
+    )
+
+
+@query("approx_distinct_parts", oracle=None)
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) of parts per supplier flag —
+    rows-only check: sketch estimates are engine-specific by design, so
+    there is no cross-engine oracle; tests/test_analytics.py bounds the
+    relative error against the exact count instead.  At 100 TB this is
+    the ONLY affordable distinct count: fixed-size sketch per group,
+    mergeable map-side, no exact-distinct re-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("n_items"),
+    )
