@@ -176,14 +176,33 @@ def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_ioc_stream(
-    spark: SparkSession, json_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    json_dir: str,
+    checkpoint_dir: str,
+    out_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end streaming IOC pipeline over a directory of tweet-JSON
     files (the test harness feeds micro-batches by dropping files):
-    readStream(text) → parse → extract → explode → append-mode memory sink.
+    readStream(text) → parse → extract → explode → append-mode sink.
+
+    With ``out_dir`` the sink is parquet — the recoverable kind: a second
+    run against the same checkpoint processes ONLY files that arrived
+    since (exactly-once resume, replacing h-isac.py:149-153's last_run
+    stamp).  Without it, a throwaway memory sink (no recovery support).
     """
     raw = spark.readStream.format("text").load(json_dir)
     rows = tweets_to_ioc_rows(parse_tweets(raw, "value"))
+    if out_dir is not None:
+        q = (
+            rows.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
     name = f"ioc_stream_{uuid.uuid4().hex[:8]}"
     q = (
         rows.writeStream.format("memory")

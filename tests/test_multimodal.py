@@ -1,0 +1,57 @@
+"""Multimodal column tests: the Spark-side plumbing (schema, Arrow batch
+shape, determinism) is real; the codec is stubbed (no media libs in this
+container) behind decode_real's documented NotImplementedError."""
+
+from __future__ import annotations
+
+import pytest
+
+from cybersecurity_ioc_etl_spark.multimodal.columns import (
+    FEATURE_SCHEMA,
+    _fake_feature,
+    decode_real,
+    extract_features,
+    synthesize_media,
+)
+from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+
+def _media(spark, sf_dir):
+    return synthesize_media(load_table(spark, sf_dir, "documents"))
+
+
+def test_media_schema_and_kind_mapping(spark, sf_dir):
+    m = _media(spark, sf_dir)
+    assert dict(m.dtypes)["content"] == "binary"
+    rows = m.select("media_id", "kind").collect()
+    kinds = {0: "image", 1: "audio", 2: "video"}
+    assert all(r.kind == kinds[r.media_id % 3] for r in rows)
+
+
+def test_feature_extraction_schema_and_shape(spark, sf_dir):
+    f = extract_features(_media(spark, sf_dir))
+    assert f.schema == FEATURE_SCHEMA
+    rows = f.collect()
+    assert rows and all(len(r.feature) == 8 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_feature_extraction_deterministic(spark, sf_dir):
+    f1 = {r.media_id: r.feature for r in extract_features(_media(spark, sf_dir)).collect()}
+    f2 = {r.media_id: r.feature for r in extract_features(_media(spark, sf_dir)).collect()}
+    assert f1 == f2
+
+
+def test_fake_feature_matches_python_reference(spark, sf_dir):
+    row = (
+        extract_features(_media(spark, sf_dir).filter("media_id = 1"))
+        .collect()[0]
+    )
+    blob = _media(spark, sf_dir).filter("media_id = 1").collect()[0].content
+    assert row.feature == _fake_feature(bytes(blob))
+    assert row.n_bytes == len(blob)
+
+
+def test_decode_real_is_a_documented_stub():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG", "image")

@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+Correctness tests prove the small-SF answer; these tests pin the PLAN
+properties that decide whether the same query survives 100 TB: filters
+pushed to the parquet scan, column pruning, broadcast joins on dimension
+tables, distributed top-k (TakeOrderedAndProject, never a global sort),
+two-phase aggregation, and no row-at-a-time Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "filter_project_revenue")
+    assert "PushedFilters: [" in p
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in p
+
+
+def test_column_pruning_on_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "filter_project_revenue")
+    # lineitem has 11 columns; the revenue query must not read them all
+    assert "l_returnflag" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_dimension_join_is_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "region_nation_revenue")
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    p = plan(spark, sf_dir, "top_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_knn_broadcasts_query_vector_and_uses_topk(spark, sf_dir):
+    p = plan(spark, sf_dir, "knn_cosine_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row query side, big side never shuffles
+
+
+def test_flagship_pipeline_is_all_jvm(spark, sf_dir):
+    """The IOC extract/refang/explode path must stay in codegen — a
+    Python eval node here would be a 10-100x regression at scale."""
+    p = plan(spark, sf_dir, "ioc_flagship")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "[codegen id :" in p  # whole-stage codegen spans present
+
+
+def test_range_join_is_keyed_not_cartesian(spark, sf_dir):
+    p = plan(spark, sf_dir, "click_error_range_join")
+    assert "CartesianProduct" not in p
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    )
+
+
+def test_aggregation_is_two_phase(spark, sf_dir):
+    """pricing_summary must partially aggregate map-side: two
+    HashAggregate nodes around the exchange."""
+    p = plan(spark, sf_dir, "pricing_summary")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_ivf_probe_sides_are_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "ivf_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p  # centroid probe + query vector are tiny

@@ -1,0 +1,101 @@
+"""Property-based tests (SURVEY.md §5.4, Hypothesis): defang→extract→
+refang round-trips, refang idempotence, and classification totality.
+
+Each example batches many generated strings into ONE Spark job (a per-
+string job would dominate runtime); max_examples stays small because
+every example already covers dozens of generated inputs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from cybersecurity_ioc_etl_spark.functions import ioc as K
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+octet = st.integers(0, 255)
+dot = st.sampled_from([".", "[.]"])
+word = st.text("abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+
+
+@st.composite
+def defanged_ip(draw):
+    parts = [str(draw(octet)) for _ in range(4)]
+    seps = [draw(dot) for _ in range(3)]
+    plain = ".".join(parts)
+    fanged = parts[0] + seps[0] + parts[1] + seps[1] + parts[2] + seps[2] + parts[3]
+    return fanged, plain
+
+
+@st.composite
+def defanged_url(draw):
+    scheme = draw(st.sampled_from(["hxxp", "hxxps", "http", "https"]))
+    host = [draw(word) for _ in range(draw(st.integers(2, 4)))]
+    seps = [draw(dot) for _ in range(len(host) - 1)]
+    fanged_host = host[0] + "".join(s + h for s, h in zip(seps, host[1:]))
+    plain_host = ".".join(host)
+    plain_scheme = "http" + ("s" if scheme.endswith("s") else "")
+    return f"{scheme}://{fanged_host}/x", f"{plain_scheme}://{plain_host}/x"
+
+
+def _apply(spark, values, colfn):
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    return [r.out for r in df.select(colfn(F.col("s")).alias("out")).collect()]
+
+
+@given(st.lists(defanged_ip(), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_refang_recovers_plain_ip(spark, pairs):
+    fanged = [f for f, _ in pairs]
+    expected = [p for _, p in pairs]
+    assert _apply(spark, fanged, K.refang) == expected
+
+
+@given(st.lists(defanged_url(), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_refang_recovers_plain_url(spark, pairs):
+    fanged = [f for f, _ in pairs]
+    expected = [p for _, p in pairs]
+    assert _apply(spark, fanged, K.refang) == expected
+
+
+@given(st.lists(st.one_of(defanged_ip(), defanged_url()), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_refang_idempotent(spark, pairs):
+    once = [p for _, p in pairs]
+    assert _apply(spark, once, K.refang) == once
+
+
+@given(st.lists(defanged_ip(), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_extraction_finds_embedded_defanged_ip(spark, pairs):
+    """A defanged IP embedded in prose must be extracted and refanged —
+    the core h-isac.py contract, over generated inputs."""
+    bodies = [f"alert: contact {f} for details" for f, _ in pairs]
+    expected = [[p] for _, p in pairs]
+    got = _apply(spark, bodies, lambda c: K.extract_iocs(c)["ip"])
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(
+            "abcdefghijklmnopqrstuvwxyzABCDEF0123456789./:@-", min_size=1, max_size=40
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_classification_is_total(spark, values):
+    """classify_ioc never nulls and never leaves the 4-value enum,
+    whatever the input (firehose.py:82-103 decision tree)."""
+    got = _apply(spark, values, K.classify_ioc)
+    assert all(g in {"ip", "url", "hash", "unmatched"} for g in got)

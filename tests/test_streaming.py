@@ -1,0 +1,128 @@
+"""Structured Streaming tests — SURVEY.md §5.5: micro-batch pipeline
+semantics (retweet filter, nested projection, explode), checkpoint
+resume (the reference's last_run semantics, ST2), and streaming/batch
+parity of the windowed aggregation."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cybersecurity_ioc_etl_spark.sources.readers import load_table
+from cybersecurity_ioc_etl_spark.streaming.pipeline import (
+    parse_tweets,
+    run_hourly_counts_stream,
+    run_ioc_stream,
+    tweets_to_ioc_rows,
+)
+
+
+def _tweet(id_, text, retweeted=False, extended=None, tags=(), urls=()):
+    return json.dumps(
+        {
+            "created_at": "Mon Jan 01 00:00:00 +0000 2024",
+            "id": id_,
+            "text": text,
+            "retweeted": retweeted,
+            "extended_tweet": {"full_text": extended} if extended else None,
+            "user": {"screen_name": "analyst"},
+            "entities": {
+                "hashtags": [{"text": t} for t in tags],
+                "urls": [{"expanded_url": u} for u in urls],
+            },
+        }
+    )
+
+
+def _raw(spark, payloads):
+    return spark.createDataFrame([(p,) for p in payloads], ["value"])
+
+
+def test_retweet_and_rt_prefix_dropped(spark):
+    rows = parse_tweets(
+        _raw(
+            spark,
+            [
+                _tweet(1, "malware at 1.2.3.4"),
+                _tweet(2, "RT @someone: old news"),
+                _tweet(3, "quoted", retweeted=True),
+            ],
+        )
+    ).collect()
+    assert [r.id for r in rows] == [1]
+
+
+def test_extended_text_fallback_and_ws_normalization(spark):
+    rows = parse_tweets(
+        _raw(spark, [_tweet(7, "short", extended="long\r\nfull text")])
+    ).collect()
+    assert rows[0].text == "long full text"
+
+
+def test_tags_kept_as_array_not_joined_string(spark):
+    rows = parse_tweets(
+        _raw(spark, [_tweet(9, "x", tags=("emotet", "malspam"))])
+    ).collect()
+    assert rows[0].tags == ["emotet", "malspam"]
+
+
+def test_ioc_rows_exploded_and_refanged(spark):
+    tweets = parse_tweets(
+        _raw(spark, [_tweet(5, "c2 at 10[.]0[.]0[.]1 and hxxps://evil[.]example/x", tags=("ransomware",))])
+    )
+    rows = {(r.type, r.ioc) for r in tweets_to_ioc_rows(tweets).collect()}
+    assert ("ip", "10.0.0.1") in rows
+    assert ("url", "https://evil.example/x") in rows
+    cols = tweets_to_ioc_rows(tweets).columns
+    assert cols == [
+        "id", "date_added", "date_received", "ioc", "platform", "source", "tag", "type",
+    ]
+
+
+def test_ioc_stream_checkpoint_resume(spark):
+    """AvailableNow + checkpoint = the reference's resume-from-last_run
+    (h-isac.py:149-153) without the AM/PM bug: a second run with the
+    same checkpoint must process ONLY files added since the first."""
+    src = tempfile.mkdtemp(prefix="tweets_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    out = tempfile.mkdtemp(prefix="iocs_")
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(_tweet(1, "ip 1[.]2[.]3[.]4") + "\n")
+    first = run_ioc_stream(spark, src, ckpt, out_dir=out)
+    assert [r.ioc for r in first.collect()] == ["1.2.3.4"]
+
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(_tweet(2, "ip 5[.]6[.]7[.]8") + "\n")
+    second = run_ioc_stream(spark, src, ckpt, out_dir=out)
+    # a.json NOT reprocessed: exactly one row per IOC, no duplicates
+    assert sorted(r.ioc for r in second.collect()) == ["1.2.3.4", "5.6.7.8"]
+
+
+def test_hourly_counts_stream_matches_batch(spark, sf_dir):
+    """Streaming window agg == the identical batch aggregation (the
+    correctness claim of micro-batch execution)."""
+    streamed = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in run_hourly_counts_stream(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    batch = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(vi.cast("decimal(38,0)")).cast("double") / 1e4).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert streamed == batch
