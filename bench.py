@@ -42,9 +42,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     queries = entrymod.queries()
 
-    # JVM/codegen warmup on the smallest SF so per-query numbers measure
-    # the plan, not first-call JIT + session setup.
-    queries["pricing_summary"]( spark, "/root/testdata/sf0.001").count()
+    # JVM/codegen warmup: run EVERY headline plan shape once at the
+    # smallest SF so per-query numbers measure the plan, not first-call
+    # codegen compilation + JIT (cold-vs-warm is 5-10x for the regex
+    # pipelines) + session setup.
+    for name in HEADLINE:
+        queries[name](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

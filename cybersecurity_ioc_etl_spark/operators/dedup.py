@@ -37,7 +37,9 @@ GROUP BY 1
 )
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content fingerprint, keep min doc_id.  The
-    dedup the reference never performs (SURVEY.md §2.7)."""
+    dedup the reference never performs (SURVEY.md §2.7).  No fan_out
+    here: digesting+aggregating is cheaper than the repartition shuffle
+    it would buy (measured 0.19s vs 0.35s at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
@@ -94,7 +96,7 @@ def q_neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on shingle to count intersections, |A∪B| from per-doc sizes.
     Bounded to doc_id<60 here; the 100 TB plan replaces the all-pairs
     shingle join with the LSH banding below."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 60)
     sh = d.select(
         "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
     )
@@ -193,7 +195,7 @@ def _minhash_sql(j: int) -> str:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature computation (k=8) — the sketch under LSH near-dup."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 100)
     return minhash_agg(d, "doc_id", "text", k=8)
 
 
@@ -269,7 +271,7 @@ _SIMHASH_SIG_SQL = (
 )
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature computation — the sketch under Hamming near-dup."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 200)
     return simhash_agg(d, "doc_id", "text")
 
 
@@ -291,7 +293,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates generated only within (band, bits) buckets (pigeonhole
     guarantees identical results), then the exact Hamming filter.  At
     100 TB the bucket-join shuffles ~n·4 tiny rows instead of n²."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 500)
     sig = simhash_agg(d, "doc_id", "text")
     width = _SIMHASH_BITS // _SIMHASH_BANDS
     mask = (1 << width) - 1
@@ -360,7 +362,7 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs colliding on any full band.  This bucket-join IS the 100 TB
     near-dup plan — pair generation is confined to same-bucket groups
     instead of the quadratic all-pairs join."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 200)
     sig = minhash_agg(d, "doc_id", "text", k=4)
     banded = sig.select(
         "doc_id", F.lit(0).alias("band"), F.col("mh_0").alias("b1"), F.col("mh_1").alias("b2")

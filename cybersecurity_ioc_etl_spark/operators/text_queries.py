@@ -39,7 +39,7 @@ FROM documents
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (north-star text op): token count, average token
     length, vocabulary size per document."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -69,7 +69,7 @@ WHERE len({_TOKENIZE_SQL}) >= 5
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + type-token ratio, with a minimum
     length gate (the classic pretraining-corpus filter shape)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -97,7 +97,7 @@ GROUP BY lang, source
 )
 def q_doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup by (lang, source)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = tokens(F.col("text"))
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
@@ -123,7 +123,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (north-star): stopword-density vote.  A real
     deployment swaps the stopword table per language; the operator shape
     (array_filter density over tokens) is the scalable part."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -147,7 +147,7 @@ FROM documents
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whitespace/case-normalized md5 — the exact
     content-hash used by the exact-dedup operator."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     return d.select(
         "doc_id",
         F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
@@ -170,7 +170,7 @@ WHERE length(text) >= 8
 def q_doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 8-gram shingle cardinality per doc — the shingling stage
     under MinHash/Jaccard dedup, as a native sequence+transform expression."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("text") - 7),

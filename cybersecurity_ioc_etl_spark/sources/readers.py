@@ -34,10 +34,30 @@ TABLES = (
 RUN_DATE = "2026-01-01"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
+    if fan_out:
+        df = fan_out_narrow_scan(spark, df)
+    return df
+
+
+def fan_out_narrow_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a scan UP to core parallelism when the source has too
+    few splits for the cluster (single-row-group parquet reads as ONE
+    task, serializing any compute-heavy stage behind it).
+
+    Used only in front of CPU-bound stages (regex extraction, shingling,
+    vector math) where the shuffle cost is dwarfed by the parallelism
+    gained.  At 100 TB this is a no-op: inputs arrive with >= cores
+    natural splits, so the condition never fires — it exists exactly for
+    the skinny-input tail (small dimension feeds, single-file drops)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 
@@ -89,7 +109,7 @@ def synthetic_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     received = F.date_format(
         F.date_add(F.to_date(F.lit("2024-01-01")), (d % 365).cast("int")), "yyyy-MM-dd"
     )
-    return load_table(spark, sf_dir, "documents").select(
+    return load_table(spark, sf_dir, "documents", fan_out=True).select(
         F.concat(F.lit("DOC-"), d.cast("string")).alias("id"),
         F.col("source"),
         subject.alias("subject"),

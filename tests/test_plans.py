@@ -17,8 +17,12 @@ import __spark_entry__ as entrymod
 QUERIES = entrymod.queries()
 
 
-def plan(spark, sf_dir, name: str) -> str:
+def plan(spark, sf_dir, name: str, execute: bool = False) -> str:
     df = QUERIES[name](spark, sf_dir)
+    if execute:
+        # AQE only materializes the final plan (incl. codegen ids) after
+        # THIS dataframe executes — count() would plan a different query
+        df.collect()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
@@ -57,7 +61,7 @@ def test_knn_broadcasts_query_vector_and_uses_topk(spark, sf_dir):
 def test_flagship_pipeline_is_all_jvm(spark, sf_dir):
     """The IOC extract/refang/explode path must stay in codegen — a
     Python eval node here would be a 10-100x regression at scale."""
-    p = plan(spark, sf_dir, "ioc_flagship")
+    p = plan(spark, sf_dir, "ioc_flagship", execute=True)
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
     assert "[codegen id :" in p  # whole-stage codegen spans present
