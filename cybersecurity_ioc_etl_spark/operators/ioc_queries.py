@@ -294,3 +294,65 @@ def q_ioc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- HTTP enrichment (S4/T16, firehose.py:74-80) ---------------------------
+# Deterministic paste URLs are derived from `documents`; the FAKE fetcher
+# (enrichment.fake_fetch) synthesizes each page from md5(url), so the real
+# distinct→mapInPandas(fetch+parse)→classify→broadcast-join-back pipeline
+# is value-checked end to end by the DuckDB mirror below.
+
+def _hx(p: int) -> str:
+    """DuckDB: hex digit at 1-based position p of md5(url) → int."""
+    return f"(instr('0123456789abcdef', substring(md5(url), {p}, 1)) - 1)"
+
+
+_FAKE_IP_SQL = " || '.' || ".join(
+    f"CAST({_hx(2 * j + 1)} * 16 + {_hx(2 * j + 2)} AS VARCHAR)" for j in range(4)
+)
+
+
+@query(
+    "enrichment_scraped_iocs",
+    oracle=f"""
+WITH src AS (
+  SELECT 'DOC-' || CAST(doc_id AS VARCHAR) AS id,
+    'https://pastebin.example/raw/' || substring(md5(text), 1, 8) AS url
+  FROM documents WHERE doc_id % 4 = 0 AND doc_id < 400
+),
+pages AS (SELECT DISTINCT url FROM src),
+items AS (
+  SELECT url, {_FAKE_IP_SQL} AS ioc, 'ip' AS type FROM pages
+  UNION ALL
+  SELECT url, md5(url), 'hash' FROM pages
+)
+SELECT s.id, s.url, i.ioc, i.type
+FROM src s JOIN items i ON s.url = i.url
+""",
+)
+def q_enrichment_scraped_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pastebin enrichment restated for scale (vs firehose.py:76's
+    stream-blocking per-tweet fetch): dedup URLs FIRST (each page fetched
+    once), fetch+parse in one Arrow-batched mapInPandas stage, classify
+    JVM-side, broadcast the (small) scraped table back onto the feed."""
+    from ..enrichment import fake_fetch, scrape_urls
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        (d % 4 == 0) & (d < 400)
+    )
+    src = docs.select(
+        F.concat(F.lit("DOC-"), d.cast("string")).alias("id"),
+        F.concat(
+            F.lit("https://pastebin.example/raw/"),
+            F.substring(F.md5(F.col("text")), 1, 8),
+        ).alias("url"),
+    )
+    pages = src.select("url").distinct()
+    scraped = scrape_urls(pages, fetcher=fake_fetch)
+    typed = scraped.select(
+        "url",
+        F.col("item").alias("ioc"),
+        K.classify_ioc(F.col("item")).alias("type"),
+    )
+    return src.join(F.broadcast(typed), "url").select("id", "url", "ioc", "type")
