@@ -198,3 +198,31 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "salted_source_profile",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY source
+""",
+)
+def q_salted_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation: key = (source, salt) for the
+    partial, then re-aggregate by source.  On this fixture it computes
+    exactly GROUP BY source (the oracle); the point is the plan shape —
+    when one key owns a disproportionate share of a 100 TB input, the
+    salt spreads its partial aggregation over N reducers and the second
+    (tiny) shuffle merges N partials.  Spark's own map-side partial agg
+    covers mild skew; explicit salting is the escape hatch for the
+    pathological key, and composes with AQE skew handling."""
+    d = load_table(spark, sf_dir, "documents")
+    salt = (F.crc32(F.col("doc_id").cast("string")) % 8).alias("salt")
+    partial = (
+        d.select("source", "n_chars", salt)
+        .groupBy("source", "salt")
+        .agg(F.count("*").alias("pc"), F.sum("n_chars").alias("ps"))
+    )
+    return partial.groupBy("source").agg(
+        F.sum("pc").alias("n_docs"), F.sum("ps").alias("total_chars")
+    )

@@ -387,3 +387,30 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_bands"))
     )
+
+
+@query(
+    "dedup_keep_first",
+    oracle=f"""
+SELECT doc_id, fingerprint FROM (
+  SELECT doc_id, {_FP_SQL} AS fingerprint,
+    MIN(doc_id) OVER (PARTITION BY {_FP_SQL}) AS keeper
+  FROM documents
+) WHERE doc_id = keeper
+""",
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consuming side of exact dedup: RETURN the surviving rows
+    (min doc_id per content fingerprint) — what a corpus-curation job
+    actually materializes.  One window shuffle on the 16-byte digest;
+    payload columns ride along, never widen the shuffle key."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    w = Window.partitionBy(fp)
+    return (
+        d.select("doc_id", fp.alias("fingerprint"), F.min("doc_id").over(w).alias("keeper"))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "fingerprint")
+    )

@@ -185,3 +185,54 @@ def q_doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("long").alias("n_chars_measured"),
         )
     )
+
+
+# BPE-ish piece regex: alpha runs | digit runs | single punctuation.
+# ASCII classes only — identical semantics in Java regex (Spark) and RE2
+# (DuckDB).  Long alpha runs count ceil(len/4) subword tokens (the ~4
+# chars/token heuristic of byte-pair vocabularies); everything else is 1.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_BPE_SQL = f"""
+list_sum(list_transform(regexp_extract_all(text, '{_BPE_RE}'),
+  p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
+            THEN CAST(ceil(length(p) / 4.0) AS BIGINT) ELSE 1 END))
+"""
+
+
+@query(
+    "doc_bpe_token_estimate",
+    oracle=f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_BPE_RE}')) AS n_pieces,
+  COALESCE({_BPE_SQL}, 0) AS est_bpe_tokens,
+  CAST(length(text) AS DOUBLE) / COALESCE({_BPE_SQL}, 1) AS chars_per_token
+FROM documents
+""",
+)
+def q_doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token estimation (north-star text op): pre-tokenizer
+    pieces via one regex pass, subword estimate from the chars/token
+    heuristic — the budget arithmetic of LLM corpus curation, kept
+    entirely in codegen (no tokenizer library in the hot path)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    est = F.aggregate(
+        F.transform(
+            pieces,
+            lambda p: F.when(
+                p.rlike("^[A-Za-z]+$"), F.ceil(F.length(p) / 4.0)
+            ).otherwise(F.lit(1).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        est.alias("est_bpe_tokens"),
+        (
+            F.length("text").cast("double")
+            / F.when(est > 0, est).otherwise(F.lit(1))
+        ).alias("chars_per_token"),
+    )

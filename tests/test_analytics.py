@@ -1,0 +1,92 @@
+"""Analytics-operator tests beyond oracle parity: approx-distinct error
+bounds, and bucketed tables giving shuffle-free co-located joins (the
+100 TB repeated-join strategy the fixture queries can't show)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import uuid
+
+import __spark_entry__ as entrymod
+
+from pyspark.sql import functions as F
+
+from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+
+def test_approx_distinct_within_relative_error(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within 5% of the exact count —
+    the engine-side bound standing in for a cross-engine oracle."""
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in entrymod.queries()["approx_distinct_parts"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.exact
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k]), (
+            k, approx[k], exact[k],
+        )
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Same-key bucketed tables join WITHOUT an exchange: pre-shuffled
+    once at write time, every subsequent join on the bucket key is
+    co-located.  This is the repeated big⋈big strategy at 100 TB —
+    lineitem⋈orders pays its shuffle once, not per query."""
+    suffix = uuid.uuid4().hex[:8]
+    lt, ot = f"li_b_{suffix}", f"o_b_{suffix}"
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable(lt)
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable(ot)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the co-location (not a broadcast) is what
+        # eliminates the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table(lt)
+            .join(spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        joined.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(mode="formatted")
+        plan = buf.getvalue()
+        final = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        # tree prints root-first: anything BELOW the join (its inputs)
+        # appears after it — no Exchange may feed the join
+        below_join = final.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in below_join
+        assert "Bucketed: true" in plan  # both scans read bucketed layout
+        # correctness: equals the unbucketed join
+        expected = {
+            (r.o_orderstatus, r.n)
+            for r in load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {(r.o_orderstatus, r.n) for r in joined.collect()}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
