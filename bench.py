@@ -21,17 +21,25 @@ from cybersecurity_ioc_etl_spark.session import get_spark
 HEADLINE = [
     "ioc_flagship",
     "ioc_type_counts",
+    "enrichment_scraped_iocs",
     "pricing_summary",
     "region_nation_revenue",
     "segment_sales",
     "top_order_per_customer",
     "top_orders",
+    "grouping_sets_revenue",
+    "lineitem_stats_by_flag",
+    "click_error_range_join",
     "events_hourly",
     "events_sessionize",
     "doc_token_stats",
+    "doc_bpe_token_estimate",
     "dedup_exact_groups",
+    "dedup_keep_first",
     "minhash_band_pairs",
+    "simhash_neardup_pairs",
     "knn_cosine_topk",
+    "ivf_topk",
 ]
 
 

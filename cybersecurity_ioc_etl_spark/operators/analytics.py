@@ -226,3 +226,38 @@ def q_salted_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("source").agg(
         F.sum("pc").alias("n_docs"), F.sum("ps").alias("total_chars")
     )
+
+
+@query(
+    "customer_spend_rank",
+    oracle="""
+SELECT o_custkey, total_spend,
+  round(percent_rank() OVER (ORDER BY total_spend, o_custkey), 6) AS pct_rank,
+  round(cume_dist() OVER (ORDER BY total_spend, o_custkey), 6) AS cume,
+  ntile(10) OVER (ORDER BY total_spend, o_custkey) AS decile
+FROM (
+  SELECT o_custkey,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+      AS total_spend
+  FROM orders WHERE o_custkey < 500 GROUP BY o_custkey
+)
+""",
+)
+def q_customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking analytics (percent_rank / cume_dist / ntile) over per-
+    customer spend.  The global ORDER BY window is a single-partition
+    sort — correct for ranked REPORTS (bounded output); for ranking a
+    100 TB key space, switch to the two-pass quantile route
+    (approx percentiles → broadcast cutpoints → map-side bucket)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    spend = o.groupBy("o_custkey").agg(
+        (isum(mi(F.col("o_totalprice"), 2)) / 100.0).alias("total_spend")
+    )
+    w = Window.orderBy("total_spend", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )

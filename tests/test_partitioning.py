@@ -1,0 +1,45 @@
+"""Storage-layout tests: hive-partitioned output + partition pruning —
+the scan-side half of the 100 TB design (TESTDATA fixtures are single
+files, so the pruning behavior is proven on engine-written output)."""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import io
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+
+def test_date_partitioned_write_and_partition_pruning(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="part_"), "events")
+    ev.write.partitionBy("event_date").parquet(out)
+
+    # layout: one directory per date
+    days = glob.glob(f"{out}/event_date=*")
+    n_days = ev.select("event_date").distinct().count()
+    assert len(days) == n_days and n_days > 1
+
+    back = spark.read.parquet(out)
+    one_day = ev.select(F.min("event_date").alias("d")).collect()[0].d
+    q = back.filter(F.col("event_date") == F.lit(one_day)).groupBy(
+        "event_type"
+    ).agg(F.count("*").alias("n"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the date predicate must prune at the PARTITION level, not post-scan
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+
+    # pruned read returns exactly that day's rows
+    expected = ev.filter(F.col("event_date") == F.lit(one_day)).count()
+    assert q.agg(F.sum("n")).collect()[0][0] == expected

@@ -126,3 +126,19 @@ def test_hourly_counts_stream_matches_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_malformed_json_yields_no_ioc_rows_and_no_crash(spark):
+    """PERMISSIVE parsing (SURVEY §1.3): a corrupt payload nulls out the
+    envelope instead of killing the stream, and the null text produces
+    zero IOC rows downstream — the reference's json.loads would throw
+    inside on_data (firehose.py:20)."""
+    raw = _raw(
+        spark,
+        [
+            "{not valid json at all",
+            _tweet(1, "ip 1[.]2[.]3[.]4"),
+        ],
+    )
+    rows = tweets_to_ioc_rows(parse_tweets(raw)).collect()
+    assert [r.ioc for r in rows] == ["1.2.3.4"]
