@@ -166,3 +166,32 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt("error").alias("errors"),
         )
     )
+
+
+@query(
+    "events_dow_hour_profile",
+    oracle="""
+SELECT dayofweek(ts) AS dow, hour(ts) AS hr, event_type,
+  COUNT(*) AS n_events
+FROM events
+WHERE event_type IN ('click', 'error')
+GROUP BY 1, 2, 3
+""",
+)
+def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function profile (day-of-week × hour × type).  Spark's
+    dayofweek is 1-based Sunday=1 vs DuckDB's 0-based Sunday=0 — aligned
+    here by shifting Spark down one (a documented dialect divergence,
+    not a semantics change)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+            "event_type",
+        )
+        .groupBy("dow", "hr", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )

@@ -356,3 +356,24 @@ def q_enrichment_scraped_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         K.classify_ioc(F.col("item")).alias("type"),
     )
     return src.join(F.broadcast(typed), "url").select("id", "url", "ioc", "type")
+
+
+@query(
+    "ioc_url_hosts",
+    oracle=_EXTRACT_CTE
+    + """
+SELECT regexp_extract(ioc, '//([^/?#]*)', 1) AS host, COUNT(*) AS n
+FROM ioc_rows WHERE type = 'url'
+GROUP BY 1
+""",
+)
+def q_ioc_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host extraction over extracted URLs (T11, firehose.py:88's
+    urlparse().netloc) + per-host counts — the feed-infrastructure
+    rollup a threat team actually pivots on."""
+    urls = ioc_table(spark, sf_dir).filter(F.col("type") == "url")
+    return (
+        urls.select(K.extract_host(F.col("ioc")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+    )
