@@ -89,3 +89,17 @@ def test_metrics_append_accumulates_runs(spark):
         .collect()
     }
     assert totals == {"ip": 4, "hash": 2}
+
+
+def test_poster_failure_propagates_for_retry(spark):
+    """Delivery semantics: a poster exception fails the task (surfacing
+    to the job), it is not swallowed — at-least-once with idempotent KV
+    keys, same assumption the reference's batch_save makes."""
+    import pytest
+
+    def bad_poster(batch):
+        raise RuntimeError("kv endpoint down")
+
+    df = spark.createDataFrame([("x", "ip")], ["ioc", "type"])
+    with pytest.raises(Exception, match="kv endpoint down"):
+        write_kv_batched(df, bad_poster, batch_size=10)
