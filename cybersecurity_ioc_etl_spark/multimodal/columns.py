@@ -129,7 +129,7 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     oracle="""
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
   COUNT(*) AS n_media,
-  SUM(octet_length(encode(text))) AS total_bytes,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
   CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
 GROUP BY 1

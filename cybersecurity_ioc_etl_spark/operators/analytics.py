@@ -203,7 +203,8 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "salted_source_profile",
     oracle="""
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """,
 )
@@ -259,5 +260,5 @@ def q_customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_spend",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(10).over(w).alias("decile"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
     )

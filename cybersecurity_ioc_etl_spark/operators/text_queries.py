@@ -205,7 +205,7 @@ list_sum(list_transform(regexp_extract_all(text, '{_BPE_RE}'),
     oracle=f"""
 SELECT doc_id,
   len(regexp_extract_all(text, '{_BPE_RE}')) AS n_pieces,
-  COALESCE({_BPE_SQL}, 0) AS est_bpe_tokens,
+  CAST(COALESCE({_BPE_SQL}, 0) AS BIGINT) AS est_bpe_tokens,
   CAST(length(text) AS DOUBLE) / COALESCE({_BPE_SQL}, 1) AS chars_per_token
 FROM documents
 """,

@@ -45,14 +45,29 @@ def _rowset(rows, cols):
     return sorted(tuple(_norm(r[c]) for c in cols) for r in rows)
 
 
+# dtype alignment: DuckDB type → the Spark dtype an aligned query must
+# declare.  Anything not in this map (HUGEINT from SUM(BIGINT), DECIMAL
+# from decimal math, INTEGER vs bigint drift) must be CAST in the oracle
+# or the Spark query until both sides agree.
+_DUCK_TO_SPARK = {"BIGINT": "bigint", "DOUBLE": "double", "VARCHAR": "string",
+                  "INTEGER": "int", "BOOLEAN": "boolean"}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     scols = sdf.columns
+    stypes = dict(sdf.dtypes)
     srows = [r.asDict() for r in sdf.collect()]
 
     con = _duck(sf_dir)
     try:
+        rel = con.sql(ORACLES[name])
+        for c, dt in zip(rel.columns, [str(t) for t in rel.types]):
+            assert _DUCK_TO_SPARK.get(dt, dt) == stypes.get(c), (
+                f"{name}.{c}: duckdb type {dt} vs spark {stypes.get(c)} — "
+                "cast one side (see map above)"
+            )
         res = con.execute(ORACLES[name])
         dcols = [d[0] for d in res.description]
         drows = [dict(zip(dcols, row)) for row in res.fetchall()]
