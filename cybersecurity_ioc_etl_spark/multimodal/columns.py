@@ -149,3 +149,71 @@ def q_media_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("target_w", T.IntegerType(), False),
+        T.StructField("target_h", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage (images): same mapInPandas plumbing as
+    extract_features.  STUB transform — no codec in this container, so
+    the 'resized' blob is a deterministic truncation to w*h bytes; a
+    real deployment decodes with PIL, resizes, re-encodes in place.
+    The Spark-side contract (binary in → binary out, schema, batch
+    shape, partition inheritance) is what this exercises."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": pdf["content"].map(
+                        lambda b: bytes(b)[: width * height] or b"\x00"
+                    ),
+                    "target_w": width,
+                    "target_h": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Frame sampling (video): 1 row in → N frame rows out through
+    mapInPandas (the UDTF shape).  STUB sampler — fixed-stride byte
+    slices stand in for decoded frames; a real deployment uses pyav
+    keyframe seeks.  Output explodes, so downstream per-frame work
+    parallelizes beyond the source row count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)

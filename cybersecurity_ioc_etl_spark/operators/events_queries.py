@@ -195,3 +195,51 @@ def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hr", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@query(
+    "events_native_sessions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(n) AS BIGINT) AS n_events,
+  MAX(n) AS max_session_events
+FROM per_session GROUP BY user_id
+""",
+)
+def q_events_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window() (30-minute
+    inactivity gap) — the merging-window stateful operator, here in
+    batch.  Unlike the lag+cumsum formulation (events_sessionize, which
+    breaks on gap > 1800s), session_window's half-open [start, last+gap)
+    windows break on gap >= 1800s — the oracle mirrors that boundary.
+    One shuffle on user_id; in streaming the same expression runs with a
+    watermark bounding session state."""
+    e = load_table(spark, sf_dir, "events")
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )

@@ -55,3 +55,31 @@ def test_fake_feature_matches_python_reference(spark, sf_dir):
 def test_decode_real_is_a_documented_stub():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG", "image")
+
+
+def test_resize_truncates_and_keeps_schema(spark, sf_dir):
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        RESIZED_SCHEMA,
+        resize_media,
+    )
+
+    r = resize_media(_media(spark, sf_dir), 8, 4)
+    assert r.schema == RESIZED_SCHEMA
+    rows = r.collect()
+    assert rows and all(len(row.content) <= 32 for row in rows)
+    assert all((row.target_w, row.target_h) == (8, 4) for row in rows)
+
+
+def test_frame_sampling_explodes_videos_only(spark, sf_dir):
+    from cybersecurity_ioc_etl_spark.multimodal.columns import sample_frames
+
+    media = _media(spark, sf_dir)
+    frames = sample_frames(media, every_n_bytes=16, max_frames=3)
+    rows = frames.collect()
+    n_videos = media.filter("kind = 'video'").count()
+    assert len(rows) > n_videos  # 1 row in → N frame rows out
+    assert {r.frame_idx for r in rows} <= {0, 1, 2}
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == list(range(len(v))) for v in per_media.values())

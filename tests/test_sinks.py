@@ -103,3 +103,17 @@ def test_poster_failure_propagates_for_retry(spark):
     df = spark.createDataFrame([("x", "ip")], ["ioc", "type"])
     with pytest.raises(Exception, match="kv endpoint down"):
         write_kv_batched(df, bad_poster, batch_size=10)
+
+
+def test_compact_parquet_bounds_file_count(spark, sf_dir):
+    import tempfile
+
+    from cybersecurity_ioc_etl_spark.sinks.kv import compact_parquet
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(32)  # simulate many reducers
+    out = os.path.join(tempfile.mkdtemp(prefix="compact_"), "li")
+    n_files = compact_parquet(li, out, target_mb=1)
+    parts = glob.glob(f"{out}/part-*.parquet")
+    assert len(parts) == n_files < 32  # fewer, larger files than reducer count
+    assert spark.read.parquet(out).count() == li.count()
