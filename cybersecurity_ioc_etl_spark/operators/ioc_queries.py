@@ -186,9 +186,7 @@ def synthetic_tweet_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tweet_batch_pipeline",
-    oracle=f"""
+_TWEET_IOC_CTE = f"""
 WITH tweets AS (
   SELECT CAST(doc_id AS VARCHAR) AS id,
     '2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') || ' 12:00:00' AS date_added,
@@ -217,6 +215,13 @@ ioc_rows AS (
   UNION ALL SELECT id, date_added, source, 'url', unnest(urls) FROM extracted
   UNION ALL SELECT id, date_added, source, 'email', unnest(emails) FROM extracted
 )
+"""
+
+
+@query(
+    "tweet_batch_pipeline",
+    oracle=_TWEET_IOC_CTE
+    + """
 SELECT id, date_added, CAST(NULL AS VARCHAR) AS date_received, ioc,
        'twitter' AS platform, source, 'malspam' AS tag, type
 FROM ioc_rows
@@ -376,4 +381,42 @@ def q_ioc_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls.select(K.extract_host(F.col("ioc")).alias("host"))
         .groupBy("host")
         .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "stream_stateful_type_totals",
+    oracle=_TWEET_IOC_CTE
+    + """
+SELECT type, CAST(COUNT(*) AS BIGINT) AS total
+FROM ioc_rows GROUP BY type
+""",
+)
+def q_stream_stateful_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-type IOC counters via applyInPandasWithState, run as
+    a REAL stream (tweet JSON files → micro-batches → state store) and
+    reduced to the final totals.  The oracle is the batch count — the
+    stateful stream must converge to it regardless of how the input
+    splits into micro-batches (the exactly-once counter claim; replaces
+    h-isac.py:171-176's read-modify-write metrics file)."""
+    import tempfile
+
+    from ..streaming.pipeline import parse_tweets, tweets_to_ioc_rows
+    from ..streaming.stateful import running_ioc_type_totals
+
+    src = tempfile.mkdtemp(prefix="st_tweets_")
+    ckpt = tempfile.mkdtemp(prefix="st_ckpt_")
+    out = tempfile.mkdtemp(prefix="st_out_")
+    synthetic_tweet_json(spark, sf_dir).write.mode("overwrite").text(src)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .load(src)
+    )
+    rows = tweets_to_ioc_rows(parse_tweets(raw))
+    running_ioc_type_totals(rows, ckpt, out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("type")
+        .agg(F.max("total").alias("total"))  # totals are monotone; max = final
     )
