@@ -356,3 +356,53 @@ def q_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+stats AS (
+  SELECT vec_id, MIN(xi) AS mn, MAX(xi) AS mx FROM comp GROUP BY vec_id
+)
+SELECT c.vec_id,
+  CAST(SUM(CASE WHEN s.mx = s.mn THEN 0
+       ELSE CAST(ROUND((c.xi - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT) END)
+     AS BIGINT) AS qsum,
+  CAST(s.mn AS DOUBLE) / 10000000.0 AS vmin,
+  CAST(s.mx AS DOUBLE) / 10000000.0 AS vmax,
+  COUNT(*) AS dim
+FROM comp c JOIN stats s ON c.vec_id = s.vec_id
+GROUP BY c.vec_id, s.mn, s.mx
+""",
+)
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0-255) min-max quantization — the compression
+    step a trillion-vector store applies before indexing (4x smaller
+    than float32, distance error bounded by the per-vector range).
+    Computed on integer mantissas so the scale arithmetic is identical
+    in both engines; the oracle checks the quantized-value checksum,
+    range, and dimensionality.  One narrow pass: min/max/quantize/sum
+    all happen inside a single per-row array fold — no shuffle at all."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    xi = F.transform(F.col("v"), _mi)
+    mn = F.array_min(xi)
+    mx = F.array_max(xi)
+    q = F.transform(
+        xi,
+        lambda x: F.when(mx == mn, F.lit(0).cast("bigint")).otherwise(
+            F.round((x - mn) * F.lit(255.0) / (mx - mn)).cast("bigint")
+        ),
+    )
+    return e.select(
+        "vec_id",
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias("qsum"),
+        (mn.cast("double") / F.lit(1e7)).alias("vmin"),
+        (mx.cast("double") / F.lit(1e7)).alias("vmax"),
+        F.size("v").cast("bigint").alias("dim"),
+    )

@@ -90,3 +90,61 @@ def test_watermark_emits_closed_windows_and_drops_late(spark):
         "2024-01-01 11:00:00": 1,
         "2024-01-01 12:00:00": 1,
     }
+
+
+def test_stream_stream_join_matches_batch_range_join(spark):
+    """Stream-stream inner join (the §2.9 category the reference has no
+    analog for): clicks ⋈ errors per user within 10 minutes, both sides
+    watermarked so join state is bounded.  Drained with availableNow,
+    the result must equal the identical BATCH range join over the same
+    records — the correctness claim of incremental join state."""
+    click_dir = tempfile.mkdtemp(prefix="ss_clicks_")
+    err_dir = tempfile.mkdtemp(prefix="ss_errs_")
+    ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
+    out = tempfile.mkdtemp(prefix="ss_out_")
+
+    clicks = [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_id": 100},
+        {"ts": "2024-01-01 10:30:00", "user_id": 1, "event_id": 101},
+        {"ts": "2024-01-01 10:00:00", "user_id": 2, "event_id": 102},
+    ]
+    errors = [
+        {"ts": "2024-01-01 10:04:00", "user_id": 1, "event_id": 200},  # joins 100
+        {"ts": "2024-01-01 10:33:00", "user_id": 1, "event_id": 201},  # joins 101
+        {"ts": "2024-01-01 11:00:00", "user_id": 2, "event_id": 202},  # too late
+    ]
+    _write_jsonl(f"{click_dir}/a.json", clicks)
+    _write_jsonl(f"{err_dir}/a.json", errors)
+
+    schema = "ts timestamp, user_id long, event_id long"
+
+    def range_join(c, e):
+        return c.alias("c").join(
+            e.alias("e"),
+            (F.col("c.user_id") == F.col("e.user_id"))
+            & (F.col("e.ts") > F.col("c.ts"))
+            & (F.col("e.ts") <= F.col("c.ts") + F.expr("INTERVAL 10 MINUTES")),
+        ).select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("e.event_id").alias("error_id"),
+        )
+
+    sc = spark.readStream.schema(schema).json(click_dir).withWatermark("ts", "1 hour")
+    se = spark.readStream.schema(schema).json(err_dir).withWatermark("ts", "1 hour")
+    q = (
+        range_join(sc, se)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {(r.click_id, r.error_id) for r in spark.read.parquet(out).collect()}
+
+    bc = spark.read.schema(schema).json(click_dir)
+    be = spark.read.schema(schema).json(err_dir)
+    batch = {(r.click_id, r.error_id) for r in range_join(bc, be).collect()}
+
+    assert streamed == batch == {(100, 200), (101, 201)}
