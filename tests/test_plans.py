@@ -86,3 +86,22 @@ def test_ivf_probe_sides_are_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "ivf_topk")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p  # centroid probe + query vector are tiny
+
+
+def test_cached_frame_reused_by_second_consumer(spark, sf_dir):
+    """The flagship pipeline feeds both the IOC table sink and the
+    metrics aggregation; caching the canonical table makes the second
+    consumer an InMemoryTableScan instead of re-running extraction —
+    the multi-consumer pattern at scale."""
+    from cybersecurity_ioc_etl_spark.operators.ioc_queries import ioc_table
+
+    cached = ioc_table(spark, sf_dir).cache()
+    try:
+        cached.count()  # materialize
+        metrics = cached.groupBy("type").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            metrics.explain(mode="formatted")
+        assert "InMemoryTableScan" in buf.getvalue()
+    finally:
+        cached.unpersist()
