@@ -414,3 +414,79 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "fingerprint")
     )
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id, {", ".join(f"{_minhash_sql(j)} AS mh_{j}" for j in range(8))}
+  FROM documents WHERE doc_id < 60
+),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+  FROM documents WHERE doc_id < 60
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+  round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+    AS true_jaccard,
+  CAST(({" + ".join(f"CASE WHEN x.mh_{j} = y.mh_{j} THEN 1 ELSE 0 END" for j in range(8))})
+       AS DOUBLE) / 8.0 AS est_jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+JOIN sig x ON i.doc_a = x.doc_id
+JOIN sig y ON i.doc_b = y.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) > 0.5
+""",
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality capstone: for true near-dup pairs (Jaccard > 0.5),
+    put the k=8 MinHash agreement estimate next to the exact Jaccard.
+    E[est] = true Jaccard — the property that justifies replacing the
+    quadratic shingle join with signature banding at 100 TB.  The exact
+    side exists only as the bounded ground truth; production runs carry
+    signatures alone (8 ints/doc vs hundreds of shingles)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 60)
+    sig = minhash_agg(d, "doc_id", "text", k=8)
+    sh = d.select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    true_j = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    agree = sum(
+        [
+            F.when(F.col(f"x.mh_{j}") == F.col(f"y.mh_{j}"), 1).otherwise(0)
+            for j in range(8)
+        ],
+        F.lit(0),
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(F.broadcast(sig.alias("x")), F.col("doc_a") == F.col("x.doc_id"))
+        .join(F.broadcast(sig.alias("y")), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(true_j > 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(true_j, 6).alias("true_jaccard"),
+            (agree.cast("double") / F.lit(8.0)).alias("est_jaccard"),
+        )
+    )

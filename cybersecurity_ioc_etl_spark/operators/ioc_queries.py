@@ -407,7 +407,9 @@ def q_stream_stateful_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     src = tempfile.mkdtemp(prefix="st_tweets_")
     ckpt = tempfile.mkdtemp(prefix="st_ckpt_")
     out = tempfile.mkdtemp(prefix="st_out_")
-    synthetic_tweet_json(spark, sf_dir).write.mode("overwrite").text(src)
+    # 4 files -> 4 micro-batches: enough to prove multi-batch state,
+    # without 32 batch-commit round-trips in the correctness gate
+    synthetic_tweet_json(spark, sf_dir).coalesce(4).write.mode("overwrite").text(src)
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
