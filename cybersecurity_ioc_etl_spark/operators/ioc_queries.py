@@ -422,3 +422,47 @@ def q_stream_stateful_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("type")
         .agg(F.max("total").alias("total"))  # totals are monotone; max = final
     )
+
+
+@query(
+    "ioc_allowlist_filtered",
+    oracle=_EXTRACT_CTE
+    + """
+, allow AS (
+  SELECT DISTINCT 'www.host' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS benign_host
+  FROM documents
+)
+SELECT i.type, COUNT(*) AS n_kept
+FROM ioc_rows i
+WHERE NOT EXISTS (
+  SELECT 1 FROM allow a
+  WHERE regexp_extract(i.ioc, '//([^/?#]*)', 1) = a.benign_host
+)
+GROUP BY i.type
+""",
+)
+def q_ioc_allowlist_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allowlist suppression: drop IOCs whose host is on a known-benign
+    list before sinking — the triage step every intel pipeline needs and
+    the reference lacks.  The allowlist is tiny → broadcast LEFT ANTI
+    join; the big IOC stream never shuffles.  (Allowlist here is derived
+    deterministically from the fixture: hosts 0-9 are 'benign'.)"""
+    d = F.col("doc_id")
+    allow = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                F.lit("www.host"), (d % 10).cast("string"), F.lit(".example")
+            ).alias("benign_host")
+        )
+        .distinct()
+    )
+    iocs = ioc_table(spark, sf_dir).withColumn(
+        "host", K.extract_host(F.col("ioc"))
+    )
+    kept = iocs.join(
+        F.broadcast(allow),
+        iocs["host"] == allow["benign_host"],
+        "left_anti",
+    )
+    return kept.groupBy("type").agg(F.count("*").alias("n_kept"))
