@@ -189,25 +189,44 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines.  At 100 TB the all-pairs join is replaced by the
     hyperplane-bucket candidates of `ann_hyperplane_buckets` — pairs are
     only generated within a bucket, exactly like MinHash banding."""
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # explode-join-aggregate form, NOT per-pair array lambdas: Spark's
+    # higher-order functions run interpreted per element, so 45K pairs x
+    # 64 dims of zip_with cost 6s where this fully-codegen'd shuffle
+    # shape costs ~1s at sf0.1.  Self-norms aggregate once per vector;
+    # the dimension-index join produces pair partial products that
+    # map-side combine into the pair dot.
+    comp = (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .filter(F.col("vec_id") < 300)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
     )
-    a, b = e.alias("a"), e.alias("b")
-    joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    sq = comp.groupBy("vec_id").agg(F.sum(F.col("xi") * F.col("xi")).alias("sq"))
+    a, b = comp.alias("a"), comp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.sum(F.col("a.xi") * F.col("b.xi")).alias("dot_i"))
+    )
+    sa, sb = sq.alias("sa"), sq.alias("sb")
     cos = F.round(
-        _dot_double(F.col("a.v"), F.col("b.v"))
+        (F.col("dot_i").cast("double") / F.lit(1e14))
         / (
-            F.sqrt(_dot_double(F.col("a.v"), F.col("a.v")))
-            * F.sqrt(_dot_double(F.col("b.v"), F.col("b.v")))
+            F.sqrt(F.col("sa.sq").cast("double") / F.lit(1e14))
+            * F.sqrt(F.col("sb.sq").cast("double") / F.lit(1e14))
         ),
         6,
     )
     return (
-        joined.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine_sim"),
-        )
+        dots.join(F.broadcast(sa), F.col("vec_a") == F.col("sa.vec_id"))
+        .join(F.broadcast(sb), F.col("vec_b") == F.col("sb.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.4)
     )
 
@@ -334,8 +353,10 @@ FROM signs GROUP BY 1
 def q_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing (sign of fixed ±1 projections) —
     the scale path for ANN: at 100 TB, candidate search happens within a
-    bucket (shuffle on a small int key), not across all vectors."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    bucket (shuffle on a small int key), not across all vectors.
+    fan_out: the 64-way posexplode + per-component sums are CPU-bound
+    and single-row-group inputs serialize them (4.8s -> <1s at sf0.1)."""
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
     )
     # DuckDB's generate_subscripts is 1-based; posexplode is 0-based —
