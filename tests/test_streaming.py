@@ -142,3 +142,15 @@ def test_malformed_json_yields_no_ioc_rows_and_no_crash(spark):
     )
     rows = tweets_to_ioc_rows(parse_tweets(raw)).collect()
     assert [r.ioc for r in rows] == ["1.2.3.4"]
+
+
+def test_stream_path_gains_email_extraction_and_refang(spark):
+    """Documented divergence (SURVEY §4.3.4): the reference's stream
+    path has NO email extraction and defang-naive IP regexes; the
+    engine unifies both paths, so a defanged email in a tweet IS
+    extracted and refanged."""
+    tweets = parse_tweets(
+        _raw(spark, [_tweet(9, "leak to bad[.]actor@evil.example[.]org now")])
+    )
+    rows = {(r.type, r.ioc) for r in tweets_to_ioc_rows(tweets).collect()}
+    assert ("email", "bad.actor@evil.example.org") in rows
