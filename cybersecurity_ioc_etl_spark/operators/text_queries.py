@@ -236,3 +236,86 @@ def q_doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.when(est > 0, est).otherwise(F.lit(1))
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "top_terms",
+    oracle=f"""
+SELECT tok, COUNT(*) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY tf DESC, tok
+LIMIT 25
+""",
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: term frequency + document frequency, top 25.
+    explode → two-level agg with map-side combine → TakeOrderedAndProject;
+    at 100 TB the exact form is replaced by count-min sketch per
+    partition + merge, same plan skeleton."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(25)
+    )
+
+
+@query(
+    "tfidf_top_terms_per_doc",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENIZE_SQL}) AS tok
+  FROM documents WHERE doc_id < 50
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+    round(tf.tf * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok
+)
+SELECT doc_id, tok, tfidf FROM (
+  SELECT doc_id, tok, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency × inverse document frequency, top-3 terms
+    per document.  The document-frequency table is tiny relative to the
+    corpus → broadcast onto the tf table; the per-doc top-3 is a
+    row_number window on the doc_id shuffle.  ln() on identical doubles
+    is the one libm call both engines share; the result is rounded at
+    1e-6, far above any last-ulp divergence."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = toks.select(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )

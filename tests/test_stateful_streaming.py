@@ -148,3 +148,46 @@ def test_stream_stream_join_matches_batch_range_join(spark):
     batch = {(r.click_id, r.error_id) for r in range_join(bc, be).collect()}
 
     assert streamed == batch == {(100, 200), (101, 201)}
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark removes
+    re-deliveries of the same IOC across micro-batches while the
+    watermark bounds dedup state — the streaming face of
+    dedup_exact_groups (the reference re-posts duplicates freely)."""
+    src = tempfile.mkdtemp(prefix="dd_src_")
+    ckpt = tempfile.mkdtemp(prefix="dd_ckpt_")
+    out = tempfile.mkdtemp(prefix="dd_out_")
+    _write_jsonl(
+        f"{src}/a.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "ioc": "1.2.3.4"},
+            {"ts": "2024-01-01 10:01:00", "ioc": "1.2.3.4"},  # dup, same batch
+            {"ts": "2024-01-01 10:02:00", "ioc": "8.8.8.8"},
+        ],
+    )
+    _write_jsonl(
+        f"{src}/b.json",
+        [
+            {"ts": "2024-01-01 10:03:00", "ioc": "1.2.3.4"},  # dup, next batch
+            {"ts": "2024-01-01 10:04:00", "ioc": "9.9.9.9"},
+        ],
+    )
+    rows = (
+        spark.readStream.schema("ts timestamp, ioc string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["ioc"])
+    )
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    iocs = sorted(r.ioc for r in spark.read.parquet(out).collect())
+    assert iocs == ["1.2.3.4", "8.8.8.8", "9.9.9.9"]  # each exactly once
