@@ -105,3 +105,18 @@ def test_cached_frame_reused_by_second_consumer(spark, sf_dir):
         assert "InMemoryTableScan" in buf.getvalue()
     finally:
         cached.unpersist()
+
+
+def test_queries_self_heal_foreign_session_confs(spark, sf_dir):
+    """The driver may call queries() with a session built without
+    session.get_spark() — missing the nanos-timestamp and UTC confs every
+    query depends on.  The @query wrapper must re-assert them."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # events scan would throw PARQUET_TYPE_ILLEGAL without the conf
+        assert QUERIES["events_hourly"](spark, sf_dir).count() > 0
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
