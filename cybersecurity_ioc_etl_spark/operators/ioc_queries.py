@@ -466,3 +466,39 @@ def q_ioc_allowlist_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return kept.groupBy("type").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "unified_ioc_table",
+    oracle=_EXTRACT_CTE
+    + ", "
+    + _TWEET_IOC_CTE.strip().removeprefix("WITH ")
+      .replace("tweets AS (", "tweets_t AS (", 1)
+      .replace("FROM tweets", "FROM tweets_t")
+      .replace("kept AS (", "kept_t AS (", 1)
+      .replace("FROM kept", "FROM kept_t")
+      .replace("extracted AS (", "extracted_t AS (", 1)
+      .replace("FROM extracted", "FROM extracted_t")
+      .replace("ioc_rows AS (", "ioc_rows_t AS (", 1)
+    + f"""
+SELECT id, '{RUN_DATE}' AS date_added, date_received, ioc,
+       'H-ISAC' AS platform, source, 'N/A' AS tag, type
+FROM ioc_rows
+UNION ALL
+SELECT id, date_added, CAST(NULL AS VARCHAR) AS date_received, ioc,
+       'twitter' AS platform, source, 'malspam' AS tag, type
+FROM ioc_rows_t
+""",
+)
+def q_unified_ioc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference deliverable: one canonical 8-column IOC table from
+    BOTH feed paths (email batch + tweet stream shape) under a single
+    schema — including the unification fixes the reference never made
+    (README.md:13-29 contract; stream-path drift documented in SURVEY
+    §1.1).  Both branches are narrow scans; unionByName adds no
+    shuffle, so the unified table costs exactly the sum of its parts."""
+    from ..streaming.pipeline import parse_tweets, tweets_to_ioc_rows
+
+    email = ioc_table(spark, sf_dir)
+    tweets = tweets_to_ioc_rows(parse_tweets(synthetic_tweet_json(spark, sf_dir)))
+    return email.unionByName(tweets)
