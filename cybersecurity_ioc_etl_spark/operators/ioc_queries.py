@@ -502,3 +502,44 @@ def q_unified_ioc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     email = ioc_table(spark, sf_dir)
     tweets = tweets_to_ioc_rows(parse_tweets(synthetic_tweet_json(spark, sf_dir)))
     return email.unionByName(tweets)
+
+
+@query(
+    "ioc_validation_counts",
+    oracle=_EXTRACT_CTE
+    + """
+SELECT
+  CAST(SUM(CASE WHEN ioc IS NULL OR ioc = '' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_ioc,
+  CAST(SUM(CASE WHEN type NOT IN ('ip','hash','url','email') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_bad_type,
+  CAST(SUM(CASE WHEN try_strptime(date_received, '%Y-%m-%d') IS NULL THEN 1
+                ELSE 0 END) AS BIGINT) AS n_bad_date,
+  CAST(SUM(CASE WHEN type = 'ip'
+                 AND NOT regexp_matches(ioc, '^(\\d{1,3}\\.){3}\\d{1,3}$')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unrefanged_ip,
+  COUNT(*) AS n_rows
+FROM ioc_rows
+""",
+)
+def q_ioc_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over the canonical table: violations of the
+    8-column contract (null/empty ioc, out-of-enum type, unparseable
+    date_received, un-refanged IP) counted in one conditional-sum pass.
+    A pipeline promotes the batch only when every counter is zero —
+    the validation step the reference's eyeball-the-CSV process lacked.
+    Map-side combinable; the shuffle carries 5 integers."""
+    t = ioc_table(spark, sf_dir)
+    zero_one = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return t.agg(
+        F.sum(zero_one(F.col("ioc").isNull() | (F.col("ioc") == ""))).cast("bigint").alias("n_null_ioc"),
+        F.sum(zero_one(~F.col("type").isin("ip", "hash", "url", "email"))).cast("bigint").alias("n_bad_type"),
+        F.sum(zero_one(F.to_date(F.col("date_received"), "yyyy-MM-dd").isNull())).cast("bigint").alias("n_bad_date"),
+        F.sum(
+            zero_one(
+                (F.col("type") == "ip")
+                & ~F.col("ioc").rlike(r"^(\d{1,3}\.){3}\d{1,3}$")
+            )
+        ).cast("bigint").alias("n_unrefanged_ip"),
+        F.count("*").alias("n_rows"),
+    )

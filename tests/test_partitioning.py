@@ -43,3 +43,21 @@ def test_date_partitioned_write_and_partition_pruning(spark, sf_dir):
     # pruned read returns exactly that day's rows
     expected = ev.filter(F.col("event_date") == F.lit(one_day)).count()
     assert q.agg(F.sum("n")).collect()[0][0] == expected
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir):
+    """Operational reality at 100 TB: the table's schema grows over
+    time.  Older parts lack the new column; mergeSchema unifies on read
+    with NULLs backfilled — no rewrite of petabytes of history."""
+    base = os.path.join(tempfile.mkdtemp(prefix="evo_"), "iocs")
+    v1 = spark.createDataFrame([("1.2.3.4", "ip")], ["ioc", "type"])
+    v1.write.parquet(f"{base}/run=1")
+    v2 = spark.createDataFrame(
+        [("evil.example", "url", 0.9)], ["ioc", "type", "confidence"]
+    )
+    v2.write.parquet(f"{base}/run=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"ioc", "type", "confidence", "run"}
+    rows = {(r.ioc, r.confidence) for r in merged.collect()}
+    assert rows == {("1.2.3.4", None), ("evil.example", 0.9)}
