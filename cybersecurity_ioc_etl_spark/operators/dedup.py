@@ -490,3 +490,111 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / F.lit(8.0)).alias("est_jaccard"),
         )
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str = "id", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation with pointer jumping to fixpoint — the
+    iterative-algorithm pattern on DataFrames (Pregel-lite).  Each
+    round: every node takes the min of its own, its neighbors', and its
+    label's label (path compression → O(log diameter) rounds).
+
+    THE load-bearing detail is ``localCheckpoint(eager=True)`` on every
+    round's result: persist() caches data but leaves the LOGICAL plan
+    nested, so after n rounds Catalyst re-analyzes an exponentially
+    growing tree (measured: plan explosion OOMs the driver before round
+    10).  Checkpointing materializes the round AND truncates lineage to
+    a leaf.  On a cluster, prefer checkpoint() against a fault-tolerant
+    directory; localCheckpoint trades re-computability for speed."""
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # static across rounds — materialize once
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("nid"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["nid"])
+            .groupBy(F.col("dst").alias("nid2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        propagated = (
+            labels.join(neighbor_min, labels["nid"] == neighbor_min["nid2"], "left")
+            .select(
+                "nid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: label <- label(label)
+        lj = propagated.select(
+            F.col("nid").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            propagated.join(lj, propagated["label"] == lj["jid"], "left")
+            .select(
+                "nid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("nid"), F.col("label").alias("component"))
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE
+sig AS ({_SIMHASH_SIG_SQL.format(toks=_TOKEN_INTS_SQL.format(bound=150))}),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T} - 1
+),
+sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM sig
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the SimHash
+    Hamming-≤3 graph — turning pairwise candidates into dedup groups
+    (keep min doc_id per component).  Spark runs iterative min-label
+    propagation; the oracle states the same fixpoint as a recursive
+    transitive closure.  This is the corpus-dedup end game at 100 TB:
+    banding yields edges, components yield the keep/drop decision."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < 150
+    )
+    sig = simhash_agg(d, "doc_id", "text")
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    edges = a.join(
+        b, (F.col("a.doc_id") < F.col("b.doc_id")) & (hamming <= _HAMMING_T - 1)
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    comp = connected_components(
+        sig.select(F.col("doc_id")), edges, id_col="doc_id"
+    )
+    return comp.select(F.col("nid").alias("doc_id"), "component")
