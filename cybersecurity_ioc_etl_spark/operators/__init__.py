@@ -4,6 +4,7 @@ and its DuckDB oracle in :mod:`.registry`."""
 from . import (  # noqa: F401
     ioc_queries,
     relational,
+    relational_ext,
     events_queries,
     text_queries,
     dedup,

@@ -1,0 +1,312 @@
+"""Second wave of relational coverage: the TPC-H classics and join/window
+flavors not yet in :mod:`relational` — Q3 shipping priority (join + agg +
+distributed top-k), Q18 large-volume customers (HAVING subquery feeding a
+semi/broadcast join), left- and full-outer joins with NULL repair,
+argmin/argmax aggregates, date arithmetic through a join, and UNPIVOT.
+
+The reference has none of these (SURVEY.md §2.3-2.6 "none in reference");
+they complete the relational surface a migrating user expects.  All money
+math follows the integer-mantissa contract (relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+from .relational import ISUM, MI, isum, mi
+
+# disc_price at mantissa scale 6 (see relational.py: products are
+# truncate-divided to keep the summed integer < 2^53)
+_DISC_SQL = (
+    "(" + MI.format(x="l_extendedprice") + " * (10000 - "
+    + MI.format(x="l_discount") + ")) // 100"
+)
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+  {ISUM.format(x=_DISC_SQL)} / 1000000.0 AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey, order_date, o.o_orderpriority
+ORDER BY revenue DESC, order_date, l.l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue for one segment.
+
+    Scale shape: the segment-filtered customer dim broadcasts into the
+    date-filtered orders scan (both predicates reach the parquet scan),
+    so the only shuffle is lineitem⋈orders on l_orderkey — which the
+    groupBy then reuses (same key, no second exchange).  The final top-10
+    is TakeOrderedAndProject: a per-partition heap, never a global sort.
+    Ties at the cutoff are determinized by (order_date, l_orderkey)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    disc = F.expr(
+        "(cast(round(l_extendedprice * 10000.0) as bigint)"
+        " * (10000 - cast(round(l_discount * 10000.0) as bigint))) div 100"
+    )
+    return (
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg((isum(disc) / 1e6).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "order_date", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+  {ISUM.format(x=MI.format(x='l.l_quantity'))} / 10000.0 AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, order_date
+HAVING SUM({MI.format(x='l.l_quantity')}) > 250 * 10000
+""",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers whose single order exceeds 250 units.
+
+    Scale shape: lineitem pre-aggregates by l_orderkey (map-side partial
+    agg does ~all the work) and the HAVING filter on the exact integer
+    mantissa cuts the survivor set to ~1% BEFORE any join; the survivors
+    then broadcast into orders, and the customer dim broadcasts last —
+    the one full shuffle is the l_orderkey aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(mi(F.col("l_quantity")).cast("decimal(38,0)")).alias("qty_mi"))
+        .filter(F.col("qty_mi") > 250 * 10000)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            (F.col("qty_mi").cast("double") / 1e4).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "customer_order_leftjoin",
+    oracle=f"""
+SELECT c.c_custkey, c.c_mktsegment,
+  COALESCE(agg.n_orders, 0) AS n_orders,
+  COALESCE(agg.total_spent, 0.0) AS total_spent
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey,
+    COUNT(*) AS n_orders,
+    {ISUM.format(x=MI.format(x='o_totalprice'))} / 10000.0 AS total_spent
+  FROM orders GROUP BY o_custkey
+) agg ON c.c_custkey = agg.o_custkey
+""",
+)
+def q_customer_order_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with NULL repair: every customer, zero-filled when
+    orderless (the reference-era 'who sent nothing' report).  Aggregate
+    FIRST then join: the outer join sees one row per customer per side
+    instead of one per order — and the orderless rows survive via
+    COALESCE, which an inner join would silently drop."""
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders_raw"),
+            (isum(mi(F.col("o_totalprice"))) / 1e4).alias("total_spent_raw"),
+        )
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders_raw", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent_raw", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+@query(
+    "nation_presence_fulljoin",
+    oracle="""
+SELECT COALESCE(cu.nk, su.nk) AS nationkey,
+  COALESCE(cu.n_customers, 0) AS n_customers,
+  COALESCE(su.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+      FROM customer GROUP BY 1) cu
+FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+                 FROM supplier GROUP BY 1) su
+  ON cu.nk = su.nk
+""",
+)
+def q_nation_presence_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join over two pre-aggregated sides: which nations have
+    customers, suppliers, or both (the fixture's supplier table covers
+    only 10 of 25 nations, so both outer sides are exercised).  Both
+    inputs collapse to <=25 rows before the join — at 100 TB this is the
+    canonical 'aggregate first, outer-join the summaries' reconciliation
+    shape."""
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count("*").alias("n_customers_raw"))
+    )
+    su = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_suppliers_raw"))
+    )
+    return cu.join(su, cu.cnk == su.snk, "full_outer").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.coalesce("n_customers_raw", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers_raw", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "order_fulfillment_lag",
+    oracle="""
+SELECT o.o_orderpriority,
+  CAST(SUM(lag.first_ship_lag) AS DOUBLE) / COUNT(*) AS avg_lag_days,
+  MIN(lag.first_ship_lag) AS min_lag_days,
+  MAX(lag.first_ship_lag) AS max_lag_days,
+  COUNT(*) AS n_orders
+FROM orders o
+JOIN (
+  SELECT l_orderkey,
+    date_diff('day', MIN(CAST(o2.o_orderdate AS DATE)),
+                     MIN(CAST(l.l_shipdate AS DATE))) AS first_ship_lag
+  FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+  GROUP BY l_orderkey
+) lag ON o.o_orderkey = lag.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def q_order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic through a join: days from order placement to first
+    shipment, profiled per priority.  The per-order MIN pre-aggregation
+    shuffles on l_orderkey once; day-counts are exact integers so the
+    average is a single int-sum → double division (bit-identical both
+    engines).  orders is read once on the Spark side and joined back on
+    the already-shuffled key."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lag = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.datediff(
+                F.min(F.col("l_shipdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("first_ship_lag")
+        )
+    )
+    return (
+        o.join(lag, o.o_orderkey == lag.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum(F.col("first_ship_lag").cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+            ).alias("avg_lag_days"),
+            F.min(F.col("first_ship_lag")).cast("long").alias("min_lag_days"),
+            F.max(F.col("first_ship_lag")).cast("long").alias("max_lag_days"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "first_last_order_price",
+    oracle="""
+SELECT o_custkey,
+  arg_min(o_totalprice, o_orderkey) AS first_price,
+  arg_max(o_totalprice, o_orderkey) AS last_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_first_last_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregates (min_by/max_by): each customer's first and
+    last order price by order key — the 'first touch / last touch'
+    attribution shape, one shuffle, no window or self-join.  The ordering
+    key (o_orderkey) is unique, so both engines pick the same row; prices
+    pass through untouched (never re-associated)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "part_measure_unpivot",
+    oracle=f"""
+SELECT measure,
+  COUNT(*) AS n,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  {ISUM.format(x=MI.format(x='value'))} / 10000.0 AS sum_value
+FROM (
+  SELECT 'p_retailprice' AS measure, p_retailprice AS value FROM part
+  UNION ALL
+  SELECT 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+)
+GROUP BY measure
+""",
+)
+def q_part_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) + per-measure profile: the inverse of the
+    pivot queries and the standard first step of a stats-over-columns
+    sweep.  Spark's unpivot is a zero-shuffle generator (each row emits
+    one row per measure in place); the only exchange is the 2-group
+    aggregation."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    long = p.unpivot(["p_partkey"], ["p_retailprice", "p_size"], "measure", "value")
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (isum(mi(F.col("value"))) / 1e4).alias("sum_value"),
+    )
