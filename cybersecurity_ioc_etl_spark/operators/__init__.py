@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     events_queries,
     text_queries,
     dedup,
+    sampling,
     similarity,
     advanced,
     analytics,

@@ -1,0 +1,128 @@
+"""Reproducible corpus sampling / splitting — training-data pipeline ops.
+
+A 100 TB pretraining pipeline never samples with an RNG: the keep/drop
+decision must be a pure function of the row key so that (a) re-runs and
+backfills select the identical subset on any cluster layout, (b) a
+document's split assignment never changes as the corpus grows, and
+(c) downstream joins against the sample stay consistent.  The standard
+trick is a cryptographic-hash bucket: ``md5(key) mod N`` — implemented
+here with the same md5-prefix→int idiom as dedup (portable across
+engines, unlike Spark's ``hash()``/``rand(seed)`` whose values DuckDB
+cannot reproduce).
+
+All three queries are pure narrow maps + one small aggregation: no
+shuffle touches the full corpus, the filter is evaluated at the scan,
+and the plan is identical at sf0.001 and 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .dedup import _SHINGLE_INT_SQL, _shingle_int
+from .registry import query
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): md5-prefix int of the
+    stringified key.  Pure function of the key — stable under
+    repartitioning, re-runs, and corpus growth."""
+    return _shingle_int(key.cast("string")) % n_buckets
+
+
+def _bucket_sql(x: str, n: int = 100) -> str:
+    return f"({_SHINGLE_INT_SQL.format(x=x)} % {n})"
+
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+SELECT source,
+  COUNT(*) AS n_sampled,
+  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE {_bucket_sql(x="CAST(doc_id AS VARCHAR)")} < 10
+GROUP BY source
+""",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% reproducible sample of the corpus: keep iff
+    md5(doc_id) mod 100 < 10, profiled per source.  The per-source char
+    sums prove both engines selected the *same rows*, not merely the
+    same number of them."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(hash_bucket(F.col("doc_id")) < 10)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  COUNT(DISTINCT source) AS n_sources
+FROM (SELECT source, n_chars,
+        {_bucket_sql(x="CAST(doc_id AS VARCHAR)")} AS b
+      FROM documents)
+GROUP BY split
+""",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash bucket.  Because the
+    bucket is a pure function of doc_id, a document can never leak
+    between splits across pipeline runs — the property that makes
+    held-out evaluation valid.  Zero extra passes: the split label is a
+    projection, and the audit aggregation is the only shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return d.select(split, "n_chars", "source").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "source_mixture_sample",
+    oracle=f"""
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM (SELECT source, n_chars,
+        {_bucket_sql(x="CAST(doc_id AS VARCHAR)", n=10000)} AS b,
+        CASE WHEN source IN ('src0','src1','src2') THEN 10000
+             WHEN source IN ('src3','src4','src5') THEN 5000
+             ELSE 2500 END AS keep_bp
+      FROM documents)
+WHERE b < keep_bp
+GROUP BY source
+""",
+)
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source downsampling (corpus mixture construction):
+    keep 100% of high-quality sources, 50% / 25% of the rest, via a
+    per-source keep-rate in basis points against the 10000-bucket hash.
+    This is how pretraining mixtures ('2 epochs of wiki, 0.3 of web')
+    are realized as a single deterministic filter — no RNG, no shuffle,
+    rerun-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    keep_bp = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 10000)
+        .when(F.col("source").isin("src3", "src4", "src5"), 5000)
+        .otherwise(2500)
+    )
+    return (
+        d.filter(hash_bucket(F.col("doc_id"), 10000) < keep_bp)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+    )
