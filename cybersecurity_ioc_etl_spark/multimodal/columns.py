@@ -151,6 +151,64 @@ def q_media_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_dedup_groups",
+    oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  COUNT(*) AS n_blobs,
+  COUNT(DISTINCT md5(text)) AS n_distinct,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary media by content hash, per kind — the first
+    pass every multimodal training pipeline runs (byte-identical images/
+    clips are the bulk of web-scale duplication).  md5 runs JVM-side on
+    the binary column (no Python, no decode); at 100 TB the distinct
+    count is the same map-side-combined hash agg as text dedup.  The
+    synthesized blob is the utf-8 text bytes, so the oracle hashes the
+    string form — ASCII fixture text makes them byte-identical."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_blobs"),
+        F.countDistinct(F.md5("content")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("content"))).alias("n_dup_copies"),
+    )
+
+
+@query(
+    "frame_dedup_profile",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+  COUNT(DISTINCT md5(frame_txt)) AS n_distinct_frames,
+  CAST(MAX(length(frame_txt)) AS BIGINT) AS max_frame_bytes
+FROM (
+  SELECT substring(d.text, CAST(f.i AS INTEGER) * 64 + 1, 64) AS frame_txt
+  FROM documents d,
+       unnest(range(0, least(4, greatest(1, length(d.text) // 64)))) AS f(i)
+  WHERE d.doc_id % 3 = 2
+)
+""",
+)
+def q_frame_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup profile: sample frames from every video blob via
+    the REAL mapInPandas UDTF stage (1 blob → N frame rows), hash each
+    frame JVM-side, count global and distinct frames.  The oracle
+    re-derives the fixed-stride byte slices with string functions (ASCII
+    fixture ⇒ char slicing == byte slicing), so a batching or slicing
+    bug in the Python stage breaks parity — this is the strongest check
+    a stubbed codec path can get."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct(F.md5("frame")).alias("n_distinct_frames"),
+        F.max(F.length("frame")).cast("long").alias("max_frame_bytes"),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
