@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import FEED_CTE_SQL, load_table
 from .registry import query
 
 # tiny embedded stopword lists for the language-ID heuristic; the fixture
@@ -318,4 +318,74 @@ def q_tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tfidf")
+    )
+
+
+# --- PII scrubbing (redaction — the flip side of extraction) --------------
+
+# Redaction patterns: defang-tolerant, no lookarounds, valid in both Java
+# regex (Spark) and RE2 (DuckDB oracle).
+_SCRUB_EMAIL = r"(mailto:)?[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+(\[\.\]|\.)[A-Za-z]{2,}"
+_SCRUB_IP = r"(\d{1,3}(\[\.\]|\.)){3}\d{1,3}"
+_SCRUB_HASH = r"[a-fA-F0-9]{32,64}"
+
+
+def scrub_pii(body: Column) -> Column:
+    """Redact emails, IPs, and hash-like tokens in one codegen'd pass
+    chain — what a training pipeline runs over raw web text before the
+    corpus ships.  Same kernel patterns as extraction (functions/ioc.py),
+    applied as replacement instead of findall."""
+    out = F.regexp_replace(body, _SCRUB_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, _SCRUB_IP, "[IP]")
+    return F.regexp_replace(out, _SCRUB_HASH, "[HASH]")
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+WITH {FEED_CTE_SQL},
+scrubbed AS (
+  SELECT source, body,
+    regexp_replace(regexp_replace(regexp_replace(body,
+      '{_SCRUB_EMAIL}', '[EMAIL]', 'g'),
+      '{_SCRUB_IP}', '[IP]', 'g'),
+      '{_SCRUB_HASH}', '[HASH]', 'g') AS clean,
+    len(regexp_extract_all(body, '{_SCRUB_EMAIL}')) AS n_emails,
+    len(regexp_extract_all(body, '{_SCRUB_IP}')) AS n_ips
+  FROM feed
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+  CAST(SUM(n_ips) AS BIGINT) AS ips_redacted,
+  CAST(SUM(length(body) - length(clean)) AS BIGINT) AS chars_removed
+FROM scrubbed
+GROUP BY source
+""",
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit per source: scrub emails/IPs/hashes from the
+    feed bodies, count redactions and bytes removed.  One narrow pass —
+    the three regexp_replace calls fuse into a single codegen stage, so
+    at 100 TB this is scan-bound, not CPU-bound; the audit agg is the
+    only shuffle.  fan_out ahead of the regex stage per the measured
+    rule (CLAUDE.md): redaction is CPU-heavy on skinny inputs."""
+    from ..sources.readers import synthetic_feed
+
+    feed = synthetic_feed(spark, sf_dir)
+    body = F.col("body")
+    return (
+        feed.select(
+            "source",
+            (F.length(body) - F.length(scrub_pii(body))).alias("removed"),
+            F.size(F.regexp_extract_all(body, F.lit(_SCRUB_EMAIL), 0)).alias("ne"),
+            F.size(F.regexp_extract_all(body, F.lit(_SCRUB_IP), 0)).alias("ni"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ne").cast("bigint").alias("emails_redacted"),
+            F.sum("ni").cast("bigint").alias("ips_redacted"),
+            F.sum("removed").cast("bigint").alias("chars_removed"),
+        )
     )
