@@ -22,8 +22,11 @@ HEADLINE = [
     "ioc_flagship",
     "ioc_type_counts",
     "enrichment_scraped_iocs",
+    "doc_pii_scrub",
     "pricing_summary",
     "region_nation_revenue",
+    "shipping_priority",
+    "large_volume_customers",
     "segment_sales",
     "top_order_per_customer",
     "top_orders",
@@ -36,6 +39,8 @@ HEADLINE = [
     "doc_bpe_token_estimate",
     "dedup_exact_groups",
     "dedup_keep_first",
+    "train_val_test_split",
+    "media_dedup_groups",
     "minhash_band_pairs",
     "simhash_neardup_pairs",
     "knn_cosine_topk",
