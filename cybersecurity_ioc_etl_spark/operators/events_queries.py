@@ -243,3 +243,27 @@ def q_events_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_events"),
         F.max("n").alias("max_session_events"),
     )
+
+
+@query(
+    "stream_click_error_join",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS error_id,
+  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'error' AND a.user_id < 40
+""",
+)
+def q_stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join executed as a REAL Structured Streaming query
+    (watermarked state-bounded self-join, AvailableNow) and checked
+    against the same DuckDB oracle as the batch range join — streaming/
+    batch join parity, the reference's missing capability (SURVEY §2.9
+    'none in reference': stream-stream joins)."""
+    from ..streaming.pipeline import run_click_error_join_stream
+
+    return run_click_error_join_stream(spark, sf_dir)

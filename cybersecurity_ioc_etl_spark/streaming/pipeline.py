@@ -214,3 +214,72 @@ def run_ioc_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_click_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks, run to completion:
+    error events within 10 minutes after a click by the same user —
+    the streaming form of the batch time-range join
+    (operators/analytics.py::q_click_error_range_join).
+
+    Both sides are real streams (the same file source filtered two
+    ways — Spark plans it as a stream-stream self-join).  The join key
+    (user_id) carries the state partitioning; the time-range condition
+    plus both watermarks bound the join state, so state size is
+    O(events per 30-minute horizon), not O(stream length) — the
+    property that keeps the operator alive indefinitely at cluster
+    scale.  Inner-join results append as matches arrive; AvailableNow
+    drains the fixture and the result equals the batch join exactly.
+    """
+    import os
+
+    from ..sources.readers import normalize_event_ts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="stream_ss_join_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    clicks = (
+        stream.filter((F.col("event_type") == "click") & (F.col("user_id") < 40))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "click_id",
+        "error_id",
+        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))).alias("lag_us"),
+    )
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ss_join_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
