@@ -61,3 +61,36 @@ def test_schema_evolution_merge_on_read(spark, sf_dir):
     assert set(merged.columns) == {"ioc", "type", "confidence", "run"}
     rows = {(r.ioc, r.confidence) for r in merged.collect()}
     assert rows == {("1.2.3.4", None), ("evil.example", 0.9)}
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
+    """DPP: when the partition key is only constrained THROUGH a join
+    (filter lives on the dim side), Spark must inject a runtime subquery
+    filter into the fact scan — at 100 TB this is the difference between
+    scanning 3 partitions and scanning 3 000."""
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    out = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "events")
+    ev.write.partitionBy("event_date").parquet(out)
+    fact = spark.read.parquet(out)
+
+    dim = (
+        ev.select("event_date").distinct()
+        .withColumn("is_audit_day", F.dayofmonth("event_date") <= 2)
+    )
+    q = (
+        fact.join(dim.filter(F.col("is_audit_day")), "event_date")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "dynamicpruning" in pf, pf
+
+    # and the pruned result equals the unpartitioned computation
+    expected = (
+        ev.join(dim.filter(F.col("is_audit_day")), "event_date").count()
+    )
+    assert q.agg(F.sum("n")).collect()[0][0] == expected

@@ -120,3 +120,39 @@ def test_queries_self_heal_foreign_session_confs(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_q3_topk_and_broadcast(spark, sf_dir):
+    """TPC-H Q3: the segment dim must broadcast and the final top-10 must
+    be a distributed heap, not a global sort."""
+    p = plan(spark, sf_dir, "shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q18_having_side_broadcasts(spark, sf_dir):
+    """TPC-H Q18: the HAVING-filtered survivor set (and the customer dim)
+    must broadcast into orders — the only full shuffle is the lineitem
+    pre-aggregation."""
+    p = plan(spark, sf_dir, "large_volume_customers")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_split_assignment_is_narrow_single_shuffle(spark, sf_dir):
+    """train/val/test assignment must be a pure narrow map over the scan:
+    the only exchanges are the audit aggregation's (two rounds because of
+    the COUNT(DISTINCT source) — both carry partial-agg rows, never the
+    corpus), and no Python eval nodes."""
+    p = plan(spark, sf_dir, "train_val_test_split")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("hashpartitioning") <= 2
+    # the scan reads only the 3 needed columns of 5
+    assert "text" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_media_blob_dedup_stays_jvm(spark, sf_dir):
+    """Binary content-hash dedup must hash blobs JVM-side — no Python
+    stage, no decode."""
+    p = plan(spark, sf_dir, "media_dedup_groups")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
