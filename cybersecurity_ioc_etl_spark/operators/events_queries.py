@@ -246,6 +246,44 @@ def q_events_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_counts",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(n) AS BIGINT) AS n_events,
+  MAX(n) AS max_session_events
+FROM per_session GROUP BY user_id
+""",
+)
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window() executed through Structured Streaming (merging
+    session state in the state store, AvailableNow, complete mode —
+    append+watermark in production) — checked against the same DuckDB oracle as the batch form
+    (events_native_sessions): streaming/batch sessionization parity."""
+    from ..streaming.pipeline import run_session_window_stream
+
+    return run_session_window_stream(spark, sf_dir)
+
+
+@query(
     "stream_click_error_join",
     oracle="""
 SELECT a.event_id AS click_id, b.event_id AS error_id,

@@ -283,3 +283,60 @@ def run_click_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window() as a REAL streaming query: merging session
+    state per user with a 30-minute inactivity gap, drained with
+    AvailableNow in complete mode.
+
+    Session state lives in the state store partitioned by user_id.  In
+    production the query runs append-mode with a watermark (state is
+    O(active users × open sessions) and sessions emit as they close);
+    the parity run uses complete mode because append can never emit the
+    sessions still open at end-of-stream.  The per-session rows land in
+    the sink; the per-user rollup is an ordinary batch agg over the
+    drained result.
+    """
+    import os
+
+    from ..sources.readers import normalize_event_ts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="stream_sessions_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    # complete mode, no watermark: append mode would never emit
+    # sessions still open at end-of-stream (their windows sit above the
+    # final watermark), so the drained fixture would be missing its last
+    # 30 minutes of sessions.  Production config is append + watermark
+    # (bounded state, sessions emit as they close); the parity run needs
+    # the full final answer, which complete mode re-emits per trigger.
+    per_session = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sessions_")
+    q = (
+        per_session.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+        )
+    )
