@@ -314,3 +314,68 @@ def q_part_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         (isum(mi(F.col("value"))) / 1e4).alias("sum_value"),
     )
+
+
+@query(
+    "customer_order_timeline",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(lead(o_orderdate) OVER w AS DATE)) AS days_to_next,
+  first_value(o_totalprice) OVER w AS first_order_price,
+  CAST(row_number() OVER w AS BIGINT) AS order_idx
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_customer_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking window functions: lead (days to the customer's
+    next order), first_value (their first order's price), and the order
+    index — one shuffle on o_custkey shared by all three (Spark plans a
+    single Window node; the sort key includes o_orderkey so ties are
+    deterministic in both engines)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.lead(F.col("o_orderdate").cast("date")).over(w),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("days_to_next"),
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.row_number().over(w).cast("long").alias("order_idx"),
+    )
+
+
+@query(
+    "returned_never_accepted",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'A')
+GROUP BY o.o_orderpriority
+""",
+)
+def q_returned_never_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained semi + anti join (EXISTS ∧ NOT EXISTS) on the same fact —
+    TPC-H Q21's shape without the self-join blowup.  Both probes ride
+    the identical l_orderkey shuffle; Catalyst plans them as successive
+    semi/anti hash joins, so the fact is scanned twice but shuffled on
+    one key."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R")
+    accepted = l.filter(F.col("l_returnflag") == "A")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .join(accepted, o.o_orderkey == accepted.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
