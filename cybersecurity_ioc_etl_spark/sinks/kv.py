@@ -106,3 +106,32 @@ def compact_parquet(
     n_files = max(1, int(est_total_mb // target_mb) + 1)
     df.repartition(n_files).write.mode("overwrite").parquet(path)
     return n_files
+
+
+def write_with_audit(df: DataFrame, path: str) -> dict[str, int]:
+    """Parquet write with a same-pass audit: row count, null-IOC count,
+    and distinct-type count ride the write via ``df.observe`` — no
+    second scan of the data.
+
+    At 100 TB the difference between this and write-then-validate is a
+    full extra pass over the table; Observation metrics are accumulated
+    executor-side per task and merged on the driver, costing nothing
+    beyond the expressions themselves.  Returns the metrics dict (keys:
+    n_rows, n_null_ioc, n_types).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_audit")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ioc").isNull(), 1).otherwise(0)).alias("n_null_ioc"),
+        F.approx_count_distinct("type").alias("n_types"),
+    )
+    observed.write.mode("overwrite").parquet(path)
+    got = obs.get
+    return {
+        "n_rows": int(got["n_rows"]),
+        "n_null_ioc": int(got["n_null_ioc"] or 0),
+        "n_types": int(got["n_types"]),
+    }

@@ -117,3 +117,20 @@ def test_compact_parquet_bounds_file_count(spark, sf_dir):
     parts = glob.glob(f"{out}/part-*.parquet")
     assert len(parts) == n_files < 32  # fewer, larger files than reducer count
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_observed_write_audits_in_one_pass(spark, sf_dir, tmp_path):
+    """write_with_audit must produce the audit metrics from the SAME job
+    that wrote the files (df.observe), and they must match the data."""
+    from cybersecurity_ioc_etl_spark.operators.ioc_queries import ioc_table
+    from cybersecurity_ioc_etl_spark.sinks.kv import write_with_audit
+
+    df = ioc_table(spark, sf_dir)
+    out = str(tmp_path / "audited")
+    metrics = write_with_audit(df, out)
+
+    back = spark.read.parquet(out)
+    assert metrics["n_rows"] == back.count() > 0
+    assert metrics["n_null_ioc"] == 0
+    # HLL estimate of a 4-value column is exact at this cardinality
+    assert metrics["n_types"] == back.select("type").distinct().count()
