@@ -389,3 +389,50 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("removed").cast("bigint").alias("chars_removed"),
         )
     )
+
+
+@query(
+    "doc_tf_map",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENIZE_SQL}) AS tok
+  FROM documents WHERE doc_id < 200
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  COUNT(*) AS n_entries,
+  MAX(cnt) AS max_tf,
+  MIN(tok) FILTER (WHERE cnt = (SELECT MAX(t2.cnt) FROM tf t2
+                                WHERE t2.doc_id = tf.doc_id)) AS top_token
+FROM tf GROUP BY doc_id
+""",
+)
+def q_doc_tf_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency MAP column (MapType — SURVEY §1.2's 'genuinely
+    dynamic keys' case): build tok→count maps per document, then derive
+    scalars with the map-function family (map_from_entries, map_values,
+    map_keys, map_filter) — all JVM-side higher-order expressions.  The
+    oracle computes the same scalars relationally, so the map round-trip
+    must be lossless.  Ties on max_tf resolve to the lexicographically
+    first token in both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mapped = tf.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("tfmap")
+    )
+    maxv = F.array_max(F.map_values("tfmap"))
+    top = F.array_min(
+        F.map_keys(F.map_filter("tfmap", lambda k, v: v == maxv))
+    )
+    return mapped.select(
+        "doc_id",
+        F.size("tfmap").cast("bigint").alias("n_entries"),
+        maxv.alias("max_tf"),
+        top.alias("top_token"),
+    )
