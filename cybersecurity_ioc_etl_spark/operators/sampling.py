@@ -126,3 +126,44 @@ def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
     )
+
+
+@query(
+    "stratified_sample_k",
+    oracle=f"""
+SELECT source, COUNT(*) AS n_kept,
+  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+FROM (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY {_SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")},
+                                doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+GROUP BY source
+""",
+)
+def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sample: exactly 5 documents per source,
+    chosen by md5-hash order — rate-based sampling (deterministic_sample)
+    can't guarantee per-stratum counts, and eval sets usually need 'k per
+    domain'.  Hash order makes the pick reproducible and unbiased by
+    ingestion order; the id-sum audit proves both engines picked the
+    SAME five.  One shuffle on source; at 100 TB per-stratum top-k would
+    swap the full window sort for a TakeOrdered-style per-key heap."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        _shingle_int(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )

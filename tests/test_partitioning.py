@@ -94,3 +94,38 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
         ev.join(dim.filter(F.col("is_audit_day")), "event_date").count()
     )
     assert q.agg(F.sum("n")).collect()[0][0] == expected
+
+
+def test_json_source_with_explicit_schema_quarantines_corrupt_lines(spark, sf_dir):
+    """File-based JSON ingestion (the feed-drop format): explicit schema,
+    PERMISSIVE mode, corrupt lines quarantined into _corrupt_record
+    instead of failing the job — SURVEY §1.3's replacement for the
+    reference's json.loads duck-typing, on the batch path."""
+    from pyspark.sql import types as T
+
+    d = tempfile.mkdtemp(prefix="json_src_")
+    with open(f"{d}/feed.json", "w") as f:
+        f.write('{"id": 1, "ioc": "1.2.3.4", "type": "ip"}\n')
+        f.write('{"id": 2, "ioc": "evil.example", "type": "url"}\n')
+        f.write('{"id": 3, "ioc": "broken...\n')  # truncated record
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("ioc", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+        .cache()
+    )
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2
+        assert bad.count() == 1
+        assert {r.ioc for r in good.collect()} == {"1.2.3.4", "evil.example"}
+    finally:
+        df.unpersist()
