@@ -305,3 +305,93 @@ def q_stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_click_error_join_stream
 
     return run_click_error_join_stream(spark, sf_dir)
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events WHERE event_type = 'error' AND user_id < 5
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events WHERE event_type = 'error' AND user_id < 5
+  GROUP BY 1
+)
+SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+  COALESCE(actual.n, 0) AS n_events
+FROM spine LEFT JOIN actual ON spine.h = actual.h
+""",
+)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: a complete hourly spine
+    (sequence + explode between the observed bounds) left-joined to the
+    sparse actuals, zeros filled — dashboards and anomaly detectors need
+    the empty buckets a plain groupBy silently drops.  The spine is
+    generated, not scanned (O(hours), broadcast side); the sparse
+    actuals aggregate with one small shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 5)
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    actual = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    return spine.join(actual, "h", "left").select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "user_weekly_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
+)
+SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+  CAST(date_diff('day', CAST(c.cohort_wk AS DATE), CAST(a.wk AS DATE)) // 7
+       AS BIGINT) AS week_offset,
+  COUNT(DISTINCT a.user_id) AS n_active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def q_user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted in
+    each later week they return — THE product-analytics triangle.  The
+    per-user first-week aggregation and the (cohort, offset) rollup
+    share the user_id shuffle; distinct-ing activity FIRST collapses the
+    fact table to user×week before any join, so the join side is
+    O(users × weeks), not O(events)."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.col("wk").cast("date"), F.col("cohort_wk").cast("date"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
