@@ -395,3 +395,62 @@ def q_user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+@query(
+    "event_value_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) AS s,
+    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)
+           * CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) AS q,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_type,
+    round((CAST(CAST(ROUND(e.value * 100.0) AS BIGINT) AS DOUBLE) - st.s / st.n)
+          / sqrt(st.q / st.n - (st.s / st.n) * (st.s / st.n)), 6) AS z
+  FROM events e JOIN stats st ON e.event_type = st.event_type
+)
+SELECT event_type,
+  CAST(COUNT(*) FILTER (WHERE z >= 3.0) AS BIGINT) AS n_outliers,
+  COUNT(*) AS n_events,
+  MAX(z) AS max_z
+FROM scored GROUP BY event_type
+""",
+)
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: per-type mean/std from one pass of
+    exact integer moment sums (scale-2 mantissas keep Σv² < 2^53 — same
+    contract as lineitem_stats_by_flag), tiny stats broadcast back, and
+    every event scored in a second narrow pass.  The outlier boundary
+    tests the ROUNDED z so both engines cut the identical set.  Two
+    scans, one 5-row shuffle — the shape of every streaming-adjacent
+    anomaly monitor at 100 TB (swap pass two for the live stream)."""
+    e = load_table(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * 100.0).cast("bigint")
+    stats = e.groupBy("event_type").agg(
+        F.sum(vi).cast("double").alias("s"),
+        F.sum(vi * vi).cast("double").alias("q"),
+        F.count("*").alias("n"),
+    )
+    mu = F.col("s") / F.col("n")
+    z = F.round(
+        (vi.cast("double") - mu)
+        / F.sqrt(F.col("q") / F.col("n") - mu * mu),
+        6,
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("z") >= 3.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").alias("n_events"),
+            F.max("z").alias("max_z"),
+        )
+    )
