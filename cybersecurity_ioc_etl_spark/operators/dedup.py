@@ -598,3 +598,43 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select(F.col("doc_id")), edges, id_col="doc_id"
     )
     return comp.select(F.col("nid").alias("doc_id"), "component")
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+SELECT doc_id, fingerprint, n_tokens FROM (
+  SELECT doc_id, {_FP_SQL} AS fingerprint,
+    len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+    row_number() OVER (
+      PARTITION BY {_FP_SQL}
+      ORDER BY len(str_split_regex(trim(text), '\\s+')) DESC, doc_id
+    ) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked keeper selection: within each exact-dup group keep
+    the HIGHEST-token-count copy (doc_id tiebreak), not the first-seen —
+    the policy real corpus curation uses (crawls often carry a truncated
+    copy and a full copy of the same page).  Same single window shuffle
+    on the 16-byte digest as dedup_keep_first; only the ORDER BY
+    changes, so swapping dedup policy costs nothing in plan shape."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fingerprint"),
+            n_tok.cast("long").alias("n_tokens"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "n_tokens")
+    )

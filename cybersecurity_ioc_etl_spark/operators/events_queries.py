@@ -454,3 +454,49 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").alias("max_z"),
         )
     )
+
+
+@query(
+    "funnel_click_purchase",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+  COUNT(*) AS n_users,
+  CAST(COUNT(*) FILTER (WHERE first_click IS NOT NULL) AS BIGINT) AS n_clicked,
+  CAST(COUNT(*) FILTER (WHERE first_click IS NOT NULL
+                          AND first_purchase > first_click) AS BIGINT) AS n_converted
+FROM firsts GROUP BY 1
+""",
+)
+def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users whose first purchase follows their first
+    click, bucketed — the step-ordering analysis every growth team runs.
+    One conditional-MIN aggregation per user (map-side combinable, no
+    join, no window), then a tiny bucket rollup; at 100 TB the funnel is
+    two shuffles of per-user scalars, never event-level pairs."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    return (
+        firsts.groupBy((F.col("user_id") % 10).cast("bigint").alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(F.col("fc").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clicked"),
+            F.sum(
+                F.when(
+                    F.col("fc").isNotNull() & (F.col("fp") > F.col("fc")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
