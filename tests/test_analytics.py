@@ -90,3 +90,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
+
+
+def test_approx_percentile_tracks_exact_quantiles(spark, sf_dir):
+    """The documented 100 TB quantile path (order_price_quartiles
+    docstring): approx_percentile must track the exact percentile()
+    within 2% relative error on the fixture — the bound that makes the
+    swap safe when exact sort-based quantiles stop scaling."""
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.select(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.02
