@@ -99,3 +99,25 @@ def test_classification_is_total(spark, values):
     whatever the input (firehose.py:82-103 decision tree)."""
     got = _apply(spark, values, K.classify_ioc)
     assert all(g in {"ip", "url", "hash", "unmatched"} for g in got)
+
+
+def test_aggregation_bit_identical_across_partitionings(spark, sf_dir):
+    """The integer-mantissa contract's core claim: results are
+    bit-identical regardless of partitioning (summation order).  Run the
+    money-heaviest aggregation under three shuffle-partition settings
+    and require byte-equal results."""
+    import __spark_entry__ as m
+
+    def run():
+        rows = m.queries()["pricing_summary"](spark, sf_dir).collect()
+        return sorted(tuple(r) for r in rows)
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(run())
+        assert results[0] == results[1] == results[2]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
