@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     events_queries,
     text_queries,
     dedup,
+    corpus_prep,
     sampling,
     similarity,
     advanced,

@@ -1,0 +1,161 @@
+"""Corpus preparation for model training — chunking, packing,
+decontamination.  The three steps between "deduped corpus" and "batches
+on the GPU", each as a declarative plan that scales:
+
+- chunking: long documents → overlapping context-window pieces (the
+  preprocessing for embedding/RAG indexing and fixed-window training);
+- packing: documents → contiguous token-budget bins (sequence packing —
+  the distributable budget-slice form: a cumulative-sum window, with
+  boundary repair left to a cheap local pass);
+- decontamination: n-gram overlap against a held-out eval set (shared
+  shingle-hash join — the standard "did the eval leak into training"
+  audit).
+
+All three are pure column expressions + one bounded shuffle; shingle
+machinery is shared with dedup (md5-prefix ints, portable to the DuckDB
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .dedup import _SHINGLES_SQL, _shingle_int, _word_shingles
+from .registry import query
+
+_CHUNK = 200  # chars per chunk
+_STRIDE = 150  # 50-char overlap
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+SELECT doc_id,
+  CAST((off - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+  CAST(length(substring(text, CAST(off AS INTEGER), {_CHUNK})) AS BIGINT)
+    AS chunk_len,
+  md5(substring(text, CAST(off AS INTEGER), {_CHUNK})) AS chunk_md5
+FROM (
+  SELECT doc_id, text, unnest(generate_series(1, length(text), {_STRIDE})) AS off
+  FROM documents
+)
+""",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: every document split into {200-char,
+    50-overlap} pieces — 1 row → N rows via a generated offset sequence
+    (no UDF, no shuffle; the explode happens in place at the scan).  The
+    md5 checksum makes the oracle prove byte-identical chunk boundaries,
+    not just matching counts.  Swap chars for tokens by chunking the
+    token array with the same expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(_STRIDE))
+        ).alias("chunk_idx", "off"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.length(F.expr(f"substring(text, off, {_CHUNK})"))
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.md5(F.expr(f"substring(text, off, {_CHUNK})")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "doc_packing_bins",
+    oracle="""
+WITH laid_out AS (
+  SELECT source, n_chars,
+    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum_before
+  FROM documents
+)
+SELECT source, CAST(cum_before // 5000 AS BIGINT) AS bin_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+FROM laid_out
+GROUP BY source, bin_id
+""",
+)
+def q_doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, budget-slice form: lay documents out in stable
+    (source, doc_id) order and cut every 5000 chars of cumulative budget.
+    One window cumsum per source partition — this is how packing
+    distributes (true greedy first-fit is inherently sequential; the
+    slice form gets within one document of it, and a per-bin local pass
+    repairs boundaries).  Bins are reproducible because the layout order
+    is the sort key, not arrival order."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "source",
+            "n_chars",
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+        )
+        .groupBy("source", F.expr("cum_before div 5000").alias("bin_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bin_chars"),
+        )
+    )
+
+
+@query(
+    "eval_contamination",
+    oracle=f"""
+WITH eval_shingles AS (
+  SELECT DISTINCT {{si}} AS s
+  FROM (SELECT unnest({_SHINGLES_SQL.strip()}) AS sh FROM documents WHERE doc_id < 10)
+),
+corpus AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL.strip()}) AS sh
+  FROM documents WHERE doc_id >= 10
+)
+SELECT c.doc_id, COUNT(DISTINCT {{sc}}) AS n_shared_shingles
+FROM corpus c JOIN eval_shingles e ON {{sc}} = e.s
+GROUP BY c.doc_id
+""".format(
+        si="list_reduce([instr('0123456789abcdef', substring(md5(sh), i, 1)) - 1"
+        " for i in range(1, 9)], (acc, v) -> acc * 16 + v)",
+        sc="list_reduce([instr('0123456789abcdef', substring(md5(c.sh), i, 1)) - 1"
+        " for i in range(1, 9)], (acc, v) -> acc * 16 + v)",
+    ),
+)
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: training docs sharing any word-3-gram with
+    the held-out eval set (doc_id < 10), scored by distinct shared
+    shingles.  The eval side collapses to a distinct shingle-hash set
+    and BROADCASTS (eval sets are tiny by construction); the corpus side
+    streams through a hash semi-match — at 100 TB this is a broadcast
+    join against millions of eval shingles, never a corpus self-join.
+    Matched docs get dropped or downweighted before training."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    ev = (
+        d.filter(F.col("doc_id") < 10)
+        .select(F.explode(_word_shingles(F.col("text"))).alias("sh"))
+        .select(_shingle_int(F.col("sh")).alias("s"))
+        .distinct()
+    )
+    corpus = (
+        d.filter(F.col("doc_id") >= 10)
+        .select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", _shingle_int(F.col("sh")).alias("s"))
+    )
+    return (
+        corpus.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+    )
