@@ -19,6 +19,7 @@ FORBIDDEN = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toLocalIterator\(")
 # file → reason a driver-side materialization is legitimate there
 ALLOWED = {
     "sinks/kv.py": "compact_parquet samples ONE aggregated row (avg width) to size output files",
+    "batch.py": "run_hisac_batch returns run metrics: collects the 4-row per-type count (bounded by #IOC types, never by data)",
 }
 
 
