@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_keep_first",
     "train_val_test_split",
     "media_dedup_groups",
+    "doc_chunking",
+    "eval_contamination",
     "minhash_band_pairs",
     "simhash_neardup_pairs",
     "knn_cosine_topk",

@@ -142,15 +142,20 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through a hash semi-match — at 100 TB this is a broadcast
     join against millions of eval shingles, never a corpus self-join.
     Matched docs get dropped or downweighted before training."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    # two separate loads: the eval side must NOT inherit fan_out — the
+    # repartition would sit between scan and filter, blocking pushdown of
+    # doc_id < 10 and shuffling the whole corpus to keep 10 rows.  Only
+    # the CPU-bound corpus shingling pass fans out.
     ev = (
-        d.filter(F.col("doc_id") < 10)
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
         .select(F.explode(_word_shingles(F.col("text"))).alias("sh"))
         .select(_shingle_int(F.col("sh")).alias("s"))
         .distinct()
     )
     corpus = (
-        d.filter(F.col("doc_id") >= 10)
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .filter(F.col("doc_id") >= 10)
         .select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("sh"))
         .select("doc_id", _shingle_int(F.col("sh")).alias("s"))
     )
