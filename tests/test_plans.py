@@ -14,42 +14,34 @@ import io
 
 import __spark_entry__ as entrymod
 
+from cybersecurity_ioc_etl_spark import plans as P
+
 QUERIES = entrymod.queries()
 
 
 def plan(spark, sf_dir, name: str, execute: bool = False) -> str:
-    df = QUERIES[name](spark, sf_dir)
-    if execute:
-        # AQE only materializes the final plan (incl. codegen ids) after
-        # THIS dataframe executes — count() would plan a different query
-        df.collect()
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+    return P.formatted_plan(QUERIES[name](spark, sf_dir), execute=execute)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     p = plan(spark, sf_dir, "filter_project_revenue")
-    assert "PushedFilters: [" in p
-    # at least one real predicate pushed, not an empty list
-    assert "PushedFilters: []" not in p
+    assert P.has_pushed_filters(p)
 
 
 def test_column_pruning_on_scan(spark, sf_dir):
     p = plan(spark, sf_dir, "filter_project_revenue")
     # lineitem has 11 columns; the revenue query must not read them all
-    assert "l_returnflag" not in p.split("ReadSchema")[1].split("\n")[0]
+    assert "l_returnflag" not in P.read_schema_columns(p)
 
 
 def test_dimension_join_is_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "region_nation_revenue")
-    assert "BroadcastHashJoin" in p
+    assert P.has_broadcast_join(p)
 
 
 def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     p = plan(spark, sf_dir, "top_orders")
-    assert "TakeOrderedAndProject" in p
+    assert P.has_take_ordered_topk(p)
 
 
 def test_knn_broadcasts_query_vector_and_uses_topk(spark, sf_dir):
@@ -62,8 +54,7 @@ def test_flagship_pipeline_is_all_jvm(spark, sf_dir):
     """The IOC extract/refang/explode path must stay in codegen — a
     Python eval node here would be a 10-100x regression at scale."""
     p = plan(spark, sf_dir, "ioc_flagship", execute=True)
-    assert "BatchEvalPython" not in p
-    assert "ArrowEvalPython" not in p
+    assert P.is_all_jvm(p)
     assert "[codegen id :" in p  # whole-stage codegen spans present
 
 
@@ -126,8 +117,8 @@ def test_q3_topk_and_broadcast(spark, sf_dir):
     """TPC-H Q3: the segment dim must broadcast and the final top-10 must
     be a distributed heap, not a global sort."""
     p = plan(spark, sf_dir, "shipping_priority")
-    assert "TakeOrderedAndProject" in p
-    assert "BroadcastHashJoin" in p
+    assert P.has_take_ordered_topk(p)
+    assert P.has_broadcast_join(p)
 
 
 def test_q18_having_side_broadcasts(spark, sf_dir):
@@ -135,7 +126,7 @@ def test_q18_having_side_broadcasts(spark, sf_dir):
     must broadcast into orders — the only full shuffle is the lineitem
     pre-aggregation."""
     p = plan(spark, sf_dir, "large_volume_customers")
-    assert p.count("BroadcastHashJoin") >= 2
+    assert P.has_broadcast_join(p, min_count=2)
     assert "SortMergeJoin" not in p
 
 
@@ -145,14 +136,14 @@ def test_split_assignment_is_narrow_single_shuffle(spark, sf_dir):
     the COUNT(DISTINCT source) — both carry partial-agg rows, never the
     corpus), and no Python eval nodes."""
     p = plan(spark, sf_dir, "train_val_test_split")
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert p.count("hashpartitioning") <= 2
+    assert P.is_all_jvm(p)
+    assert P.shuffle_count(p) <= 2
     # the scan reads only the 3 needed columns of 5
-    assert "text" not in p.split("ReadSchema")[1].split("\n")[0]
+    assert "text" not in P.read_schema_columns(p)
 
 
 def test_media_blob_dedup_stays_jvm(spark, sf_dir):
     """Binary content-hash dedup must hash blobs JVM-side — no Python
     stage, no decode."""
     p = plan(spark, sf_dir, "media_dedup_groups")
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert P.is_all_jvm(p)
