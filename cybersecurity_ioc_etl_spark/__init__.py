@@ -36,3 +36,10 @@ def queries():
     from . import operators
 
     return dict(operators.QUERIES)
+
+
+def run_hisac_batch(spark, sf_dir, out_dir, poster=None):
+    """See :func:`cybersecurity_ioc_etl_spark.batch.run_hisac_batch`."""
+    from .batch import run_hisac_batch as _impl
+
+    return _impl(spark, sf_dir, out_dir, poster=poster)

@@ -20,6 +20,7 @@ FORBIDDEN = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toLocalIterator\(")
 ALLOWED = {
     "sinks/kv.py": "compact_parquet samples ONE aggregated row (avg width) to size output files",
     "batch.py": "run_hisac_batch returns run metrics: collects the 4-row per-type count (bounded by #IOC types, never by data)",
+    "plans/inspect.py": "formatted_plan(execute=True) intentionally executes the frame so AQE materializes the final plan — a debugging/CI tool, not an operator",
 }
 
 
