@@ -121,3 +121,26 @@ def test_aggregation_bit_identical_across_partitionings(spark, sf_dir):
         assert results[0] == results[1] == results[2]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
+
+
+def test_md5_prefix_int_matches_python_reference(spark):
+    """The portable-hash contract (CLAUDE.md rule 4): Spark's
+    conv(substring(md5(x),1,8),16,10) must equal Python's
+    int(md5(x).hexdigest()[:8], 16) for arbitrary utf-8 keys — this is
+    what makes sampling/splits/dedup reproducible across engines."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.operators.dedup import _shingle_int
+
+    keys = ["", "a", "doc-42", "ünïcode-ß", "\x01sep", " spaces  ", "0" * 64,
+            "the quick brown fox", "123456789", "\U0001f600emoji"]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r.k: r.h
+        for r in df.select("k", _shingle_int(F.col("k")).alias("h")).collect()
+    }
+    for k in keys:
+        want = int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16)
+        assert got[k] == want, k
