@@ -1,11 +1,14 @@
-"""CLI: run any registered query and print its result.
+"""CLI: run any registered query, or either end-to-end pipeline.
 
     python -m cybersecurity_ioc_etl_spark <query-name> [sf_dir] [--limit N]
     python -m cybersecurity_ioc_etl_spark --list
+    python -m cybersecurity_ioc_etl_spark --batch OUT_DIR [sf_dir]
+    python -m cybersecurity_ioc_etl_spark --stream JSON_DIR OUT_DIR
 
-Replaces the reference's two hard-coded CLI entry points (`python3
-h-isac.py <folder>` / `python3 firehose.py`) with one launcher over the
-whole query surface.
+Replaces the reference's two hard-coded CLI entry points:
+`python3 h-isac.py <folder> [--splunk cfg]` → `--batch` (extract → CSV +
+metrics under OUT_DIR), and `python3 firehose.py` → `--stream` (tweet
+JSON drop-directory → checkpointed parquet IOC table, resumable).
 """
 
 from __future__ import annotations
@@ -20,9 +23,38 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--list", action="store_true", dest="list_queries")
+    p.add_argument("--batch", metavar="OUT_DIR", help="run the h-isac batch pipeline")
+    p.add_argument(
+        "--stream",
+        nargs=2,
+        metavar=("JSON_DIR", "OUT_DIR"),
+        help="run the firehose streaming pipeline over a tweet-JSON drop dir",
+    )
     args = p.parse_args(argv)
 
     from . import get_spark, queries
+
+    if args.batch:
+        from .batch import run_hisac_batch
+
+        spark = get_spark("cli-batch")
+        spark.sparkContext.setLogLevel("WARN")
+        print(run_hisac_batch(spark, args.query or "/root/testdata/sf0.01", args.batch))
+        return 0
+    if args.stream:
+        import os
+
+        from .streaming.pipeline import run_ioc_stream
+
+        json_dir, out_dir = args.stream
+        spark = get_spark("cli-stream")
+        spark.sparkContext.setLogLevel("WARN")
+        result = run_ioc_stream(
+            spark, json_dir, os.path.join(out_dir, "_checkpoint"),
+            out_dir=os.path.join(out_dir, "iocs"),
+        )
+        print(f"{result.count()} IOC rows in {out_dir}/iocs")
+        return 0
 
     qs = queries()
     if args.list_queries or not args.query:

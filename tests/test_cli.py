@@ -24,3 +24,24 @@ def test_cli_runs_query_against_sf_dir(spark, sf_dir, capsys):
 def test_cli_unknown_query_is_an_error(capsys):
     assert main(["definitely_not_a_query"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_batch_fork(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "cli_batch")
+    assert main(["--batch", out, sf_dir]) == 0
+    assert "n_iocs" in capsys.readouterr().out
+    assert spark.read.option("header", True).csv(f"{out}/iocs_csv").count() > 0
+
+
+def test_cli_stream_fork(spark, tmp_path, capsys):
+    import json
+
+    src = tmp_path / "drops"; src.mkdir()
+    tweet = {"created_at": "Mon Apr 01", "id": 7, "text": "bad ip 10.0.0.7 here",
+             "retweeted": False, "user": {"screen_name": "u"},
+             "entities": {"hashtags": [], "urls": []}}
+    (src / "t1.json").write_text(json.dumps(tweet) + "\n")
+    out = str(tmp_path / "cli_stream")
+    assert main(["--stream", str(src), out]) == 0
+    assert "IOC rows" in capsys.readouterr().out
+    assert spark.read.parquet(f"{out}/iocs").count() >= 1
