@@ -379,3 +379,99 @@ def q_returned_never_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "nation_trade_flows",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+  {ISUM.format(x=_DISC_SQL)} / 1000000.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+  AND ns.n_nationkey != nc.n_nationkey
+GROUP BY supp_nation, cust_nation, ship_year
+""",
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between (supplier nation, customer
+    nation) pairs by ship year — the same dimension table joined twice
+    under different aliases on both ends of the fact.  All four dims
+    broadcast; the nation filters prune BEFORE the join so the fact rows
+    that survive carry only cross-nation trades.  One shuffle
+    (lineitem⋈orders), one small-key agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.filter(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.filter(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.expr(
+        "(cast(round(l_extendedprice * 10000.0) as bigint)"
+        " * (10000 - cast(round(l_discount * 10000.0) as bigint))) div 100"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .filter(F.col("ns_key") != F.col("nc_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg((isum(disc) / 1e6).alias("revenue"))
+    )
+
+
+@query(
+    "returned_item_customers",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+  {ISUM.format(x=_DISC_SQL)} / 1000000.0 AS lost_revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter-window.  Return-flag and date filters reach both scans; the
+    only shuffle is the join key; the ranking is TakeOrderedAndProject
+    with c_custkey as the deterministic tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc = F.expr(
+        "(cast(round(l_extendedprice * 10000.0) as bigint)"
+        " * (10000 - cast(round(l_discount * 10000.0) as bigint))) div 100"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg((isum(disc) / 1e6).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
