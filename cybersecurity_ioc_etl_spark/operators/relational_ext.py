@@ -475,3 +475,49 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "disjunctive_promo_revenue",
+    oracle=f"""
+SELECT COUNT(*) AS n_lines,
+  {ISUM.format(x=_DISC_SQL)} / 1000000.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size <= 10
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#20' AND p.p_size <= 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'Brand#23' AND p.p_size <= 40
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+""",
+)
+def q_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of conjunct bundles spanning both join
+    sides.  Catalyst cannot push the disjunction whole, but it derives
+    and pushes the per-side common envelopes (brand ∈ {…}, size ≤ 40 on
+    part; quantity ∈ [1,50] on lineitem), broadcasts the slimmed part
+    side, and evaluates the residual OR inside the join — the difference
+    between scanning 3 brands and all of `part` at 100 TB."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+         & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#20") & (F.col("p_size") <= 25)
+           & (q >= 10) & (q <= 35))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 40)
+           & (q >= 20) & (q <= 50))
+    )
+    disc = F.expr(
+        "(cast(round(l_extendedprice * 10000.0) as bigint)"
+        " * (10000 - cast(round(l_discount * 10000.0) as bigint))) div 100"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_lines"),
+            (isum(disc) / 1e6).alias("revenue"),
+        )
+    )
