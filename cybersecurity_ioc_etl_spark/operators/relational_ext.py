@@ -521,3 +521,35 @@ def q_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (isum(disc) / 1e6).alias("revenue"),
         )
     )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+WITH per_customer AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_customer
+GROUP BY n_orders
+""",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the count-of-counts (degree distribution) — how
+    many customers placed 0, 1, 2… orders.  Two chained aggregations:
+    the first groups on the join key it already shuffled on (no extra
+    exchange), the second groups on the tiny count domain.  The LEFT
+    join + COUNT(column) keeps zero-order customers (COUNT(*) would
+    count the NULL row as 1 — the classic outer-join counting bug)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
