@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     ioc_queries,
     relational,
     relational_ext,
+    relational_tpch3,
     events_queries,
     text_queries,
     dedup,

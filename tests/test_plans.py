@@ -147,3 +147,48 @@ def test_media_blob_dedup_stays_jvm(spark, sf_dir):
     stage, no decode."""
     p = plan(spark, sf_dir, "media_dedup_groups")
     assert P.is_all_jvm(p)
+
+
+def test_q8_single_fact_shuffle_rest_broadcast(spark, sf_dir):
+    """TPC-H Q8 shape: numerator and denominator ride ONE aggregation
+    pass; every dim side broadcasts — the only shuffle joins are on the
+    orderkey fact⋈fact edge."""
+    p = plan(spark, sf_dir, "market_share_by_year")
+    assert P.has_broadcast_join(p, min_count=4)
+
+
+def test_q12_fact_fact_join_is_keyed_with_two_phase_agg(spark, sf_dir):
+    """TPC-H Q12 shape: the cross-table date predicate must ride a KEYED
+    orderkey join (post-join condition), never degrade to a cartesian;
+    both CASE counts partial-aggregate map-side.  (At fixture scale AQE
+    rightly broadcasts the smaller fact; at 100 TB the same plan shape
+    shuffles both sides on orderkey.)"""
+    p = plan(spark, sf_dir, "late_shipment_priority_counts")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join Inner" in p or "HashJoin" in p or "SortMergeJoin" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q15_quarter_filter_reaches_scan(spark, sf_dir):
+    """TPC-H Q15: the shipdate quarter window must prune parquet
+    row-groups; the global-max row and supplier dim broadcast."""
+    p = plan(spark, sf_dir, "top_revenue_supplier")
+    assert P.has_pushed_filters(p)
+    assert P.has_broadcast_join(p, min_count=2)
+
+
+def test_q16_denylist_is_broadcast_anti_join(spark, sf_dir):
+    """TPC-H Q16 shape: the supplier denylist must anti-join as a
+    broadcast — a shuffled anti join here would move the whole fact."""
+    p = plan(spark, sf_dir, "supplier_count_by_part_attrs")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q2_correlated_min_topk(spark, sf_dir):
+    """TPC-H Q2 shape: the decorrelated min joins back on the SAME
+    partkey exchange, dims broadcast, and the final 25 is a distributed
+    heap."""
+    p = plan(spark, sf_dir, "best_offer_per_part")
+    assert P.has_take_ordered_topk(p)
+    assert P.has_broadcast_join(p, min_count=3)
