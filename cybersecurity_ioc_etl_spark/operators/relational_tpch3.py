@@ -353,3 +353,120 @@ def q_best_offer_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("retail_price").desc(), "p_partkey")
         .limit(25)
     )
+
+
+_QTY_INT_SQL = "CAST(ROUND(l_quantity) AS BIGINT)"
+_COST_SQL = (
+    MI.format(x="p_retailprice") + " * CAST(ROUND(l_quantity * 100.0) AS BIGINT)"
+)
+# Spark-side cost mantissa (scale 6 = retail scale 4 × qty scale 2)
+_COST_EXPR = (
+    "cast(round(p_retailprice * 10000.0) as bigint)"
+    " * cast(round(l_quantity * 100.0) as bigint)"
+)
+
+
+@query(
+    "nation_profit_by_year",
+    oracle=f"""
+SELECT n.n_name AS nation,
+  CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+  {ISUM.format(x=f"({_DISC_SQL}) - ({_COST_SQL})")} / 1000000.0 AS sum_profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, order_year
+""",
+)
+def q_nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus cost) per supplier nation
+    per order year, over parts matching a name pattern.  Fixture has no
+    partsupp, so unit cost is p_retailprice — the plan shape (fact joined
+    to three broadcast dims plus one fact⋈fact edge, profit computed
+    row-wise then one grouped sum) is identical.
+
+    Scale shape: the p_name LIKE filter prunes part BEFORE its broadcast
+    so only matching partkeys ship to executors; profit is one exact
+    integer expression per row (scale-6 mantissa both terms — no
+    intermediate double drift); the orderkey edge is the only shuffle
+    join and the (25-nation × year) grouping key partial-aggregates
+    map-side to a few hundred rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.expr(_DISC_EXPR) - F.expr(_COST_EXPR)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg((isum(profit) / 1e6).alias("sum_profit"))
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    oracle=f"""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey, SUM({_QTY_INT_SQL}) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'small%'
+  GROUP BY l.l_partkey, l.l_suppkey
+), totals AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT sh.l_suppkey
+  FROM shipped sh JOIN totals t ON sh.l_partkey = t.l_partkey
+  WHERE sh.qty * 5 > t.total_qty)
+ORDER BY s.s_suppkey
+""",
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the semi-join chain — suppliers qualified by a
+    per-(part, supplier) aggregate compared against a per-part scalar,
+    decorated with nation.  Fixture has no partsupp/availqty, so the
+    threshold is "ships >20% of the part's total volume" (qty*5 >
+    total), compared in exact integer space.
+
+    Scale shape: the part name filter prunes before broadcast, so
+    shipped only aggregates matching lines; totals re-aggregates the
+    ALREADY-REDUCED (part, supplier) frame — tiny second shuffle; the
+    qualifying supplier set collapses to a distinct key list that
+    broadcast-SEMI-joins into supplier, so the supplier table never
+    shuffles and no row widens before the final dim decoration."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    shipped = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(F.broadcast(totals), shipped.l_partkey == totals.t_partkey)
+        .filter(F.col("qty") * 5 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )

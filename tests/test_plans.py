@@ -192,3 +192,19 @@ def test_q2_correlated_min_topk(spark, sf_dir):
     p = plan(spark, sf_dir, "best_offer_per_part")
     assert P.has_take_ordered_topk(p)
     assert P.has_broadcast_join(p, min_count=3)
+
+
+def test_q9_dims_broadcast_profit_single_agg(spark, sf_dir):
+    """TPC-H Q9 shape: part/supplier/nation broadcast (part pruned by the
+    name filter before shipping); profit sums in one two-phase agg."""
+    p = plan(spark, sf_dir, "nation_profit_by_year")
+    assert P.has_broadcast_join(p, min_count=3)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q20_semi_chain_broadcasts_supplier_never_shuffles(spark, sf_dir):
+    """TPC-H Q20 shape: the qualifying-supplier key list must reach
+    supplier as a broadcast LeftSemi — supplier itself never shuffles."""
+    p = plan(spark, sf_dir, "dominant_part_suppliers")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
