@@ -262,3 +262,58 @@ def q_customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     )
+
+
+@query(
+    "rolling_30d_spend",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS order_day,
+    {MI.format(x='o_totalprice')} AS price_mi
+  FROM orders WHERE o_custkey <= 100
+)
+SELECT o_custkey, o_orderkey, order_day,
+  CAST(COALESCE(SUM(price_mi) OVER (
+    PARTITION BY o_custkey ORDER BY order_day
+    RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 10000.0
+    AS spend_prev_30d
+FROM o
+""",
+)
+def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (RANGE, not ROWS): each order's customer
+    spend over the preceding 30 days, excluding today — the
+    feature-engineering shape for recency features and velocity/fraud
+    signals.
+
+    Scale shape: the frame is defined on an integer epoch-day sort key,
+    so peers (same-day orders) resolve identically in both engines and
+    the frame never degenerates into per-row scans; one shuffle on
+    o_custkey, exact mantissa accumulation inside the frame, and the
+    empty-frame NULL coalesces to 0 rather than leaking."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    o = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("order_day"),
+        mi(F.col("o_totalprice")).alias("price_mi"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-30, -1)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_day",
+        (
+            F.coalesce(
+                F.sum(F.col("price_mi").cast("decimal(38,0)")).over(w), F.lit(0)
+            ).cast("double")
+            / 1e4
+        ).alias("spend_prev_30d"),
+    )

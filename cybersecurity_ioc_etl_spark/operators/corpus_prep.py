@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
-from .dedup import _SHINGLES_SQL, _shingle_int, _word_shingles
+from .dedup import _SHINGLES_SQL, _word_shingles
 from .registry import query
 
 _CHUNK = 200  # chars per chunk
@@ -117,31 +117,33 @@ def q_doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval_contamination",
     oracle=f"""
 WITH eval_shingles AS (
-  SELECT DISTINCT {{si}} AS s
+  SELECT DISTINCT sh
   FROM (SELECT unnest({_SHINGLES_SQL.strip()}) AS sh FROM documents WHERE doc_id < 10)
 ),
 corpus AS (
   SELECT doc_id, unnest({_SHINGLES_SQL.strip()}) AS sh
   FROM documents WHERE doc_id >= 10
 )
-SELECT c.doc_id, COUNT(DISTINCT {{sc}}) AS n_shared_shingles
-FROM corpus c JOIN eval_shingles e ON {{sc}} = e.s
+SELECT c.doc_id, COUNT(DISTINCT c.sh) AS n_shared_shingles
+FROM corpus c JOIN eval_shingles e ON c.sh = e.sh
 GROUP BY c.doc_id
-""".format(
-        si="list_reduce([instr('0123456789abcdef', substring(md5(sh), i, 1)) - 1"
-        " for i in range(1, 9)], (acc, v) -> acc * 16 + v)",
-        sc="list_reduce([instr('0123456789abcdef', substring(md5(c.sh), i, 1)) - 1"
-        " for i in range(1, 9)], (acc, v) -> acc * 16 + v)",
-    ),
+""",
 )
 def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination audit: training docs sharing any word-3-gram with
     the held-out eval set (doc_id < 10), scored by distinct shared
-    shingles.  The eval side collapses to a distinct shingle-hash set
-    and BROADCASTS (eval sets are tiny by construction); the corpus side
-    streams through a hash semi-match — at 100 TB this is a broadcast
-    join against millions of eval shingles, never a corpus self-join.
-    Matched docs get dropped or downweighted before training."""
+    shingles.  The eval side collapses to a distinct shingle set and
+    BROADCASTS (eval sets are tiny by construction); the corpus side
+    streams through the broadcast semi-match — at 100 TB this is a
+    broadcast join against millions of eval shingles, never a corpus
+    self-join.  Matched docs get dropped or downweighted before training.
+
+    The join key is the RAW shingle string, not an md5-prefix int: the
+    hash never reaches the output, hashing every corpus shingle costs a
+    full md5 pass over the exploded corpus (~1.8x the whole query's wall
+    at sf0.1), and raw-string equality is collision-free on both engines.
+    If a huge eval set ever makes the broadcast too wide, hash BOTH
+    sides with the same function and accept the collision epsilon."""
     # two separate loads: the eval side must NOT inherit fan_out — the
     # repartition would sit between scan and filter, blocking pushdown of
     # doc_id < 10 and shuffling the whole corpus to keep 10 rows.  Only
@@ -150,17 +152,15 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 10)
         .select(F.explode(_word_shingles(F.col("text"))).alias("sh"))
-        .select(_shingle_int(F.col("sh")).alias("s"))
         .distinct()
     )
     corpus = (
         load_table(spark, sf_dir, "documents", fan_out=True)
         .filter(F.col("doc_id") >= 10)
         .select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("sh"))
-        .select("doc_id", _shingle_int(F.col("sh")).alias("s"))
     )
     return (
-        corpus.join(F.broadcast(ev), "s")
+        corpus.join(F.broadcast(ev), "sh")
         .groupBy("doc_id")
-        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+        .agg(F.countDistinct("sh").alias("n_shared_shingles"))
     )

@@ -436,3 +436,49 @@ def q_doc_tf_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxv.alias("max_tf"),
         top.alias("top_token"),
     )
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+WITH postings AS (
+  SELECT tok, doc_id
+  FROM (SELECT doc_id, unnest(list_distinct({_TOKENIZE_SQL})) AS tok
+        FROM documents)
+  WHERE length(tok) >= 4
+)
+SELECT tok AS term, COUNT(*) AS df,
+  array_to_string(list_sort(list(doc_id)), ',') AS posting_list
+FROM postings GROUP BY tok
+HAVING COUNT(*) BETWEEN 2 AND 1000
+""",
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → sorted posting list of documents
+    containing it (the retrieval-index shape behind BM25 / dedup-by-term
+    lookups).  One distinct-tokens explode, one shuffle on term.
+
+    Scale shape: list_distinct BEFORE the explode caps postings at one
+    per (term, doc); the df ceiling (1000) drops stop-terms whose posting
+    lists would otherwise concentrate the corpus onto single reducers —
+    the standard skew guard for index builds (high-df terms carry no
+    retrieval signal anyway).  Postings serialize as a delimited string
+    for the oracle hash; a production sink would keep the sorted
+    array<bigint> column as-is."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+        )
+        .filter(F.length("tok") >= 4)
+    )
+    return (
+        toks.groupBy(F.col("tok").alias("term"))
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "posting_list"
+            ),
+        )
+        .filter(F.col("df").between(2, 1000))
+    )
