@@ -39,4 +39,11 @@ def get_spark(app_name: str = "cybersecurity-ioc-etl-spark", master: str | None 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # first-class KV source/sink (sources/kvstore_datasource.py) — makes
+    # spark.read/write.format("splunkkv") available on every session.
+    # Registration is idempotent (re-registering replaces the entry).
+    from .sources.kvstore_datasource import KVStoreDataSource
+
+    spark.dataSource.register(KVStoreDataSource)
+    return spark
