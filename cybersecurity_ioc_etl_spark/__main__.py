@@ -25,6 +25,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--list", action="store_true", dest="list_queries")
     p.add_argument("--batch", metavar="OUT_DIR", help="run the h-isac batch pipeline")
     p.add_argument(
+        "--splunk",
+        metavar="CFG",
+        help="with --batch: also push IOCs to the splunkkv sink named by a "
+        "JSON config with a required 'url' key (h-isac.py's --splunk fork, "
+        "with S10 set-diff validation instead of its None crash)",
+    )
+    p.add_argument(
         "--stream",
         nargs=2,
         metavar=("JSON_DIR", "OUT_DIR"),
@@ -37,9 +44,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.batch:
         from .batch import run_hisac_batch
 
+        kv_url = None
+        if args.splunk:
+            from .config import load_config
+
+            kv_url = load_config(
+                args.splunk, required=("url",), context="splunk config"
+            )["url"]
         spark = get_spark("cli-batch")
         spark.sparkContext.setLogLevel("WARN")
-        print(run_hisac_batch(spark, args.query or "/root/testdata/sf0.01", args.batch))
+        print(
+            run_hisac_batch(
+                spark, args.query or "/root/testdata/sf0.01", args.batch, kv_url=kv_url
+            )
+        )
         return 0
     if args.stream:
         import os

@@ -33,13 +33,16 @@ def run_hisac_batch(
     sf_dir: str,
     out_dir: str,
     poster: Callable[[list[str]], Any] | None = None,
+    kv_url: str | None = None,
 ) -> dict[str, int]:
     """Run the full batch pipeline; returns the run metrics.
 
     ``poster`` given → KV sink (batched, partition-parallel);
-    otherwise → CSV under ``out_dir`` (the reference's fork at
-    h-isac.py:164-168, minus its crash when the flag is absent).
-    Metrics append to ``{out_dir}/metrics`` either way.
+    ``kv_url`` given → the first-class splunkkv sink (CLI ``--splunk``
+    fork, config-validated per S10); otherwise → CSV under ``out_dir``
+    (the reference's fork at h-isac.py:164-168, minus its crash when
+    the flag is absent).  Metrics append to ``{out_dir}/metrics``
+    either way.
 
     The IOC table is cached so the sink pass and the metrics pass share
     one extraction (the multi-consumer pattern from tests/test_plans) —
@@ -49,6 +52,8 @@ def run_hisac_batch(
     try:
         if poster is not None:
             write_kv_batched(iocs, poster)
+        elif kv_url is not None:
+            iocs.write.format("splunkkv").option("url", kv_url).mode("append").save()
         else:
             write_csv(iocs, os.path.join(out_dir, "iocs_csv"), single_file=False)
         write_metrics(iocs, os.path.join(out_dir, "metrics"))

@@ -275,26 +275,17 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_agg(d, "doc_id", "text")
 
 
-@query(
-    "simhash_neardup_pairs",
-    oracle=f"""
-WITH sig AS ({_SIMHASH_SIG_SQL.format(toks=_TOKEN_INTS_SQL.format(bound=500))})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
-""",
-)
-def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: Hamming-distance-≤-3 pairs via banded LSH.
+def simhash_banded_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate pairs via 4-band pigeonhole LSH over 16-bit signatures.
 
-    The oracle states the spec as an all-pairs O(n²) join; the Spark
-    plan is the scale shape — signatures split into 4 four-bit bands,
-    candidates generated only within (band, bits) buckets (pigeonhole
-    guarantees identical results), then the exact Hamming filter.  At
-    100 TB the bucket-join shuffles ~n·4 tiny rows instead of n²."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 500)
-    sig = simhash_agg(d, "doc_id", "text")
+    Splits each signature into ``_SIMHASH_BANDS`` contiguous bit bands and
+    equi-joins on (band, bits): any pair within Hamming ≤ ``_HAMMING_T``
+    differs in ≤ 3 bits, so with 4 bands at least one band is intact and
+    the pair collides in that bucket — no missed pairs, and pair
+    generation shuffles ~n·4 tiny rows instead of the n² θ-join.
+    Returns (doc_a, doc_b, sig_a, sig_b), one row per candidate pair
+    (multi-band collisions pre-deduped so the Hamming check runs once).
+    """
     width = _SIMHASH_BITS // _SIMHASH_BANDS
     mask = (1 << width) - 1
     banded = sig.select(
@@ -315,7 +306,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.bits")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -330,7 +321,31 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.simhash").alias("sig_b"),
         )
         .agg(F.count("*").alias("_nb"))
+        .drop("_nb")
     )
+
+
+@query(
+    "simhash_neardup_pairs",
+    oracle=f"""
+WITH sig AS ({_SIMHASH_SIG_SQL.format(toks=_TOKEN_INTS_SQL.format(bound=500))})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+""",
+)
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: Hamming-distance-≤-3 pairs via banded LSH.
+
+    The oracle states the spec as an all-pairs O(n²) join; the Spark
+    plan is the scale shape — signatures split into 4 four-bit bands,
+    candidates generated only within (band, bits) buckets (pigeonhole
+    guarantees identical results), then the exact Hamming filter.  At
+    100 TB the bucket-join shuffles ~n·4 tiny rows instead of n²."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 500)
+    sig = simhash_agg(d, "doc_id", "text")
+    cand = simhash_banded_candidates(sig)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.filter(hamming <= _HAMMING_T).select(
         "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
@@ -493,7 +508,11 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, id_col: str = "id", max_iter: int = 20
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Min-label propagation with pointer jumping to fixpoint — the
     iterative-algorithm pattern on DataFrames (Pregel-lite).  Each
@@ -506,7 +525,15 @@ def connected_components(
     growing tree (measured: plan explosion OOMs the driver before round
     10).  Checkpointing materializes the round AND truncates lineage to
     a leaf.  On a cluster, prefer checkpoint() against a fault-tolerant
-    directory; localCheckpoint trades re-computability for speed."""
+    directory; localCheckpoint trades re-computability for speed.
+
+    The driver-side convergence probe (a count of changed labels) costs
+    two extra jobs per probe, so it runs only every ``check_every``
+    rounds: with pointer jumping the label frontier roughly halves per
+    round, so probing at half rate costs at most one wasted round while
+    removing half the probe jobs — the result is identical because the
+    update itself is monotone (labels only decrease) and a fixpoint
+    round is a no-op."""
     sym = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -517,7 +544,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["nid"])
             .groupBy(F.col("dst").alias("nid2"))
@@ -547,15 +574,17 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        prev = labels
         labels = new_labels
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(prev.alias("o"), F.col("n.nid") == F.col("o.nid"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                break
     return labels.select(F.col("nid"), F.col("label").alias("component"))
 
 
@@ -589,11 +618,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 150
     )
     sig = simhash_agg(d, "doc_id", "text")
-    a, b = sig.alias("a"), sig.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    edges = a.join(
-        b, (F.col("a.doc_id") < F.col("b.doc_id")) & (hamming <= _HAMMING_T - 1)
-    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    # edge generation via the banded pigeonhole bucket-join (4 bands >
+    # Hamming 2, so no pair is missed) — NOT an all-pairs θ-join; only
+    # same-bucket candidates pay the exact Hamming check.
+    cand = simhash_banded_candidates(sig)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    edges = cand.filter(hamming <= _HAMMING_T - 1).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
     comp = connected_components(
         sig.select(F.col("doc_id")), edges, id_col="doc_id"
     )

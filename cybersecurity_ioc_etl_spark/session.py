@@ -31,6 +31,11 @@ def get_spark(app_name: str = "cybersecurity-ioc-etl-spark", master: str | None 
         # multimodal decode) — row-at-a-time Python UDFs are banned in this
         # codebase.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown is gated off by default in
+        # PySpark 4.1; without this every spark.read.format("splunkkv")
+        # fails with DATA_SOURCE_PUSHDOWN_DISABLED because KVStoreReader
+        # implements pushFilters() (sources/kvstore_datasource.py).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # deterministic timestamp rendering (matches the DuckDB oracle)
         .config("spark.sql.session.timeZone", "UTC")
         # the events fixture stores TIMESTAMP(NANOS) which the Spark parquet

@@ -46,6 +46,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import Row, StringType, StructField, StructType
 
+from ..config import validate_config
+
 # canonical 8-column IOC contract (README.md:13-29 of the reference);
 # the stream path's 6-field drift (SURVEY §1.1) surfaces as NULLs, not
 # schema mismatch.
@@ -102,6 +104,11 @@ def _serve_local(url: str, params: dict) -> list[dict]:
     rows = [r for r in rows if _match(r, query)]
     if params.get("count_only"):
         return [{"count": len(rows)}]
+    # honor the explicit sort the reader sends with every paged request —
+    # skip/limit paging is only correct under a total order
+    sort_field = params.get("sort")
+    if sort_field:
+        rows = sorted(rows, key=lambda r: (r.get(sort_field) is None, str(r.get(sort_field))))
     skip, limit = int(params.get("skip", 0)), params.get("limit")
     return rows[skip : skip + int(limit)] if limit is not None else rows[skip:]
 
@@ -150,8 +157,10 @@ class _Page(InputPartition):
 
 class KVStoreReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType) -> None:
+        validate_config(options, ("url",), context="splunkkv reader options")
         self.url = options["url"]
         self.num_partitions = int(options.get("numpartitions", 8))
+        self.sort_field = options.get("sortfield", "_key")
         self.fields = [f.name for f in schema.fields]
         self.query: dict[str, Any] = {}
 
@@ -184,8 +193,15 @@ class KVStoreReader(DataSourceReader):
         return pages
 
     def read(self, partition: _Page) -> Iterator[tuple]:
+        # every paged request carries an explicit sort: skip/limit pages
+        # only partition the collection correctly under a total order (a
+        # KV endpoint guarantees no default ordering).  Paging further
+        # assumes the collection is static between partitions() and
+        # read() — a mutated collection can still shift rows across page
+        # boundaries, as with any snapshot-less REST source.
         rows = _serve(
-            self.url, self._params(skip=partition.skip, limit=partition.limit)
+            self.url,
+            self._params(skip=partition.skip, limit=partition.limit, sort=self.sort_field),
         )
         for r in rows:
             yield tuple(r.get(f) for f in self.fields)
@@ -202,6 +218,7 @@ class _BatchesWritten(WriterCommitMessage):
 
 class KVStoreWriter(DataSourceWriter):
     def __init__(self, options: dict) -> None:
+        validate_config(options, ("url",), context="splunkkv writer options")
         self.url = options["url"]
         self.batch_cap = int(options.get("batchcap", 1000))
 
@@ -245,8 +262,11 @@ class KVStoreWriter(DataSourceWriter):
 class KVStoreDataSource(DataSource):
     """``spark.read.format("splunkkv").option("url", ...)`` — see module
     docstring.  Options: ``url`` (required), ``numPartitions`` (read
-    parallelism, default 8), ``batchCap`` (write batch size, default
-    1 000 = Splunk's batch_save cap)."""
+    parallelism, default 8), ``sortField`` (total order for paged reads,
+    default ``_key``), ``batchCap`` (write batch size, default 1 000 =
+    Splunk's batch_save cap).  Requires
+    ``spark.sql.python.filterPushdown.enabled=true`` (set by
+    ``session.get_spark``) because the reader implements pushFilters."""
 
     @classmethod
     def name(cls) -> str:
@@ -259,4 +279,11 @@ class KVStoreDataSource(DataSource):
         return KVStoreReader(dict(self.options), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> KVStoreWriter:
+        if overwrite:
+            # batch_save only upserts by _key; silently appending under
+            # mode("overwrite") would lie about the sink's contents.
+            raise NotImplementedError(
+                "splunkkv sink is append-only (KV batch_save upserts by _key); "
+                "use mode('append'), or delete the collection out-of-band first"
+            )
         return KVStoreWriter(dict(self.options))

@@ -57,6 +57,21 @@ class RestClient:
         self.token = token
         self.transport = transport
 
+    @classmethod
+    def from_config(
+        cls,
+        spark: SparkSession,
+        config_file: str,
+        transport: Transport = urllib_transport,
+    ) -> "RestClient":
+        """Build a client from a JSON config file with the reference's
+        set-diff key validation (`h-isac.py:20-22`, S10): ``base_url``
+        is required, ``token`` optional."""
+        from ..config import load_config
+
+        cfg = load_config(config_file, required=("base_url",), context="rest config")
+        return cls(spark, cfg["base_url"], token=cfg.get("token"), transport=transport)
+
     def _headers(self) -> dict:
         h = {"Content-Type": "application/json"}
         if self.token:

@@ -202,6 +202,34 @@ def test_q9_dims_broadcast_profit_single_agg(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
 
 
+def test_dedup_component_edges_are_banded_not_all_pairs(spark, sf_dir):
+    """dedup_components' edge generation must be the banded pigeonhole
+    bucket-join (equi-join on (band, bits)), never the all-pairs θ-join —
+    the θ-join is O(n²) in documents and is the one plan that cannot
+    survive 100 TB.  (The component query itself executes eagerly through
+    localCheckpoint, so the edge plan is asserted directly.)"""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.operators.dedup import (
+        _HAMMING_T,
+        simhash_agg,
+        simhash_banded_candidates,
+    )
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    cand = simhash_banded_candidates(simhash_agg(d, "doc_id", "text"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    edges = cand.filter(hamming <= _HAMMING_T - 1).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    p = P.formatted_plan(edges)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the candidate join is keyed (band, bits) — an equi hash/merge join
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
 def test_q20_semi_chain_broadcasts_supplier_never_shuffles(spark, sf_dir):
     """TPC-H Q20 shape: the qualifying-supplier key list must reach
     supplier as a broadcast LeftSemi — supplier itself never shuffles."""
