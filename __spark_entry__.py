@@ -21,6 +21,76 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 
+# Queries already driver-confirmed green in CORRECTNESS_r01 AND r02.  The
+# driver's correctness gate samples the FIRST 50 entries of queries() in
+# iteration order, so we rotate: front-load the families that have only
+# local-replica coverage so far (dedup / similarity / corpus prep /
+# sampling / multimodal / text / events), then everything else not yet
+# checked, and push the twice-confirmed 50 to the tail.
+_DRIVER_CHECKED = frozenset(
+    {
+        "ioc_flagship", "ioc_type_counts", "ioc_per_source_daily",
+        "tweet_batch_pipeline", "ioc_classify", "enrichment_scraped_iocs",
+        "ioc_url_hosts", "stream_stateful_type_totals", "ioc_allowlist_filtered",
+        "unified_ioc_table", "ioc_validation_counts", "pricing_summary",
+        "filter_project_revenue", "top_orders", "segment_sales",
+        "brand_quantity", "region_nation_revenue", "customers_with_open_orders",
+        "customers_without_orders", "top_order_per_customer",
+        "customer_running_spend", "monthly_order_stats",
+        "rollup_region_nation_customers", "cube_status_priority",
+        "distinct_suppliers_per_flag", "open_not_finished_customers",
+        "both_status_customers", "big_brands", "parts_above_brand_avg",
+        "priority_return_counts", "promo_revenue_share", "part_name_tokens",
+        "shipping_priority", "large_volume_customers", "customer_order_leftjoin",
+        "nation_presence_fulljoin", "order_fulfillment_lag",
+        "first_last_order_price", "part_measure_unpivot",
+        "customer_order_timeline", "returned_never_accepted",
+        "nation_trade_flows", "returned_item_customers",
+        "disjunctive_promo_revenue", "customer_order_distribution",
+        "market_share_by_year", "late_shipment_priority_counts",
+        "top_revenue_supplier", "supplier_count_by_part_attrs",
+        "idle_rich_customers",
+    }
+)
+
+# Family-ordered head: the LLM-training-pipeline operators the judge asked
+# to see driver-issued green rows for (VERDICT.md "Next round" item 2).
+_PRIORITY = [
+    # dedup family
+    "dedup_exact_groups", "neardup_jaccard_pairs", "minhash_signatures",
+    "minhash_band_pairs", "minhash_jaccard_estimate", "simhash_signatures",
+    "simhash_neardup_pairs", "dedup_keep_first", "dedup_keep_best",
+    "dedup_components",
+    # similarity / ANN
+    "knn_cosine_topk", "ivf_topk", "ann_bucketed_topk",
+    "ann_hyperplane_buckets", "embedding_neardup_pairs", "vector_norms",
+    "label_centroid_norms", "embedding_int8_quantize",
+    # corpus prep + sampling
+    "doc_chunking", "doc_packing_bins", "eval_contamination",
+    "deterministic_sample", "train_val_test_split", "source_mixture_sample",
+    "stratified_sample_k",
+    # multimodal
+    "media_byte_profile", "media_dedup_groups", "frame_dedup_profile",
+    # text analysis
+    "doc_token_stats", "doc_quality", "doc_lang_stats", "doc_lang_id",
+    "doc_fingerprint", "doc_shingle_profile", "doc_bpe_token_estimate",
+    "top_terms", "tfidf_top_terms_per_doc", "doc_pii_scrub", "doc_tf_map",
+    "inverted_index_postings",
+    # events / streaming parity
+    "events_hourly", "stream_hourly_counts", "events_sessionize",
+    "events_native_sessions", "stream_session_counts",
+    "stream_click_error_join", "events_sliding_counts", "events_json_props",
+    "events_type_pivot", "events_hourly_gapfill", "user_weekly_retention",
+]
+
+
+def _ordered(names: list[str]) -> list[str]:
+    head = [n for n in _PRIORITY if n in names]
+    seen = set(head)
+    mid = [n for n in names if n not in seen and n not in _DRIVER_CHECKED]
+    tail = [n for n in names if n not in seen and n in _DRIVER_CHECKED]
+    return head + mid + tail
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship extract-normalize pipeline (SURVEY.md §7.2) on sf0.001."""
@@ -28,8 +98,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_ops.QUERIES)
+    return {k: _ops.QUERIES[k] for k in _ordered(list(_ops.QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ops.ORACLES)
+    order = _ordered(list(_ops.QUERIES))
+    return {k: _ops.ORACLES[k] for k in order if k in _ops.ORACLES}
