@@ -380,6 +380,129 @@ def q_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_bucketed_topk",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+signs AS (
+  SELECT vec_id,
+    SUM(CASE WHEN i % 2 = 0 THEN xi ELSE -xi END) AS proj_a,
+    SUM(CASE WHEN i % 3 = 0 THEN xi ELSE -xi END) AS proj_b,
+    SUM(xi * xi) AS sq
+  FROM comp GROUP BY vec_id
+),
+meta AS (
+  SELECT vec_id,
+    (CASE WHEN proj_a > 0 THEN 2 ELSE 0 END
+   + CASE WHEN proj_b > 0 THEN 1 ELSE 0 END) AS bucket,
+    sq
+  FROM signs
+),
+dots AS (
+  SELECT q.vec_id AS qid, d.vec_id AS vec_id, dm.sq AS sq, qm.sq AS qsq,
+         SUM(d.xi * q.xi) AS dot_i
+  FROM comp d
+  JOIN meta dm ON d.vec_id = dm.vec_id
+  JOIN comp q ON q.i = d.i AND q.vec_id < 4
+  JOIN meta qm ON q.vec_id = qm.vec_id AND qm.bucket = dm.bucket
+  WHERE d.vec_id >= 4
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT qid, vec_id,
+    round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+          / (sqrt(CAST(sq AS DOUBLE) / 100000000000000.0)
+           * sqrt(CAST(qsq AS DOUBLE) / 100000000000000.0)), 6) AS cosine_sim
+  FROM dots
+)
+SELECT qid, vec_id, rnk, cosine_sim FROM (
+  SELECT qid, vec_id, cosine_sim,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""",
+)
+def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query ANN end-to-end: hyperplane-bucket the corpus AND the
+    query batch (vec_id<4), generate candidates only where buckets
+    match, exact cosine within the bucket, per-query top-10 via a
+    row_number window partitioned by query id.
+
+    The 100 TB contract: the query batch + per-vector metadata are
+    broadcast, the big side is touched once and filtered to matching
+    buckets BEFORE the pair products exist, and the final top-k is a
+    window over per-query groups (shuffle keyed on qid, never a global
+    sort).  Candidates scale as corpus/2^bits per query, not corpus."""
+    from pyspark.sql import Window
+
+    comp = (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        # DuckDB's generate_subscripts is 1-based; posexplode 0-based
+        .select("vec_id", (F.col("i") + 1).alias("i"), _mi(F.col("x")).alias("xi"))
+    )
+    xi = F.col("xi")
+    signs = comp.groupBy("vec_id").agg(
+        F.sum(F.when((F.col("i") % 2) == 0, xi).otherwise(-xi)).alias("proj_a"),
+        F.sum(F.when((F.col("i") % 3) == 0, xi).otherwise(-xi)).alias("proj_b"),
+        F.sum(xi * xi).alias("sq"),
+    )
+    meta = signs.select(
+        "vec_id",
+        (
+            F.when(F.col("proj_a") > 0, F.lit(2)).otherwise(F.lit(0))
+            + F.when(F.col("proj_b") > 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("bucket"),
+        "sq",
+    )
+    qside = (
+        comp.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("qid"), F.col("i").alias("qi"), F.col("xi").alias("qxi"))
+        .join(
+            meta.filter(F.col("vec_id") < 4).select(
+                F.col("vec_id").alias("qid"),
+                F.col("bucket").alias("qbucket"),
+                F.col("sq").alias("qsq"),
+            ),
+            "qid",
+        )
+    )
+    data = comp.filter(F.col("vec_id") >= 4).join(
+        F.broadcast(meta.select("vec_id", "bucket", "sq")), "vec_id"
+    )
+    dots = (
+        data.join(
+            F.broadcast(qside),
+            (F.col("i") == F.col("qi")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .groupBy("qid", "vec_id", "sq", "qsq")
+        .agg(F.sum(F.col("xi") * F.col("qxi")).alias("dot_i"))
+    )
+    cos = F.round(
+        (F.col("dot_i").cast("double") / F.lit(1e14))
+        / (
+            F.sqrt(F.col("sq").cast("double") / F.lit(1e14))
+            * F.sqrt(F.col("qsq").cast("double") / F.lit(1e14))
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        dots.select("qid", "vec_id", cos.alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "vec_id", "rnk", "cosine_sim")
+    )
+
+
+@query(
     "embedding_int8_quantize",
     oracle=f"""
 WITH comp AS (

@@ -236,3 +236,14 @@ def test_q20_semi_chain_broadcasts_supplier_never_shuffles(spark, sf_dir):
     p = plan(spark, sf_dir, "dominant_part_suppliers")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_ann_bucketed_topk_plan(spark, sf_dir):
+    """Many-query ANN: the query batch and per-vector metadata broadcast
+    into the corpus scan, candidate pairs exist only after the bucket
+    equi-join (no cartesian / nested-loop), and the hot path is JVM."""
+    p = plan(spark, sf_dir, "ann_bucketed_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert P.has_broadcast_join(p, min_count=2)
+    assert P.is_all_jvm(p)
