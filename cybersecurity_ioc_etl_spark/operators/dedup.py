@@ -96,7 +96,7 @@ def q_neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on shingle to count intersections, |A∪B| from per-doc sizes.
     Bounded to doc_id<60 here; the 100 TB plan replaces the all-pairs
     shingle join with the LSH banding below."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 60)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     sh = d.select(
         "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
     )
@@ -195,7 +195,7 @@ def _minhash_sql(j: int) -> str:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature computation (k=8) — the sketch under LSH near-dup."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 100)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return minhash_agg(d, "doc_id", "text", k=8)
 
 
@@ -271,7 +271,7 @@ _SIMHASH_SIG_SQL = (
 )
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature computation — the sketch under Hamming near-dup."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return simhash_agg(d, "doc_id", "text")
 
 
@@ -283,11 +283,19 @@ def simhash_banded_candidates(sig: DataFrame) -> DataFrame:
     differs in ≤ 3 bits, so with 4 bands at least one band is intact and
     the pair collides in that bucket — no missed pairs, and pair
     generation shuffles ~n·4 tiny rows instead of the n² θ-join.
-    Returns (doc_a, doc_b, sig_a, sig_b), one row per candidate pair
-    (multi-band collisions pre-deduped so the Hamming check runs once).
+    Returns (doc_a, doc_b, sig_a, sig_b), one row per candidate pair:
+    instead of a post-join dedup aggregate, a pair is emitted ONLY from
+    its first colliding band (the minimal band index where the two
+    signatures agree — computable from the joined signatures), so
+    multi-band collisions never produce duplicates and the whole
+    candidate step is a single equi-join shuffle with no aggregation.
     """
     width = _SIMHASH_BITS // _SIMHASH_BANDS
     mask = (1 << width) - 1
+
+    def band_bits(col: Column, k: int) -> Column:
+        return F.shiftright(col, k * width).bitwiseAND(F.lit(mask))
+
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -296,9 +304,7 @@ def simhash_banded_candidates(sig: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        F.shiftright(F.col("simhash"), k * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bits"),
+                        band_bits(F.col("simhash"), k).alias("bits"),
                     )
                     for k in range(_SIMHASH_BANDS)
                 ]
@@ -306,6 +312,16 @@ def simhash_banded_candidates(sig: DataFrame) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.bits")
     a, b = banded.alias("a"), banded.alias("b")
+    # first band index where the two signatures agree
+    first_band = F.coalesce(
+        *[
+            F.when(
+                band_bits(F.col("a.simhash"), k) == band_bits(F.col("b.simhash"), k),
+                F.lit(k),
+            )
+            for k in range(_SIMHASH_BANDS)
+        ]
+    )
     return (
         a.join(
             b,
@@ -313,15 +329,13 @@ def simhash_banded_candidates(sig: DataFrame) -> DataFrame:
             & (F.col("a.bits") == F.col("b.bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        # a pair may collide on several bands — dedup before the Hamming check
-        .groupBy(
+        .filter(F.col("a.band") == first_band)
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .agg(F.count("*").alias("_nb"))
-        .drop("_nb")
     )
 
 
@@ -343,7 +357,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates generated only within (band, bits) buckets (pigeonhole
     guarantees identical results), then the exact Hamming filter.  At
     100 TB the bucket-join shuffles ~n·4 tiny rows instead of n²."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 500)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sig = simhash_agg(d, "doc_id", "text")
     cand = simhash_banded_candidates(sig)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -377,7 +391,7 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs colliding on any full band.  This bucket-join IS the 100 TB
     near-dup plan — pair generation is confined to same-bucket groups
     instead of the quadratic all-pairs join."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     sig = minhash_agg(d, "doc_id", "text", k=4)
     banded = sig.select(
         "doc_id", F.lit(0).alias("band"), F.col("mh_0").alias("b1"), F.col("mh_1").alias("b2")
@@ -468,7 +482,7 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic shingle join with signature banding at 100 TB.  The exact
     side exists only as the bounded ground truth; production runs carry
     signatures alone (8 ints/doc vs hundreds of shingles)."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 60)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     sig = minhash_agg(d, "doc_id", "text", k=8)
     sh = d.select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -614,7 +628,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation; the oracle states the same fixpoint as a recursive
     transitive closure.  This is the corpus-dedup end game at 100 TB:
     banding yields edges, components yield the keep/drop decision."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+    d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 150
     )
     sig = simhash_agg(d, "doc_id", "text")

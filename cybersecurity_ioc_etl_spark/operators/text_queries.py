@@ -295,7 +295,7 @@ def q_tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window on the doc_id shuffle.  ln() on identical doubles
     is the one libm call both engines share; the result is rounded at
     1e-6, far above any last-ulp divergence."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 50)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
