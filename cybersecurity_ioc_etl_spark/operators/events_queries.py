@@ -59,6 +59,31 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_unique_users",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_dedup_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (LLM-pipeline + ST family): the fixture is
+    split into micro-batches and run through
+    ``dropDuplicatesWithinWatermark('user_id','event_type')`` with an
+    append-mode sink — keyed state drops duplicates across batch
+    boundaries.  Counting the emitted rows per event_type must equal the
+    batch COUNT(DISTINCT user_id): the streaming dedup's keep-set IS the
+    distinct key set, however arrival order shuffled the micro-batches.
+    See streaming/pipeline.py::run_dedup_stream for the watermark/state
+    story at scale."""
+    from ..streaming.pipeline import run_dedup_stream
+
+    deduped = run_dedup_stream(spark, sf_dir)
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique_users")
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
 WITH flagged AS (

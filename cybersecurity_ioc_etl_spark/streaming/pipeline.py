@@ -175,6 +175,63 @@ def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming exact deduplication: file source split into micro-batches
+    → ``dropDuplicatesWithinWatermark`` → append-mode memory sink.  The
+    first row per key is emitted; subsequent duplicates — including ones
+    arriving in LATER micro-batches — are dropped by the keyed state
+    store, which is the part a batch ``dropDuplicates`` can't show.
+
+    The watermark delay here exceeds the fixture's whole time span, so no
+    row is late-dropped and no state is evicted mid-run — making the
+    emitted key-set exactly the batch DISTINCT (the oracle).  At 100 TB
+    the same query runs with the delay set to the source's real lateness
+    bound (e.g. '2 hours'): state then holds only keys seen within the
+    watermark horizon instead of growing with the stream, which is the
+    entire point of the WithinWatermark variant over plain
+    ``dropDuplicates``."""
+    import os
+
+    from ..sources.readers import normalize_event_ts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # split the fixture into n_files so the stream runs multiple
+    # micro-batches and duplicates actually cross batch boundaries
+    src_dir = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    batch.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    # event-time watermarks require TIMESTAMP (with zone); the fixture's
+    # NANOS column lands as NTZ — session tz is pinned UTC so the cast
+    # is instant-preserving
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    # pin the drained rows before the tmp source dir can go away
+    return out.localCheckpoint(eager=True)
+
+
 def run_ioc_stream(
     spark: SparkSession,
     json_dir: str,

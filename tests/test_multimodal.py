@@ -9,6 +9,7 @@ import pytest
 from cybersecurity_ioc_etl_spark.multimodal.columns import (
     FEATURE_SCHEMA,
     _fake_feature,
+    codec_capabilities,
     decode_real,
     extract_features,
     synthesize_media,
@@ -52,9 +53,29 @@ def test_fake_feature_matches_python_reference(spark, sf_dir):
     assert row.n_bytes == len(blob)
 
 
-def test_decode_real_is_a_documented_stub():
-    with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG", "image")
+def test_codec_probe_reports_every_kind():
+    caps = codec_capabilities()
+    assert set(caps) == {"image", "audio", "video"}
+    assert all(isinstance(v, bool) for v in caps.values())
+
+
+def test_decode_real_gated_by_probe():
+    caps = codec_capabilities()
+    if not caps["image"]:
+        with pytest.raises(NotImplementedError):
+            decode_real(b"\x89PNG", "image")
+    else:  # real-codec mode: a 1×1 PNG must decode to the feature contract
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.new("L", (1, 1)).save(buf, format="PNG")
+        assert len(decode_real(buf.getvalue(), "image")) == 8
+    # kinds with no codec anywhere always raise
+    if not caps["video"]:
+        with pytest.raises(NotImplementedError):
+            decode_real(b"\x00\x00\x00 ftypisom", "video")
 
 
 def test_resize_truncates_and_keeps_schema(spark, sf_dir):
