@@ -64,11 +64,11 @@ _PRIORITY = [
     # similarity / ANN
     "knn_cosine_topk", "ivf_topk", "ann_bucketed_topk",
     "ann_hyperplane_buckets", "embedding_neardup_pairs", "vector_norms",
-    "label_centroid_norms", "embedding_int8_quantize",
+    "label_centroid_norms", "embedding_int8_quantize", "kmeans_lloyd_step",
     # corpus prep + sampling
     "doc_chunking", "doc_packing_bins", "eval_contamination",
     "deterministic_sample", "train_val_test_split", "source_mixture_sample",
-    "stratified_sample_k",
+    "stratified_sample_k", "curation_pipeline",
     # multimodal
     "media_byte_profile", "media_dedup_groups", "frame_dedup_profile",
     # text analysis
@@ -77,7 +77,8 @@ _PRIORITY = [
     "top_terms", "tfidf_top_terms_per_doc", "doc_pii_scrub", "doc_tf_map",
     "inverted_index_postings",
     # events / streaming parity
-    "events_hourly", "stream_hourly_counts", "events_sessionize",
+    "events_hourly", "stream_hourly_counts", "stream_dedup_unique_users",
+    "events_sessionize",
     "events_native_sessions", "stream_session_counts",
     "stream_click_error_join", "events_sliding_counts", "events_json_props",
     "events_type_pivot", "events_hourly_gapfill", "user_weekly_retention",

@@ -550,3 +550,108 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mx.cast("double") / F.lit(1e7)).alias("vmax"),
         F.size("v").cast("bigint").alias("dim"),
     )
+
+
+_KMEANS_K = 8
+
+_KMEANS_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+cent AS (  -- deterministic init: centroid j = vector j
+  SELECT vec_id AS cid, i, xi AS ci FROM comp WHERE vec_id < {_KMEANS_K}
+),
+sqc AS (SELECT cid, SUM(ci * ci) AS sq_c FROM cent GROUP BY cid),
+dots AS (
+  SELECT v.vec_id, c.cid, SUM(v.xi * c.ci) AS dot_i
+  FROM comp v JOIN cent c ON v.i = c.i
+  GROUP BY 1, 2
+),
+assign AS (  -- argmin_c ||v-c||^2 = argmin_c (sq_c - 2*dot); ties -> low cid
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY s.sq_c - 2 * d.dot_i, cid) AS rn
+    FROM dots d JOIN sqc s USING (cid)
+  ) WHERE rn = 1
+),
+counts AS (SELECT cid, COUNT(*) AS n_members FROM assign GROUP BY cid),
+means AS (  -- Lloyd update: exact per-dimension mean of assigned vectors
+  SELECT a.cid, c.i,
+    CAST(SUM(c.xi) AS DOUBLE) / 10000000.0 / COUNT(*) AS mean_x
+  FROM assign a JOIN comp c ON a.vec_id = c.vec_id
+  GROUP BY a.cid, c.i
+)
+SELECT m.cid, n.n_members,
+  round(sqrt(CAST(SUM({_MI_SQL.format(x='m.mean_x')} * {_MI_SQL.format(x='m.mean_x')})
+                  AS DOUBLE) / 100000000000000.0), 6) AS new_centroid_norm
+FROM means m JOIN counts n ON m.cid = n.cid
+GROUP BY m.cid, n.n_members
+"""
+
+
+@query("kmeans_lloyd_step", oracle=_KMEANS_ORACLE)
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus: assign
+    every vector to its nearest of k=8 deterministic seed centroids
+    (centroid j := vector j), then recompute each cluster's mean vector —
+    the index-build / clustering primitive under IVF and semantic dedup.
+    Output per cluster: member count and the updated centroid's L2 norm,
+    all on the integer-mantissa contract (assignment distances compare
+    EXACT integers, so the argmin — and therefore every count — is
+    engine-identical; ties break to the lower centroid id).
+
+    Scale shape: the centroid side is k rows — broadcast — so assignment
+    is a map-side join; the only shuffles touch (vec_id, cid) partial
+    dots and (cid, dim) partial sums, both map-side combined.  Iterating
+    means re-running with `cent` replaced by the previous output plus
+    localCheckpoint per round, exactly like dedup.connected_components.
+
+    Spark uses min(struct(dist, cid)) for the argmin; the oracle states
+    it as ROW_NUMBER ordered by (dist, cid) — same total order."""
+    comp = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
+    )
+    cent = (
+        comp.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
+    )
+    sqc = cent.groupBy("cid").agg(F.sum(F.col("ci") * F.col("ci")).alias("sq_c"))
+    dots = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("xi") * F.col("ci")).alias("dot_i"))
+    )
+    dist = F.col("sq_c") - F.lit(2) * F.col("dot_i")
+    assign = (
+        dots.join(F.broadcast(sqc), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("cid"))).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
+    )
+    counts = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    means = (
+        assign.join(comp, "vec_id")
+        .groupBy("cid", "i")
+        .agg(
+            (F.sum("xi").cast("double") / F.lit(1e7) / F.count("*")).alias("mean_x")
+        )
+    )
+    mq = _mi(F.col("mean_x"))
+    return (
+        means.groupBy("cid")
+        .agg(
+            F.round(F.sqrt(F.sum(mq * mq).cast("double") / F.lit(1e14)), 6).alias(
+                "new_centroid_norm"
+            )
+        )
+        .join(F.broadcast(counts), "cid")
+        .select("cid", "n_members", "new_centroid_norm")
+    )
