@@ -1,0 +1,54 @@
+"""Bucketed-table sink — the co-located-join storage layout.
+
+At 100 TB the dominant recurring cost is re-shuffling the same fact
+tables on the same key for every join.  Bucketing pays that shuffle ONCE
+at write time: ``bucketBy(n, key)`` hash-partitions rows into a fixed
+number of files per partition and records the layout in the catalog, so
+every later equi-join or aggregation on the key reads both sides already
+co-partitioned — Catalyst drops the Exchange from the plan entirely
+(asserted by tests/test_bucketed.py).
+
+Rules that make bucketing actually work (all encoded here):
+- both join sides must use the SAME bucket count (else Spark re-shuffles
+  the mismatched side; Spark 3.1+ can coalesce a multiple, but same-N is
+  the predictable contract);
+- ``sortBy`` the bucket key so bucket files are join-ready for sort-merge
+  without a per-task sort;
+- writes must go through ``saveAsTable`` (a path write loses the bucket
+  metadata — this module refuses the footgun by construction);
+- bucket count is a scale knob: files-per-write = partitions × buckets,
+  so pick buckets ≈ table-size / target-file-size and repartition to the
+  bucket key first to keep one file per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist `df` as a catalog table bucketed (and bucket-sorted) on
+    `key`.  Repartitions to the bucket key first so each bucket lands as
+    one file instead of one-per-input-partition (the small-files trap at
+    write fan-out)."""
+    w = df.repartition(n_buckets, key).write.mode("overwrite").bucketBy(
+        n_buckets, key
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key.  With matched
+    layouts the physical plan contains NO Exchange on either side — the
+    join reads co-partitioned buckets directly."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -1,0 +1,91 @@
+"""Bucketed-table layout: the write-once-shuffle-never-again contract.
+
+The assertion that matters is on the PLAN: joining two tables bucketed
+on the same key with the same bucket count must produce no Exchange —
+the shuffle was paid at write time and never again.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cybersecurity_ioc_etl_spark import plans as P
+from cybersecurity_ioc_etl_spark.sinks.bucketed import colocated_join, write_bucketed
+from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", n_buckets=4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lines_b",
+        "o_orderkey",
+        n_buckets=4,
+    )
+    yield "t_orders_b", "t_lines_b"
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    joined = colocated_join(spark, left, right, "o_orderkey")
+    p = P.formatted_plan(joined)
+    assert P.shuffle_count(p) == 0, p
+    assert "SortMergeJoin" in p or "HashJoin" in p
+
+
+def test_bucketed_join_matches_shuffled_join(spark, sf_dir, bucketed_tables):
+    left, right = bucketed_tables
+    fast = colocated_join(spark, left, right, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("n_lines"))
+    )
+    slow = orders.join(li, "o_orderkey")
+    assert fast.count() == slow.count()
+    assert (
+        fast.agg(F.sum("n_lines")).collect()[0][0]
+        == slow.agg(F.sum("n_lines")).collect()[0][0]
+    )
+
+
+def test_bucketed_groupby_reuses_layout(spark, bucketed_tables):
+    """Aggregating a bucketed table ON its bucket key must also skip the
+    exchange — the partial/final agg collapses to one phase per bucket."""
+    left, _ = bucketed_tables
+    agg = spark.table(left).groupBy("o_orderkey").agg(F.sum("o_totalprice"))
+    p = P.formatted_plan(agg)
+    assert P.shuffle_count(p) == 0, p
+
+
+def test_each_bucket_is_one_file(spark, bucketed_tables):
+    """write_bucketed repartitions to the bucket key first: 4 buckets →
+    exactly 4 data files, not 4 × input-partitions (the small-files
+    trap)."""
+    left, _ = bucketed_tables
+    files = (
+        spark.sql(f"DESCRIBE EXTENDED {left}")
+        .filter("col_name = 'Location'")
+        .collect()
+    )
+    loc = files[0].data_type.removeprefix("file:")
+    import os
+
+    data_files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+    assert len(data_files) == 4, data_files

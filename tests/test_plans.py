@@ -247,3 +247,25 @@ def test_ann_bucketed_topk_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert P.has_broadcast_join(p, min_count=2)
     assert P.is_all_jvm(p)
+
+
+def test_curation_pipeline_single_width_shuffle(spark, sf_dir):
+    """The composed curation chain must keep the narrow gates ahead of
+    the dedup window (so the fingerprint shuffle only sorts gate
+    survivors), stay fully JVM, and never read the unused `lang`
+    column."""
+    p = plan(spark, sf_dir, "curation_pipeline")
+    assert P.is_all_jvm(p)
+    # fingerprint window + final per-source agg — nothing else
+    assert P.shuffle_count(p) <= 2
+    assert "lang" not in P.read_schema_columns(p)
+
+
+def test_kmeans_centroid_sides_broadcast(spark, sf_dir):
+    """Lloyd assignment must broadcast the k-row centroid structures into
+    the corpus scan — shuffling the corpus BY centroid would be the
+    non-scalable shape; distances compare exact integers JVM-side."""
+    p = plan(spark, sf_dir, "kmeans_lloyd_step")
+    assert "CartesianProduct" not in p
+    assert P.has_broadcast_join(p, min_count=2)
+    assert P.is_all_jvm(p)
