@@ -65,6 +65,7 @@ _PRIORITY = [
     "knn_cosine_topk", "ivf_topk", "ann_bucketed_topk",
     "ann_hyperplane_buckets", "embedding_neardup_pairs", "vector_norms",
     "label_centroid_norms", "embedding_int8_quantize", "kmeans_lloyd_step",
+    "pagerank_nations",
     # corpus prep + sampling
     "doc_chunking", "doc_packing_bins", "eval_contamination",
     "deterministic_sample", "train_val_test_split", "source_mixture_sample",

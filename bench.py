@@ -47,6 +47,9 @@ HEADLINE = [
     "simhash_neardup_pairs",
     "knn_cosine_topk",
     "ivf_topk",
+    "curation_pipeline",
+    "kmeans_lloyd_step",
+    "pagerank_nations",
 ]
 
 

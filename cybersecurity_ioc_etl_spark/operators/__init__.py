@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     text_queries,
     dedup,
     curation,
+    graph,
     corpus_prep,
     sampling,
     similarity,

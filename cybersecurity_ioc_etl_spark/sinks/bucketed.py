@@ -52,3 +52,26 @@ def colocated_join(
     layouts the physical plan contains NO Exchange on either side — the
     join reads co-partitioned buckets directly."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    n_files: int = 8,
+) -> None:
+    """Range-partitioned, within-file-sorted parquet — the archive layout
+    for time-ordered data.  ``repartitionByRange`` samples the order
+    column and assigns DISJOINT value ranges to output files, and
+    ``sortWithinPartitions`` sorts inside each file, so (a) the parquet
+    min/max column statistics become non-overlapping across files —
+    a time-bounded read at 100 TB prunes to the few files whose range
+    intersects the predicate — and (b) within a file, row-group stats
+    prune further.  A plain write after a hash repartition scatters every
+    time range into every file and can prune nothing."""
+    (
+        df.repartitionByRange(n_files, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

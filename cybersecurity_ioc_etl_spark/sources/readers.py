@@ -62,13 +62,24 @@ def fan_out_narrow_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) → read as int64 nanos (see
-    session.py nanosAsLong) → truncate to µs with *integer* division
-    (double division would lose precision above 2^53) → TimestampType.
-    DuckDB applies the same ns→µs truncation natively, so both engines
-    see identical microsecond instants."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize events.ts to TimestampType whatever the parquet encoding:
+
+    - TIMESTAMP(NANOS) → read as int64 nanos (session.py nanosAsLong) →
+      truncate to µs with *integer* division (double division would lose
+      precision above 2^53) → TimestampType.  DuckDB applies the same
+      ns→µs truncation natively.
+    - TIMESTAMP(MICROS, no-UTC-adjust) → read as TIMESTAMP_NTZ → cast to
+      TimestampType; the session tz is pinned UTC, so the cast is
+      instant-preserving and matches DuckDB's naive read.
+
+    Either way both engines see identical microsecond instants, and
+    downstream code (watermarks, unix_micros, window()) always gets a
+    zoned TimestampType."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

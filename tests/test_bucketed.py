@@ -89,3 +89,34 @@ def test_each_bucket_is_one_file(spark, bucketed_tables):
 
     data_files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
     assert len(data_files) == 4, data_files
+
+
+def test_range_sorted_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_range_sorted must produce files whose [min, max] ranges of
+    the order column do not overlap — the property parquet stat-pruning
+    needs to skip files on a time-bounded read."""
+    import os
+
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import write_range_sorted
+
+    out = str(tmp_path / "ranged")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    write_range_sorted(orders, out, "o_orderdate", n_files=6)
+    ranges = []
+    for fname in sorted(os.listdir(out)):
+        if not fname.endswith(".parquet"):
+            continue
+        part = spark.read.parquet(f"{out}/{fname}")
+        row = part.agg(
+            F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+        ).collect()[0]
+        if row.mn is not None:
+            ranges.append((row.mn, row.mx))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (_, prev_mx), (next_mn, _) in zip(ranges, ranges[1:]):
+        assert prev_mx <= next_mn  # disjoint up to boundary duplicates
+    # row count survives the rewrite
+    assert spark.read.parquet(out).count() == orders.count()
