@@ -470,3 +470,44 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+SELECT {ISUM.format(
+    x=f"{MI.format(x='l_extendedprice')} * {MI.format(x='l_discount')}"
+)} / 100000000.0 AS revenue_delta,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND {MI.format(x='l_discount')} BETWEEN 500 AND 700
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the what-if revenue delta of dropping mid-band discounts
+    — a pure scan-side scalar aggregate.  Every predicate (year window,
+    discount band, quantity cap) is sargable and reaches the parquet
+    scan; the discount band compares QUANTIZED integers (BETWEEN 500 AND
+    700 at scale 4) so the boundary rows are engine-identical, then
+    price×discount accumulates as exact 8-scale integers.  At 100 TB
+    this is the canonical 'scan speed' query: no shuffle except the
+    single-row final reduce."""
+    l = load_table(spark, sf_dir, "lineitem")
+    di = mi(F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & di.between(500, 700)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (isum(mi(F.col("l_extendedprice")) * di) / F.lit(1e8)).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -1,0 +1,44 @@
+"""Graph operator unit tests: PageRank semantics pinned on a
+hand-computed path graph (the oracle checks the derived trade graph;
+this pins the update rule itself), plus k-means assignment invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cybersecurity_ioc_etl_spark.operators.graph import pagerank
+
+
+def test_pagerank_path_graph_exact_integers(spark):
+    """Path 1→2→3, three rounds, damping 0.85, init round(1e7/3).
+
+    Hand-rolled integer recurrence ri' = 1500000 + (85·Σ(ri div deg)) div 100:
+      r1 = (1500000, 4333333, 4333333)
+      r2 = (1500000, 2775000, 5183333)
+      r3 = (1500000, 2775000, 3858750)
+    """
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {r.id: r.ri for r in pagerank(edges, n_iter=3).collect()}
+    assert got == {1: 1500000, 2: 2775000, 3: 3858750}
+
+
+def test_pagerank_dangling_mass_drops_but_floor_holds(spark):
+    """Simple-PageRank semantics: a sink node keeps receiving, sources
+    settle at the 0.15 floor, and no rank is ever below the floor."""
+    edges = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+    got = {r.id: r.ri for r in pagerank(edges, n_iter=4).collect()}
+    assert got[1] == got[2] == 1500000
+    assert got[3] > 1500000
+    assert all(v >= 1500000 for v in got.values())
+
+
+def test_kmeans_partitions_every_vector_once(spark, sf_dir):
+    """Lloyd assignment must be a partition of the corpus: member counts
+    sum to the vector count, every cluster id is one of the k seeds."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["kmeans_lloyd_step"](spark, sf_dir).collect()
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in out) == n_vec
+    assert {r.cid for r in out} <= set(range(8))
+    assert all(r.new_centroid_norm > 0 for r in out)
