@@ -45,8 +45,8 @@ WITH staged AS (
   FROM documents
 ),
 gated AS (
-  -- stage 1+2: english vote (stopword density) and min-length gate
-  SELECT * FROM staged WHERE n_stop * 5 >= n_tokens AND n_tokens >= 5
+  -- stage 1+2: english vote (>=10% stopword density) and min-length gate
+  SELECT * FROM staged WHERE n_stop * 10 >= n_tokens AND n_tokens >= 5
 ),
 deduped AS (
   -- stage 3: exact dedup, keep the lowest doc_id per fingerprint
@@ -83,7 +83,7 @@ def curate(documents: DataFrame) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
     )
     gated = staged.filter(
-        (F.col("n_stop") * 5 >= F.col("n_tokens")) & (F.col("n_tokens") >= 5)
+        (F.col("n_stop") * 10 >= F.col("n_tokens")) & (F.col("n_tokens") >= 5)
     )
     w = Window.partitionBy("fp")
     deduped = gated.withColumn("keeper", F.min("doc_id").over(w)).filter(
