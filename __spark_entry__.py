@@ -76,7 +76,7 @@ _PRIORITY = [
     "doc_token_stats", "doc_quality", "doc_lang_stats", "doc_lang_id",
     "doc_fingerprint", "doc_shingle_profile", "doc_bpe_token_estimate",
     "top_terms", "tfidf_top_terms_per_doc", "doc_pii_scrub", "doc_tf_map",
-    "inverted_index_postings",
+    "inverted_index_postings", "bigram_conditional_probs",
     # events / streaming parity
     "events_hourly", "stream_hourly_counts", "stream_dedup_unique_users",
     "events_sessionize",

@@ -4,6 +4,7 @@
     python -m cybersecurity_ioc_etl_spark --list
     python -m cybersecurity_ioc_etl_spark --batch OUT_DIR [sf_dir]
     python -m cybersecurity_ioc_etl_spark --stream JSON_DIR OUT_DIR
+    python -m cybersecurity_ioc_etl_spark [sf_dir] --export-corpus OUT_DIR
 
 Replaces the reference's two hard-coded CLI entry points:
 `python3 h-isac.py <folder> [--splunk cfg]` → `--batch` (extract → CSV +
@@ -37,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
         metavar=("JSON_DIR", "OUT_DIR"),
         help="run the firehose streaming pipeline over a tweet-JSON drop dir",
     )
+    p.add_argument(
+        "--export-corpus",
+        metavar="OUT_DIR",
+        help="run the training-corpus export (curate → chunk → ranged "
+        "archive + manifest) to OUT_DIR; positional sf_dir selects input",
+    )
     args = p.parse_args(argv)
 
     from . import get_spark, queries
@@ -56,6 +63,17 @@ def main(argv: list[str] | None = None) -> int:
         print(
             run_hisac_batch(
                 spark, args.query or "/root/testdata/sf0.01", args.batch, kv_url=kv_url
+            )
+        )
+        return 0
+    if args.export_corpus:
+        from .corpus_export import run_corpus_export
+
+        spark = get_spark("cli-export")
+        spark.sparkContext.setLogLevel("WARN")
+        print(
+            run_corpus_export(
+                spark, args.query or "/root/testdata/sf0.01", args.export_corpus
             )
         )
         return 0

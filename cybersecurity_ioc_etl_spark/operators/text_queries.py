@@ -482,3 +482,54 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df").between(2, 1000))
     )
+
+
+@query(
+    "bigram_conditional_probs",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKENIZE_SQL} AS t FROM documents),
+big AS (
+  SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+pairs AS (SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(n_pair) AS n_ctx FROM pairs GROUP BY 1)
+SELECT p.w1, p.w2, p.n_pair, CAST(c.n_ctx AS BIGINT) AS n_ctx,
+  round(CAST(p.n_pair AS DOUBLE) / CAST(c.n_ctx AS BIGINT), 6) AS cond_p
+FROM pairs p JOIN ctx c USING (w1)
+WHERE p.n_pair >= 5
+""",
+)
+def q_bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: P(w2|w1) over the corpus — the
+    n-gram statistic under next-token heuristics, corpus perplexity
+    proxies, and boilerplate detection.  Bigrams come from zipping each
+    token array with its own tail (in-place, no UDF, no shuffle until
+    the count agg); context totals derive from the PAIR counts (sum per
+    w1), so the corpus shuffles once and the probability is one exact
+    int÷int per surviving row.  Both engines round the identical double
+    once."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+    big = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    pairs = big.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    ctx = pairs.groupBy(F.col("w1").alias("cw1")).agg(
+        F.sum("n_pair").alias("n_ctx")
+    )
+    return (
+        pairs.filter(F.col("n_pair") >= 5)
+        .join(ctx, pairs["w1"] == ctx["cw1"])
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_ctx",
+            F.round(F.col("n_pair").cast("double") / F.col("n_ctx"), 6).alias(
+                "cond_p"
+            ),
+        )
+    )

@@ -45,3 +45,12 @@ def test_cli_stream_fork(spark, tmp_path, capsys):
     assert main(["--stream", str(src), out]) == 0
     assert "IOC rows" in capsys.readouterr().out
     assert spark.read.parquet(f"{out}/iocs").count() >= 1
+
+
+def test_cli_export_corpus_fork(spark, sf_dir, tmp_path, capsys):
+    from cybersecurity_ioc_etl_spark.__main__ import main
+
+    out = str(tmp_path / "corpus")
+    assert main([sf_dir, "--export-corpus", out]) == 0
+    assert "n_chunks" in capsys.readouterr().out
+    assert spark.read.parquet(f"{out}/chunks").count() > 0
