@@ -62,7 +62,7 @@ _PRIORITY = [
     "simhash_neardup_pairs", "dedup_keep_first", "dedup_keep_best",
     "dedup_components",
     # similarity / ANN
-    "knn_cosine_topk", "ivf_topk", "ann_bucketed_topk",
+    "knn_cosine_topk", "ivf_topk", "ivf_multiprobe_topk", "ann_bucketed_topk",
     "ann_hyperplane_buckets", "embedding_neardup_pairs", "vector_norms",
     "label_centroid_norms", "embedding_int8_quantize", "kmeans_lloyd_step",
     "pagerank_nations",

@@ -655,3 +655,98 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), "cid")
         .select("cid", "n_members", "new_centroid_norm")
     )
+
+
+_NPROBE = 2
+
+_IVF_MULTIPROBE_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i,
+    {_MI_SQL.format(x=f"CAST(SUM({_MI_SQL.format(x='x')}) AS DOUBLE) / 10000000.0 / COUNT(*)")} AS cx
+  FROM comp GROUP BY label, i
+),
+qv AS (SELECT i, {_MI_SQL.format(x='x')} AS qx FROM comp WHERE vec_id = 0),
+probe AS (  -- nprobe = {_NPROBE}: the 2 nearest cells
+  SELECT c.label
+  FROM cent c JOIN qv ON c.i = qv.i
+  GROUP BY c.label
+  ORDER BY CAST(SUM(c.cx * qv.qx) AS DOUBLE)
+           / sqrt(CAST(SUM(c.cx * c.cx) AS DOUBLE)) DESC, c.label
+  LIMIT {_NPROBE}
+),
+cell AS (
+  SELECT v.vec_id, v.label,
+    SUM({_MI_SQL.format(x='v.x')} * qv.qx) AS dot_i,
+    SUM({_MI_SQL.format(x='v.x')} * {_MI_SQL.format(x='v.x')}) AS sq_v,
+    SUM(qv.qx * qv.qx) AS sq_q
+  FROM comp v JOIN qv ON v.i = qv.i
+  WHERE v.label IN (SELECT label FROM probe) AND v.vec_id != 0
+  GROUP BY v.vec_id, v.label
+)
+SELECT vec_id, label,
+  round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+        / (sqrt(CAST(sq_v AS DOUBLE) / 100000000000000.0)
+         * sqrt(CAST(sq_q AS DOUBLE) / 100000000000000.0)), 6) AS cosine_sim
+FROM cell
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("ivf_multiprobe_topk", oracle=_IVF_MULTIPROBE_ORACLE)
+def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the recall lever: scan the 2 nearest cells
+    instead of 1 (cost grows to nprobe/k of the corpus, recall loss from
+    boundary vectors shrinks).  Same broadcast-probe plan shape as
+    ivf_topk; only the probe LIMIT and the cell semi-join widen."""
+    comp = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    cent = comp.groupBy("label", "i").agg(
+        _mi(F.sum(_mi(F.col("x"))).cast("double") / F.lit(1e7) / F.count("*")).alias("cx")
+    )
+    qv = comp.filter(F.col("vec_id") == 0).select("i", _mi(F.col("x")).alias("qx"))
+    probe = (
+        cent.join(F.broadcast(qv), "i")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("cx") * F.col("qx")).cast("double")
+                / F.sqrt(F.sum(F.col("cx") * F.col("cx")).cast("double"))
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("label"))
+        .limit(_NPROBE)
+        .select("label")
+    )
+    cell = (
+        comp.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "label")
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(_mi(F.col("x")) * F.col("qx")).alias("dot_i"),
+            F.sum(_mi(F.col("x")) * _mi(F.col("x"))).alias("sq_v"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sq_q"),
+        )
+    )
+    cos = F.round(
+        (F.col("dot_i").cast("double") / F.lit(1e14))
+        / (
+            F.sqrt(F.col("sq_v").cast("double") / F.lit(1e14))
+            * F.sqrt(F.col("sq_q").cast("double") / F.lit(1e14))
+        ),
+        6,
+    )
+    return (
+        cell.select("vec_id", "label", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

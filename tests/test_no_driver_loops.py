@@ -21,6 +21,7 @@ ALLOWED = {
     "sinks/kv.py": "compact_parquet samples ONE aggregated row (avg width) to size output files",
     "batch.py": "run_hisac_batch returns run metrics: collects the 4-row per-type count (bounded by #IOC types, never by data)",
     "plans/inspect.py": "formatted_plan(execute=True) intentionally executes the frame so AQE materializes the final plan — a debugging/CI tool, not an operator",
+    "corpus_export.py": "run_corpus_export returns run metrics: collects the ONE-row sum of the per-source manifest (bounded by #sources, never by data)",
 }
 
 
