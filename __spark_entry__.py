@@ -69,7 +69,7 @@ _PRIORITY = [
     # corpus prep + sampling
     "doc_chunking", "doc_packing_bins", "eval_contamination",
     "deterministic_sample", "train_val_test_split", "source_mixture_sample",
-    "stratified_sample_k", "curation_pipeline",
+    "stratified_sample_k", "weighted_priority_sample", "curation_pipeline",
     # multimodal
     "media_byte_profile", "media_dedup_groups", "frame_dedup_profile",
     # text analysis

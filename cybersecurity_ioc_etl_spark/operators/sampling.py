@@ -167,3 +167,51 @@ def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
         )
     )
+
+
+@query(
+    "weighted_priority_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+    CAST({_SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+      / n_chars AS priority
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS n_kept,
+  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM (SELECT * FROM scored ORDER BY priority, doc_id LIMIT 100)
+GROUP BY source
+""",
+)
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without an RNG — priority sampling (Duffield et
+    al.): rank every row by uniform_hash / weight and keep the k lowest,
+    so a row's inclusion odds scale with its weight (here n_chars: long
+    documents are favored, the mixture knob for char-budget corpora) and
+    the pick is a pure function of the keys — reproducible on any
+    cluster layout, mergeable across partitions (per-partition heaps,
+    TakeOrderedAndProject, no global sort).
+
+    Cross-engine determinism: the score is int÷int in IEEE doubles —
+    correctly-rounded division, bit-identical in Spark and DuckDB — and
+    ties break on doc_id.  The id/char sums prove the SAME 100 rows were
+    picked."""
+    d = load_table(spark, sf_dir, "documents")
+    priority = (
+        _shingle_int(F.col("doc_id").cast("string")).cast("double")
+        / F.col("n_chars")
+    ).alias("priority")
+    return (
+        d.select("doc_id", "source", "n_chars", priority)
+        .orderBy("priority", "doc_id")
+        .limit(100)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )

@@ -120,3 +120,49 @@ def test_range_sorted_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert prev_mx <= next_mn  # disjoint up to boundary duplicates
     # row count survives the rewrite
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_zorder_write_gives_two_dimensional_locality(spark, sf_dir, tmp_path):
+    """Z-order clustering must make per-file min/max spans selective on
+    BOTH interleaved columns — each dimension's average file span must
+    be well under the global span (a single-column sort leaves the other
+    dimension's spans at ~100%)."""
+    import os
+
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import write_zordered
+
+    out = str(tmp_path / "zordered")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("o_day"),
+    )
+    write_zordered(orders, out, "o_custkey", "o_day", n_files=16)
+
+    spans = {"o_custkey": [], "o_day": []}
+    glob = {
+        c: orders.agg((F.max(c) - F.min(c)).alias("s")).collect()[0].s
+        for c in spans
+    }
+    for fname in sorted(os.listdir(out)):
+        if not fname.endswith(".parquet"):
+            continue
+        row = (
+            spark.read.parquet(f"{out}/{fname}")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                (F.max("o_day") - F.min("o_day")).alias("dy"),
+            )
+            .collect()[0]
+        )
+        if row.ck is not None:
+            spans["o_custkey"].append(row.ck)
+            spans["o_day"].append(row.dy)
+    assert len(spans["o_custkey"]) >= 8
+    for c in spans:
+        avg = sum(spans[c]) / len(spans[c])
+        assert avg < 0.6 * glob[c], (c, avg, glob[c])
+    # and the rewrite is lossless
+    assert spark.read.parquet(out).count() == orders.count()

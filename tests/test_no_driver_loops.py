@@ -22,6 +22,7 @@ ALLOWED = {
     "batch.py": "run_hisac_batch returns run metrics: collects the 4-row per-type count (bounded by #IOC types, never by data)",
     "plans/inspect.py": "formatted_plan(execute=True) intentionally executes the frame so AQE materializes the final plan — a debugging/CI tool, not an operator",
     "corpus_export.py": "run_corpus_export returns run metrics: collects the ONE-row sum of the per-source manifest (bounded by #sources, never by data)",
+    "sinks/bucketed.py": "write_zordered collects the ONE-row min/max bounds used to normalize the interleave domain",
 }
 
 
