@@ -269,3 +269,28 @@ def test_kmeans_centroid_sides_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert P.has_broadcast_join(p, min_count=2)
     assert P.is_all_jvm(p)
+
+
+def test_weighted_sample_is_distributed_topk(spark, sf_dir):
+    """Priority sampling must be per-partition heaps feeding a merge
+    (TakeOrderedAndProject) — a global sort of the corpus by priority
+    would be the non-scalable shape."""
+    p = plan(spark, sf_dir, "weighted_priority_sample")
+    assert P.has_take_ordered_topk(p)
+    assert P.is_all_jvm(p)
+
+
+def test_q6_is_pure_scan_side_aggregate(spark, sf_dir):
+    """TPC-H Q6: all three predicates reach the scan and the scalar agg
+    needs no wide shuffle at all."""
+    p = plan(spark, sf_dir, "forecast_revenue_change")
+    assert P.has_pushed_filters(p)
+    assert P.shuffle_count(p) == 0
+    assert P.is_all_jvm(p)
+
+
+def test_ivf_multiprobe_keeps_broadcast_probe_shape(spark, sf_dir):
+    p = plan(spark, sf_dir, "ivf_multiprobe_topk")
+    assert P.has_take_ordered_topk(p)
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
