@@ -144,3 +144,35 @@ def test_md5_prefix_int_matches_python_reference(spark):
     for k in keys:
         want = int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16)
         assert got[k] == want, k
+
+
+def test_zvalue_matches_python_reference_and_is_injective(spark):
+    """Morton interleave: Spark's bitwise column expression must equal
+    the Python bit-twiddling reference for arbitrary 16-bit pairs, and
+    distinct pairs must map to distinct z-values (injectivity is what
+    makes the z-curve a total order over the grid)."""
+    import random
+
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import zvalue
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    pts += [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (1, 2), (2, 1)]
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zvalue(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y)
+    assert len(set(got.values())) == len(set(pts))
