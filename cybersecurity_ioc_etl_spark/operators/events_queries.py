@@ -84,6 +84,27 @@ def q_stream_dedup_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_category_counts",
+    oracle="""
+SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+            WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+            ELSE 'operational' END AS category,
+  COUNT(*) AS n_events
+FROM events GROUP BY category
+""",
+)
+def q_stream_static_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join run as a REAL stream: the event
+    stream enriches against a static category dimension per micro-batch
+    (no state store, no watermark on the dim side), then aggregates —
+    checked against the equivalent batch CASE rollup.  See
+    streaming/pipeline.py::run_stream_static_join."""
+    from ..streaming.pipeline import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)
+
+
+@query(
     "events_sessionize",
     oracle="""
 WITH flagged AS (

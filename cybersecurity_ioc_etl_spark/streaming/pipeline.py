@@ -232,6 +232,53 @@ def run_dedup_stream(
     return out.localCheckpoint(eager=True)
 
 
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a STATIC
+    dimension frame (event_type → engagement category) before
+    aggregation.  The static side joins with no state store at all —
+    Spark re-plans it into every micro-batch as a broadcast, which is
+    how reference/metadata tables enrich streams at 100 TB (the dim
+    refreshes per batch, needs no watermark, holds no state)."""
+    from ..sources.readers import normalize_event_ts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="stream_static_src_")
+    import os
+
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    # static dimension: category per event_type (derived, but any
+    # batch DataFrame — a parquet dim table, a JDBC read — slots in)
+    dim = normalize_event_ts(batch).select("event_type").distinct().select(
+        "event_type",
+        F.when(F.col("event_type").isin("click", "view"), F.lit("engagement"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("conversion"))
+        .otherwise(F.lit("operational"))
+        .alias("category"),
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_static_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_partitioned_event_sink(
     spark: SparkSession,
     sf_dir: str,
