@@ -79,7 +79,7 @@ _PRIORITY = [
     "inverted_index_postings", "bigram_conditional_probs",
     # events / streaming parity
     "events_hourly", "stream_hourly_counts", "stream_dedup_unique_users",
-    "stream_static_category_counts", "events_sessionize",
+    "stream_static_category_counts", "cdc_snapshot_fold", "events_sessionize",
     "events_native_sessions", "stream_session_counts",
     "stream_click_error_join", "events_sliding_counts", "events_json_props",
     "events_type_pivot", "events_hourly_gapfill", "user_weekly_retention",

@@ -544,3 +544,51 @@ def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_converted"),
         )
     )
+
+
+@query(
+    "cdc_snapshot_fold",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+  event_type AS last_op,
+  CAST(ROUND(value * 10000.0) AS BIGINT) AS last_value_i,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM ranked
+WHERE rn = 1 AND event_type != 'error'
+""",
+)
+def q_cdc_snapshot_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot fold (the CDC compaction every lakehouse
+    ingest runs): keep each key's LATEST record by (ts, event_id), drop
+    keys whose latest record is a tombstone ('error' here).  One window
+    shuffle on the key — at 100 TB this is the same plan over the
+    Kafka-compacted topic dump, and the (ts, id) tie-break is what makes
+    replays deterministic.  Value is surfaced as its exact integer
+    mantissa so the oracle comparison is bit-free."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "value",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.round(F.col("value") * F.lit(10000.0)).cast("bigint").alias(
+                "last_value_i"
+            ),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
