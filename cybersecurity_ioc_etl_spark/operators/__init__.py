@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     similarity,
     advanced,
     analytics,
+    profiling,
 )
 from ..multimodal import columns as _multimodal_columns  # noqa: F401,E402
 from .registry import ORACLES, QUERIES  # noqa: F401

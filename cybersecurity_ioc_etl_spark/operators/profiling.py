@@ -1,0 +1,143 @@
+"""Data profiling & constraint auditing — the quality gates a pipeline
+runs before trusting a table (the Deequ/expectations family, as plain
+declarative plans).
+
+Both queries are single-pass: the column profile computes every
+column's metrics in ONE aggregation (no per-column scans), and the
+integrity audit folds uniqueness, nullability, and referential checks
+into one job whose only shuffles carry keys, not payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+from .relational import MI, mi
+
+
+@query(
+    "orders_column_profile",
+    oracle=f"""
+SELECT 'o_custkey' AS col,
+  COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(o_custkey) AS n_nulls,
+  COUNT(DISTINCT o_custkey) AS n_distinct,
+  CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+  CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+  COUNT(*),
+  COUNT(*) - COUNT(o_totalprice),
+  COUNT(DISTINCT {MI.format(x='o_totalprice')}),
+  CAST(MIN({MI.format(x='o_totalprice')}) AS DOUBLE) / 10000.0,
+  CAST(MAX({MI.format(x='o_totalprice')}) AS DOUBLE) / 10000.0
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+  COUNT(*),
+  COUNT(*) - COUNT(o_orderstatus),
+  COUNT(DISTINCT o_orderstatus),
+  CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE)
+FROM orders
+""",
+)
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile in long format: rows/nulls/distincts/range per
+    profiled column, computed in ONE pass over the table (a single
+    aggregate producing every metric, then unpivoted) — profiling at
+    100 TB cannot afford a scan per column.  Doubles go through the
+    mantissa quantization so min/max compare bit-identically."""
+    o = load_table(spark, sf_dir, "orders")
+    pi = mi(F.col("o_totalprice"))
+    row = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("ck_nulls"),
+        F.count_distinct("o_custkey").alias("ck_distinct"),
+        F.min("o_custkey").cast("double").alias("ck_min"),
+        F.max("o_custkey").cast("double").alias("ck_max"),
+        (F.count("*") - F.count("o_totalprice")).alias("tp_nulls"),
+        F.count_distinct(pi).alias("tp_distinct"),
+        (F.min(pi).cast("double") / F.lit(1e4)).alias("tp_min"),
+        (F.max(pi).cast("double") / F.lit(1e4)).alias("tp_max"),
+        (F.count("*") - F.count("o_orderstatus")).alias("st_nulls"),
+        F.count_distinct("o_orderstatus").alias("st_distinct"),
+    )
+    null_d = F.lit(None).cast("double")
+    cols = [
+        ("o_custkey", "ck_nulls", "ck_distinct", F.col("ck_min"), F.col("ck_max")),
+        ("o_totalprice", "tp_nulls", "tp_distinct", F.col("tp_min"), F.col("tp_max")),
+        ("o_orderstatus", "st_nulls", "st_distinct", null_d, null_d),
+    ]
+    parts = [
+        row.select(
+            F.lit(name).alias("col"),
+            F.col("n_rows"),
+            F.col(nulls).alias("n_nulls"),
+            F.col(dist).alias("n_distinct"),
+            mn.alias("min_v"),
+            mx.alias("max_v"),
+        )
+        for name, nulls, dist, mn, mx in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "lineitem_integrity_audit",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+   WHERE o.o_orderkey IS NULL) AS orphan_lines,
+  (SELECT COUNT(*) FROM (
+     SELECT l_orderkey, l_linenumber FROM lineitem
+     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) AS dup_line_keys,
+  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL OR l_quantity <= 0)
+    AS bad_quantities,
+  (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS null_shipdates
+""",
+)
+def q_lineitem_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit as one row: referential integrity (orphan
+    lineitems via broadcast-anti against order keys), key uniqueness
+    (duplicate (orderkey, linenumber) pairs), and domain checks (null /
+    non-positive quantity, null shipdate).  The anti-join ships only the
+    distinct orderkey column; the uniqueness check is a keys-only
+    aggregation — at 100 TB nothing here ever shuffles a payload
+    column."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    # each check is a 1-row aggregate; the final cross joins are 1x1x1
+    # (broadcast, free) — the whole audit is ONE lazy plan, no driver
+    # materialization
+    orphans = (
+        l.select("l_orderkey")
+        .join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("orphan_lines"))
+    )
+    dups = (
+        l.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("dup_line_keys"))
+    )
+    domain = l.agg(
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_quantities"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_shipdates"),
+    )
+    return orphans.crossJoin(dups).crossJoin(domain)
