@@ -592,3 +592,109 @@ def q_cdc_snapshot_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         )
     )
+
+
+@query(
+    "events_hourly_interpolated",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events WHERE event_type = 'error' AND user_id < 5
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS h,
+    CAST(ROUND(CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)) AS BIGINT) AS mean_i
+  FROM events WHERE event_type = 'error' AND user_id < 5
+  GROUP BY 1
+),
+laid AS (
+  SELECT spine.h, epoch(spine.h) // 3600 AS ih, actual.mean_i,
+    LAST_VALUE(actual.mean_i IGNORE NULLS) OVER
+      (ORDER BY spine.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN actual.mean_i IS NOT NULL THEN epoch(spine.h) // 3600 END
+               IGNORE NULLS) OVER
+      (ORDER BY spine.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pih,
+    FIRST_VALUE(actual.mean_i IGNORE NULLS) OVER
+      (ORDER BY spine.h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN actual.mean_i IS NOT NULL THEN epoch(spine.h) // 3600 END
+                IGNORE NULLS) OVER
+      (ORDER BY spine.h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nih
+  FROM spine LEFT JOIN actual ON spine.h = actual.h
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+  CASE WHEN mean_i IS NOT NULL THEN 'observed' ELSE 'interpolated' END AS kind,
+  CAST(COALESCE(mean_i,
+    CAST(ROUND(CAST(pv AS DOUBLE)
+               + CAST(nv - pv AS DOUBLE) * (CAST(ih - pih AS DOUBLE)
+                                            / CAST(nih - pih AS DOUBLE)))
+         AS BIGINT)) AS DOUBLE) / 10000.0 AS mean_value
+FROM laid
+""",
+)
+def q_events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: the hourly mean of a sparse
+    series on a complete spine, with missing buckets filled by the
+    linear interpolant between the nearest observed neighbors (the
+    resampling step feature pipelines run before differencing or model
+    input).  Window scaffolding is last/first IGNORE NULLS over the
+    spine; spine edges are observed by construction (bounds come from
+    the data), so every gap is interior.
+
+    Determinism: means and interpolants are integer mantissas with ONE
+    IEEE division + half-away-from-zero round each — both engines
+    compute the identical double expression, so no epsilon.  The spine
+    is a bounded report series (one window partition); a per-key
+    version partitions the same windows by series id."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 5)
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    actual = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.sum(vi).cast("double") / F.count("*")).cast("bigint").alias(
+            "mean_i"
+        )
+    )
+    ih = (F.unix_timestamp("h") / F.lit(3600)).cast("bigint")
+    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    obs_ih = F.when(F.col("mean_i").isNotNull(), ih)
+    laid = (
+        spine.join(actual, "h", "left")
+        .select(
+            "h",
+            ih.alias("ih"),
+            "mean_i",
+            F.last("mean_i", ignorenulls=True).over(w_prev).alias("pv"),
+            F.last(obs_ih, ignorenulls=True).over(w_prev).alias("pih"),
+            F.first("mean_i", ignorenulls=True).over(w_next).alias("nv"),
+            F.first(obs_ih, ignorenulls=True).over(w_next).alias("nih"),
+        )
+    )
+    interp = F.round(
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double")
+        * (
+            (F.col("ih") - F.col("pih")).cast("double")
+            / (F.col("nih") - F.col("pih")).cast("double")
+        )
+    ).cast("bigint")
+    return laid.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.when(F.col("mean_i").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interpolated"))
+        .alias("kind"),
+        (F.coalesce(F.col("mean_i"), interp).cast("double") / F.lit(1e4)).alias(
+            "mean_value"
+        ),
+    )

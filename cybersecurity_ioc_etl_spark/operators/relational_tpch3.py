@@ -511,3 +511,51 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "important_stock_shape",
+    oracle=f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+    SUM({MI.format(x='l_extendedprice')}) AS vi
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+),
+total AS (SELECT SUM(vi) AS t FROM sp)
+SELECT l_suppkey, l_partkey,
+  round(CAST(vi AS DOUBLE) / 10000.0, 2) AS part_value
+FROM sp, total
+WHERE vi * 10000 > t * 5
+""",
+)
+def q_important_stock_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp is absent from the fixture, so lineitem
+    supplies the supplier×part value): group to (supplier, part) value,
+    compare each group against a fraction of the GLOBAL total — the
+    scalar-subquery HAVING pattern.  The global total is a 1-row
+    broadcast join-back (never a second scan); the group sums stay exact
+    integer mantissas and the threshold is an exact integer cross-
+    multiplication (vi*10000 > t*5), so no boundary row can flip between
+    engines.  Completes the 22 TPC-H query shapes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(mi(F.col("l_extendedprice"))).alias("vi")
+    )
+    total = sp.agg(F.sum(F.col("vi").cast("decimal(38,0)")).alias("t"))
+    # threshold as EXACT integer cross-multiplication (0.0005 = 5/10000):
+    # vi*10000 > t*5 in decimal(38,0) — no double sum, no boundary drift
+    return (
+        sp.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("vi").cast("decimal(38,0)") * F.lit(10000)
+            > F.col("t") * F.lit(5)
+        )
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.round(F.col("vi").cast("double") / F.lit(1e4), 2).alias(
+                "part_value"
+            ),
+        )
+    )
