@@ -63,7 +63,8 @@ _PRIORITY = [
     "dedup_components",
     # similarity / ANN
     "knn_cosine_topk", "ivf_topk", "ivf_multiprobe_topk", "ann_bucketed_topk",
-    "ann_hyperplane_buckets", "embedding_neardup_pairs", "vector_norms",
+    "ann_hyperplane_buckets", "embedding_neardup_pairs",
+    "embedding_lsh_neardup_pairs", "vector_norms",
     "label_centroid_norms", "embedding_int8_quantize", "kmeans_lloyd_step",
     "pagerank_nations",
     # corpus prep + sampling

@@ -750,3 +750,124 @@ def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+_LSH_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19)  # deterministic pseudo-hyperplanes
+
+_LSH_PROJ_SQL = ",\n    ".join(
+    f"SUM(CASE WHEN i % {p} = 0 THEN {_MI_SQL.format(x='x')} "
+    f"ELSE -{_MI_SQL.format(x='x')} END) AS proj_{j}"
+    for j, p in enumerate(_LSH_PRIMES)
+)
+_LSH_BUCKET_SQL = " + ".join(
+    f"CASE WHEN proj_{j} > 0 THEN {1 << j} ELSE 0 END"
+    for j in range(len(_LSH_PRIMES))
+)
+
+_LSH_PAIRS_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+signs AS (
+  SELECT vec_id,
+    {_LSH_PROJ_SQL}
+  FROM comp GROUP BY vec_id
+),
+buckets AS (
+  SELECT vec_id, ({_LSH_BUCKET_SQL}) AS bucket FROM signs
+),
+mcomp AS (
+  SELECT c.vec_id, b.bucket, c.i, {_MI_SQL.format(x='c.x')} AS xi
+  FROM comp c JOIN buckets b ON c.vec_id = b.vec_id
+),
+sq AS (SELECT vec_id, SUM(xi * xi) AS s FROM mcomp GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+    SUM(a.xi * b.xi) AS dot_i
+  FROM mcomp a
+  JOIN mcomp b ON a.bucket = b.bucket AND a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+)
+SELECT p.vec_a, p.vec_b, p.bucket,
+  round((CAST(p.dot_i AS DOUBLE) / 100000000000000.0)
+        / (sqrt(CAST(sa.s AS DOUBLE) / 100000000000000.0)
+         * sqrt(CAST(sb.s AS DOUBLE) / 100000000000000.0)), 6) AS cosine_sim
+FROM pairs p
+JOIN sq sa ON p.vec_a = sa.vec_id
+JOIN sq sb ON p.vec_b = sb.vec_id
+WHERE round((CAST(p.dot_i AS DOUBLE) / 100000000000000.0)
+        / (sqrt(CAST(sa.s AS DOUBLE) / 100000000000000.0)
+         * sqrt(CAST(sb.s AS DOUBLE) / 100000000000000.0)), 6) >= 0.2
+"""
+
+
+@query("embedding_lsh_neardup_pairs", oracle=_LSH_PAIRS_ORACLE)
+def q_embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at the SCALE plan — UNBOUNDED, unlike the
+    all-pairs ground truth of embedding_neardup_pairs: 8 deterministic
+    hyperplane signs pack into a 256-way bucket id, candidate pairs
+    exist only after the bucket equi-join (n²/256 expected, and the
+    bucket key rides the same shuffle as the dimension join), and only
+    candidates pay the exact integer cosine.  Recall loss is the LSH
+    contract: a pair split across buckets is never compared — both
+    engines compute the identical bucket function, so parity holds
+    exactly.  More hyperplanes → smaller buckets → cheaper and lower
+    recall; OR-ing several independent bucket tables (like MinHash
+    bands) buys recall back."""
+    comp = (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
+    )
+    # DuckDB's generate_subscripts is 1-based; posexplode is 0-based —
+    # shift so the ±1 sign patterns match exactly (same fix as
+    # ann_hyperplane_buckets)
+    projs = [
+        F.sum(
+            F.when((F.col("i") + 1) % p == 0, F.col("xi")).otherwise(-F.col("xi"))
+        ).alias(f"proj_{j}")
+        for j, p in enumerate(_LSH_PRIMES)
+    ]
+    signs = comp.groupBy("vec_id").agg(*projs)
+    bucket = None
+    for j in range(len(_LSH_PRIMES)):
+        bit = F.when(F.col(f"proj_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    buckets = signs.select("vec_id", bucket.alias("bucket"))
+    mcomp = comp.join(F.broadcast(buckets), "vec_id")
+    sq = mcomp.groupBy("vec_id").agg(F.sum(F.col("xi") * F.col("xi")).alias("s"))
+    a, b = mcomp.alias("a"), mcomp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+        )
+        .agg(F.sum(F.col("a.xi") * F.col("b.xi")).alias("dot_i"))
+    )
+    sa, sb = sq.alias("sa"), sq.alias("sb")
+    cos = F.round(
+        (F.col("dot_i").cast("double") / F.lit(1e14))
+        / (
+            F.sqrt(F.col("sa.s").cast("double") / F.lit(1e14))
+            * F.sqrt(F.col("sb.s").cast("double") / F.lit(1e14))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("vec_a") == F.col("sa.vec_id"))
+        .join(F.broadcast(sb), F.col("vec_b") == F.col("sb.vec_id"))
+        .select("vec_a", "vec_b", "bucket", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.2)
+    )

@@ -294,3 +294,14 @@ def test_ivf_multiprobe_keeps_broadcast_probe_shape(spark, sf_dir):
     assert P.has_take_ordered_topk(p)
     assert P.has_broadcast_join(p)
     assert "CartesianProduct" not in p
+
+
+def test_lsh_neardup_pairs_join_is_bucket_keyed(spark, sf_dir):
+    """The UNBOUNDED embedding near-dup must generate pairs through the
+    (bucket, dim) equi-join — never a cartesian or nested-loop over
+    vectors."""
+    p = plan(spark, sf_dir, "embedding_lsh_neardup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert P.is_all_jvm(p)
