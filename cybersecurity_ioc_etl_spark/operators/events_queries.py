@@ -698,3 +698,45 @@ def q_events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_value"
         ),
     )
+
+
+@query(
+    "user_value_locf",
+    oracle="""
+SELECT user_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+  event_type,
+  LAST_VALUE(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 10000.0) AS BIGINT) END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_i
+FROM events
+WHERE user_id < 10
+""",
+)
+def q_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last observation carried forward): every event row carries
+    the user's most recent purchase value — the third imputation mode
+    next to zero-fill (events_hourly_gapfill) and linear interpolation
+    (events_hourly_interpolated), and the standard way feature pipelines
+    attach 'state as of this event' without an as-of join (the window
+    IS the as-of, riding one shuffle on the partition key).  Carried
+    values stay integer mantissas; rows before the first purchase are
+    NULL by definition."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "purchase", vi), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_purchase_i"),
+    )
