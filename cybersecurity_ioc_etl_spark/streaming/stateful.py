@@ -114,3 +114,116 @@ def windowed_counts_with_watermark(
         .start()
     )
     q.awaitTermination()
+
+
+# --- transformWithStateInPandas (Spark 4 arbitrary-state API) ----------
+
+_TWS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+
+from pyspark.sql.streaming import StatefulProcessor
+
+
+class _UserCountProcessor(StatefulProcessor):
+    """StatefulProcessor: per-user running event count in ValueState
+    (module-level class — package modules import cleanly on workers)."""
+
+    def init(self, handle):
+        self._n = handle.getValueState("n", "n BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = self._n.get()[0] if self._n.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._n.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def close(self):
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf protocol to its
+    state server; the container lacks google.protobuf, so the API is
+    probed like the media codecs (multimodal.columns._probe_codecs) and
+    the operator raises a documented error where unavailable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_tws_user_counts(
+    spark: SparkSession, sf_dir: str, max_user: int = 50, n_files: int = 4
+) -> DataFrame:
+    """Per-user running event counts through ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (typed ValueState handles, timer
+    support, state TTL) that succeeds applyInPandasWithState.  The
+    fixture splits into micro-batches so counts genuinely accumulate
+    across batches in the state store; each batch emits the UPDATED
+    total per touched user, so max(n_events) per user after the drain is
+    the final count (monotone counters — same convention as
+    running_ioc_type_totals).
+
+    Requires the RocksDB state store provider (set per-query below) AND
+    google.protobuf on every Python worker (see _tws_available) —
+    environment-gated in this container, verified by
+    tests/test_stateful_streaming.py when the dependency exists."""
+    if not _tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf on the "
+            "Python workers — not present in this environment; "
+            "applyInPandasWithState (running_ioc_type_totals) covers the "
+            "same stateful semantics on the stable API"
+        )
+    import tempfile
+
+    from ..sources.readers import normalize_event_ts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="tws_src_")
+    batch.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    ).filter(F.col("user_id") < max_user)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        counts = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserCountProcessor(),
+            outputStructType=_TWS_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+        import uuid
+
+        name = f"tws_counts_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ckpt_tws_")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -191,3 +191,38 @@ def test_streaming_dedup_within_watermark(spark):
     q.awaitTermination()
     iocs = sorted(r.ioc for r in spark.read.parquet(out).collect())
     assert iocs == ["1.2.3.4", "8.8.8.8", "9.9.9.9"]  # each exactly once
+
+
+def test_tws_user_counts_gated_or_correct(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): where
+    google.protobuf exists the streamed per-user totals must equal the
+    batch counts; in this container the probe reports unavailable and
+    the operator must fail fast with the documented error."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+    from cybersecurity_ioc_etl_spark.streaming.stateful import (
+        _tws_available,
+        run_tws_user_counts,
+    )
+
+    if not _tws_available():
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            run_tws_user_counts(spark, sf_dir)
+        return
+    df = run_tws_user_counts(spark, sf_dir)
+    final = {
+        r.user_id: r.n
+        for r in df.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    }
+    batch = {
+        r.user_id: r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter("user_id < 50")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    }
+    assert final == batch
