@@ -369,7 +369,8 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three regexp_replace calls fuse into a single codegen stage, so
     at 100 TB this is scan-bound, not CPU-bound; the audit agg is the
     only shuffle.  fan_out ahead of the regex stage per the measured
-    rule (CLAUDE.md): redaction is CPU-heavy on skinny inputs."""
+    rule (fan-out only before CPU-bound stages): redaction is CPU-heavy
+    on skinny inputs."""
     from ..sources.readers import synthetic_feed
 
     feed = synthetic_feed(spark, sf_dir)

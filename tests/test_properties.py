@@ -124,7 +124,7 @@ def test_aggregation_bit_identical_across_partitionings(spark, sf_dir):
 
 
 def test_md5_prefix_int_matches_python_reference(spark):
-    """The portable-hash contract (CLAUDE.md rule 4): Spark's
+    """The engine's portable-hash contract: Spark's
     conv(substring(md5(x),1,8),16,10) must equal Python's
     int(md5(x).hexdigest()[:8], 16) for arbitrary utf-8 keys — this is
     what makes sampling/splits/dedup reproducible across engines."""
