@@ -534,3 +534,35 @@ def q_bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+SELECT CAST(FLOOR(LOG2(GREATEST(n_chars, 1))) AS BIGINT) AS log2_bucket,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS bucket_chars,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY log2_bucket
+""",
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the first plot every
+    corpus audit draws (truncation points, boilerplate spikes, length
+    filters all read off it).  The bucket id is floor(log2(n_chars)) on
+    INTEGER lengths: log2 of an exact integer then floor is stable in
+    IEEE doubles across engines (no fractional inputs near bucket
+    edges), and the min/max columns prove bucket boundaries landed
+    identically.  Pure map + one tiny agg — scan-bound at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast(
+        "bigint"
+    )
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bucket_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
