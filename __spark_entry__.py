@@ -21,14 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 
-# Queries already driver-confirmed green in CORRECTNESS_r01 AND r02.  The
-# driver's correctness gate samples the FIRST 50 entries of queries() in
-# iteration order, so we rotate: front-load the families that have only
-# local-replica coverage so far (dedup / similarity / corpus prep /
-# sampling / multimodal / text / events), then everything else not yet
-# checked, and push the twice-confirmed 50 to the tail.
+# Queries already driver-confirmed green in CORRECTNESS_r01, r02, or r03.
+# The driver's correctness gate samples the FIRST 50 entries of queries()
+# in iteration order, so we rotate: front-load the queries that have only
+# local-replica coverage so far, then any new round-4 queries, then a few
+# high-value re-confirmations, pushing the thrice-confirmed bulk to the
+# tail.  Goal: after r4, every registered query has a driver-issued green
+# row at least once across r1-r4.
 _DRIVER_CHECKED = frozenset(
     {
+        # r1/r2 window
         "ioc_flagship", "ioc_type_counts", "ioc_per_source_daily",
         "tweet_batch_pipeline", "ioc_classify", "enrichment_scraped_iocs",
         "ioc_url_hosts", "stream_stateful_type_totals", "ioc_allowlist_filtered",
@@ -50,40 +52,64 @@ _DRIVER_CHECKED = frozenset(
         "market_share_by_year", "late_shipment_priority_counts",
         "top_revenue_supplier", "supplier_count_by_part_attrs",
         "idle_rich_customers",
+        # r3 window
+        "ann_bucketed_topk", "ann_hyperplane_buckets",
+        "bigram_conditional_probs", "curation_pipeline", "dedup_components",
+        "dedup_exact_groups", "dedup_keep_best", "dedup_keep_first",
+        "deterministic_sample", "doc_bpe_token_estimate", "doc_chunking",
+        "doc_fingerprint", "doc_lang_id", "doc_lang_stats",
+        "doc_packing_bins", "doc_pii_scrub", "doc_quality",
+        "doc_shingle_profile", "doc_tf_map", "doc_token_stats",
+        "embedding_int8_quantize", "embedding_lsh_neardup_pairs",
+        "embedding_neardup_pairs", "eval_contamination", "events_hourly",
+        "frame_dedup_profile", "inverted_index_postings",
+        "ivf_multiprobe_topk", "ivf_topk", "kmeans_lloyd_step",
+        "knn_cosine_topk", "label_centroid_norms", "media_byte_profile",
+        "media_dedup_groups", "minhash_band_pairs",
+        "minhash_jaccard_estimate", "minhash_signatures",
+        "neardup_jaccard_pairs", "pagerank_nations", "simhash_neardup_pairs",
+        "simhash_signatures", "source_mixture_sample", "stratified_sample_k",
+        "stream_dedup_unique_users", "stream_hourly_counts",
+        "tfidf_top_terms_per_doc", "top_terms", "train_val_test_split",
+        "vector_norms", "weighted_priority_sample",
     }
 )
 
-# Family-ordered head: the LLM-training-pipeline operators the judge asked
-# to see driver-issued green rows for (VERDICT.md "Next round" item 2).
+# Head of the rotation: the 38 queries never yet sampled by the driver's
+# 50-window (VERDICT r3 "Next round" item 1), family-ordered, followed by
+# a handful of high-value re-confirmations.  New round-4 queries land in
+# the `mid` slot of _ordered() automatically (unchecked, not listed here),
+# i.e. between the 38 and the re-confirmations in window terms only if
+# slots remain; keep head + expected-new <= 50.
 _PRIORITY = [
-    # dedup family
-    "dedup_exact_groups", "neardup_jaccard_pairs", "minhash_signatures",
-    "minhash_band_pairs", "minhash_jaccard_estimate", "simhash_signatures",
-    "simhash_neardup_pairs", "dedup_keep_first", "dedup_keep_best",
-    "dedup_components",
-    # similarity / ANN
-    "knn_cosine_topk", "ivf_topk", "ivf_multiprobe_topk", "ann_bucketed_topk",
-    "ann_hyperplane_buckets", "embedding_neardup_pairs",
-    "embedding_lsh_neardup_pairs", "vector_norms",
-    "label_centroid_norms", "embedding_int8_quantize", "kmeans_lloyd_step",
-    "pagerank_nations",
-    # corpus prep + sampling
-    "doc_chunking", "doc_packing_bins", "eval_contamination",
-    "deterministic_sample", "train_val_test_split", "source_mixture_sample",
-    "stratified_sample_k", "weighted_priority_sample", "curation_pipeline",
-    # multimodal
-    "media_byte_profile", "media_dedup_groups", "frame_dedup_profile",
-    # text analysis
-    "doc_token_stats", "doc_quality", "doc_lang_stats", "doc_lang_id",
-    "doc_fingerprint", "doc_shingle_profile", "doc_bpe_token_estimate",
-    "top_terms", "tfidf_top_terms_per_doc", "doc_pii_scrub", "doc_tf_map",
-    "inverted_index_postings", "bigram_conditional_probs",
-    # events / streaming parity
-    "events_hourly", "stream_hourly_counts", "stream_dedup_unique_users",
-    "stream_static_category_counts", "cdc_snapshot_fold", "events_sessionize",
-    "events_native_sessions", "stream_session_counts",
-    "stream_click_error_join", "events_sliding_counts", "events_json_props",
-    "events_type_pivot", "events_hourly_gapfill", "user_weekly_retention",
+    # TPC-H wave-3 / relational shapes
+    "best_offer_per_part", "nation_profit_by_year",
+    "dominant_part_suppliers", "forecast_revenue_change",
+    "important_stock_shape", "quantity_tier_counts",
+    "returnflag_linestatus_pivot", "order_price_quartiles",
+    "similar_part_names", "part_token_profile", "grouping_sets_revenue",
+    "lineitem_stats_by_flag", "approx_distinct_parts",
+    "salted_source_profile", "customer_spend_rank", "rolling_30d_spend",
+    "order_gap_days", "orders_column_profile", "lineitem_integrity_audit",
+    # as-of / range joins
+    "asof_click_before_purchase", "click_error_range_join",
+    # events / windows
+    "events_sessionize", "events_native_sessions", "events_json_props",
+    "events_type_pivot", "events_dow_hour_profile", "events_hourly_gapfill",
+    "events_sliding_counts", "events_hourly_interpolated", "user_value_locf",
+    "user_weekly_retention", "event_value_outliers", "funnel_click_purchase",
+    "cdc_snapshot_fold", "doc_length_histogram",
+    # streaming parity
+    "stream_static_category_counts", "stream_session_counts",
+    "stream_click_error_join",
+]
+
+# High-value re-confirmations filling leftover window slots after the 38
+# unchecked + any new round-4 queries.
+_RECONFIRM = [
+    "ioc_flagship", "shipping_priority", "pricing_summary",
+    "dedup_components", "ann_bucketed_topk", "curation_pipeline",
+    "stream_hourly_counts", "eval_contamination",
 ]
 
 
@@ -91,8 +117,11 @@ def _ordered(names: list[str]) -> list[str]:
     head = [n for n in _PRIORITY if n in names]
     seen = set(head)
     mid = [n for n in names if n not in seen and n not in _DRIVER_CHECKED]
-    tail = [n for n in names if n not in seen and n in _DRIVER_CHECKED]
-    return head + mid + tail
+    seen.update(mid)
+    reconfirm = [n for n in _RECONFIRM if n in names and n not in seen]
+    seen.update(reconfirm)
+    tail = [n for n in names if n not in seen]
+    return head + mid + reconfirm + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:
