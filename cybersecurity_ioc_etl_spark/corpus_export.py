@@ -38,12 +38,14 @@ _STRIDE = 150
 
 def chunk_text(docs: DataFrame, chunk: int = _CHUNK, stride: int = _STRIDE) -> DataFrame:
     """Sliding-window chunks WITH payload (corpus_prep.q_doc_chunking
-    keeps only checksums; the export needs the text)."""
+    keeps only checksums; the export needs the text).  An empty document
+    yields one empty chunk rather than crashing: sequence(1, 0) throws
+    'Illegal sequence boundaries', so the upper bound is clamped to 1."""
     return docs.select(
         "doc_id",
         "source",
         F.posexplode(
-            F.sequence(F.lit(1), F.length("text"), F.lit(stride))
+            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride))
         ).alias("chunk_idx", "off"),
         "text",
     ).select(

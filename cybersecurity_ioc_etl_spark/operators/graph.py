@@ -86,9 +86,13 @@ def pagerank(
         )
     nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()  # scalar bound for the init constant only
+    if n_nodes == 0:
+        return nodes.select("id", F.lit(0).cast("bigint").alias("ri"))
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # half-away-from-zero to match DuckDB ROUND (Python round() is
+    # banker's: 1e7/256 = 39062.5 would seed 39062 vs the oracle's 39063)
     ranks = nodes.select(
-        "id", F.lit(round(1e7 / n_nodes)).cast("bigint").alias("ri")
+        "id", F.lit(int(1e7 / n_nodes + 0.5)).cast("bigint").alias("ri")
     )
     for it in range(n_iter):
         contrib = (

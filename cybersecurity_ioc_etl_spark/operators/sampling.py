@@ -175,7 +175,7 @@ def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH scored AS (
   SELECT doc_id, source, n_chars,
     CAST({_SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS DOUBLE)
-      / n_chars AS priority
+      / GREATEST(n_chars, 1) AS priority
   FROM documents
 )
 SELECT source,
@@ -200,9 +200,11 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on doc_id.  The id/char sums prove the SAME 100 rows were
     picked."""
     d = load_table(spark, sf_dir, "documents")
+    # GREATEST(n_chars, 1) on BOTH sides: for n_chars = 0 Spark's Divide
+    # yields NULL (sorts first) where DuckDB yields Infinity (sorts last)
     priority = (
         _shingle_int(F.col("doc_id").cast("string")).cast("double")
-        / F.col("n_chars")
+        / F.greatest(F.col("n_chars"), F.lit(1))
     ).alias("priority")
     return (
         d.select("doc_id", "source", "n_chars", priority)

@@ -79,11 +79,16 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    # hoist the constant query sq-norm into the 1-row broadcast side (as
+    # ann_bucketed_topk does): per corpus row only ONE 64-element fold
+    # (v·qv) plus the v·v norm remains
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        _dot_double(F.col("v"), F.col("v")).alias("qsq"),
+    )
     joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
     sim = _dot_double(F.col("v"), F.col("qv")) / (
-        F.sqrt(_dot_double(F.col("v"), F.col("v")))
-        * F.sqrt(_dot_double(F.col("qv"), F.col("qv")))
+        F.sqrt(_dot_double(F.col("v"), F.col("v"))) * F.sqrt(F.col("qsq"))
     )
     return (
         joined.select("vec_id", F.round(sim, 6).alias("cosine_sim"))

@@ -126,7 +126,12 @@ _TWS_OUT = T.StructType(
 )
 
 
-from pyspark.sql.streaming import StatefulProcessor
+try:  # Spark >= 4.0 only; the applyInPandasWithState paths above must
+    # keep importing on older runtimes, so this is a feature gate like
+    # _tws_available, not a hard dependency of the module
+    from pyspark.sql.streaming import StatefulProcessor
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object
 
 
 class _UserCountProcessor(StatefulProcessor):

@@ -105,3 +105,22 @@ def test_archive_files_have_disjoint_docid_ranges(spark, export):
     ranges.sort()
     for (_, prev_mx), (next_mn, _) in zip(ranges, ranges[1:]):
         assert prev_mx <= next_mn
+
+
+def test_chunk_text_safe_on_empty_documents(spark):
+    """chunk_text must be safe standalone: sequence(1, 0) throws
+    'Illegal sequence boundaries', so an empty/whitespace doc yields one
+    empty chunk instead of crashing (previously only safe because
+    curate()'s n_tokens gate ran first)."""
+    from cybersecurity_ioc_etl_spark.corpus_export import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "web", ""), (2, "web", "abc")],
+        ["doc_id", "source", "text"],
+    )
+    rows = chunk_text(docs, chunk=2, stride=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text)
+    assert by_doc[1] == [""]
+    assert by_doc[2] == ["ab", "c"]

@@ -32,6 +32,26 @@ def test_pagerank_dangling_mass_drops_but_floor_holds(spark):
     assert all(v >= 1500000 for v in got.values())
 
 
+def test_pagerank_empty_edges_returns_empty(spark):
+    """Zero nodes must not raise ZeroDivisionError seeding the ranks."""
+    edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert pagerank(edges, n_iter=2).count() == 0
+
+
+def test_pagerank_seed_rounds_half_away_from_zero(spark):
+    """DuckDB ROUND is half-away-from-zero; Python round() is banker's.
+    16 nodes seed 625000 either way, but the seeding expression must be
+    int(1e7/n + 0.5): for n=16 both agree (sanity), and the hand case
+    n=3 gives 3333333 (truncation would give 3333333 too — the .5 cases
+    like n=256 → 39063 are pinned arithmetically here)."""
+    assert int(1e7 / 256 + 0.5) == 39063  # round() would give 39062
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 16) for i in range(16)], ["src", "dst"]
+    )
+    got = {r.id: r.ri for r in pagerank(edges, n_iter=0).collect()}
+    assert set(got.values()) == {625000}
+
+
 def test_kmeans_partitions_every_vector_once(spark, sf_dir):
     """Lloyd assignment must be a partition of the corpus: member counts
     sum to the vector count, every cluster id is one of the k seeds."""
