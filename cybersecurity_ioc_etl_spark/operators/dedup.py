@@ -181,6 +181,25 @@ def minhash_agg(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -> Data
     )
 
 
+def minhash_row(text: Column, k: int = 4) -> list[Column]:
+    """Per-row MinHash: k ``array_min`` folds over the shingle array, a
+    pure projection with NO aggregation.  This is the streaming form —
+    a stateful groupBy before ``dropDuplicatesWithinWatermark`` would
+    chain two stateful operators, whereas a projection keeps the dedup
+    the only state holder.  Batch paths keep ``minhash_agg`` (explode +
+    groupBy gets map-side partial aggregation over shared digests); the
+    two produce identical values: min over the same permuted shingle
+    ints.  Short docs (< n tokens) have an empty shingle array →
+    array_min yields NULL in Spark exactly as list_min does in DuckDB."""
+    xs = F.transform(_word_shingles(text), lambda s: _shingle_int(s))
+    return [
+        F.array_min(
+            F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_MINHASH_AB[:k])
+    ]
+
+
 def _minhash_sql(j: int) -> str:
     a, b = _MINHASH_AB[j]
     ints = f"list_transform({_SHINGLES_SQL.strip()}, s -> {_SHINGLE_INT_SQL.format(x='s')})"
@@ -415,6 +434,37 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_bands"))
+    )
+
+
+@query(
+    "stream_neardup_signature_groups",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+    {_minhash_sql(0)} AS mh_0, {_minhash_sql(1)} AS mh_1,
+    {_minhash_sql(2)} AS mh_2, {_minhash_sql(3)} AS mh_3
+  FROM documents WHERE doc_id < 500
+)
+SELECT mh_0 % 8 AS band_bucket, COUNT(*) AS n_groups
+FROM (SELECT DISTINCT mh_0, mh_1, mh_2, mh_3 FROM sig)
+GROUP BY band_bucket
+""",
+)
+def q_stream_neardup_signature_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content near-dup (dedup + ST families): documents are
+    drained as micro-batches through a per-row MinHash projection and
+    ``dropDuplicatesWithinWatermark`` on the signature — the emitted
+    keep-set is one document per distinct k=4 signature, however the
+    batches were ordered.  Counting survivors per signature band-bucket
+    must therefore equal the batch DISTINCT-signature census (the
+    oracle).  See streaming/pipeline.py::run_neardup_stream for the
+    state/watermark story at 100 TB."""
+    from ..streaming.pipeline import run_neardup_stream
+
+    deduped = run_neardup_stream(spark, sf_dir)
+    return deduped.groupBy((F.col("mh_0") % 8).alias("band_bucket")).agg(
+        F.count("*").alias("n_groups")
     )
 
 

@@ -232,6 +232,64 @@ def run_dedup_stream(
     return out.localCheckpoint(eager=True)
 
 
+def run_neardup_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, max_doc: int = 500
+) -> DataFrame:
+    """Streaming CONTENT near-dup: the documents fixture split into
+    micro-batches → per-row MinHash signature (k=4, a pure projection —
+    see operators.dedup.minhash_row for why the signature must not be a
+    stateful aggregation here) → ``dropDuplicatesWithinWatermark`` on
+    the full signature, append-mode memory sink.  The first document
+    per signature bucket is emitted; later near-duplicates — identical
+    in all k MinHash values, i.e. high-Jaccard clones — are dropped by
+    the keyed state store even when they arrive in LATER micro-batches.
+
+    The emitted signature SET is deterministic whatever the arrival
+    order (it is exactly the distinct-signature set), which is what the
+    oracle checks.  At 100 TB the watermark delay becomes the source's
+    real lateness bound so signature state ages out instead of growing
+    with the corpus — the streaming complement of the batch banded-LSH
+    plan (a crawler dedups against the recent horizon on ingest; the
+    full-corpus pass stays batch)."""
+    from ..operators.dedup import minhash_row
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < max_doc
+    )
+    src_dir = tempfile.mkdtemp(prefix="stream_neardup_src_")
+    batch.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    # synthetic deterministic event time (documents carry none): the
+    # watermark column only drives state eviction, which the huge delay
+    # disables for the bounded fixture.  Offset well past the epoch —
+    # the initial watermark is epoch 0 and a doc_id=0 row AT the
+    # watermark would be dropped as late before ever reaching state.
+    sig = stream.select(
+        "doc_id",
+        F.timestamp_seconds(F.col("doc_id") + F.lit(1_000_000_000)).alias("ts"),
+        *minhash_row(F.col("text"), k=4),
+    )
+    deduped = sig.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["mh_0", "mh_1", "mh_2", "mh_3"]
+    )
+    name = f"stream_neardup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_neardup_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a STATIC
     dimension frame (event_type → engagement category) before

@@ -180,3 +180,20 @@ def test_partitioned_sink_dynamic_overwrite_is_idempotent(spark, sf_dir, tmp_pat
     # full replay with a fresh checkpoint: idempotent, not doubled
     again = run_partitioned_event_sink(spark, sf_dir, out, str(tmp_path / "ck2"))
     assert again.count() == n_src
+
+
+def test_neardup_stream_matches_batch_distinct_signatures(spark, sf_dir):
+    """Streaming MinHash dedup must emit exactly one row per distinct
+    k=4 signature — the batch DISTINCT — including for doc_id=0, whose
+    synthetic event time must clear the initial epoch watermark, and
+    must genuinely DROP the exact-clone near-dups in the fixture."""
+    from cybersecurity_ioc_etl_spark.operators.dedup import minhash_row
+    from cybersecurity_ioc_etl_spark.streaming.pipeline import run_neardup_stream
+
+    out = run_neardup_stream(spark, sf_dir)
+    emitted = {(r.mh_0, r.mh_1, r.mh_2, r.mh_3, ) for r in out.collect()}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 500)
+    batch = d.select(*minhash_row(F.col("text"), k=4)).collect()
+    distinct = {tuple(r) for r in batch}
+    assert emitted == distinct
+    assert len(batch) > len(distinct)  # fixture has clones → state dropped rows
