@@ -597,6 +597,58 @@ GROUP BY m.cid, n.n_members
 """
 
 
+def _lloyd_round(
+    comp: DataFrame, cent: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One Lloyd iteration on integer-mantissa components.
+
+    ``comp`` is (vec_id, i, xi) exploded vectors, ``cent`` is (cid, i, ci)
+    integer centroid components (k·dim rows — always broadcast).  Returns
+    (assign, counts, means): the argmin assignment compares EXACT integers
+    (sq_c - 2·dot, ties to the lower cid), so it is engine-identical; the
+    per-dimension means are exact-int sums divided once into doubles.
+    The two shuffles — (vec_id, cid) partial dots and (cid, i) partial
+    sums — are both map-side combined; iterating re-quantizes the means
+    with _mi and feeds them back as the next ``cent``."""
+    sqc = cent.groupBy("cid").agg(F.sum(F.col("ci") * F.col("ci")).alias("sq_c"))
+    dots = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("xi") * F.col("ci")).alias("dot_i"))
+    )
+    dist = F.col("sq_c") - F.lit(2) * F.col("dot_i")
+    assign = (
+        dots.join(F.broadcast(sqc), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("cid"))).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
+    )
+    counts = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    means = (
+        assign.join(comp, "vec_id")
+        .groupBy("cid", "i")
+        .agg(
+            (F.sum("xi").cast("double") / F.lit(1e7) / F.count("*")).alias("mean_x")
+        )
+    )
+    return assign, counts, means
+
+
+def _centroid_norms(means: DataFrame, counts: DataFrame) -> DataFrame:
+    """(cid, n_members, new_centroid_norm) from per-dimension means."""
+    mq = _mi(F.col("mean_x"))
+    return (
+        means.groupBy("cid")
+        .agg(
+            F.round(F.sqrt(F.sum(mq * mq).cast("double") / F.lit(1e14)), 6).alias(
+                "new_centroid_norm"
+            )
+        )
+        .join(F.broadcast(counts), "cid")
+        .select("cid", "n_members", "new_centroid_norm")
+    )
+
+
 @query("kmeans_lloyd_step", oracle=_KMEANS_ORACLE)
 def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of k-means over the embedding corpus: assign
@@ -628,38 +680,90 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.filter(F.col("vec_id") < _KMEANS_K)
         .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
     )
-    sqc = cent.groupBy("cid").agg(F.sum(F.col("ci") * F.col("ci")).alias("sq_c"))
-    dots = (
-        comp.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(F.col("xi") * F.col("ci")).alias("dot_i"))
-    )
-    dist = F.col("sq_c") - F.lit(2) * F.col("dot_i")
-    assign = (
-        dots.join(F.broadcast(sqc), "cid")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(dist.alias("d"), F.col("cid"))).alias("best"))
-        .select("vec_id", F.col("best.cid").alias("cid"))
-    )
-    counts = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
-    means = (
-        assign.join(comp, "vec_id")
-        .groupBy("cid", "i")
-        .agg(
-            (F.sum("xi").cast("double") / F.lit(1e7) / F.count("*")).alias("mean_x")
+    _, counts, means = _lloyd_round(comp, cent)
+    return _centroid_norms(means, counts)
+
+
+# one Lloyd round as SQL CTEs, parameterized on the centroid CTE name and
+# a suffix — the two-round oracle unrolls this exactly the way the
+# pagerank oracle unrolls its iteration CTEs
+def _lloyd_round_sql(s: str, cent: str) -> str:
+    return f"""
+sqc{s} AS (SELECT cid, SUM(ci * ci) AS sq_c FROM {cent} GROUP BY cid),
+dots{s} AS (
+  SELECT v.vec_id, c.cid, SUM(v.xi * c.ci) AS dot_i
+  FROM comp v JOIN {cent} c ON v.i = c.i
+  GROUP BY 1, 2
+),
+assign{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY s.sq_c - 2 * d.dot_i, cid) AS rn
+    FROM dots{s} d JOIN sqc{s} s USING (cid)
+  ) WHERE rn = 1
+),
+counts{s} AS (SELECT cid, COUNT(*) AS n_members FROM assign{s} GROUP BY cid),
+means{s} AS (
+  SELECT a.cid, c.i,
+    CAST(SUM(c.xi) AS DOUBLE) / 10000000.0 / COUNT(*) AS mean_x
+  FROM assign{s} a JOIN comp c ON a.vec_id = c.vec_id
+  GROUP BY a.cid, c.i
+)"""
+
+
+_KMEANS2_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, i, xi AS ci FROM comp WHERE vec_id < {_KMEANS_K}
+),{_lloyd_round_sql('', 'cent')},
+cent2 AS (  -- re-quantize round-1 means to integer mantissas
+  SELECT cid, i, {_MI_SQL.format(x='mean_x')} AS ci FROM means
+),{_lloyd_round_sql('2', 'cent2')}
+SELECT m.cid, n.n_members,
+  round(sqrt(CAST(SUM({_MI_SQL.format(x='m.mean_x')} * {_MI_SQL.format(x='m.mean_x')})
+                  AS DOUBLE) / 100000000000000.0), 6) AS new_centroid_norm
+FROM means2 m JOIN counts2 n ON m.cid = n.cid
+GROUP BY m.cid, n.n_members
+"""
+
+
+@query("kmeans_two_rounds", oracle=_KMEANS2_ORACLE)
+def q_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO composed Lloyd iterations — proves the step iterates, which is
+    what an IVF index build actually runs.  Round-1 means are re-quantized
+    to integer mantissas (one _mi per component, both engines) and fed
+    back as round-2 centroids, so round-2's argmin again compares exact
+    integers and every member count is engine-identical.
+
+    Loop discipline is dedup.connected_components': the tiny (k·dim)
+    round-1 centroid frame is localCheckpoint-ed between rounds, so
+    round 2's plan starts from a materialized leaf instead of replaying
+    round 1 once per downstream reference (counts + means + norms would
+    otherwise each re-run it); at n rounds the checkpoint cadence also
+    bounds plan depth exactly as in pagerank."""
+    comp = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
         )
+        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
     )
-    mq = _mi(F.col("mean_x"))
-    return (
-        means.groupBy("cid")
-        .agg(
-            F.round(F.sqrt(F.sum(mq * mq).cast("double") / F.lit(1e14)), 6).alias(
-                "new_centroid_norm"
-            )
-        )
-        .join(F.broadcast(counts), "cid")
-        .select("cid", "n_members", "new_centroid_norm")
+    cent = (
+        comp.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
     )
+    _, _, means1 = _lloyd_round(comp, cent)
+    cent2 = means1.select(
+        "cid", "i", _mi(F.col("mean_x")).alias("ci")
+    ).localCheckpoint(eager=True)
+    _, counts2, means2 = _lloyd_round(comp, cent2)
+    return _centroid_norms(means2, counts2)
 
 
 _NPROBE = 2

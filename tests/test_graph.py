@@ -62,3 +62,18 @@ def test_kmeans_partitions_every_vector_once(spark, sf_dir):
     assert sum(r.n_members for r in out) == n_vec
     assert {r.cid for r in out} <= set(range(8))
     assert all(r.new_centroid_norm > 0 for r in out)
+
+
+def test_kmeans_two_rounds_partitions_and_iterates(spark, sf_dir):
+    """Round-2 assignment must still partition the corpus, and at least
+    one vector must actually move clusters between rounds (otherwise the
+    composition test proves nothing)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    r1 = {r.cid: r.n_members for r in qs["kmeans_lloyd_step"](spark, sf_dir).collect()}
+    r2 = {r.cid: r.n_members for r in qs["kmeans_two_rounds"](spark, sf_dir).collect()}
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r2.values()) == n_vec
+    assert set(r2) <= set(range(8))
+    assert r1 != r2  # the update step moved at least one vector
