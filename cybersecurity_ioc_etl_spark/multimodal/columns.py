@@ -107,25 +107,105 @@ def codec_capabilities() -> dict[str, bool]:
     return dict(_CODECS)
 
 
+def _luma(r: int, g: int, b: int) -> int:
+    """Integer BT.601 luma — the deterministic RGB→grayscale fold used by
+    both native decoders (no floats, so executor-identical everywhere)."""
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+def _decode_ppm(content: bytes) -> bytes | None:
+    """Native decoder for binary PPM (P6, maxval ≤ 255): pure-Python
+    header parse + RGB→luma, no imaging library.  Returns grayscale
+    bytes, or None when `content` is not a well-formed P6 stream."""
+    if not content.startswith(b"P6"):
+        return None
+    # header = magic + 3 ASCII integers (w, h, maxval), '#' comments
+    # allowed between tokens, single whitespace byte after maxval
+    pos, fields = 2, []
+    try:
+        while len(fields) < 3:
+            while content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                pos = content.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not content[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(content[start:pos]))
+        pos += 1  # the single whitespace terminating the header
+        w, h, maxval = fields
+        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+            return None
+        px = content[pos : pos + 3 * w * h]
+        if len(px) != 3 * w * h:
+            return None
+        return bytes(
+            _luma(px[i], px[i + 1], px[i + 2]) for i in range(0, len(px), 3)
+        )
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_bmp(content: bytes) -> bytes | None:
+    """Native decoder for uncompressed 24-bit BMP (BI_RGB): header-field
+    parse + bottom-up row flip + BGR→luma.  Returns grayscale bytes in
+    top-down row order, or None for any other BMP flavor."""
+    import struct
+
+    if len(content) < 54 or not content.startswith(b"BM"):
+        return None
+    try:
+        (px_off,) = struct.unpack_from("<I", content, 10)
+        w, h = struct.unpack_from("<ii", content, 18)
+        (bpp,) = struct.unpack_from("<H", content, 28)
+        (compression,) = struct.unpack_from("<I", content, 30)
+    except struct.error:
+        return None
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(content) < px_off + stride * h:
+        return None
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    out = bytearray()
+    for r in rows:
+        base = px_off + r * stride
+        for c in range(w):
+            b, g, rr = content[base + 3 * c : base + 3 * c + 3]
+            out.append(_luma(rr, g, b))
+    return bytes(out)
+
+
 def decode_real(content: bytes, kind: str, dim: int = 8) -> list[float]:
-    """Real-codec decode path, activated automatically when the probe
-    finds the library.  Images: PIL decode → per-channel byte-histogram
-    moments folded to ``dim`` doubles (same output contract as
-    ``_fake_feature``).  Raises NotImplementedError when the codec for
-    `kind` is absent (this container ships none — the stub path is the
-    oracle-pinned default)."""
-    if kind == "image" and _CODECS["image"]:
-        import io
+    """Real decode path for images: PIL when the probe finds it, else the
+    pure-Python native decoders for uncompressed formats (P6 PPM, 24-bit
+    BI_RGB BMP) — so a GENUINE decode runs even in this codec-less
+    container.  Either way the decoded grayscale bytes fold to ``dim``
+    doubles under the same output contract as ``_fake_feature``.  Raises
+    NotImplementedError when nothing can decode `kind`/`content` (video/
+    audio here — pyav absent — and image formats beyond the native two
+    without PIL)."""
+    if kind == "image":
+        raw = None
+        if _CODECS["image"]:
+            import io
 
-        import PIL.Image
+            import PIL.Image
 
-        with PIL.Image.open(io.BytesIO(content)) as img:
-            raw = img.convert("L").tobytes()
-        return _fake_feature(raw, dim)
+            with PIL.Image.open(io.BytesIO(content)) as img:
+                raw = img.convert("L").tobytes()
+        if raw is None:
+            raw = _decode_ppm(content) or _decode_bmp(content)
+        if raw is not None:
+            return _fake_feature(raw, dim)
     raise NotImplementedError(
-        f"no codec for kind={kind!r} in this environment "
-        f"(capabilities={_CODECS}); install PIL/pyav and the probe "
-        "activates this path with extract_features unchanged"
+        f"no codec for kind={kind!r} and content is not a natively "
+        f"decodable format (capabilities={_CODECS}); install PIL/pyav "
+        "and the probe activates the full path with extract_features "
+        "unchanged"
     )
 
 
@@ -157,7 +237,9 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def feat(blob: bytes, kind: str) -> list[float]:
-            if _CODECS.get(kind):
+            # images always attempt the real path — the native PPM/BMP
+            # decoders need no library; other kinds only when probed
+            if _CODECS.get(kind) or kind == "image":
                 try:
                     return decode_real(bytes(blob), kind)
                 except Exception:
