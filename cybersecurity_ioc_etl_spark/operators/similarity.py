@@ -384,9 +384,7 @@ def q_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_bucketed_topk",
-    oracle=f"""
+_ANN_BUCKETED_ORACLE = f"""
 WITH comp AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
@@ -429,24 +427,20 @@ SELECT qid, vec_id, rnk, cosine_sim FROM (
       PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rnk
   FROM scored
 ) WHERE rnk <= 10
-""",
-)
-def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Many-query ANN end-to-end: hyperplane-bucket the corpus AND the
-    query batch (vec_id<4), generate candidates only where buckets
-    match, exact cosine within the bucket, per-query top-10 via a
-    row_number window partitioned by query id.
+"""
 
-    The 100 TB contract: the query batch + per-vector metadata are
-    broadcast, the big side is touched once and filtered to matching
-    buckets BEFORE the pair products exist, and the final top-k is a
-    window over per-query groups (shuffle keyed on qid, never a global
-    sort).  Candidates scale as corpus/2^bits per query, not corpus."""
-    from pyspark.sql import Window
 
+def ann_bucketed_candidates(e: DataFrame, n_queries: int = 4) -> DataFrame:
+    """Bucket-matched candidate pairs with exact integer dot products —
+    the pair-generation core of ``ann_bucketed_topk`` exposed on a plain
+    (vec_id, embedding) frame so the scale probe (tools/ann_probe.py)
+    can measure candidate counts on cloned corpora.  Returns one row per
+    (qid, vec_id) CANDIDATE — a corpus vector sharing the query's
+    hyperplane bucket — with sq/qsq/dot_i ready for scoring.  Candidate
+    volume per query is corpus/2^bits in expectation; every non-candidate
+    is eliminated by the bucket equi-join BEFORE any pair row exists."""
     comp = (
-        load_table(spark, sf_dir, "embeddings", fan_out=True)
-        .select(
+        e.select(
             "vec_id",
             F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
         )
@@ -468,10 +462,10 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sq",
     )
     qside = (
-        comp.filter(F.col("vec_id") < 4)
+        comp.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("qid"), F.col("i").alias("qi"), F.col("xi").alias("qxi"))
         .join(
-            meta.filter(F.col("vec_id") < 4).select(
+            meta.filter(F.col("vec_id") < n_queries).select(
                 F.col("vec_id").alias("qid"),
                 F.col("bucket").alias("qbucket"),
                 F.col("sq").alias("qsq"),
@@ -479,10 +473,10 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
         )
     )
-    data = comp.filter(F.col("vec_id") >= 4).join(
+    data = comp.filter(F.col("vec_id") >= n_queries).join(
         F.broadcast(meta.select("vec_id", "bucket", "sq")), "vec_id"
     )
-    dots = (
+    return (
         data.join(
             F.broadcast(qside),
             (F.col("i") == F.col("qi")) & (F.col("bucket") == F.col("qbucket")),
@@ -490,6 +484,15 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "vec_id", "sq", "qsq")
         .agg(F.sum(F.col("xi") * F.col("qxi")).alias("dot_i"))
     )
+
+
+def ann_bucketed_topk_frame(
+    e: DataFrame, n_queries: int = 4, k: int = 10
+) -> DataFrame:
+    """Score + per-query top-k over ``ann_bucketed_candidates``."""
+    from pyspark.sql import Window
+
+    dots = ann_bucketed_candidates(e, n_queries)
     cos = F.round(
         (F.col("dot_i").cast("double") / F.lit(1e14))
         / (
@@ -502,8 +505,26 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dots.select("qid", "vec_id", cos.alias("cosine_sim"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "rnk", "cosine_sim")
+    )
+
+
+@query("ann_bucketed_topk", oracle=_ANN_BUCKETED_ORACLE)
+def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query ANN end-to-end: hyperplane-bucket the corpus AND the
+    query batch (vec_id<4), generate candidates only where buckets
+    match, exact cosine within the bucket, per-query top-10 via a
+    row_number window partitioned by query id.
+
+    The 100 TB contract: the query batch + per-vector metadata are
+    broadcast, the big side is touched once and filtered to matching
+    buckets BEFORE the pair products exist, and the final top-k is a
+    window over per-query groups (shuffle keyed on qid, never a global
+    sort).  Candidates scale as corpus/2^bits per query, not corpus —
+    tools/ann_probe.py measures exactly that on cloned corpora."""
+    return ann_bucketed_topk_frame(
+        load_table(spark, sf_dir, "embeddings", fan_out=True), n_queries=4, k=10
     )
 
 
