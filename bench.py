@@ -50,6 +50,8 @@ HEADLINE = [
     "curation_pipeline",
     "kmeans_lloyd_step",
     "pagerank_nations",
+    "kmeans_two_rounds",
+    "ann_bucketed_topk",
 ]
 
 
@@ -70,10 +72,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # best-of-2: the steady-state plan cost, independent of which
-        # query happens to pay residual first-run compilation
+        # best-of-3: the steady-state plan cost, independent of which
+        # query happens to pay residual first-run compilation or a GC
+        # pause (the r3 kmeans/pagerank deltas were exactly that noise)
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -37,3 +37,13 @@ def test_filter_on_view_pushes_down_to_scan(spark, sf_dir):
         q.explain(mode="formatted")
     plan = buf.getvalue()
     assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_doc_counts_in_sync_with_registry():
+    """COVERAGE.md / BASELINE.md cite the registry totals; tools/counts.py
+    derives them from queries()/oracle_sql().  Stale docs fail here
+    (fix: python tools/counts.py --write)."""
+    import importlib
+
+    counts = importlib.import_module("tools.counts")
+    assert counts.sync(write=False) == []
