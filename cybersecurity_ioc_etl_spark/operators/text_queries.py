@@ -566,3 +566,62 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@query(
+    "doc_repetition_scores",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+    {_TOKENIZE_SQL} AS toks,
+    [array_to_string(list_slice({_TOKENIZE_SQL}, i, i + 2), chr(1))
+     for i in range(1, len({_TOKENIZE_SQL}) - 1)] AS tri
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+    AS dup_token_frac,
+  len(tri) AS n_trigrams,
+  len(tri) - len(list_distinct(tri)) AS n_dup_trigram_instances,
+  round(CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+        / GREATEST(len(tri), 1), 6) AS rep3_frac
+FROM base
+""",
+)
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics — the Gopher-rules quality
+    family (repetitious documents are low-value training data): duplicate
+    -token fraction and the fraction of word-3-gram INSTANCES that are
+    repeats of an earlier 3-gram in the same document.
+
+    Scale shape: pure per-row array expressions (size/array_distinct over
+    the token and shingle arrays) — zero shuffle, whole-stage codegen end
+    to end; the natural pre-filter stage ahead of the corpus-wide dedup
+    passes.  GREATEST(n,1) guards the short-doc empty shingle list
+    identically in both engines."""
+    toks = tokens(F.col("text"))
+    # NON-distinct 3-gram instances (dedup._word_shingles dedups; here
+    # the repeats ARE the signal)
+    tri = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(-1))),
+        lambda i: F.concat_ws("\x01", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    n_tok = F.size(toks)
+    n_dtok = F.size(F.array_distinct(toks))
+    n_tri = F.size(tri)
+    n_dup = n_tri - F.size(F.array_distinct(tri))
+    return load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_dtok.cast("long").alias("n_distinct_tokens"),
+        F.round(F.lit(1.0) - n_dtok.cast("double") / n_tok, 6).alias(
+            "dup_token_frac"
+        ),
+        n_tri.cast("long").alias("n_trigrams"),
+        n_dup.cast("long").alias("n_dup_trigram_instances"),
+        F.round(n_dup.cast("double") / F.greatest(n_tri, F.lit(1)), 6).alias(
+            "rep3_frac"
+        ),
+    )

@@ -54,9 +54,29 @@ def fan_out_narrow_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     vector math) where the shuffle cost is dwarfed by the parallelism
     gained.  At 100 TB this is a no-op: inputs arrive with >= cores
     natural splits, so the condition never fires — it exists exactly for
-    the skinny-input tail (small dimension feeds, single-file drops)."""
+    the skinny-input tail (small dimension feeds, single-file drops).
+
+    The split estimate comes from the scan's file listing + sizes (how
+    Spark itself bins files into tasks: ceil(size / maxPartitionBytes)
+    per file), NOT from ``df.rdd.getNumPartitions()`` — the RDD probe
+    builds the physical RDD plan eagerly on the driver per call."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        import os
+        from urllib.parse import urlparse
+
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip(
+                "b"
+            )
+        )
+        n_splits = sum(
+            max(1, -(-os.path.getsize(urlparse(f).path) // max_bytes))
+            for f in df.inputFiles()
+        )
+    except (OSError, ValueError):  # non-local files / post-scan frame
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits < target:
         return df.repartition(target)
     return df
 
