@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     events_queries,
     text_queries,
     dedup,
+    bpe,
     curation,
     graph,
     corpus_prep,

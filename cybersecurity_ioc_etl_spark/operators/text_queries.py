@@ -625,3 +625,92 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep3_frac"
         ),
     )
+
+
+@query(
+    "tfidf_doc_similarity_pairs",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS tok
+        FROM documents WHERE doc_id < 80)
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT t.doc_id, t.tok, t.tf * (10000000 // d.df) AS wi
+  FROM tf t JOIN df d USING (tok)
+  WHERE d.df <= 1000
+),
+norms AS (SELECT doc_id, SUM(wi * wi) AS sq FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wi * b.wi) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))), 6)
+    AS cosine_sim
+FROM dots
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+ORDER BY cosine_sim DESC, doc_a, doc_b LIMIT 20
+""",
+)
+def q_tfidf_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TEXT similarity through the inverted index: tf-idf-weighted
+    cosine between documents, pairs generated by a POSTING-LIST join on
+    the term (documents only meet where they share a term) — the sparse
+    complement of the dense-embedding ANN family.  The idf factor is the
+    integer 1e7 div df (monotone in 1/df, exact in both engines — ln()
+    is not guaranteed bit-identical across engines); dots and norms
+    accumulate exact int64 products and convert to double once.
+
+    Scale shape: the pair space is bounded by the posting join's term
+    fan-out, and the df cap (<= 1000, as in inverted_index_postings) is
+    the skew guard — a stop-term with a million-doc posting list would
+    otherwise generate a quadratic bucket on one reducer; dropping
+    high-df terms loses no signal (their idf weight is ~0 anyway).
+    Shuffles: tf count, posting self-join keyed on term, (doc_a, doc_b)
+    partial-sum — all map-side combined; top-20 is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(F.broadcast(df_t.filter(F.col("df") <= 1000)), "tok")
+        .select("doc_id", "tok", F.expr("tf * (10000000 div df)").alias("wi"))
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wi") * F.col("wi")).alias("sq"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wi") * F.col("b.wi")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("na.sq").cast("double"))
+            * F.sqrt(F.col("nb.sq").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dots.join(F.broadcast(norms.alias("na")), F.col("doc_a") == F.col("na.doc_id"))
+        .join(F.broadcast(norms.alias("nb")), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
