@@ -1001,3 +1001,17 @@ def q_embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("vec_a", "vec_b", "bucket", cos.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.2)
     )
+
+
+@query("stream_ann_topk", oracle=_ANN_BUCKETED_ORACLE)
+def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving (similarity + ST families): the 4-query
+    batch arrives as TWO micro-batches against the static corpus, each
+    answered through foreachBatch with the identical bucketed top-k
+    plan.  Per-query results are independent, so the drained union must
+    hash-match the batch ann_bucketed_topk oracle exactly — the oracle
+    is literally the same SQL.  See streaming/pipeline.py::run_stream_ann
+    for the serving-path scale story."""
+    from ..streaming.pipeline import run_stream_ann
+
+    return run_stream_ann(spark, sf_dir)

@@ -290,6 +290,63 @@ def run_neardup_stream(
     return spark.table(name).localCheckpoint(eager=True)
 
 
+def run_stream_ann(
+    spark: SparkSession, sf_dir: str, n_queries: int = 4, k: int = 10
+) -> DataFrame:
+    """Streaming ANN serving: QUERY vectors arrive as a stream and are
+    answered against a STATIC corpus index — the online complement of
+    the batch ``ann_bucketed_topk`` build.  Each micro-batch runs the
+    full bucketed top-k plan through ``foreachBatch`` (per-query results
+    are independent, so batch-at-a-time answering is exact, not an
+    approximation of the batch result), appending to a parquet sink.
+
+    Scale shape: ``foreachBatch`` exposes the whole batch DataFrame API,
+    so the per-batch plan is IDENTICAL to the batch one — corpus touched
+    once per trigger, query side + metadata broadcast, candidates
+    bounded by bucket match.  At 100 TB the static side would be a
+    bucketed table (sinks/bucketed.py) so the per-trigger corpus scan
+    prunes to matching buckets instead of re-bucketing; state is zero —
+    queries are stateless lookups, all the index state lives in
+    storage."""
+    import os
+
+    from ..operators.similarity import ann_bucketed_topk_frame
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= n_queries).localCheckpoint(eager=True)
+    qsrc = tempfile.mkdtemp(prefix="stream_ann_q_")
+    # two micro-batches of queries (2 files x maxFilesPerTrigger=1)
+    e.filter(F.col("vec_id") < n_queries).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(qsrc)
+    out_dir = tempfile.mkdtemp(prefix="stream_ann_out_")
+
+    def answer(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        frame = corpus.unionByName(batch)
+        ann_bucketed_topk_frame(frame, n_queries=n_queries, k=k).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(qsrc)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_ann_")
+    q = (
+        stream.writeStream.foreachBatch(answer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a STATIC
     dimension frame (event_type → engagement category) before
