@@ -52,6 +52,9 @@ HEADLINE = [
     "pagerank_nations",
     "kmeans_two_rounds",
     "ann_bucketed_topk",
+    "corpus_segment_dedup",
+    "bpe_merge_step",
+    "tfidf_doc_similarity_pairs",
 ]
 
 

@@ -305,3 +305,44 @@ def test_lsh_neardup_pairs_join_is_bucket_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
     assert P.is_all_jvm(p)
+
+
+def test_tfidf_pairs_broadcast_df_and_distributed_topk(spark, sf_dir):
+    """Posting-join similarity: the df table and per-doc norms broadcast,
+    pair generation is the term equi-join (never a cartesian), and the
+    top-20 is a distributed TakeOrderedAndProject."""
+    p = plan(spark, sf_dir, "tfidf_doc_similarity_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert P.is_all_jvm(p)
+
+
+def test_bpe_rounds_are_topk_and_jvm(spark, sf_dir):
+    """BPE pair census: map-side-combined word count + per-row symbol
+    arrays; top-k never global-sorts; the merge step's winning pair is a
+    broadcast, not a shuffle key."""
+    for name in ("bpe_pair_counts", "bpe_merge_step"):
+        p = plan(spark, sf_dir, name)
+        assert P.has_take_ordered_topk(p), name
+        assert "CartesianProduct" not in p, name
+        assert P.is_all_jvm(p), name
+
+
+def test_segment_dedup_shuffles_digests_not_text(spark, sf_dir):
+    """Segment-level dedup must aggregate md5 digests (two-phase hash
+    agg), never shuffle segment text: the exploded seg column is pruned
+    to (digest, length) before the exchange."""
+    p = plan(spark, sf_dir, "corpus_segment_dedup")
+    assert P.is_all_jvm(p)
+    assert p.count("HashAggregate") >= 2  # map-side combine on the digest
+
+
+def test_repetition_scores_single_narrow_pass(spark, sf_dir):
+    """Per-row repetition metrics must not shuffle at all beyond the
+    fan-out repartition: no joins, no aggregates."""
+    p = plan(spark, sf_dir, "doc_repetition_scores")
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert P.is_all_jvm(p)
