@@ -31,25 +31,46 @@ _TOKENIZE_SQL = "str_split_regex(trim(text), '\\s+')"
 # ('ab' → 'a<US>b<US>'); a merge deletes ONE interior marker.
 _SEQ_SQL = "regexp_replace(w, '(.)', '\\1' || chr(31), 'g')"
 
-# shared CTE prefix: word frequencies → symbol sequences → weighted
-# adjacent-pair counts.  {seq} lets the merge-step oracle re-point pair
-# counting at the post-merge sequences.
-_PAIRS_FROM_SQL = """
-syms AS (
-  SELECT f, list_slice(string_split({seq}, chr(31)), 1,
-                       len(string_split({seq}, chr(31))) - 1) AS s
+def _pairs_sql(sfx: str, src: str) -> str:
+    """CTE chain syms{sfx}/bi{sfx}/pc{sfx}: weighted adjacent-pair counts
+    from the (seq, f) table `src` — the per-round census, suffixed so the
+    merge-step oracles can unroll rounds like the pagerank/kmeans ones."""
+    return f"""
+syms{sfx} AS (
+  SELECT f, list_slice(string_split(seq, chr(31)), 1,
+                       len(string_split(seq, chr(31))) - 1) AS s
   FROM {src}
 ),
-bi AS (
+bi{sfx} AS (
   SELECT f, unnest([s[i] || chr(1) || s[i + 1] for i in range(1, len(s))]) AS p
-  FROM syms
+  FROM syms{sfx}
 ),
-pc AS (
+pc{sfx} AS (
   SELECT string_split(p, chr(1))[1] AS left_sym,
          string_split(p, chr(1))[2] AS right_sym,
          CAST(SUM(f) AS BIGINT) AS pair_count
-  FROM bi GROUP BY p
+  FROM bi{sfx} GROUP BY p
 )"""
+
+
+def _merge_round_sql(r: int) -> str:
+    """One unrolled merge round: top{r} = the winner of the previous
+    census, seqs{r} = sequences with that pair merged, pc{r} = the new
+    census."""
+    prev_seq = "seqs" if r == 1 else f"seqs{r - 1}"
+    prev_pc = "pc" if r == 1 else f"pc{r - 1}"
+    return f""",
+top{r} AS (
+  SELECT left_sym, right_sym FROM {prev_pc}
+  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+),
+seqs{r} AS (
+  SELECT replace(seq,
+                 t.left_sym || chr(31) || t.right_sym || chr(31),
+                 t.left_sym || t.right_sym || chr(31)) AS seq, f
+  FROM {prev_seq}, top{r} t
+),{_pairs_sql(str(r), f"seqs{r}")}"""
+
 
 _WF_SQL = f"""
 words AS (SELECT unnest({_TOKENIZE_SQL}) AS w FROM documents),
@@ -101,7 +122,7 @@ def pair_counts(seqs: DataFrame) -> DataFrame:
 @query(
     "bpe_pair_counts",
     oracle=f"""
-WITH {_WF_SQL},{_PAIRS_FROM_SQL.format(seq="seq", src="seqs")}
+WITH {_WF_SQL},{_pairs_sql("", "seqs")}
 SELECT left_sym, right_sym, pair_count
 FROM pc ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
 """,
@@ -122,21 +143,10 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bpe_merge_step",
     oracle=f"""
-WITH {_WF_SQL},{_PAIRS_FROM_SQL.format(seq="seq", src="seqs")},
-top1 AS (
-  SELECT left_sym, right_sym FROM pc
-  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
-),
-merged AS (
-  SELECT replace(seq,
-                 t.left_sym || chr(31) || t.right_sym || chr(31),
-                 t.left_sym || t.right_sym || chr(31)) AS seq2,
-         f, t.left_sym || '+' || t.right_sym AS merged_pair
-  FROM seqs, top1 t
-),{_PAIRS_FROM_SQL.format(seq="seq2", src="merged").replace("syms AS", "syms2 AS").replace("bi AS", "bi2 AS").replace("pc AS", "pc2 AS").replace("FROM syms", "FROM syms2").replace("FROM bi", "FROM bi2")}
-SELECT (SELECT merged_pair FROM merged LIMIT 1) AS merged_pair,
+WITH {_WF_SQL},{_pairs_sql("", "seqs")}{_merge_round_sql(1)}
+SELECT (SELECT left_sym || '+' || right_sym FROM top1) AS merged_pair,
        left_sym, right_sym, pair_count
-FROM pc2 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 10
+FROM pc1 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 10
 """,
 )
 def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,26 +163,70 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the corpus.  Iterating = repeating this round with the vocab
     frame checkpointed, exactly the kmeans_two_rounds loop discipline."""
     seqs = _word_freq(spark, sf_dir).select(_to_seq(F.col("w")).alias("seq"), "f")
-    top1 = (
-        pair_counts(seqs)
-        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
-        .limit(1)
-        .select(
-            F.col("left_sym").alias("ml"), F.col("right_sym").alias("mr")
-        )
-    )
-    merged = seqs.crossJoin(F.broadcast(top1)).select(
-        F.expr(
-            "replace(seq, concat(ml, chr(31), mr, chr(31)), concat(ml, mr, chr(31)))"
-        ).alias("seq"),
-        "f",
-        F.concat_ws("+", "ml", "mr").alias("merged_pair"),
-    )
-    mp = merged.select("merged_pair").limit(1)
+    merged, mp = merge_top_pair(seqs)
     return (
-        pair_counts(merged.select("seq", "f"))
+        pair_counts(merged)
         .crossJoin(F.broadcast(mp))
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(10)
         .select("merged_pair", "left_sym", "right_sym", "pair_count")
+    )
+
+
+def merge_top_pair(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge: returns (merged (seq, f) vocab, 1-row merged-pair
+    frame).  The winner broadcasts into a literal left-to-right replace;
+    the merged vocab is localCheckpoint-ed so iterated rounds start from
+    a materialized leaf (kmeans_two_rounds / connected_components loop
+    discipline — per-round plans stay flat however many merges run)."""
+    top1 = (
+        pair_counts(seqs)
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(1)
+        .select(F.col("left_sym").alias("ml"), F.col("right_sym").alias("mr"))
+    )
+    merged = (
+        seqs.crossJoin(F.broadcast(top1))
+        .select(
+            F.expr(
+                "replace(seq, concat(ml, chr(31), mr, chr(31)),"
+                " concat(ml, mr, chr(31)))"
+            ).alias("seq"),
+            "f",
+            F.concat_ws("+", "ml", "mr").alias("merged_pair"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return merged.select("seq", "f"), merged.select("merged_pair").limit(1)
+
+
+@query(
+    "bpe_two_merges",
+    oracle=f"""
+WITH {_WF_SQL},{_pairs_sql("", "seqs")}{_merge_round_sql(1)}{_merge_round_sql(2)}
+SELECT (SELECT left_sym || '+' || right_sym FROM top1) AS merged_pair_1,
+       (SELECT left_sym || '+' || right_sym FROM top2) AS merged_pair_2,
+       left_sym, right_sym, pair_count
+FROM pc2 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 10
+""",
+)
+def q_bpe_two_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO composed BPE merges — the vocabulary actually grows multi-char
+    symbols (round 2's winner can contain round 1's merged symbol), which
+    is the property that makes BPE a TRAINING loop rather than a one-shot
+    census.  The oracle unrolls both rounds from the same round-CTE
+    generator; both merged pairs ride along so the oracle pins the merge
+    SEQUENCE, not just final counts.  Loop discipline per merge_top_pair:
+    each round's vocab is a checkpointed leaf, so n merges cost n flat
+    plans, not one n-deep plan."""
+    seqs = _word_freq(spark, sf_dir).select(_to_seq(F.col("w")).alias("seq"), "f")
+    merged1, mp1 = merge_top_pair(seqs)
+    merged2, mp2 = merge_top_pair(merged1)
+    return (
+        pair_counts(merged2)
+        .crossJoin(F.broadcast(mp1.select(F.col("merged_pair").alias("merged_pair_1"))))
+        .crossJoin(F.broadcast(mp2.select(F.col("merged_pair").alias("merged_pair_2"))))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(10)
+        .select("merged_pair_1", "merged_pair_2", "left_sym", "right_sym", "pair_count")
     )

@@ -689,20 +689,29 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark uses min(struct(dist, cid)) for the argmin; the oracle states
     it as ROW_NUMBER ordered by (dist, cid) — same total order."""
-    comp = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-        )
-        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
-    )
+    comp = _kmeans_comp(spark, sf_dir)
     cent = (
         comp.filter(F.col("vec_id") < _KMEANS_K)
         .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
     )
     _, counts, means = _lloyd_round(comp, cent)
     return _centroid_norms(means, counts)
+
+
+def _kmeans_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded integer components, materialized ONCE: the round body
+    references comp from the centroid seed, the dots join, and the means
+    join — without the checkpoint the explode+quantize scan re-executes
+    per reference per round (measured ~30% of kmeans wall at sf0.1)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
+        .localCheckpoint(eager=True)
+    )
 
 
 # one Lloyd round as SQL CTEs, parameterized on the centroid CTE name and
@@ -767,14 +776,7 @@ def q_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 1 once per downstream reference (counts + means + norms would
     otherwise each re-run it); at n rounds the checkpoint cadence also
     bounds plan depth exactly as in pagerank."""
-    comp = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-        )
-        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
-    )
+    comp = _kmeans_comp(spark, sf_dir)
     cent = (
         comp.filter(F.col("vec_id") < _KMEANS_K)
         .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
