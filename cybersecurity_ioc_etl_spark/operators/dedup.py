@@ -873,3 +873,54 @@ def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(dup, F.col("n")).otherwise(0)).cast("bigint").alias("dup_chars"),
         )
     )
+
+
+@query(
+    "incremental_dedup_new_docs",
+    oracle=f"""
+WITH hist AS (
+  SELECT DISTINCT {_FP_SQL} AS fingerprint
+  FROM documents WHERE doc_id < 250
+),
+new_batch AS (
+  SELECT doc_id, {_FP_SQL} AS fingerprint
+  FROM documents WHERE doc_id >= 250
+),
+fresh AS (
+  SELECT n.doc_id, n.fingerprint
+  FROM new_batch n LEFT JOIN hist h ON n.fingerprint = h.fingerprint
+  WHERE h.fingerprint IS NULL
+)
+SELECT doc_id, fingerprint FROM (
+  SELECT doc_id, fingerprint,
+    MIN(doc_id) OVER (PARTITION BY fingerprint) AS keeper
+  FROM fresh
+) WHERE doc_id = keeper
+""",
+)
+def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the daily-ingest shape: a new crawl batch
+    (doc_id >= 250) dedups against the HISTORICAL fingerprint index
+    (doc_id < 250) with an anti-join on the digest, then keep-first
+    within the batch.  This is how a production corpus absorbs a new
+    drop without re-deduping 100 TB: the history never rescans its
+    payloads — only its 16-byte fingerprint column joins.
+
+    Scale shape: at 100 TB the fingerprint index is a bucketed table
+    (sinks/bucketed.py) on the digest, so the anti-join co-locates with
+    ZERO exchange on the index side and the new batch pays one digest
+    shuffle; the within-batch window shuffles only the (usually tiny)
+    survivors.  The oracle states the identical anti-join + window."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text")).alias("fingerprint")
+    hist = d.filter(F.col("doc_id") < 250).select(fp).distinct()
+    new_batch = d.filter(F.col("doc_id") >= 250).select("doc_id", fp)
+    fresh = new_batch.join(hist, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint")
+    return (
+        fresh.select("doc_id", "fingerprint", F.min("doc_id").over(w).alias("keeper"))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "fingerprint")
+    )
