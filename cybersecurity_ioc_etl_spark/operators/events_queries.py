@@ -740,3 +740,40 @@ def q_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_purchase_i"),
     )
+
+
+@query(
+    "events_variant_stats",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  MIN(k) AS min_k, MAX(k) AS max_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured stats through the Spark 4 VARIANT type: props is
+    parsed ONCE into the binary variant encoding and typed paths are
+    extracted with variant_get — at 100 TB this replaces per-path JSON
+    re-parsing (get_json_object re-tokenizes the string for every path
+    extracted; variant parses once and the shredded binary serves all
+    extractions, the same reason warehouses store shredded JSON).  The
+    oracle states the identical result relationally over json_extract."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
