@@ -217,3 +217,157 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling and the global training shuffle
+# ---------------------------------------------------------------------------
+
+_DSIR_V = 64  # hashed-feature vocabulary size
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    {_SHINGLE_INT_SQL.format(x='t.tok')} % {_DSIR_V} AS b
+  FROM (SELECT doc_id, lang,
+          unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents) t
+),
+tgt AS (SELECT b, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+tot AS (SELECT
+  (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS nt,
+  (SELECT COUNT(*) FROM tok) AS nr),
+scored AS (
+  SELECT t.doc_id, t.lang,
+    CAST(ROUND(
+      CAST((COALESCE(g.ct, 0) + 1) * (tot.nr + {_DSIR_V}) AS DOUBLE)
+      / CAST((r.cr + 1) * (tot.nt + {_DSIR_V}) AS DOUBLE)
+      * 1000000.0) AS BIGINT) AS mi6
+  FROM tok t JOIN raw r USING (b) LEFT JOIN tgt g USING (b), tot
+),
+doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_tokens, SUM(mi6) AS s
+  FROM scored GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_tokens,
+  CAST(s AS DOUBLE) / n_tokens / 1000000.0 AS importance
+FROM doc
+ORDER BY importance DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("dsir_importance_sample", oracle=_DSIR_ORACLE)
+def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): estimate hashed-unigram bucket distributions for
+    a target domain (lang='en' documents) and the raw corpus, score each
+    document by its mean per-token likelihood ratio
+    (ct+1)(Nr+V) / ((cr+1)(Nt+V)) — Laplace-smoothed — and keep the 20
+    highest-importance documents.  This is the standard 'make the web
+    corpus look like the target domain' selection pass.
+
+    Cross-engine float contract: each per-token ratio is built from
+    exact integer counts (products < 2^53, so the int->double casts are
+    exact and the one division + one multiply are correctly-rounded IEEE
+    ops — bit-identical in both engines), quantized to an integer at
+    1e6, summed EXACTLY per document, and divided once at the end —
+    never a SUM over doubles, whose ordering differs between engines.
+
+    Scale shape: two corpus passes — one to build the two bucket-count
+    tables (V rows each: broadcast) and the 1-row totals, one to score.
+    Per-token scoring is a broadcast join + codegen arithmetic; the only
+    full shuffle is the per-doc aggregation (map-side combined), and the
+    final top-20 is TakeOrderedAndProject.  At 100 TB the target side is
+    the small curated corpus and V grows to ~100k buckets — still
+    broadcast-size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id", "lang", (_shingle_int(F.col("tok")) % _DSIR_V).alias("b")
+    )
+    tgt = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tot = tok.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count("*").alias("nr"),
+    )
+    ratio = (
+        ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("nr") + _DSIR_V))
+        .cast("double")
+        / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_V)).cast("double")
+    )
+    mi6 = F.round(ratio * F.lit(1e6)).cast("bigint")
+    scored = (
+        tok.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", mi6.alias("mi6"))
+    )
+    doc = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tokens"), F.sum("mi6").alias("s")
+    )
+    # no final round: the chain is exact-int -> double casts + two
+    # correctly-rounded IEEE divisions, bit-identical in both engines;
+    # round(x, 6) would DIVERGE here (Spark's BigDecimal HALF_UP vs
+    # DuckDB's binary round) because the 1e6 quantization makes exact
+    # half-boundaries at the 7th decimal common
+    importance = F.col("s").cast("double") / F.col("n_tokens") / F.lit(1e6)
+    return (
+        doc.select("doc_id", "lang", "n_tokens", importance.alias("importance"))
+        .orderBy(F.col("importance").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_N_SHARDS = 8
+
+_SHUFFLE_ORACLE = f"""
+SELECT shard, doc_id,
+  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+FROM (
+  SELECT doc_id,
+    {_SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR) || '|shard'")}
+      % {_N_SHARDS} AS shard,
+    {_SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR) || '|pos'")} AS h
+  FROM documents
+)
+"""
+
+
+@query("corpus_shard_shuffle", oracle=_SHUFFLE_ORACLE)
+def q_corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    (shard, position) that is a pure function of its id — shard =
+    md5(id|'shard') mod 8, position = rank of md5(id|'pos') within the
+    shard.  This is how a 100 TB corpus is 'shuffled' for training
+    without a global sort: two INDEPENDENT hash salts decorrelate the
+    shard route from the within-shard order (reusing one hash would
+    make within-shard order a function of shard membership), shards are
+    written in parallel, and re-runs/backfills reproduce the identical
+    epoch order on any cluster layout.
+
+    Scale shape: one narrow map to stamp (shard, h), one shuffle
+    partitioned BY SHARD with a within-shard sort — row_number over
+    Window.partitionBy(shard) is exactly that plan; no stage ever holds
+    a global order.  At 100 TB shards number in the thousands so each
+    sort fits an executor; the fixture uses 8."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        _shingle_int(F.concat(F.col("doc_id").cast("string"), F.lit("|shard")))
+        % _N_SHARDS
+    )
+    h = _shingle_int(F.concat(F.col("doc_id").cast("string"), F.lit("|pos")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"), h.alias("h"))
+        .select("shard", "doc_id", F.row_number().over(w).cast("bigint").alias("pos"))
+    )

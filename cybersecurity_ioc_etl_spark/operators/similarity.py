@@ -1017,3 +1017,143 @@ def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_ann
 
     return run_stream_ann(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-bounded cosine pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.3  # top ~1% of within-cluster pair cosines in this fixture
+_SEMDEDUP_CAP = 1000  # fixture bound; at scale k grows instead (see docstring)
+
+_SEMDEDUP_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_CAP}
+),
+cent AS (
+  SELECT vec_id AS cid, i, xi AS ci FROM comp WHERE vec_id < {_KMEANS_K}
+),
+sqc AS (SELECT cid, SUM(ci * ci) AS sq_c FROM cent GROUP BY cid),
+dots AS (
+  SELECT v.vec_id, c.cid, SUM(v.xi * c.ci) AS dot_i
+  FROM comp v JOIN cent c ON v.i = c.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY s.sq_c - 2 * d.dot_i, cid) AS rn
+    FROM dots d JOIN sqc s USING (cid)
+  ) WHERE rn = 1
+),
+sq AS (SELECT vec_id, SUM(xi * xi) AS sq FROM comp GROUP BY vec_id),
+tag AS (
+  SELECT c.vec_id, a.cid, c.i, c.xi
+  FROM comp c JOIN assign a USING (vec_id)
+),
+pd AS (
+  SELECT a.cid AS cid, a.vec_id AS va, b.vec_id AS vb, SUM(a.xi * b.xi) AS dot_i
+  FROM tag a JOIN tag b
+    ON a.cid = b.cid AND a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+),
+dropped AS (
+  SELECT DISTINCT cid, vb
+  FROM pd JOIN sq sa ON pd.va = sa.vec_id JOIN sq sb ON pd.vb = sb.vec_id
+  WHERE round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+          / (sqrt(CAST(sa.sq AS DOUBLE) / 100000000000000.0)
+           * sqrt(CAST(sb.sq AS DOUBLE) / 100000000000000.0)), 6) >= {_SEMDEDUP_T}
+),
+drops AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid),
+counts AS (SELECT cid, COUNT(*) AS n_members FROM assign GROUP BY cid)
+SELECT c.cid, c.n_members,
+  COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+  c.n_members - COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_kept
+FROM counts c LEFT JOIN drops d USING (cid)
+"""
+
+
+@query("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding corpus (one Lloyd assignment to the k=8 deterministic
+    seeds), then search for semantic duplicates ONLY within a cluster —
+    pairs with cosine >= 0.3 — and prune every vector that has a
+    more-senior (lower vec_id) near-duplicate in its cluster.  Output is
+    the per-cluster prune audit: members, dropped, kept.
+
+    Scale story: the whole point of SemDeDup is that the quadratic pair
+    search is CLUSTER-bounded, never corpus-bounded.  At 100 TB you grow
+    k proportionally (k ~ n / target_cell_size, e.g. 100k clusters of
+    ~10k docs), so per-cluster work is constant and the total is linear;
+    the fixture keeps k=8 fixed, so we bound the corpus (vec_id < 1000)
+    exactly the way embedding_neardup_pairs bounds its ground-truth
+    variant.  Assignment reuses `_lloyd_round` (centroids broadcast,
+    exact-integer argmin → engine-identical memberships); pair dots are
+    the explode-join-aggregate shape of embedding_neardup_pairs with the
+    cluster id added to the join key, so pairs never form across
+    clusters.  The greedy keep-lowest-id policy ("drop any vector with a
+    senior near-dup") is deterministic in both engines — no RNG, no
+    iteration, unlike connected-components dedup."""
+    comp = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SEMDEDUP_CAP)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
+        .localCheckpoint(eager=True)  # referenced by cent, sq, dots, tag
+    )
+    cent = comp.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci")
+    )
+    assign, counts, _ = _lloyd_round(comp, cent)
+    assign = assign.localCheckpoint(eager=True)
+    sq = comp.groupBy("vec_id").agg(F.sum(F.col("xi") * F.col("xi")).alias("sq"))
+    tag = comp.join(assign, "vec_id")
+    a, b = tag.alias("a"), tag.alias("b")
+    pd = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+        )
+        .agg(F.sum(F.col("a.xi") * F.col("b.xi")).alias("dot_i"))
+    )
+    sa, sb = sq.alias("sa"), sq.alias("sb")
+    cos = F.round(
+        (F.col("dot_i").cast("double") / F.lit(1e14))
+        / (
+            F.sqrt(F.col("sa.sq").cast("double") / F.lit(1e14))
+            * F.sqrt(F.col("sb.sq").cast("double") / F.lit(1e14))
+        ),
+        6,
+    )
+    dropped = (
+        pd.join(F.broadcast(sa), F.col("va") == F.col("sa.vec_id"))
+        .join(F.broadcast(sb), F.col("vb") == F.col("sb.vec_id"))
+        .filter(cos >= F.lit(_SEMDEDUP_T))
+        .select("cid", "vb")
+        .distinct()
+    )
+    drops = dropped.groupBy("cid").agg(F.count("*").alias("n_dropped"))
+    n_dropped = F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
+    return (
+        counts.join(drops, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            n_dropped.alias("n_dropped"),
+            (F.col("n_members") - n_dropped).alias("n_kept"),
+        )
+    )
