@@ -112,16 +112,29 @@ _RECONFIRM = [
     "stream_hourly_counts", "eval_contamination",
 ]
 
+# Unchecked queries deliberately deferred past this round's window: the
+# 50 slots are over-subscribed by 3, and these three (added last, all
+# tri-scale green in the local replica) yield their slots to the two
+# VERDICT-r3 deliverables (kmeans_two_rounds, stream_ann_topk) that
+# would otherwise spill.  They become next round's priority head.
+_DEFER = ["semdedup_prune", "dsir_importance_sample", "corpus_shard_shuffle"]
+
 
 def _ordered(names: list[str]) -> list[str]:
     head = [n for n in _PRIORITY if n in names]
     seen = set(head)
-    mid = [n for n in names if n not in seen and n not in _DRIVER_CHECKED]
+    mid = [
+        n
+        for n in names
+        if n not in seen and n not in _DRIVER_CHECKED and n not in _DEFER
+    ]
     seen.update(mid)
     reconfirm = [n for n in _RECONFIRM if n in names and n not in seen]
     seen.update(reconfirm)
+    deferred = [n for n in _DEFER if n in names and n not in seen]
+    seen.update(deferred)
     tail = [n for n in names if n not in seen]
-    return head + mid + reconfirm + tail
+    return head + mid + reconfirm + deferred + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:
