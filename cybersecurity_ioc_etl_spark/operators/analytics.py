@@ -33,9 +33,11 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 )
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS over (flag, status) / (flag) / (): three aggregation
-    granularities in ONE shuffle — Spark expands the sets map-side and
-    partially aggregates each, so the cost is one pass over lineitem, not
-    three queries.  (SURVEY.md §2.4: no grouping sets in reference.)"""
+    granularities — the two keyed sets expand map-side into ONE shuffle,
+    and the () set is a separate global aggregate UNION ALL'd on because
+    Spark's Expand yields zero rows on EMPTY input where the standard
+    (and DuckDB) still emits the grand-total row.
+    (SURVEY.md §2.4: no grouping sets in reference.)"""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
     return spark.sql(
         """
@@ -44,7 +46,13 @@ SELECT l_returnflag, l_linestatus,
        AS DOUBLE) / 10000.0 AS sum_base_price,
   COUNT(*) AS n_items
 FROM gs_lineitem
-GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+UNION ALL
+SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
+  CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 10000.0) AS BIGINT) AS DECIMAL(38,0)))
+       AS DOUBLE) / 10000.0,
+  COUNT(*)
+FROM gs_lineitem
 """
     )
 

@@ -128,15 +128,22 @@ def q_lineitem_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > 1)
         .agg(F.count("*").alias("dup_line_keys"))
     )
+    # coalesce: SUM over an EMPTY table is NULL in Spark while the
+    # oracle's COUNT is 0 — an empty slice has zero bad rows, not NULL
     domain = l.agg(
-        F.sum(
-            F.when(
-                F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("bad_quantities"),
-        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("null_shipdates"),
     )

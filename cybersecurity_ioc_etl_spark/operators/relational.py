@@ -391,16 +391,29 @@ GROUP BY ROLLUP (r.r_name, n.n_name)
 """,
 )
 def q_rollup_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (SURVEY.md §2.4 — absent in reference)."""
+    """ROLLUP grouping sets (SURVEY.md §2.4 — absent in reference).
+
+    Stated as grouping-sets-minus-() UNION a global aggregate rather
+    than `.rollup(...)`: Spark's Expand-based rollup emits ZERO rows on
+    empty input, while the SQL standard (and the DuckDB oracle) demands
+    the () grand-total row even then — a global aggregate always yields
+    exactly one row, so the union is correct on empty and non-empty
+    input alike, and on non-empty input the two forms are identical."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(F.count("c_custkey").alias("n_customers"))
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
+    gs = joined.groupingSets(
+        [["r_name", "n_name"], ["r_name"]], "r_name", "n_name"
+    ).agg(F.count("c_custkey").alias("n_customers"))
+    total = joined.agg(F.count("c_custkey").alias("n_customers")).select(
+        F.lit(None).cast("string").alias("r_name"),
+        F.lit(None).cast("string").alias("n_name"),
+        "n_customers",
+    )
+    return gs.unionByName(total)
 
 
 @query(
@@ -414,11 +427,31 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
 )
 def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE stated as the three non-() grouping sets UNION a global
+    aggregate — same reason as rollup_region_nation_customers: Spark's
+    `.cube()` emits zero rows on EMPTY input where the standard (and
+    DuckDB) emits the () grand-total row."""
     c = load_table(spark, sf_dir, "orders")
-    return c.cube("o_orderstatus", "o_orderpriority").agg(
+    aggs = [
         F.count("*").alias("n"),
         (isum(mi(F.col("o_totalprice"))) / 1e4).alias("total_price"),
+    ]
+    gs = c.groupingSets(
+        [
+            ["o_orderstatus", "o_orderpriority"],
+            ["o_orderstatus"],
+            ["o_orderpriority"],
+        ],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(*aggs)
+    total = c.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n",
+        "total_price",
     )
+    return gs.unionByName(total)
 
 
 @query(

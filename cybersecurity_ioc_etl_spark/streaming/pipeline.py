@@ -344,6 +344,12 @@ def run_stream_ann(
         .start()
     )
     q.awaitTermination()
+    # an empty query stream writes nothing: read.parquet on a fileless
+    # dir throws UNABLE_TO_INFER_SCHEMA, so hand back the plan's schema
+    # with zero rows — the serving path's answer to a quiet trigger
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        schema = ann_bucketed_topk_frame(e, n_queries=n_queries, k=k).schema
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(out_dir).localCheckpoint(eager=True)
 
 

@@ -1,0 +1,98 @@
+"""Empty-slice behavior: operators must not crash — and must agree with
+the oracle — when every input table has zero rows (a new source with no
+documents yet, a fully-filtered partition, a quiet backfill hour).
+
+`tools/empty_probe.py` sweeps ALL registered queries (run it when adding
+an operator family); this test pins a representative per-family subset
+plus every query that historically broke on empty input, so the suite
+stays fast while the regressions stay locked:
+
+- lineitem_integrity_audit: Spark SUM over empty is NULL vs COUNT's 0
+- rollup/cube/grouping_sets: Spark's Expand emits zero rows on empty
+  input where the SQL standard emits the () grand-total row
+- stream_ann_topk: empty query stream wrote no parquet -> schema
+  inference crash on the sink read
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.empty_probe import TABLES, build_empty_dir
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+# every query that ever crashed or diverged on empty input...
+_REGRESSIONS = [
+    "lineitem_integrity_audit",
+    "rollup_region_nation_customers",
+    "cube_status_priority",
+    "grouping_sets_revenue",
+    "stream_ann_topk",
+]
+# ...plus one representative per operator family
+_FAMILIES = [
+    "ioc_flagship",
+    "pricing_summary",
+    "top_orders",
+    "region_nation_revenue",
+    "customer_running_spend",
+    "events_hourly",
+    "events_sessionize",
+    "doc_token_stats",
+    "dedup_exact_groups",
+    "minhash_band_pairs",
+    "dedup_components",
+    "knn_cosine_topk",
+    "kmeans_lloyd_step",
+    "pagerank_nations",
+    "curation_pipeline",
+    "eval_contamination",
+    "deterministic_sample",
+    "weighted_priority_sample",
+    "dsir_importance_sample",
+    "corpus_shard_shuffle",
+    "semdedup_prune",
+    "media_byte_profile",
+    "doc_chunking",
+    "bpe_merge_step",
+    "cdc_snapshot_fold",
+    "asof_click_before_purchase",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir():
+    return build_empty_dir()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.17g}"
+    return "NULL" if v is None else str(v)
+
+
+@pytest.mark.parametrize("name", _REGRESSIONS + _FAMILIES)
+def test_query_survives_and_matches_oracle_on_empty(spark, empty_dir, name):
+    sdf = QUERIES[name](spark, empty_dir)
+    srows = sorted(tuple(_norm(v) for v in r) for r in sdf.collect())
+    if name not in ORACLES:
+        return  # rows-only query: surviving without a crash is the contract
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'"
+            )
+        drows = sorted(
+            tuple(_norm(v) for v in row)
+            for row in con.execute(ORACLES[name]).fetchall()
+        )
+    finally:
+        con.close()
+    assert srows == drows, f"{name}: spark={srows[:3]} oracle={drows[:3]}"

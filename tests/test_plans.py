@@ -346,3 +346,35 @@ def test_repetition_scores_single_narrow_pass(spark, sf_dir):
     assert "Join" not in p
     assert "HashAggregate" not in p
     assert P.is_all_jvm(p)
+
+
+def test_semdedup_pairs_are_cluster_keyed_not_cartesian(spark, sf_dir):
+    """SemDeDup's pair search must join on (cid, i) — candidate pairs
+    only form WITHIN a cluster — with the tiny norm tables broadcast and
+    everything in codegen.  A CartesianProduct here would be the
+    corpus-squared plan the operator exists to avoid."""
+    p = plan(spark, sf_dir, "semdedup_prune")
+    assert "CartesianProduct" not in p
+    assert P.has_broadcast_join(p)
+    assert P.is_all_jvm(p)
+
+
+def test_dsir_bucket_tables_broadcast_and_topk(spark, sf_dir):
+    """DSIR scoring joins the corpus against the V-row bucket-count
+    tables — those must broadcast (the corpus side never shuffles for
+    the join) — and the final selection is distributed top-k."""
+    p = plan(spark, sf_dir, "dsir_importance_sample")
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert P.is_all_jvm(p)
+    assert p.count("HashAggregate") >= 2  # bucket counts map-side combined
+
+
+def test_shard_shuffle_is_single_exchange_no_join(spark, sf_dir):
+    """The global training shuffle is one narrow map + ONE exchange
+    partitioned by shard with a within-shard sort — never a global
+    order, never a join."""
+    p = plan(spark, sf_dir, "corpus_shard_shuffle")
+    assert "Join" not in p
+    assert P.shuffle_count(p) == 1
+    assert P.is_all_jvm(p)
