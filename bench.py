@@ -55,6 +55,8 @@ HEADLINE = [
     "corpus_segment_dedup",
     "bpe_merge_step",
     "tfidf_doc_similarity_pairs",
+    "semdedup_prune",
+    "dsir_importance_sample",
 ]
 
 

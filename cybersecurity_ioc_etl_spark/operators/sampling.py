@@ -275,14 +275,18 @@ def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6, summed EXACTLY per document, and divided once at the end —
     never a SUM over doubles, whose ordering differs between engines.
 
-    Scale shape: two corpus passes — one to build the two bucket-count
-    tables (V rows each: broadcast) and the 1-row totals, one to score.
-    Per-token scoring is a broadcast join + codegen arithmetic; the only
-    full shuffle is the per-doc aggregation (map-side combined), and the
-    final top-20 is TakeOrderedAndProject.  At 100 TB the target side is
-    the small curated corpus and V grows to ~100k buckets — still
+    Scale shape: exactly TWO corpus passes — one conditional
+    aggregation builds the raw count AND the target count per bucket in
+    a single map-side-combined shuffle (the V-row result is
+    checkpointed so the totals derive from 64 rows, not a re-scan), and
+    one scoring pass joins it back by broadcast.  The only full shuffle
+    is the per-doc aggregation (map-side combined); the final top-20 is
+    TakeOrderedAndProject.  At 100 TB the target side is the small
+    curated corpus and V grows to ~100k buckets — still
     broadcast-size."""
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: the md5-per-token stage is CPU-bound (the shingling case
+    # CLAUDE.md reserves fan_out for) — measured 1.50 -> 1.02 s at sf0.1
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select(
         "doc_id",
         "lang",
@@ -290,23 +294,25 @@ def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", (_shingle_int(F.col("tok")) % _DSIR_V).alias("b")
     )
-    tgt = tok.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count("*").alias("ct")
+    # one pass, both distributions: ct is the en-conditional count, so
+    # a bucket with no target tokens carries ct=0 (the oracle's
+    # COALESCE over its missing-tgt left join — same value)
+    cnt = (
+        tok.groupBy("b")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        )
+        .localCheckpoint(eager=True)  # V rows; totals must not re-scan
     )
-    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
-    tot = tok.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
-        F.count("*").alias("nr"),
-    )
+    tot = cnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     ratio = (
-        ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("nr") + _DSIR_V))
-        .cast("double")
+        ((F.col("ct") + 1) * (F.col("nr") + _DSIR_V)).cast("double")
         / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_V)).cast("double")
     )
     mi6 = F.round(ratio * F.lit(1e6)).cast("bigint")
     scored = (
-        tok.join(F.broadcast(raw), "b")
-        .join(F.broadcast(tgt), "b", "left")
+        tok.join(F.broadcast(cnt), "b")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "lang", mi6.alias("mi6"))
     )

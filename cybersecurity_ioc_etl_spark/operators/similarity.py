@@ -1098,17 +1098,27 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters.  The greedy keep-lowest-id policy ("drop any vector with a
     senior near-dup") is deterministic in both engines — no RNG, no
     iteration, unlike connected-components dedup."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_CAP
+    )
+    return semdedup_audit_frame(e, k=_KMEANS_K)
+
+
+def _semdedup_parts(
+    e: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(counts, sq, pd) for an embeddings frame: one Lloyd assignment to
+    the first-k seeds, then within-cluster pair dots joined on (cid, i)
+    so pairs never form across clusters."""
     comp = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _SEMDEDUP_CAP)
-        .select(
+        e.select(
             "vec_id",
             F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
         )
         .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
         .localCheckpoint(eager=True)  # referenced by cent, sq, dots, tag
     )
-    cent = comp.filter(F.col("vec_id") < _KMEANS_K).select(
+    cent = comp.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci")
     )
     assign, counts, _ = _lloyd_round(comp, cent)
@@ -1130,6 +1140,21 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("a.xi") * F.col("b.xi")).alias("dot_i"))
     )
+    return counts, sq, pd
+
+
+def semdedup_candidate_pairs(e: DataFrame, k: int) -> DataFrame:
+    """The within-cluster candidate volume — what the exact-scoring
+    stage actually pays; tools/semdedup_probe.py counts this against
+    the corpus-squared brute force."""
+    return _semdedup_parts(e, k)[2]
+
+
+def semdedup_audit_frame(e: DataFrame, k: int) -> DataFrame:
+    """Per-cluster prune audit (cid, n_members, n_dropped, n_kept) for
+    any embeddings frame and cluster count — the parameterized body of
+    q_semdedup_prune."""
+    counts, sq, pd = _semdedup_parts(e, k)
     sa, sb = sq.alias("sa"), sq.alias("sb")
     cos = F.round(
         (F.col("dot_i").cast("double") / F.lit(1e14))
