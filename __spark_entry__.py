@@ -117,7 +117,12 @@ _RECONFIRM = [
 # tri-scale green in the local replica) yield their slots to the two
 # VERDICT-r3 deliverables (kmeans_two_rounds, stream_ann_topk) that
 # would otherwise spill.  They become next round's priority head.
-_DEFER = ["semdedup_prune", "dsir_importance_sample", "corpus_shard_shuffle"]
+_DEFER = [
+    "semdedup_prune",
+    "dsir_importance_sample",
+    "corpus_shard_shuffle",
+    "lang_classifier_confusion",
+]
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     sampling,
     similarity,
     advanced,
+    classify,
     analytics,
     profiling,
 )

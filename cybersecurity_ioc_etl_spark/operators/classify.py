@@ -1,0 +1,144 @@
+"""Distributed model training + scoring: a hashed-feature linear
+language classifier over `documents` — the engine's representative for
+"apply a learned model to the whole corpus" (quality/language/topic
+classifiers in an LLM data pipeline).
+
+The model is multinomial-Naive-Bayes-shaped but scored LINEARLY (sum of
+per-token smoothed likelihood ratios, not log products): logs would put
+a transcendental in the score and break cross-engine bit-identity; the
+linear scorer keeps every intermediate an exact integer (see the FLOOR
+note below).  Note the fixture's five "languages" share one identical
+31-word vocabulary — the only learnable signal is token FREQUENCY, so
+held-out accuracy is near-baseline by construction; the operator is
+the distributed train/score machinery, and a real corpus (disjoint
+vocabularies) is what makes the model itself good.
+
+Train/test hygiene reuses the hash-bucket split of `sampling.py`: the
+model NEVER sees a held-out document's tokens, so the confusion matrix
+is a genuine generalization measure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .dedup import _SHINGLE_INT_SQL, _shingle_int
+from .registry import query
+from .sampling import _bucket_sql, hash_bucket
+
+_V = 64  # hashed-unigram vocabulary
+
+# FLOOR, not ROUND: (ct+1)*1e9 / (n_c+V) is a small-integer rational,
+# which lands EXACTLY on .5 often enough to hit the engines' rounding
+# divergence (Spark HALF_UPs the shortest decimal, DuckDB rounds the
+# binary double).  Both inputs are exact in double (< 2^53) and the one
+# division is correctly rounded IEEE, so the quotient is bit-identical
+# in both engines — and floor of a bit-identical double is identical,
+# with no boundary cases at all.
+_SCORE_SQL = (
+    "CAST(FLOOR(CAST(({ct} + 1) * 1000000000 AS DOUBLE)"
+    f" / CAST({{nc}} + {_V} AS DOUBLE)) AS BIGINT)"
+)
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    {_bucket_sql(x="CAST(doc_id AS VARCHAR)")} < 80 AS is_train,
+    {_SHINGLE_INT_SQL.format(x='t.tok')} % {_V} AS b
+  FROM (SELECT doc_id, lang,
+          unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents) t
+),
+ct AS (
+  SELECT b, lang AS cls, COUNT(*) AS ct
+  FROM tok WHERE is_train GROUP BY 1, 2
+),
+nc AS (SELECT cls, SUM(ct) AS n_c FROM ct GROUP BY cls),
+grid AS (  -- densified (bucket x class) weight table, Laplace-smoothed
+  SELECT r.b, nc.cls,
+    {_SCORE_SQL.format(ct='COALESCE(ct.ct, 0)', nc='nc.n_c')} AS w
+  FROM (SELECT range AS b FROM range({_V})) r
+  CROSS JOIN nc
+  LEFT JOIN ct ON ct.b = r.b AND ct.cls = nc.cls
+),
+scored AS (
+  SELECT t.doc_id, t.lang, g.cls, SUM(g.w) AS s
+  FROM tok t JOIN grid g ON t.b = g.b
+  WHERE NOT t.is_train
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, lang, cls AS pred_lang FROM (
+    SELECT doc_id, lang, cls,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, pred_lang
+"""
+
+
+@query("lang_classifier_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def q_lang_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a hashed-unigram linear language classifier on the 80%
+    hash-bucket train split, score every HELD-OUT document against all
+    classes, and emit the (true, predicted) confusion counts — the
+    standard 'fit a cheap classifier, sweep the corpus' pass of a
+    pretraining pipeline (language ID, quality gating, topic routing).
+
+    Engine-identical scoring: per-(bucket, class) weights are
+    FLOOR-quantized smoothed frequency ratios (exact-int inputs, one
+    correctly-rounded division — see _SCORE_SQL), per-document class
+    scores are exact integer sums, and the argmax breaks ties to the
+    lexicographically smallest class in both engines.
+
+    Scale shape: ONE conditional-count pass over train tokens builds
+    the V x classes weight grid (tiny: broadcast even at V=100k); the
+    scoring pass is a broadcast join + per-(doc, class) map-side
+    combined sum — the class dimension multiplies rows by |classes|
+    exactly like a grouping-set Expand, nothing shuffles the corpus
+    more than once.  Swapping lang for any labeled training signal
+    (quality votes, topic tags) reuses the whole plan."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        (hash_bucket(F.col("doc_id")) < 80).alias("is_train"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id", "lang", "is_train", (_shingle_int(F.col("tok")) % _V).alias("b")
+    )
+    ct = (
+        tok.filter("is_train")
+        .groupBy("b", F.col("lang").alias("cls"))
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint(eager=True)  # V*classes rows; feeds nc and grid
+    )
+    nc = ct.groupBy("cls").agg(F.sum("ct").alias("n_c"))
+    buckets = spark.range(_V).select(F.col("id").cast("bigint").alias("b"))
+    w = F.floor(
+        ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * F.lit(1000000000)).cast(
+            "double"
+        )
+        / (F.col("n_c") + _V).cast("double")
+    ).cast("bigint")
+    grid = (
+        buckets.crossJoin(F.broadcast(nc))
+        .join(F.broadcast(ct), ["b", "cls"], "left")
+        .select("b", "cls", w.alias("w"))
+    )
+    scored = (
+        tok.filter(~F.col("is_train"))
+        .join(F.broadcast(grid), "b")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum("w").alias("s"))
+    )
+    pred = (
+        scored.groupBy("doc_id", "lang")
+        .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("cls"))).alias("best"))
+        .select("doc_id", "lang", F.col("best.cls").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))

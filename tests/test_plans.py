@@ -378,3 +378,14 @@ def test_shard_shuffle_is_single_exchange_no_join(spark, sf_dir):
     assert "Join" not in p
     assert P.shuffle_count(p) == 1
     assert P.is_all_jvm(p)
+
+
+def test_lang_classifier_weight_grid_broadcasts(spark, sf_dir):
+    """The V x classes weight grid must broadcast into the scoring join
+    (the corpus side never shuffles for it), with per-(doc, class)
+    sums map-side combined and no Python anywhere."""
+    p = plan(spark, sf_dir, "lang_classifier_confusion")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+    assert p.count("HashAggregate") >= 2

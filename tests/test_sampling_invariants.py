@@ -59,3 +59,23 @@ def test_semdedup_audit_partitions_members(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     capped = e.filter(F.col("vec_id") < 1000).count()
     assert sum(r["n_members"] for r in rows) == capped
+
+
+def test_lang_classifier_covers_every_heldout_doc_once(spark, sf_dir):
+    """Confusion counts must total exactly the held-out split (every
+    test doc classified once), and predictions only ever name classes
+    that exist in the training data."""
+    from cybersecurity_ioc_etl_spark.operators.sampling import hash_bucket
+
+    rows = QUERIES["lang_classifier_confusion"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_test = docs.filter(hash_bucket(F.col("doc_id")) >= 80).count()
+    assert sum(r["n_docs"] for r in rows) == n_test
+    train_langs = {
+        r["lang"]
+        for r in docs.filter(hash_bucket(F.col("doc_id")) < 80)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert {r["pred_lang"] for r in rows} <= train_langs
