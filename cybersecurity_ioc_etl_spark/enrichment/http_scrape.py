@@ -36,6 +36,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _ITEM_RE = re.compile(r"<li[^>]*>\s*<div[^>]*>(.*?)</div>", re.S)
@@ -96,7 +97,12 @@ def scrape_urls(
     Input should already be deduplicated (`urls.select(url).distinct()`)
     — fetching is the expensive side effect, so the dedup shuffle of tiny
     url strings is always worth it.  Classification of items happens
-    AFTER this stage with the JVM-side `classify_ioc` expression."""
+    AFTER this stage with the JVM-side `classify_ioc` expression.
+
+    NULL urls are dropped JVM-side before the Python boundary: shipping
+    them would crash the fetcher (None.encode) for rows that can yield
+    no page anyway (tools/null_probe.py finding)."""
+    urls = urls.filter(F.col(url_col).isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -258,7 +258,11 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # NULL blobs never cross the Python boundary — len(None)/bytes(None)
+    # would kill the worker for rows that carry nothing to extract
+    return media.filter(F.col("content").isNotNull()).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 @query(
@@ -269,6 +273,7 @@ SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END 
   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
   CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
+WHERE text IS NOT NULL  -- mirrors the JVM-side null-blob filter
 GROUP BY 1
 """,
 )
@@ -325,7 +330,9 @@ FROM (
   SELECT substring(d.text, CAST(f.i AS INTEGER) * 64 + 1, 64) AS frame_txt
   FROM documents d,
        unnest(range(0, least(4, greatest(1, length(d.text) // 64)))) AS f(i)
-  WHERE d.doc_id % 3 = 2
+  -- text IS NOT NULL mirrors the JVM-side null-blob filter; without it
+  -- DuckDB's greatest() skips the NULL length and invents one NULL frame
+  WHERE d.doc_id % 3 = 2 AND d.text IS NOT NULL
 )
 """,
 )
@@ -379,7 +386,9 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return media.filter(F.col("content").isNotNull()).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(
@@ -411,4 +420,6 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
                     frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+    return media.filter(
+        (F.col("kind") == "video") & F.col("content").isNotNull()
+    ).mapInPandas(run, schema=FRAME_SCHEMA)

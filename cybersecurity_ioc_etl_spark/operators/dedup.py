@@ -208,13 +208,18 @@ def _minhash_sql(j: int) -> str:
 
 @query(
     "minhash_signatures",
+    # text IS NOT NULL on BOTH sides: the Spark shingle explode silently
+    # drops null-text docs, so the per-doc oracle must drop them too —
+    # a signature of a missing document is meaningless either way
     oracle="SELECT doc_id, "
     + ", ".join(f"{_minhash_sql(j)} AS mh_{j}" for j in range(8))
-    + "\nFROM documents WHERE doc_id < 100",
+    + "\nFROM documents WHERE doc_id < 100 AND text IS NOT NULL",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature computation (k=8) — the sketch under LSH near-dup."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull()
+    )
     return minhash_agg(d, "doc_id", "text", k=8)
 
 

@@ -271,11 +271,20 @@ def q_first_last_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     last order price by order key — the 'first touch / last touch'
     attribution shape, one shuffle, no window or self-join.  The ordering
     key (o_orderkey) is unique, so both engines pick the same row; prices
-    pass through untouched (never re-associated)."""
+    pass through untouched (never re-associated).
+
+    NULL contract: DuckDB's arg_min/arg_max IGNORE rows whose VALUE is
+    NULL, while Spark's min_by/max_by would return the (NULL) value at
+    the extreme key — so the ordering key is masked to NULL on null-price
+    rows, which Spark's min_by skips, matching the oracle
+    (tools/null_probe.py finding)."""
     o = load_table(spark, sf_dir, "orders")
+    key_if_priced = F.when(
+        F.col("o_totalprice").isNotNull(), F.col("o_orderkey")
+    )
     return o.groupBy("o_custkey").agg(
-        F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
-        F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+        F.min_by("o_totalprice", key_if_priced).alias("first_price"),
+        F.max_by("o_totalprice", key_if_priced).alias("last_price"),
         F.count("*").alias("n_orders"),
     )
 

@@ -75,9 +75,15 @@ LIMIT 10
 def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbours of vec_id=0.  Single narrow
     pass over embeddings + TakeOrderedAndProject; the one-row query side
-    is a broadcast cross-join (no shuffle of the big side)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    is a broadcast cross-join (no shuffle of the big side).
+
+    NULL embeddings are filtered ahead of the math: the oracle's unnest
+    yields no rows for them, while the array-lambda fold would keep the
+    row with a NULL cosine (tools/null_probe.py finding)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     # hoist the constant query sq-norm into the 1-row broadcast side (as
     # ann_bucketed_topk does): per corpus row only ONE 64-element fold
@@ -109,9 +115,15 @@ GROUP BY vec_id, label
 """,
 )
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector L2 norm + dimensionality — array aggregation exercise."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    """Per-vector L2 norm + dimensionality — array aggregation exercise.
+    NULL embeddings filter out (the oracle's unnest drops them; the
+    array fold would keep a NULL-norm row)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     return e.select(
         "vec_id",
@@ -556,9 +568,12 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed on integer mantissas so the scale arithmetic is identical
     in both engines; the oracle checks the quantized-value checksum,
     range, and dimensionality.  One narrow pass: min/max/quantize/sum
-    all happen inside a single per-row array fold — no shuffle at all."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    all happen inside a single per-row array fold — no shuffle at all.
+    NULL embeddings filter out (the oracle's unnest drops them)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     xi = F.transform(F.col("v"), _mi)
     mn = F.array_min(xi)

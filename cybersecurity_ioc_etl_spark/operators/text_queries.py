@@ -230,7 +230,8 @@ def q_doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(pieces).cast("long").alias("n_pieces"),
-        est.alias("est_bpe_tokens"),
+        # coalesce mirrors the oracle: NULL text -> 0 estimated tokens
+        F.coalesce(est, F.lit(0).cast("bigint")).alias("est_bpe_tokens"),
         (
             F.length("text").cast("double")
             / F.when(est > 0, est).otherwise(F.lit(1))
@@ -603,10 +604,16 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines."""
     toks = tokens(F.col("text"))
     # NON-distinct 3-gram instances (dedup._word_shingles dedups; here
-    # the repeats ARE the signal)
-    tri = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(-1))),
-        lambda i: F.concat_ws("\x01", toks[i], toks[i + 1], toks[i + 2]),
+    # the repeats ARE the signal).  The isNotNull guard is load-bearing:
+    # greatest() SKIPS the NULL size for a NULL text, so the sequence
+    # would otherwise become [0, -1] and fabricate two phantom trigrams
+    # where the oracle NULL-propagates (tools/null_probe.py finding).
+    tri = F.when(
+        toks.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(-1))),
+            lambda i: F.concat_ws("\x01", toks[i], toks[i + 1], toks[i + 2]),
+        ),
     )
     n_tok = F.size(toks)
     n_dtok = F.size(F.array_distinct(toks))

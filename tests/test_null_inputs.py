@@ -1,0 +1,80 @@
+"""NULL-slice behavior: operators must agree with the oracle when ~3%
+of rows carry NULL payloads (missing text/lang/embedding/measure — the
+normal state of a web-scale feed).
+
+`tools/null_probe.py` sweeps ALL registered queries; this test pins the
+ten that historically crashed or diverged, so the suite stays fast while
+the regressions stay locked:
+
+- enrichment / multimodal mapInPandas stages: None crossed the Python
+  boundary (None.encode, bytes(None), len(None))
+- first_last_order_price: DuckDB arg_min ignores NULL values, Spark
+  min_by returned them
+- knn/vector_norms/int8_quantize: oracle's unnest drops NULL embeddings,
+  Spark's array fold kept NULL rows
+- doc_repetition_scores: greatest() skipping a NULL size manufactured a
+  phantom [0, -1] sequence (two fake trigrams)
+- doc_bpe_token_estimate / minhash_signatures / frame_dedup_profile:
+  NULL-text rows kept on one side only
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.null_probe import TABLES, build_null_dir
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+_REGRESSIONS = [
+    "enrichment_scraped_iocs",
+    "media_byte_profile",
+    "frame_dedup_profile",
+    "first_last_order_price",
+    "knn_cosine_topk",
+    "vector_norms",
+    "embedding_int8_quantize",
+    "doc_repetition_scores",
+    "doc_bpe_token_estimate",
+    "minhash_signatures",
+]
+
+
+@pytest.fixture(scope="module")
+def null_dir():
+    return build_null_dir()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.17g}"
+    return "NULL" if v is None else str(v)
+
+
+@pytest.mark.parametrize("name", _REGRESSIONS)
+def test_query_matches_oracle_with_null_rows(spark, null_dir, name):
+    sdf = QUERIES[name](spark, null_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(_norm(r[c]) for c in cols) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{null_dir}/{t}.parquet'"
+            )
+        res = con.execute(ORACLES[name])
+        dcols = [d[0] for d in res.description]
+        drows = sorted(
+            tuple(_norm(row[dcols.index(c)]) for c in cols)
+            for row in res.fetchall()
+        )
+    finally:
+        con.close()
+    assert srows == drows, f"{name}: spark={srows[:3]} oracle={drows[:3]}"
