@@ -122,6 +122,7 @@ _DEFER = [
     "dsir_importance_sample",
     "corpus_shard_shuffle",
     "lang_classifier_confusion",
+    "ioc_ip_block_enrichment",
 ]
 
 

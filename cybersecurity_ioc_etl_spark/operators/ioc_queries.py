@@ -543,3 +543,157 @@ def q_ioc_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_unrefanged_ip"),
         F.count("*").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threat-intel enrichment: IP -> network-block range join
+# ---------------------------------------------------------------------------
+#
+# A deterministic synthetic block table stands in for a threat-intel CIDR
+# feed: each /8 is split into 1, 2, or 4 equal sub-blocks (md5-derived),
+# every block carrying an md5-derived threat level.  Blocks are octet-
+# aligned, so the range join is BUCKETED: equi-join on the first octet,
+# then the residual BETWEEN check over at most 4 candidate blocks per IP
+# — the interval-join pattern that scales (click_error_range_join's time
+# variant, here in its dimension-lookup form).
+
+from .dedup import _SHINGLE_INT_SQL  # md5-prefix -> int, both engines
+
+_H_O = _SHINGLE_INT_SQL.format(x="CAST(o AS VARCHAR)")
+_H_OSUB = _SHINGLE_INT_SQL.format(
+    x="CAST(o AS VARCHAR) || '|' || CAST(sub AS VARCHAR)"
+)
+
+_IP_BLOCKS_CTE = f"""
+blocks AS (
+  SELECT o, sub,
+    o * 16777216 + sub * (16777216 // n_sub) AS lo,
+    o * 16777216 + (sub + 1) * (16777216 // n_sub) - 1 AS hi,
+    ['low', 'medium', 'high', 'critical'][CAST({_H_OSUB} % 4 + 1 AS INTEGER)]
+      AS threat
+  FROM (
+    SELECT r.range AS o, s.range AS sub,
+      CASE {_H_O} % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS n_sub
+    FROM range(256) r CROSS JOIN range(4) s
+  )
+  WHERE sub < n_sub
+)
+"""
+
+
+@query(
+    "ioc_ip_block_enrichment",
+    oracle=_EXTRACT_CTE.rstrip()
+    + ",\n"
+    + _IP_BLOCKS_CTE.strip()
+    + f""",
+ips AS (
+  SELECT DISTINCT ioc,
+    CAST(string_split(ioc, '.')[1] AS BIGINT) * 16777216
+    + CAST(string_split(ioc, '.')[2] AS BIGINT) * 65536
+    + CAST(string_split(ioc, '.')[3] AS BIGINT) * 256
+    + CAST(string_split(ioc, '.')[4] AS BIGINT) AS ip_int,
+    CAST(string_split(ioc, '.')[1] AS BIGINT) AS o1
+  FROM ioc_rows
+  WHERE type = 'ip' AND regexp_matches(ioc, '^(\\d{{1,3}}\\.){{3}}\\d{{1,3}}$')
+    AND CAST(string_split(ioc, '.')[1] AS BIGINT) <= 255
+    AND CAST(string_split(ioc, '.')[2] AS BIGINT) <= 255
+    AND CAST(string_split(ioc, '.')[3] AS BIGINT) <= 255
+    AND CAST(string_split(ioc, '.')[4] AS BIGINT) <= 255
+)
+SELECT b.threat,
+  COUNT(*) AS n_ips,
+  COUNT(DISTINCT b.o * 16777216 + b.sub) AS n_blocks_hit,
+  MIN(i.ioc) AS sample_ip
+FROM ips i JOIN blocks b ON i.o1 = b.o AND i.ip_int BETWEEN b.lo AND b.hi
+GROUP BY b.threat
+""",
+)
+def q_ioc_ip_block_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threat-intel lookup: every distinct extracted IP is mapped to its
+    network block (a CIDR-style interval table) and profiled by the
+    block's threat level — the enrichment the reference would do against
+    a commercial intel feed after extraction.
+
+    Scale shape: the block table is dimension-sized (≤1024 rows —
+    broadcast), and because blocks never span a /8 boundary the interval
+    join is a BUCKETED range join: equi-join on the first octet carries
+    the hash lookup, the BETWEEN residual inspects at most the 4 blocks
+    of that octet.  No CartesianProduct, no sort-merge interval sweep;
+    the plan is one broadcast hash join however many IPs flow through.
+    IPs are pre-deduplicated (enrichment joins cost per DISTINCT key,
+    exactly like scrape_urls) and octet-validated before the int math."""
+    ip_rows = (
+        ioc_table(spark, sf_dir)
+        .filter(
+            (F.col("type") == "ip")
+            & F.col("ioc").rlike(r"^(\d{1,3}\.){3}\d{1,3}$")
+        )
+        .select("ioc")
+    )
+    oct_ = [
+        F.split(F.col("ioc"), r"\.").getItem(i).cast("bigint") for i in range(4)
+    ]
+    ips = (
+        ip_rows.filter(
+            (oct_[0] <= 255) & (oct_[1] <= 255) & (oct_[2] <= 255) & (oct_[3] <= 255)
+        )
+        .select(
+            "ioc",
+            (
+                oct_[0] * 16777216 + oct_[1] * 65536 + oct_[2] * 256 + oct_[3]
+            ).alias("ip_int"),
+            oct_[0].alias("o1"),
+        )
+        .distinct()
+    )
+    n_sub = (
+        F.when(_md5_int_o() % 3 == 0, 1)
+        .when(_md5_int_o() % 3 == 1, 2)
+        .otherwise(4)
+    )
+    base = (
+        spark.range(256)
+        .select(F.col("id").alias("o"))
+        .crossJoin(spark.range(4).select(F.col("id").alias("sub")))
+        .withColumn("n_sub", n_sub)
+        .filter(F.col("sub") < F.col("n_sub"))
+    )
+    width = F.lit(16777216) / F.col("n_sub")  # exact: n_sub divides 2^24
+    threat = F.element_at(
+        F.array(F.lit("low"), F.lit("medium"), F.lit("high"), F.lit("critical")),
+        (_md5_int_osub() % 4 + 1).cast("int"),
+    )
+    blocks = base.select(
+        "o",
+        "sub",
+        (F.col("o") * 16777216 + F.col("sub") * width).cast("bigint").alias("lo"),
+        (F.col("o") * 16777216 + (F.col("sub") + 1) * width - 1)
+        .cast("bigint")
+        .alias("hi"),
+        threat.alias("threat"),
+    )
+    joined = ips.join(
+        F.broadcast(blocks),
+        (F.col("o1") == F.col("o"))
+        & F.col("ip_int").between(F.col("lo"), F.col("hi")),
+    )
+    return joined.groupBy("threat").agg(
+        F.count("*").alias("n_ips"),
+        F.countDistinct(F.col("o") * 16777216 + F.col("sub")).alias("n_blocks_hit"),
+        F.min("ioc").alias("sample_ip"),
+    )
+
+
+def _md5_int_o():
+    from .dedup import _shingle_int
+
+    return _shingle_int(F.col("o").cast("string"))
+
+
+def _md5_int_osub():
+    from .dedup import _shingle_int
+
+    return _shingle_int(
+        F.concat(F.col("o").cast("string"), F.lit("|"), F.col("sub").cast("string"))
+    )

@@ -389,3 +389,16 @@ def test_lang_classifier_weight_grid_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
     assert p.count("HashAggregate") >= 2
+
+
+def test_ip_block_enrichment_is_bucketed_range_join(spark, sf_dir):
+    """The IP->block interval join must be a BroadcastHashJoin on the
+    first-octet bucket with the BETWEEN residual as its condition —
+    never a nested-loop over the IPs.  (The one BNLJ allowed is the
+    256x4 constant cross that CONSTRUCTS the 1024-row block table.)"""
+    p = plan(spark, sf_dir, "ioc_ip_block_enrichment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # one BNLJ node = two mentions in formatted output (tree + detail)
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # block-table build only
+    assert P.is_all_jvm(p)
