@@ -113,9 +113,10 @@ _RECONFIRM = [
 ]
 
 # Unchecked queries deliberately deferred past this round's window: the
-# 50 slots are over-subscribed by 3, and these three (added last, all
-# tri-scale green in the local replica) yield their slots to the two
-# VERDICT-r3 deliverables (kmeans_two_rounds, stream_ann_topk) that
+# 50 slots are over-subscribed by the late-round-4 additions, and these
+# (all tri-scale green in the local replica, plus empty- and null-probe
+# clean) yield their slots to the VERDICT-r3 deliverables
+# (kmeans_two_rounds, stream_ann_topk) and the 38-query backlog that
 # would otherwise spill.  They become next round's priority head.
 _DEFER = [
     "semdedup_prune",
@@ -123,6 +124,7 @@ _DEFER = [
     "corpus_shard_shuffle",
     "lang_classifier_confusion",
     "ioc_ip_block_enrichment",
+    "trade_triangle_counts",
 ]
 
 

@@ -117,13 +117,10 @@ def pagerank(
     return ranks
 
 
-@query("pagerank_nations", oracle=_PAGERANK_ORACLE)
-def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the nation trade graph, 3 exact-integer rounds (see
-    module docstring for the determinism contract and the 100 TB loop
-    shape)."""
-    # one-quarter trade window: the shipdate predicate reaches the
-    # parquet scan (PushedFilters) and bounds the edge-derivation join
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src, dst) nation trade edges for one quarter — the
+    shipdate predicate reaches the parquet scan (PushedFilters) and
+    bounds the edge-derivation join; dims broadcast."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -134,7 +131,7 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
+    return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
@@ -143,8 +140,115 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges)
+
+
+@query("pagerank_nations", oracle=_PAGERANK_ORACLE)
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph, 3 exact-integer rounds (see
+    module docstring for the determinism contract and the 100 TB loop
+    shape)."""
+    ranks = pagerank(_trade_edges(spark, sf_dir))
     return ranks.select(
         F.col("id").alias("nation_id"),
         (F.col("ri").cast("double") / F.lit(1e7)).alias("pagerank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficients
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = f"""
+WITH draw AS ({_EDGES_SQL}),
+uedges AS (  -- canonical undirected edge set, self-loops dropped
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM draw WHERE src != dst
+),
+tri AS (  -- oriented wedge close: each triangle counted once as x<y<z
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM uedges e1
+  JOIN uedges e2 ON e1.b = e2.a
+  JOIN uedges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pernode AS (
+  SELECT v, COUNT(*) AS t FROM (
+    SELECT x AS v FROM tri UNION ALL
+    SELECT y FROM tri UNION ALL
+    SELECT z FROM tri
+  ) GROUP BY v
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM uedges UNION ALL SELECT b FROM uedges
+  ) GROUP BY v
+)
+SELECT deg.v AS nation_id, COALESCE(pernode.t, 0) AS n_triangles, deg.d AS degree,
+  CASE WHEN deg.d >= 2
+       THEN CAST(2 * COALESCE(pernode.t, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
+       ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM deg LEFT JOIN pernode ON deg.v = pernode.v
+"""
+
+
+@query("trade_triangle_counts", oracle=_TRIANGLE_ORACLE)
+def q_trade_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per nation over the
+    undirected trade graph — the third graph operator (after components
+    and PageRank), and a different JOIN shape: not iterative, but a
+    double self-join whose cost is the wedge count.
+
+    Scale shape: edges are canonicalized a<b, so the wedge join
+    e1.b = e2.a enumerates each candidate ordered wedge once and the
+    closing equi-join on (x, z) confirms triangles — every triangle
+    counted exactly once as x<y<z, no post-dedup.  At web scale the
+    orientation key switches from id to (degree, id) — pointing edges at
+    the higher-degree endpoint bounds per-node wedge fan-out to
+    O(sqrt(m)) (the standard skew lever) with the identical plan; the
+    id-orientation here keeps the oracle simple on the 25-node fixture.
+    Clustering = 2t / d(d-1) is one exact-int division — bit-identical
+    both engines; COUNT/COALESCE algebra handles triangle-free nodes."""
+    e = _trade_edges(spark, sf_dir)
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by e1/e2/e3 and deg
+    )
+    e1, e2, e3 = u.alias("e1"), u.alias("e2"), u.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        u.select(F.col("a").alias("v"))
+        .unionAll(u.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0).cast("long"))
+    clustering = F.when(
+        F.col("d") >= 2,
+        (F.lit(2) * t).cast("double") / (F.col("d") * (F.col("d") - 1)),
+    ).otherwise(F.lit(0.0))
+    return deg.join(pernode, "v", "left").select(
+        F.col("v").cast("bigint").alias("nation_id"),
+        t.alias("n_triangles"),
+        F.col("d").alias("degree"),
+        clustering.alias("clustering"),
     )
