@@ -77,6 +77,22 @@ def sync(write: bool) -> list[str]:
             with open(base_path, "w") as f:
                 f.write(new_base)
 
+    readme_path = os.path.join(REPO, "README.md")
+    with open(readme_path) as f:
+        readme = f.read()
+    new_readme, n_sub = re.subn(
+        r"\(\d+ at last count, \d+ with full\s*\noracles\)",
+        f"({n_q} at last count, {n_o} with full\noracles)",
+        readme,
+    )
+    if n_sub == 0:
+        stale.append("README.md (phrase not found)")
+    elif new_readme != readme:
+        stale.append("README.md")
+        if write:
+            with open(readme_path, "w") as f:
+                f.write(new_readme)
+
     return stale
 
 
