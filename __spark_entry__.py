@@ -125,6 +125,7 @@ _DEFER = [
     "lang_classifier_confusion",
     "ioc_ip_block_enrichment",
     "trade_triangle_counts",
+    "stream_classify_confusion",
 ]
 
 

@@ -103,17 +103,29 @@ def q_lang_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than once.  Swapping lang for any labeled training signal
     (quality votes, topic tags) reuses the whole plan."""
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    tok = d.select(
+    grid = train_weight_grid(
+        spark, d.filter(hash_bucket(F.col("doc_id")) < 80)
+    )
+    pred = classify_docs(d.filter(hash_bucket(F.col("doc_id")) >= 80), grid)
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+def _tokenize_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b) hashed-unigram feature rows."""
+    return docs.select(
         "doc_id",
         "lang",
-        (hash_bucket(F.col("doc_id")) < 80).alias("is_train"),
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).select(
-        "doc_id", "lang", "is_train", (_shingle_int(F.col("tok")) % _V).alias("b")
-    )
+    ).select("doc_id", "lang", (_shingle_int(F.col("tok")) % _V).alias("b"))
+
+
+def train_weight_grid(spark: SparkSession, train_docs: DataFrame) -> DataFrame:
+    """Fit the model: densified (b, cls, w) weight table from the train
+    split — V x classes rows, checkpointed (it is the MODEL; scoring
+    must never replay the training scan), always broadcast-size."""
+    tok = _tokenize_buckets(train_docs)
     ct = (
-        tok.filter("is_train")
-        .groupBy("b", F.col("lang").alias("cls"))
+        tok.groupBy("b", F.col("lang").alias("cls"))
         .agg(F.count("*").alias("ct"))
         .localCheckpoint(eager=True)  # V*classes rows; feeds nc and grid
     )
@@ -125,20 +137,41 @@ def q_lang_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.col("n_c") + _V).cast("double")
     ).cast("bigint")
-    grid = (
+    return (
         buckets.crossJoin(F.broadcast(nc))
         .join(F.broadcast(ct), ["b", "cls"], "left")
         .select("b", "cls", w.alias("w"))
+        .localCheckpoint(eager=True)
     )
+
+
+def classify_docs(docs: DataFrame, grid: DataFrame) -> DataFrame:
+    """Score documents against a trained grid: (doc_id, lang, pred_lang).
+    Broadcast join + map-side-combined integer sums; argmax ties to the
+    lexicographically smallest class."""
     scored = (
-        tok.filter(~F.col("is_train"))
+        _tokenize_buckets(docs)
         .join(F.broadcast(grid), "b")
         .groupBy("doc_id", "lang", "cls")
         .agg(F.sum("w").alias("s"))
     )
-    pred = (
+    return (
         scored.groupBy("doc_id", "lang")
         .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("cls"))).alias("best"))
         .select("doc_id", "lang", F.col("best.cls").alias("pred_lang"))
     )
-    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+@query("stream_classify_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def q_stream_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING model serving: the held-out split arrives as two real
+    micro-batches and is scored through foreachBatch against the
+    statically trained weight grid — per-document predictions are
+    independent, so the drained confusion matrix must hash-match the
+    batch oracle exactly (it is literally the same SQL).  See
+    streaming/pipeline.py::run_stream_classify for the serving-path
+    scale story (stateless; the model is the only state, broadcast into
+    every trigger)."""
+    from ..streaming.pipeline import run_stream_classify
+
+    return run_stream_classify(spark, sf_dir)

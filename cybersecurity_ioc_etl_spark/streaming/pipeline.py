@@ -12,6 +12,7 @@ new, then stop — with the checkpoint playing the role of the
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -351,6 +352,60 @@ def run_stream_ann(
         schema = ann_bucketed_topk_frame(e, n_queries=n_queries, k=k).schema
         return spark.createDataFrame([], schema)
     return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+
+
+def run_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model serving: the language classifier's weight grid is
+    trained ONCE on the static 80% split, then HELD-OUT documents arrive
+    as two micro-batches and are scored through foreachBatch with the
+    identical broadcast-join plan — the 'classifier sweeps the incoming
+    feed' deployment of operators/classify.py.  Per-document predictions
+    are independent, so the drained union hash-matches the batch
+    confusion oracle exactly.
+
+    Scale shape: the model is a checkpointed V x classes frame
+    (broadcast into every micro-batch — no state store, no watermark:
+    model serving is stateless, all state is the trained grid), and each
+    batch pays only its own tokenize + broadcast-join + per-doc argmax."""
+    from ..operators.classify import classify_docs, train_weight_grid
+    from ..operators.sampling import hash_bucket
+    from ..sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    grid = train_weight_grid(
+        spark, d.filter(hash_bucket(F.col("doc_id")) < 80)
+    )
+    test = d.filter(hash_bucket(F.col("doc_id")) >= 80).select(
+        "doc_id", "lang", "text"
+    )
+    src = tempfile.mkdtemp(prefix="stream_classify_src_")
+    test.repartition(2).write.mode("overwrite").parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="stream_classify_out_")
+
+    def score(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        classify_docs(batch, grid).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(test.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_classify_")
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        schema = classify_docs(test, grid).schema
+        pred = spark.createDataFrame([], schema)
+    else:
+        pred = spark.read.parquet(out_dir)
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
