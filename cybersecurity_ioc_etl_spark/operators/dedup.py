@@ -17,12 +17,31 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 from .registry import query
 
-_FP_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+# ASCII-only case fold: full Unicode lower() is locale/library-dependent
+# (Java emits final-sigma 'ς' and dotted 'i̇' where utf8proc does not —
+# tools/unicode_probe.py finding), so a fingerprint built on it is NOT
+# reproducible across engines.  translate over [A-Z] is bit-identical
+# everywhere; non-ASCII case variants fingerprint as distinct, which is
+# the conservative (never-merge-wrongly) direction for dedup.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+_FP_SQL = (
+    "md5(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'),"
+    f" '{_ASCII_UPPER}', '{_ASCII_LOWER}'))"
+)
 
 
 def fingerprint(text: Column) -> Column:
-    """Whitespace/case-normalized md5 content hash."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+    """Whitespace/ASCII-case-normalized md5 content hash (see _FP_SQL
+    note: Unicode lower() diverges between engines)."""
+    return F.md5(
+        F.translate(
+            F.regexp_replace(F.trim(text), r"\s+", " "),
+            _ASCII_UPPER,
+            _ASCII_LOWER,
+        )
+    )
 
 
 @query(

@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import FEED_CTE_SQL, load_table
+from . import dedup as _dedup
 from .registry import query
 
 # tiny embedded stopword lists for the language-ID heuristic; the fixture
@@ -138,22 +139,17 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fingerprint",
-    oracle="""
-SELECT doc_id,
-  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    oracle=f"""
+SELECT doc_id, {_dedup._FP_SQL} AS fingerprint
 FROM documents
 """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: whitespace/case-normalized md5 — the exact
-    content-hash used by the exact-dedup operator."""
+    """Document fingerprinting: whitespace/ASCII-case-normalized md5 —
+    the exact content-hash used by the exact-dedup operator (shared
+    helper; see dedup._FP_SQL for why the case fold is ASCII-only)."""
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    return d.select(
-        "doc_id",
-        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
-            "fingerprint"
-        ),
-    )
+    return d.select("doc_id", _dedup.fingerprint(F.col("text")).alias("fingerprint"))
 
 
 @query(
@@ -604,16 +600,22 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines."""
     toks = tokens(F.col("text"))
     # NON-distinct 3-gram instances (dedup._word_shingles dedups; here
-    # the repeats ARE the signal).  The isNotNull guard is load-bearing:
-    # greatest() SKIPS the NULL size for a NULL text, so the sequence
-    # would otherwise become [0, -1] and fabricate two phantom trigrams
-    # where the oracle NULL-propagates (tools/null_probe.py finding).
-    tri = F.when(
-        toks.isNotNull(),
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(-1))),
-            lambda i: F.concat_ws("\x01", toks[i], toks[i + 1], toks[i + 2]),
-        ),
+    # the repeats ARE the signal).  Guards are load-bearing, in order:
+    # NULL text must NULL-propagate (greatest() SKIPS a NULL size, so
+    # the sequence would fabricate phantom trigrams — null_probe
+    # finding); and a doc with <3 tokens must yield an EMPTY list —
+    # sequence(0, size-3) for size<3 is a DESCENDING [0,..] sequence
+    # whose toks[i+2] lookups crash under ANSI array indexing
+    # (unicode_probe finding: whitespace-free CJK text is one token).
+    tri = (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.size(toks) < 3, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws("\x01", toks[i], toks[i + 1], toks[i + 2]),
+            )
+        )
     )
     n_tok = F.size(toks)
     n_dtok = F.size(F.array_distinct(toks))

@@ -1,0 +1,76 @@
+"""Unicode-text behavior: the ASCII fixtures never exercise Java-regex
+vs RE2 or JVM vs utf8proc string semantics, so `tools/unicode_probe.py`
+rewrites ~3% of documents/part text to unicode-rich payloads (NBSP and
+em-space whitespace, casefold specials ß/Σ/İ, combining marks,
+whitespace-free CJK, emoji+ZWJ, RTL) and diffs every query against its
+oracle.  This test pins the regressions it found:
+
+- content fingerprints used Unicode lower(), which DIVERGES between
+  engines (Java: final-sigma 'ς', dotted 'i̇'; utf8proc: neither) —
+  now an ASCII-only translate casefold (dedup._FP_SQL)
+- doc_repetition_scores' trigram sequence(0, size-3) was a DESCENDING
+  [0, -1, ...] for docs under 3 tokens (whitespace-free CJK text is ONE
+  token), crashing under ANSI array indexing — now an explicit empty
+  list
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.unicode_probe import TABLES, build_unicode_dir
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+_REGRESSIONS = [
+    "doc_fingerprint",
+    "dedup_exact_groups",
+    "dedup_keep_first",
+    "dedup_keep_best",
+    "doc_repetition_scores",
+    # sampled breadth: tokenization, shingling, regex, classifier
+    "doc_token_stats",
+    "doc_bpe_token_estimate",
+    "minhash_signatures",
+    "doc_pii_scrub",
+    "lang_classifier_confusion",
+    "curation_pipeline",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir():
+    return build_unicode_dir()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.17g}"
+    return "NULL" if v is None else str(v)
+
+
+@pytest.mark.parametrize("name", _REGRESSIONS)
+def test_query_matches_oracle_on_unicode_text(spark, unicode_dir, name):
+    sdf = QUERIES[name](spark, unicode_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(_norm(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{unicode_dir}/{t}.parquet'"
+            )
+        res = con.execute(ORACLES[name])
+        dcols = [d[0] for d in res.description]
+        drows = sorted(
+            tuple(_norm(row[dcols.index(c)]) for c in cols)
+            for row in res.fetchall()
+        )
+    finally:
+        con.close()
+    assert srows == drows, f"{name}: spark={srows[:3]} oracle={drows[:3]}"
