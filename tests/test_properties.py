@@ -176,3 +176,29 @@ def test_zvalue_matches_python_reference_and_is_injective(spark):
     for (x, y), z in got.items():
         assert z == ref(x, y), (x, y)
     assert len(set(got.values())) == len(set(pts))
+
+
+ascii_text = st.text(
+    st.characters(min_codepoint=0x20, max_codepoint=0x7E), min_size=0, max_size=40
+)
+
+
+@given(values=st.lists(ascii_text, min_size=1, max_size=24))
+@settings(**_SETTINGS)
+def test_fingerprint_case_and_whitespace_invariant_for_ascii(spark, values):
+    """The dedup fingerprint must be invariant to ASCII case and to
+    whitespace-run width — and the ASCII translate casefold must agree
+    with full lower() wherever the input is pure ASCII (the unicode
+    probe pins the non-ASCII side)."""
+    from cybersecurity_ioc_etl_spark.operators.dedup import fingerprint
+
+    rows = [(v, v.swapcase(), v.replace(" ", "   ")) for v in values]
+    df = spark.createDataFrame(rows, "a: string, b: string, c: string")
+    out = df.select(
+        fingerprint(F.col("a")).alias("fa"),
+        fingerprint(F.col("b")).alias("fb"),
+        fingerprint(F.col("c")).alias("fc"),
+        fingerprint(F.lower(F.col("a"))).alias("fl"),
+    ).collect()
+    for r in out:
+        assert r["fa"] == r["fb"] == r["fc"] == r["fl"]
