@@ -126,6 +126,8 @@ _DEFER = [
     "ioc_ip_block_enrichment",
     "trade_triangle_counts",
     "stream_classify_confusion",
+    "source_overlap_matrix",
+    "banding_recall_audit",
 ]
 
 
