@@ -128,6 +128,7 @@ _DEFER = [
     "stream_classify_confusion",
     "source_overlap_matrix",
     "banding_recall_audit",
+    "events_value_ztest",
 ]
 
 

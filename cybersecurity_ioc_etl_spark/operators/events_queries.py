@@ -777,3 +777,84 @@ def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample test: Welch z between event-type value distributions
+# ---------------------------------------------------------------------------
+
+_ZTEST_ORACLE = """
+WITH m AS (
+  SELECT
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN event_type = 'click'
+             THEN CAST(ROUND(value * 10000.0) AS BIGINT) ELSE 0 END) AS s1,
+    SUM(CASE WHEN event_type = 'click'
+             THEN CAST(ROUND(value * 10000.0) AS BIGINT)
+                  * CAST(ROUND(value * 10000.0) AS BIGINT) ELSE 0 END) AS q1,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(ROUND(value * 10000.0) AS BIGINT) ELSE 0 END) AS s2,
+    SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(ROUND(value * 10000.0) AS BIGINT)
+                  * CAST(ROUND(value * 10000.0) AS BIGINT) ELSE 0 END) AS q2
+  FROM events
+)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+  CAST(s1 AS DOUBLE) / 10000.0 / n1 AS mean_click,
+  CAST(s2 AS DOUBLE) / 10000.0 / n2 AS mean_purchase,
+  (CAST(s1 AS DOUBLE) / 10000.0 / n1 - CAST(s2 AS DOUBLE) / 10000.0 / n2)
+  / sqrt(
+      ((CAST(q1 AS DOUBLE) / 100000000.0
+        - n1 * (CAST(s1 AS DOUBLE) / 10000.0 / n1)
+             * (CAST(s1 AS DOUBLE) / 10000.0 / n1)) / (n1 - 1)) / n1
+    + ((CAST(q2 AS DOUBLE) / 100000000.0
+        - n2 * (CAST(s2 AS DOUBLE) / 10000.0 / n2)
+             * (CAST(s2 AS DOUBLE) / 10000.0 / n2)) / (n2 - 1)) / n2
+    ) AS z_stat
+FROM m
+"""
+
+
+@query("events_value_ztest", oracle=_ZTEST_ORACLE)
+def q_events_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test of mean event value, click vs purchase —
+    the A/B-readout shape (did the treatment move the metric?) computed
+    as ONE conditional-aggregation pass: both groups' count / sum /
+    sum-of-squares accumulate as exact integer mantissas in the same
+    map-side-combined aggregate, so the corpus is scanned and shuffled
+    once for all six moments.
+
+    Float contract: counts and moment sums are exact int64 (vi <= 5e6,
+    so sum-of-squares stays under 2^63 at any fixture scale); every
+    downstream mean/variance/z expression is the IDENTICAL chain of
+    correctly-rounded IEEE ops in both engines — no rounding needed, no
+    SUM over doubles anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+
+    def _moments(t: str, i: int):
+        is_t = F.col("event_type") == t
+        return [
+            F.sum(F.when(is_t, 1).otherwise(0)).alias(f"n{i}"),
+            F.sum(F.when(is_t, vi).otherwise(F.lit(0).cast("bigint"))).alias(f"s{i}"),
+            F.sum(F.when(is_t, vi * vi).otherwise(F.lit(0).cast("bigint"))).alias(
+                f"q{i}"
+            ),
+        ]
+
+    m = e.agg(*_moments("click", 1), *_moments("purchase", 2))
+    mean = lambda s, n: F.col(s).cast("double") / F.lit(1e4) / F.col(n)  # noqa: E731
+    var = lambda q, s, n: (  # noqa: E731
+        F.col(q).cast("double") / F.lit(1e8) - F.col(n) * mean(s, n) * mean(s, n)
+    ) / (F.col(n) - 1)
+    z = (mean("s1", "n1") - mean("s2", "n2")) / F.sqrt(
+        var("q1", "s1", "n1") / F.col("n1") + var("q2", "s2", "n2") / F.col("n2")
+    )
+    return m.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        mean("s1", "n1").alias("mean_click"),
+        mean("s2", "n2").alias("mean_purchase"),
+        z.alias("z_stat"),
+    )
