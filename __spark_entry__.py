@@ -129,6 +129,7 @@ _DEFER = [
     "source_overlap_matrix",
     "banding_recall_audit",
     "events_value_ztest",
+    "trade_bfs_distances",
 ]
 
 

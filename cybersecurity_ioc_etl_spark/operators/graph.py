@@ -252,3 +252,92 @@ def q_trade_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("degree"),
         clustering.alias("clustering"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path distances
+# ---------------------------------------------------------------------------
+
+_BFS_SOURCE = 0
+_BFS_ROUNDS = 3
+
+_BFS_ITER_SQL = """
+d{next} AS (
+  SELECT id, MIN(d) AS d FROM (
+    SELECT id, d FROM d{cur}
+    UNION ALL
+    SELECT e.dst AS id, r.d + 1 AS d
+    FROM bi e JOIN d{cur} r ON e.src = r.id
+  ) GROUP BY id
+)"""
+
+_BFS_ORACLE = f"""
+WITH draw AS ({_EDGES_SQL}),
+uedges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM draw WHERE src != dst
+),
+bi AS (
+  SELECT a AS src, b AS dst FROM uedges
+  UNION ALL
+  SELECT b, a FROM uedges
+),
+d0 AS (SELECT {_BFS_SOURCE} AS id, 0 AS d),{
+    ",".join(_BFS_ITER_SQL.format(next=i + 1, cur=i) for i in range(_BFS_ROUNDS))}
+SELECT CAST(id AS BIGINT) AS nation_id, CAST(d AS BIGINT) AS distance
+FROM d{_BFS_ROUNDS}
+"""
+
+
+@query("trade_bfs_distances", oracle=_BFS_ORACLE)
+def q_trade_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path distances from nation 0 over the undirected
+    trade graph, {n} rounds — the fourth graph operator, and the
+    frontier-expansion iteration pattern (label propagation's min-relax
+    with d+1 instead of min-label).
+
+    Loop discipline is pagerank's: the edge set materializes once
+    (localCheckpoint) and each round is edges ⋈ current-distances →
+    min-combine, with a checkpoint every 2nd round bounding plan depth.
+    Distances are small exact integers — no float contract needed; the
+    oracle unrolls the same rounds as CTEs.  Nodes not reached within
+    the round budget carry no row (exactly the frontier semantics a
+    bounded BFS has at web scale, where round count ~ graph diameter)."""
+    e = _trade_edges(spark, sf_dir)
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    bi = (
+        u.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(u.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        bi.sparkSession.range(1)
+        .select(
+            F.lit(_BFS_SOURCE).cast("long").alias("id"),
+            F.lit(0).cast("long").alias("d"),
+        )
+    )
+    for it in range(_BFS_ROUNDS):
+        relaxed = bi.join(dist, bi["src"] == dist["id"]).select(
+            F.col("dst").alias("id"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed).groupBy("id").agg(F.min("d").alias("d"))
+        )
+        if it % 2 == 1:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select(
+        F.col("id").cast("bigint").alias("nation_id"),
+        F.col("d").cast("bigint").alias("distance"),
+    )
+
+
+q_trade_bfs_distances.__doc__ = q_trade_bfs_distances.__doc__.replace(
+    "{n}", str(_BFS_ROUNDS)
+)
