@@ -47,3 +47,15 @@ def test_doc_counts_in_sync_with_registry():
 
     counts = importlib.import_module("tools.counts")
     assert counts.sync(write=False) == []
+
+
+def test_operator_inventory_in_sync_with_registry():
+    """OPERATORS.md is generated from the registry by tools/inventory.py;
+    a new query without a regenerated inventory fails here
+    (fix: python tools/inventory.py --write)."""
+    import importlib
+    import os
+
+    inventory = importlib.import_module("tools.inventory")
+    path = os.path.join(inventory.REPO, "OPERATORS.md")
+    assert os.path.exists(path) and open(path).read() == inventory.render()
