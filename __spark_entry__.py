@@ -130,6 +130,7 @@ _DEFER = [
     "banding_recall_audit",
     "events_value_ztest",
     "trade_bfs_distances",
+    "cumulative_new_users",
 ]
 
 

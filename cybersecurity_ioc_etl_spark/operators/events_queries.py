@@ -858,3 +858,49 @@ def q_events_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean("s2", "n2").alias("mean_purchase"),
         z.alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running COUNT(DISTINCT): cumulative unique users by day
+# ---------------------------------------------------------------------------
+
+_CUMULATIVE_USERS_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+daily AS (SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+  n_new AS n_new_users,
+  CAST(SUM(n_new) OVER (ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_users
+FROM daily
+"""
+
+
+@query("cumulative_new_users", oracle=_CUMULATIVE_USERS_ORACLE)
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT users) by day — the DAU/'total accounts'
+    growth curve.  A windowed distinct count is not directly computable
+    (distinct does not decompose over frames), so it is restated with
+    the FIRST-SEEN trick: a user contributes exactly once, on the day
+    of their first event, and the cumulative distinct count is a plain
+    running SUM of daily first-appearances.
+
+    Scale shape: one shuffle on user_id for the min-date (map-side
+    combined), one tiny per-day aggregate, and a running-sum window
+    over DAYS (bounded cardinality — never a window over raw events).
+    This restatement is how every 'unique-to-date' metric survives
+    100 TB: convert the distinct to an idempotent first-event flag,
+    then aggregate flags."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )
