@@ -42,6 +42,9 @@ NULL_PLAN = {
     "customer": ("c_custkey", ["c_acctbal", "c_comment"]),
     "part": ("p_partkey", ["p_name", "p_retailprice"]),
     "supplier": ("s_suppkey", ["s_comment"]),
+    # ts stays non-null: a null event time is dropped at ingest (the
+    # watermark contract); payload/measure nulls are the realistic case
+    "events": ("event_id", ["props", "value"]),
 }
 
 NULL_DIR = "/tmp/sf_nulls"
