@@ -48,15 +48,29 @@ def build_unicode_dir(src_dir: str = "/root/testdata/sf0.001") -> str:
     os.makedirs(NULL_DIR, exist_ok=True)
     for t in TABLES:
         tab = pq.read_table(f"{src_dir}/{t}.parquet")
-        plan = {"documents": ("doc_id", "text"), "part": ("p_partkey", "p_name")}
+        plan = {
+            "documents": ("doc_id", "text"),
+            "part": ("p_partkey", "p_name"),
+            # valid JSON with unicode content: stresses from_json /
+            # VARIANT vs DuckDB's JSON functions on non-ASCII payloads
+            "events": ("event_id", "props"),
+        }
         if t in plan:
             key_col, txt_col = plan[t]
             keys = tab[key_col].to_numpy(zero_copy_only=False)
             texts = tab[txt_col].to_pylist()
-            new = [
-                _PAYLOADS[k % len(_PAYLOADS)] if k % 37 == 0 else v
-                for k, v in zip(keys, texts)
-            ]
+            if t == "events":
+                new = [
+                    '{"k": 7, "note": "' + _PAYLOADS[k % len(_PAYLOADS)] + '"}'
+                    if k % 37 == 0
+                    else v
+                    for k, v in zip(keys, texts)
+                ]
+            else:
+                new = [
+                    _PAYLOADS[k % len(_PAYLOADS)] if k % 37 == 0 else v
+                    for k, v in zip(keys, texts)
+                ]
             i = tab.column_names.index(txt_col)
             tab = tab.set_column(i, tab.schema.field(i), pa.array(new, pa.string()))
         pq.write_table(tab, f"{NULL_DIR}/{t}.parquet")
