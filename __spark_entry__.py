@@ -131,6 +131,7 @@ _DEFER = [
     "events_value_ztest",
     "trade_bfs_distances",
     "cumulative_new_users",
+    "corpus_token_budget",
 ]
 
 

@@ -723,3 +723,66 @@ def q_tfidf_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token-budget accounting
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, lang,
+    COALESCE({_BPE_SQL}, 0) AS est
+  FROM documents
+),
+tot AS (SELECT SUM(est) AS t FROM per_doc)
+SELECT source, lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(est) AS BIGINT) AS est_tokens,
+  CAST(SUM(est) AS DOUBLE) / tot.t AS corpus_share
+FROM per_doc, tot
+GROUP BY source, lang, tot.t
+"""
+
+
+@query("corpus_token_budget", oracle=_TOKEN_BUDGET_ORACLE)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget ledger: estimated BPE tokens per (source, lang) cell
+    with each cell's share of the whole corpus — the first table any
+    pretraining-data owner asks for ('how many tokens do I have, and
+    where from?'), and the input to mixture design (source_mixture_
+    sample's keep-rates are set against exactly these shares).
+
+    Scale shape: the per-doc estimate is the doc_bpe_token_estimate
+    regex fold (one codegen pass, fan-out for the CPU-bound regex); the
+    ledger is one map-side-combined aggregation on (source, lang), and
+    the 1-row corpus total broadcasts into the share division — exact
+    integer sums both sides, one correctly-rounded division at the
+    end."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    est = F.coalesce(
+        F.aggregate(
+            F.transform(
+                pieces,
+                lambda p: F.when(
+                    p.rlike("^[A-Za-z]+$"), F.ceil(F.length(p) / 4.0)
+                ).otherwise(F.lit(1).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    per_doc = d.select("source", "lang", est.alias("est"))
+    cell = per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("est").alias("est_tokens")
+    )
+    tot = per_doc.agg(F.sum("est").alias("t"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.col("est_tokens").cast("bigint").alias("est_tokens"),
+        (F.col("est_tokens").cast("double") / F.col("t")).alias("corpus_share"),
+    )
