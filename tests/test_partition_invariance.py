@@ -36,6 +36,11 @@ _REPRESENTATIVES = [
     "semdedup_prune",  # cluster-bounded prune
     "events_value_ztest",  # conditional moments
     "banding_recall_audit",  # LSH self-audit
+    "trade_triangle_counts",  # wedge join
+    "source_overlap_matrix",  # digest self-join
+    "cumulative_new_users",  # first-seen + running sum
+    "corpus_token_budget",  # ledger + broadcast total
+    "ioc_ip_block_enrichment",  # bucketed range join
 ]
 
 
