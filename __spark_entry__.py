@@ -21,15 +21,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 
-# Queries already driver-confirmed green in CORRECTNESS_r01, r02, or r03.
+# Queries already driver-confirmed green in CORRECTNESS_r01..r04.
 # The driver's correctness gate samples the FIRST 50 entries of queries()
 # in iteration order, so we rotate: front-load the queries that have only
-# local-replica coverage so far, then any new round-4 queries, then a few
-# high-value re-confirmations, pushing the thrice-confirmed bulk to the
-# tail.  Goal: after r4, every registered query has a driver-issued green
-# row at least once across r1-r4.
+# local-replica coverage so far (last round's _DEFER list), then any new
+# round-5 queries, then a few high-value re-confirmations, pushing the
+# driver-confirmed bulk to the tail.  Goal: after r5, every registered
+# query has a driver-issued green row at least once across r1-r5.
 _DRIVER_CHECKED = frozenset(
     {
+        # r4 window (CORRECTNESS_r04: 49 hash-green + approx_distinct_parts
+        # rows-only by design)
+        "best_offer_per_part", "nation_profit_by_year",
+        "dominant_part_suppliers", "forecast_revenue_change",
+        "important_stock_shape", "quantity_tier_counts",
+        "returnflag_linestatus_pivot", "order_price_quartiles",
+        "similar_part_names", "part_token_profile", "grouping_sets_revenue",
+        "lineitem_stats_by_flag", "approx_distinct_parts",
+        "salted_source_profile", "customer_spend_rank", "rolling_30d_spend",
+        "order_gap_days", "orders_column_profile", "lineitem_integrity_audit",
+        "asof_click_before_purchase", "click_error_range_join",
+        "events_sessionize", "events_native_sessions", "events_json_props",
+        "events_type_pivot", "events_dow_hour_profile",
+        "events_hourly_gapfill", "events_sliding_counts",
+        "events_hourly_interpolated", "user_value_locf",
+        "user_weekly_retention", "event_value_outliers",
+        "funnel_click_purchase", "cdc_snapshot_fold", "doc_length_histogram",
+        "stream_static_category_counts", "stream_session_counts",
+        "stream_click_error_join", "stream_neardup_signature_groups",
+        "neardup_keep_canonical", "corpus_segment_dedup",
+        "incremental_dedup_new_docs", "events_variant_stats",
+        "doc_repetition_scores", "tfidf_doc_similarity_pairs",
+        "bpe_pair_counts", "bpe_merge_step", "bpe_two_merges",
+        "kmeans_two_rounds", "stream_ann_topk",
         # r1/r2 window
         "ioc_flagship", "ioc_type_counts", "ioc_per_source_daily",
         "tweet_batch_pipeline", "ioc_classify", "enrichment_scraped_iocs",
@@ -75,64 +99,41 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: the 38 queries never yet sampled by the driver's
-# 50-window (VERDICT r3 "Next round" item 1), family-ordered, followed by
-# a handful of high-value re-confirmations.  New round-4 queries land in
-# the `mid` slot of _ordered() automatically (unchecked, not listed here),
-# i.e. between the 38 and the re-confirmations in window terms only if
-# slots remain; keep head + expected-new <= 50.
+# Head of the rotation: the 13 queries never yet sampled by the driver's
+# 50-window (all of last round's _DEFER, per VERDICT r4 "Next round"
+# item 1), family-ordered.  New round-5 queries land in the `mid` slot of
+# _ordered() automatically (unchecked, not listed here); keep head +
+# expected-new <= 50.
 _PRIORITY = [
-    # TPC-H wave-3 / relational shapes
-    "best_offer_per_part", "nation_profit_by_year",
-    "dominant_part_suppliers", "forecast_revenue_change",
-    "important_stock_shape", "quantity_tier_counts",
-    "returnflag_linestatus_pivot", "order_price_quartiles",
-    "similar_part_names", "part_token_profile", "grouping_sets_revenue",
-    "lineitem_stats_by_flag", "approx_distinct_parts",
-    "salted_source_profile", "customer_spend_rank", "rolling_30d_spend",
-    "order_gap_days", "orders_column_profile", "lineitem_integrity_audit",
-    # as-of / range joins
-    "asof_click_before_purchase", "click_error_range_join",
-    # events / windows
-    "events_sessionize", "events_native_sessions", "events_json_props",
-    "events_type_pivot", "events_dow_hour_profile", "events_hourly_gapfill",
-    "events_sliding_counts", "events_hourly_interpolated", "user_value_locf",
-    "user_weekly_retention", "event_value_outliers", "funnel_click_purchase",
-    "cdc_snapshot_fold", "doc_length_histogram",
-    # streaming parity
-    "stream_static_category_counts", "stream_session_counts",
-    "stream_click_error_join",
-]
-
-# High-value re-confirmations filling leftover window slots after the 38
-# unchecked + any new round-4 queries.
-_RECONFIRM = [
-    "ioc_flagship", "shipping_priority", "pricing_summary",
-    "dedup_components", "ann_bucketed_topk", "curation_pipeline",
-    "stream_hourly_counts", "eval_contamination",
-]
-
-# Unchecked queries deliberately deferred past this round's window: the
-# 50 slots are over-subscribed by the late-round-4 additions, and these
-# (all tri-scale green in the local replica, plus empty- and null-probe
-# clean) yield their slots to the VERDICT-r3 deliverables
-# (kmeans_two_rounds, stream_ann_topk) and the 38-query backlog that
-# would otherwise spill.  They become next round's priority head.
-_DEFER = [
     "semdedup_prune",
     "dsir_importance_sample",
     "corpus_shard_shuffle",
     "lang_classifier_confusion",
+    "stream_classify_confusion",
     "ioc_ip_block_enrichment",
     "trade_triangle_counts",
-    "stream_classify_confusion",
+    "trade_bfs_distances",
     "source_overlap_matrix",
     "banding_recall_audit",
     "events_value_ztest",
-    "trade_bfs_distances",
     "cumulative_new_users",
     "corpus_token_budget",
 ]
+
+# High-value re-confirmations filling leftover window slots after the 13
+# unchecked + any new round-5 queries.
+_RECONFIRM = [
+    "ioc_flagship", "shipping_priority", "pricing_summary",
+    "dedup_components", "ann_bucketed_topk", "curation_pipeline",
+    "stream_hourly_counts", "eval_contamination", "kmeans_two_rounds",
+    "tfidf_doc_similarity_pairs", "neardup_keep_canonical",
+    "incremental_dedup_new_docs", "minhash_band_pairs",
+    "knn_cosine_topk", "doc_quality", "events_hourly",
+]
+
+# Unchecked queries deliberately deferred past this round's window (none
+# this round: the 13-query backlog + expected r5 additions fit in 50).
+_DEFER: list[str] = []
 
 
 def _ordered(names: list[str]) -> list[str]:
