@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .dedup import _SHINGLE_INT_SQL, _shingle_int
+from .dedup import _ASCII_FOLD_SQL, _SHINGLE_INT_SQL, _shingle_int, ascii_fold
 from .registry import query
 from .sampling import _bucket_sql, hash_bucket
 
@@ -33,12 +33,14 @@ _V = 64  # hashed-unigram vocabulary
 # FLOOR, not ROUND: (ct+1)*1e9 / (n_c+V) is a small-integer rational,
 # which lands EXACTLY on .5 often enough to hit the engines' rounding
 # divergence (Spark HALF_UPs the shortest decimal, DuckDB rounds the
-# binary double).  Both inputs are exact in double (< 2^53) and the one
-# division is correctly rounded IEEE, so the quotient is bit-identical
-# in both engines — and floor of a bit-identical double is identical,
-# with no boundary cases at all.
+# binary double).  ct+1 is cast to double BEFORE the *1e9 multiply: the
+# int64 product would overflow at per-(bucket,class) counts above
+# ~9.2e9 — Spark wraps silently where DuckDB errors — while the
+# double-first multiply and the division are correctly-rounded IEEE ops,
+# bit-identical in both engines at ANY count.  Floor of a bit-identical
+# double is identical, with no boundary cases at all.
 _SCORE_SQL = (
-    "CAST(FLOOR(CAST(({ct} + 1) * 1000000000 AS DOUBLE)"
+    "CAST(FLOOR(CAST({ct} + 1 AS DOUBLE) * 1000000000.0"
     f" / CAST({{nc}} + {_V} AS DOUBLE)) AS BIGINT)"
 )
 
@@ -48,7 +50,8 @@ WITH tok AS (
     {_bucket_sql(x="CAST(doc_id AS VARCHAR)")} < 80 AS is_train,
     {_SHINGLE_INT_SQL.format(x='t.tok')} % {_V} AS b
   FROM (SELECT doc_id, lang,
-          unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+          unnest(str_split_regex({_ASCII_FOLD_SQL.format(x='trim(text)')},
+                                 '\\s+')) AS tok
         FROM documents) t
 ),
 ct AS (
@@ -111,11 +114,13 @@ def q_lang_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokenize_buckets(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, b) hashed-unigram feature rows."""
+    """(doc_id, lang, b) hashed-unigram feature rows.  ASCII casefold
+    (not Unicode lower()): the hashed buckets must agree across engines
+    independent of payload — see dedup._ASCII_FOLD_SQL."""
     return docs.select(
         "doc_id",
         "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        F.explode(F.split(ascii_fold(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     ).select("doc_id", "lang", (_shingle_int(F.col("tok")) % _V).alias("b"))
 
 
@@ -131,10 +136,11 @@ def train_weight_grid(spark: SparkSession, train_docs: DataFrame) -> DataFrame:
     )
     nc = ct.groupBy("cls").agg(F.sum("ct").alias("n_c"))
     buckets = spark.range(_V).select(F.col("id").cast("bigint").alias("b"))
+    # double-first multiply mirrors _SCORE_SQL (int64 product would
+    # overflow for per-(bucket,class) counts above ~9.2e9)
     w = F.floor(
-        ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * F.lit(1000000000)).cast(
-            "double"
-        )
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        * F.lit(1000000000.0)
         / (F.col("n_c") + _V).cast("double")
     ).cast("bigint")
     return (

@@ -31,6 +31,18 @@ _FP_SQL = (
     f" '{_ASCII_UPPER}', '{_ASCII_LOWER}'))"
 )
 
+# Reusable ASCII casefold for TOKENIZERS (classify, DSIR): hashed tokens
+# feed bucket counts, so a single JVM-vs-utf8proc casefold divergence
+# (final sigma, dotted İ) would silently shift scores — same rationale
+# as the fingerprint above, exported so every tokenizing operator folds
+# identically on both engines.
+_ASCII_FOLD_SQL = f"translate({{x}}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def ascii_fold(text: Column) -> Column:
+    """Engine-portable ASCII-only casefold (see _ASCII_FOLD_SQL note)."""
+    return F.translate(text, _ASCII_UPPER, _ASCII_LOWER)
+
 
 def fingerprint(text: Column) -> Column:
     """Whitespace/ASCII-case-normalized md5 content hash (see _FP_SQL

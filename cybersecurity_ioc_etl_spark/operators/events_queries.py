@@ -866,7 +866,8 @@ def q_events_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUMULATIVE_USERS_ORACLE = """
 WITH first_seen AS (
-  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events
+  WHERE ts IS NOT NULL GROUP BY user_id
 ),
 daily AS (SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d)
 SELECT strftime(d, '%Y-%m-%d') AS day,
@@ -893,7 +894,12 @@ def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     This restatement is how every 'unique-to-date' metric survives
     100 TB: convert the distinct to an idempotent first-event flag,
     then aggregate flags."""
-    e = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL on BOTH sides: an all-NULL-ts user would otherwise
+    # produce a NULL first-seen day whose window position differs between
+    # engines (Spark orders NULLS FIRST, DuckDB NULLS LAST), shifting
+    # every cumulative value — safe now independent of the ingest
+    # contract that ts is never null
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     first_seen = e.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("d")
     )

@@ -147,4 +147,4 @@ def q_lineitem_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("null_shipdates"),
     )
-    return orphans.crossJoin(dups).crossJoin(domain)
+    return orphans.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(domain))

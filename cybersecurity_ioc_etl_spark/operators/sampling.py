@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .dedup import _SHINGLE_INT_SQL, _shingle_int
+from .dedup import _ASCII_FOLD_SQL, _SHINGLE_INT_SQL, _shingle_int, ascii_fold
 from .registry import query
 
 
@@ -230,7 +230,8 @@ WITH tok AS (
   SELECT doc_id, lang,
     {_SHINGLE_INT_SQL.format(x='t.tok')} % {_DSIR_V} AS b
   FROM (SELECT doc_id, lang,
-          unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+          unnest(str_split_regex({_ASCII_FOLD_SQL.format(x='trim(text)')},
+                                 '\\s+')) AS tok
         FROM documents) t
 ),
 tgt AS (SELECT b, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
@@ -241,8 +242,8 @@ tot AS (SELECT
 scored AS (
   SELECT t.doc_id, t.lang,
     CAST(ROUND(
-      CAST((COALESCE(g.ct, 0) + 1) * (tot.nr + {_DSIR_V}) AS DOUBLE)
-      / CAST((r.cr + 1) * (tot.nt + {_DSIR_V}) AS DOUBLE)
+      CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE) * CAST(tot.nr + {_DSIR_V} AS DOUBLE)
+      / (CAST(r.cr + 1 AS DOUBLE) * CAST(tot.nt + {_DSIR_V} AS DOUBLE))
       * 1000000.0) AS BIGINT) AS mi6
   FROM tok t JOIN raw r USING (b) LEFT JOIN tgt g USING (b), tot
 ),
@@ -269,11 +270,13 @@ def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus look like the target domain' selection pass.
 
     Cross-engine float contract: each per-token ratio is built from
-    exact integer counts (products < 2^53, so the int->double casts are
-    exact and the one division + one multiply are correctly-rounded IEEE
-    ops — bit-identical in both engines), quantized to an integer at
-    1e6, summed EXACTLY per document, and divided once at the end —
-    never a SUM over doubles, whose ordering differs between engines.
+    exact integer counts, each factor cast to double BEFORE multiplying
+    (counts < 2^53 cast exactly; the multiplies and the division are
+    correctly-rounded IEEE ops — bit-identical in both engines, and
+    immune to the int64 product overflow raw counts would hit at
+    100 TB), quantized to an integer at 1e6, summed EXACTLY per
+    document, and divided once at the end — never a SUM over doubles,
+    whose ordering differs between engines.
 
     Scale shape: exactly TWO corpus passes — one conditional
     aggregation builds the raw count AND the target count per bucket in
@@ -287,10 +290,12 @@ def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: the md5-per-token stage is CPU-bound (the shingling case
     # CLAUDE.md reserves fan_out for) — measured 1.50 -> 1.02 s at sf0.1
     d = load_table(spark, sf_dir, "documents", fan_out=True)
+    # ASCII casefold, not Unicode lower(): hashed buckets must agree
+    # across engines independent of payload (dedup._ASCII_FOLD_SQL note)
     tok = d.select(
         "doc_id",
         "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        F.explode(F.split(ascii_fold(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     ).select(
         "doc_id", "lang", (_shingle_int(F.col("tok")) % _DSIR_V).alias("b")
     )
@@ -306,9 +311,13 @@ def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # V rows; totals must not re-scan
     )
     tot = cnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    # each factor cast to double BEFORE multiplying: the int64 products
+    # overflow once bucket counts pass ~3e9 (Spark wraps silently,
+    # DuckDB errors); double-first multiplies are correctly-rounded
+    # IEEE, bit-identical in both engines at any count
     ratio = (
-        ((F.col("ct") + 1) * (F.col("nr") + _DSIR_V)).cast("double")
-        / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_V)).cast("double")
+        (F.col("ct") + 1).cast("double") * (F.col("nr") + _DSIR_V).cast("double")
+        / ((F.col("cr") + 1).cast("double") * (F.col("nt") + _DSIR_V).cast("double"))
     )
     mi6 = F.round(ratio * F.lit(1e6)).cast("bigint")
     scored = (
