@@ -173,30 +173,32 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_top_pair(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def merge_top_pair(
+    seqs: DataFrame, checkpoint: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """One BPE merge: returns (merged (seq, f) vocab, 1-row merged-pair
     frame).  The winner broadcasts into a literal left-to-right replace;
     the merged vocab is localCheckpoint-ed so iterated rounds start from
     a materialized leaf (kmeans_two_rounds / connected_components loop
-    discipline — per-round plans stay flat however many merges run)."""
+    discipline — per-round plans stay flat however many merges run).
+    ``checkpoint=False`` lets an n-round trainer thin the cadence
+    (bpe_n_merges checkpoints every SECOND merge, pagerank's cadence)."""
     top1 = (
         pair_counts(seqs)
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(1)
         .select(F.col("left_sym").alias("ml"), F.col("right_sym").alias("mr"))
     )
-    merged = (
-        seqs.crossJoin(F.broadcast(top1))
-        .select(
-            F.expr(
-                "replace(seq, concat(ml, chr(31), mr, chr(31)),"
-                " concat(ml, mr, chr(31)))"
-            ).alias("seq"),
-            "f",
-            F.concat_ws("+", "ml", "mr").alias("merged_pair"),
-        )
-        .localCheckpoint(eager=True)
+    merged = seqs.crossJoin(F.broadcast(top1)).select(
+        F.expr(
+            "replace(seq, concat(ml, chr(31), mr, chr(31)),"
+            " concat(ml, mr, chr(31)))"
+        ).alias("seq"),
+        "f",
+        F.concat_ws("+", "ml", "mr").alias("merged_pair"),
     )
+    if checkpoint:
+        merged = merged.localCheckpoint(eager=True)
     return merged.select("seq", "f"), merged.select("merged_pair").limit(1)
 
 
@@ -229,4 +231,62 @@ def q_bpe_two_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(10)
         .select("merged_pair_1", "merged_pair_2", "left_sym", "right_sym", "pair_count")
+    )
+
+
+_N_MERGES = 4
+
+_N_MERGES_SQL = "".join(_merge_round_sql(r) for r in range(1, _N_MERGES + 1))
+_N_MERGES_COLS = ",\n       ".join(
+    f"(SELECT left_sym || '+' || right_sym FROM top{r}) AS merged_pair_{r}"
+    for r in range(1, _N_MERGES + 1)
+)
+
+
+@query(
+    "bpe_n_merges",
+    oracle=f"""
+WITH {_WF_SQL},{_pairs_sql("", "seqs")}{_N_MERGES_SQL}
+SELECT {_N_MERGES_COLS},
+       left_sym, right_sym, pair_count
+FROM pc{_N_MERGES}
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT 10
+""",
+)
+def q_bpe_n_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR composed BPE merges — the N-round trainer (VERDICT r4 ask
+    #4).  The oracle unrolls all four rounds from the same round-CTE
+    generator and pins the full merge SEQUENCE plus the round-4 census,
+    whose top rows contain earlier rounds' merged symbols (at sf0.01,
+    ('m','er') ranks 2nd — 'er' is round 1's merge): multi-char growth,
+    the property that makes this a trainer rather than a repeated
+    census.
+
+    Loop discipline: the vocab frame is localCheckpoint-ed every SECOND
+    merge (pagerank's cadence) — a checkpoint every round pays eager
+    materialization the tiny vocab doesn't need, never checkpointing
+    grows one n-deep plan; every-2 bounds both, and generalizing to a
+    30k-merge production vocabulary only lengthens this loop.  Each
+    round stays: pair census (map-side combined) → LIMIT-1 winner
+    broadcast → literal replace over (seq, f) vocab rows — the corpus
+    is never rescanned after the word-frequency shuffle."""
+    seqs = _word_freq(spark, sf_dir).select(_to_seq(F.col("w")).alias("seq"), "f")
+    cur, mps = seqs, []
+    for r in range(1, _N_MERGES + 1):
+        cur, mp = merge_top_pair(cur, checkpoint=(r % 2 == 0))
+        mps.append(mp)
+    out = pair_counts(cur)
+    for idx, mp in enumerate(mps, 1):
+        out = out.crossJoin(
+            F.broadcast(mp.select(F.col("merged_pair").alias(f"merged_pair_{idx}")))
+        )
+    return (
+        out.orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(10)
+        .select(
+            *[f"merged_pair_{r}" for r in range(1, _N_MERGES + 1)],
+            "left_sym",
+            "right_sym",
+            "pair_count",
+        )
     )
