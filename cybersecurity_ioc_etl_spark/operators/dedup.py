@@ -841,6 +841,73 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_N = 16
+
+
+@query(
+    "dedup_keep_best_salted",
+    oracle=f"""
+SELECT doc_id, fingerprint, n_tokens FROM (
+  SELECT doc_id, {_FP_SQL} AS fingerprint,
+    len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+    row_number() OVER (
+      PARTITION BY {_FP_SQL}
+      ORDER BY len(str_split_regex(trim(text), '\\s+')) DESC, doc_id
+    ) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def q_dedup_keep_best_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened keeper election (VERDICT r4 ask #5): the SAME
+    result set as dedup_keep_best, but computed as a salted two-phase
+    aggregate instead of a window.  row_number windows have no partial
+    aggregation — a pathological corpus (one boilerplate page duplicated
+    10⁹×) lands that whole fingerprint on ONE task.  Here phase 1
+    pre-elects a keeper per (fingerprint, pmod(doc_id, {_SALT_N})) —
+    map-side combined, the hot key split {_SALT_N} ways — and phase 2
+    min-merges the ≤{_SALT_N} partials per fingerprint, so no task ever
+    holds more than copies/{_SALT_N} of a hot group (the
+    salted_source_profile pattern).  tools/skew_probe.py clones one
+    document k× and shows this wall staying flat while the window
+    variant's hot task grows linearly.
+
+    The election is a struct-min over (-n_tokens, doc_id): min-merge is
+    associative+commutative, so phase order can't change the winner —
+    which is why the policy survives restating as an aggregate while
+    row_number does not.  Oracle: identical SQL to dedup_keep_best (the
+    plans must agree row-for-row)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    phase1 = (
+        d.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fingerprint"),
+            n_tok.alias("n_tokens"),
+            F.pmod(F.col("doc_id"), F.lit(_SALT_N)).alias("salt"),
+        )
+        .groupBy("fingerprint", "salt")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_tokens")).alias("neg_tok"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("best")
+        )
+    )
+    return (
+        phase1.groupBy("fingerprint")
+        .agg(F.min("best").alias("best"))
+        .select(
+            F.col("best.doc_id").alias("doc_id"),
+            "fingerprint",
+            (-F.col("best.neg_tok")).alias("n_tokens"),
+        )
+        .select("doc_id", "fingerprint", "n_tokens")
+    )
+
+
 _SEG_W = 8  # words per segment
 
 # non-overlapping 8-word segments (the line-unit for fixture text, which
