@@ -685,29 +685,7 @@ def q_tfidf_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-sum — all map-side combined; top-20 is
     TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    tf = (
-        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    w = (
-        tf.join(F.broadcast(df_t.filter(F.col("df") <= 1000)), "tok")
-        .select("doc_id", "tok", F.expr("tf * (10000000 div df)").alias("wi"))
-    )
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("wi") * F.col("wi")).alias("sq"))
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.sum(F.col("a.wi") * F.col("b.wi")).alias("dot"))
-    )
+    dots, norms = tfidf_posting_dots(d)
     cos = F.round(
         F.col("dot").cast("double")
         / (
@@ -723,6 +701,42 @@ def q_tfidf_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+def tfidf_posting_dots(
+    d: DataFrame, df_cap: int = 1000
+) -> tuple[DataFrame, DataFrame]:
+    """The posting-join core of ``tfidf_doc_similarity_pairs`` on a
+    plain (doc_id, text) frame: returns (dots, norms) where dots is one
+    row per document pair sharing at least one surviving term.  Exposed
+    so tools/posting_probe.py can measure pair volume against
+    Σ df·(df-1)/2 of surviving terms on growing corpus slices — the
+    receipt that pair work tracks the posting fan-out, with ``df_cap``
+    the skew lever that drops stop-terms before they concentrate a
+    quadratic bucket on one reducer."""
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = tf.join(F.broadcast(df_t.filter(F.col("df") <= df_cap)), "tok").select(
+        "doc_id", "tok", F.expr("tf * (10000000 div df)").alias("wi")
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wi") * F.col("wi")).alias("sq"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wi") * F.col("b.wi")).alias("dot"))
+    )
+    return dots, norms
 
 
 # ---------------------------------------------------------------------------
