@@ -408,6 +408,59 @@ def run_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
 
 
+def run_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mixture sampling: documents drain as two micro-batches,
+    each filtered by the deterministic md5-bucket-vs-keep-rate decision
+    (operators/sampling.py::mixture_keep_bp) in foreachBatch; survivors
+    append to parquet and the drained census per source must equal the
+    batch selection (the decision is a pure row function — batching
+    cannot change it).
+
+    Scale shape: stateless — no watermark, no state store; each batch
+    pays one narrow filter evaluated at its own scan, and the mixture
+    table (here a literal CASE, in production a broadcast dim of
+    per-source rates) re-broadcasts into every trigger, so rate changes
+    take effect at the next micro-batch without restarting the query."""
+    from ..operators.sampling import hash_bucket, mixture_keep_bp
+    from ..sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src = tempfile.mkdtemp(prefix="stream_mixture_src_")
+    d.repartition(2).write.mode("overwrite").parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="stream_mixture_out_")
+
+    def keep(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.filter(
+            hash_bucket(F.col("doc_id"), 10000) < mixture_keep_bp()
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_mixture_")
+    q = (
+        stream.writeStream.foreachBatch(keep)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        kept = spark.createDataFrame([], d.schema)
+    else:
+        kept = spark.read.parquet(out_dir)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a STATIC
     dimension frame (event_type → engagement category) before
