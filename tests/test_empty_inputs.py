@@ -63,6 +63,11 @@ _FAMILIES = [
     "bpe_merge_step",
     "cdc_snapshot_fold",
     "asof_click_before_purchase",
+    # round-5 additions
+    "dedup_keep_best_salted",
+    "bpe_n_merges",
+    "ivf_trained_topk",
+    "ann_recall_audit",
 ]
 
 

@@ -42,6 +42,10 @@ _REGRESSIONS = [
     "doc_repetition_scores",
     "doc_bpe_token_estimate",
     "minhash_signatures",
+    # round-5 additions: salted keeper (null text), recall audit
+    # (null embeddings drop a query's vectors on both sides)
+    "dedup_keep_best_salted",
+    "ann_recall_audit",
 ]
 
 

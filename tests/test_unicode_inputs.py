@@ -40,6 +40,10 @@ _REGRESSIONS = [
     "doc_pii_scrub",
     "lang_classifier_confusion",
     "curation_pipeline",
+    # round-5 additions: salted keeper folds ASCII-only like the window
+    # variant; n-merge BPE must treat multi-byte symbols atomically
+    "dedup_keep_best_salted",
+    "bpe_n_merges",
 ]
 
 
