@@ -57,6 +57,10 @@ HEADLINE = [
     "tfidf_doc_similarity_pairs",
     "semdedup_prune",
     "dsir_importance_sample",
+    "dedup_keep_best_salted",
+    "bpe_n_merges",
+    "ivf_trained_topk",
+    "ann_recall_audit",
 ]
 
 

@@ -458,6 +458,13 @@ def ann_bucketed_candidates(
     candidates over the full corpus, the bounded ground truth the
     recall audit (``ann_recall_audit``) scores the bucketed plan
     against.  Never use it as a serving path."""
+    comp, meta = _ann_comp_meta(e)
+    return _ann_candidates_from(comp, meta, n_queries, bucket_match)
+
+
+def _ann_comp_meta(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(comp, meta): exploded integer components + per-vector (bucket,
+    sq-norm) — the shared substrate of every bucketed-ANN frame."""
     comp = (
         e.select(
             "vec_id",
@@ -480,6 +487,12 @@ def ann_bucketed_candidates(
         ).alias("bucket"),
         "sq",
     )
+    return comp, meta
+
+
+def _ann_candidates_from(
+    comp: DataFrame, meta: DataFrame, n_queries: int, bucket_match: bool
+) -> DataFrame:
     qside = (
         comp.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("qid"), F.col("i").alias("qi"), F.col("xi").alias("qxi"))
@@ -509,9 +522,16 @@ def ann_bucketed_topk_frame(
     e: DataFrame, n_queries: int = 4, k: int = 10, bucket_match: bool = True
 ) -> DataFrame:
     """Score + per-query top-k over ``ann_bucketed_candidates``."""
+    return _ann_score_topk(
+        ann_bucketed_candidates(e, n_queries, bucket_match=bucket_match), k
+    )
+
+
+def _ann_score_topk(dots: DataFrame, k: int) -> DataFrame:
+    """Rounded-cosine scoring + per-query top-k window over a
+    candidates frame (qid, vec_id, sq, qsq, dot_i)."""
     from pyspark.sql import Window
 
-    dots = ann_bucketed_candidates(e, n_queries, bucket_match=bucket_match)
     cos = F.round(
         (F.col("dot_i").cast("double") / F.lit(1e14))
         / (
@@ -647,8 +667,14 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — and therefore recall, one exact int÷int IEEE division —
     match bit-for-bit."""
     e = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    true_k = ann_bucketed_topk_frame(e, n_queries=4, k=10, bucket_match=False)
-    ann_k = ann_bucketed_topk_frame(e, n_queries=4, k=10)
+    # both sides share the exploded components and bucket metadata —
+    # materialize them once instead of re-scanning per side (measured
+    # 2.07 -> ~1.2 s at sf0.1)
+    comp, meta = _ann_comp_meta(e)
+    comp = comp.localCheckpoint(eager=True)
+    meta = meta.localCheckpoint(eager=True)
+    true_k = _ann_score_topk(_ann_candidates_from(comp, meta, 4, False), 10)
+    ann_k = _ann_score_topk(_ann_candidates_from(comp, meta, 4, True), 10)
     # ann side is referenced twice (hit join + per-query count): its
     # candidate generation is the expensive part, materialize once
     ann_ids = ann_k.select("qid", "vec_id").localCheckpoint(eager=True)
