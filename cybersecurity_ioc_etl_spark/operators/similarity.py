@@ -1463,3 +1463,177 @@ def semdedup_audit_frame(e: DataFrame, k: int) -> DataFrame:
             (F.col("n_members") - n_dropped).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + asymmetric-distance serving
+# ---------------------------------------------------------------------------
+
+_PQ_DIMS = 8  # dims per subspace: 64-dim vectors -> 8 subspaces
+_PQ_K = 4  # centroids per subspace codebook
+
+# shared CTE prefix: exploded integer components split into subspaces,
+# deterministic per-subspace seed codebooks (centroid c := vector c's
+# subvector), and the nearest-centroid code per (vector, subspace) —
+# exact-integer argmin, ties to the lower code, engine-identical.
+_PQ_CODES_SQL = f"""
+comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, CAST((i - 1) // {_PQ_DIMS} AS BIGINT) AS m, i, xi FROM comp
+),
+cent AS (
+  SELECT vec_id AS c, m, i, xi AS ci FROM sub WHERE vec_id < {_PQ_K}
+),
+sqc AS (SELECT c, m, SUM(ci * ci) AS sq_c FROM cent GROUP BY c, m),
+dots AS (
+  SELECT v.vec_id, c.c, v.m, SUM(v.xi * c.ci) AS dot_i
+  FROM sub v JOIN cent c ON v.i = c.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT d.vec_id, d.m, d.c,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                         ORDER BY s.sq_c - 2 * d.dot_i, d.c) AS rn
+    FROM dots d JOIN sqc s ON d.c = s.c AND d.m = s.m
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_codes_frame(
+    spark: SparkSession, sf_dir: str, comp: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, m, code): every vector's per-subspace nearest-codebook
+    assignment, on the exact-integer argmin contract.  The codebook side
+    is K·M·dims rows — always broadcast; the only shuffles are the
+    (vec_id, c, m) partial dots and the per-(vec_id, m) argmin, both
+    map-side combined.  Pass ``comp`` to reuse an already-materialized
+    component table (ivfpq_adc_topk shares one checkpoint between the
+    encode and the query-table build)."""
+    if comp is None:
+        comp = _kmeans_comp(spark, sf_dir)  # 0-based i (oracle is 1-based)
+    sub = comp.select("vec_id", F.expr(f"i div {_PQ_DIMS}").alias("m"), "i", "xi")
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), "m", "i", F.col("xi").alias("ci")
+    )
+    sqc = cent.groupBy("c", "m").agg(F.sum(F.col("ci") * F.col("ci")).alias("sq_c"))
+    dots = (
+        sub.join(F.broadcast(cent.select("c", "i", "ci")), "i")
+        .groupBy("vec_id", "c", "m")
+        .agg(F.sum(F.col("xi") * F.col("ci")).alias("dot_i"))
+    )
+    dist = F.col("sq_c") - F.lit(2) * F.col("dot_i")
+    return (
+        dots.join(F.broadcast(sqc), ["c", "m"])
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("c"))).alias("best"))
+        .select("vec_id", "m", F.col("best.c").alias("code"))
+    )
+
+
+@query(
+    "pq_codes",
+    oracle=f"""
+WITH {_PQ_CODES_SQL}
+SELECT vec_id, m, code FROM codes
+""",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each 64-dim vector
+    into 8 contiguous 8-dim subvectors and store, per subspace, the id
+    of the nearest codebook centroid — compressing a 256-byte vector to
+    8 small codes.  Codebooks here are deterministically seeded
+    (centroid c := vector c's subvector, the kmeans_lloyd_step idiom);
+    training them further IS kmeans_two_rounds run per subspace.
+
+    This is how a 100 TB corpus keeps its vectors IN MEMORY: the
+    codebook (K·M·8 ints) broadcasts everywhere, the corpus shrinks
+    ~64×, and every assignment is an exact-integer argmin (ties to the
+    lower code), so the encode — like every count downstream of it — is
+    engine-identical."""
+    return _pq_codes_frame(spark, sf_dir)
+
+
+@query(
+    "ivfpq_adc_topk",
+    oracle=f"""
+WITH {_PQ_CODES_SQL},
+qsub AS (SELECT m, i, xi AS qx FROM sub WHERE vec_id = 0),
+tbl AS (  -- ADC lookup table: exact ||q_sub - centroid||^2 per (m, c)
+  SELECT c.c, c.m, SUM((q.qx - c.ci) * (q.qx - c.ci)) AS dist_i
+  FROM cent c JOIN qsub q ON c.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT k.vec_id, SUM(t.dist_i) AS adc_i
+  FROM codes k JOIN tbl t ON k.m = t.m AND k.code = t.c
+  WHERE k.vec_id != 0
+  GROUP BY 1
+)
+SELECT vec_id, CAST(adc_i AS DOUBLE) / 100000000000000.0 AS adc_dist
+FROM scored
+ORDER BY adc_i, vec_id
+LIMIT 10
+""",
+)
+def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving via Asymmetric Distance Computation — the second half
+    of the FAISS-style IVF-PQ stack (ivf_trained_topk is the first):
+    the query precomputes one exact-integer distance table
+    ||q_sub − centroid||² per (subspace, code) — K·M values — and every
+    corpus vector is scored by summing M TABLE LOOKUPS on its stored
+    codes, never touching the original vectors.  Top-10 by smallest
+    approximate distance, ties to vec_id.
+
+    Scale shape: the lookup table is K·M rows broadcast into one join
+    against the (vec_id, m, code) code table, followed by a
+    map-side-combined per-vector sum and TakeOrderedAndProject — the
+    serving pass reads 8 small ints per vector instead of 64 doubles,
+    which is the entire point of PQ at 100 TB.  Composing with
+    ivf_trained_topk (route to a trained cell, then ADC within it)
+    multiplies the saving by cells/probe.  adc_i stays an exact int64
+    through the ORDER BY; the double appears once in the output."""
+    comp = _kmeans_comp(spark, sf_dir)
+    sub = comp.select("vec_id", F.expr(f"i div {_PQ_DIMS}").alias("m"), "i", "xi")
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), "m", "i", F.col("xi").alias("ci")
+    )
+    qsub = sub.filter(F.col("vec_id") == 0).select("i", F.col("xi").alias("qx"))
+    tbl = (
+        cent.join(F.broadcast(qsub), "i")
+        .groupBy("c", "m")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("ci")) * (F.col("qx") - F.col("ci"))
+            ).alias("dist_i")
+        )
+    )
+    codes = _pq_codes_frame(spark, sf_dir, comp=comp).filter(
+        F.col("vec_id") != 0
+    )
+    # rename the table side: codes and tbl share lineage (both derive
+    # from comp), so bare column refs would be ambiguous
+    tbl_r = tbl.select(
+        F.col("c").alias("tc"), F.col("m").alias("tm"), "dist_i"
+    )
+    scored = (
+        codes.join(
+            F.broadcast(tbl_r),
+            (F.col("m") == F.col("tm")) & (F.col("code") == F.col("tc")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("dist_i").alias("adc_i"))
+    )
+    return (
+        scored.orderBy("adc_i", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            (F.col("adc_i").cast("double") / F.lit(1e14)).alias("adc_dist"),
+        )
+    )
