@@ -910,3 +910,86 @@ def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").alias("n_new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed percentiles (median / p90) on integer mantissas
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(ROUND(value * 100.0) AS BIGINT), event_id)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT event_type, MAX(n) AS n_events,
+  CAST(SUM(CASE WHEN rn = ((n - 1) * 5) // 10 + 1 THEN vi * (10 - ((n - 1) * 5) % 10)
+                WHEN rn = ((n - 1) * 5) // 10 + 2 AND ((n - 1) * 5) % 10 > 0
+                  THEN vi * (((n - 1) * 5) % 10)
+                ELSE 0 END) AS DOUBLE) / 1000.0 AS p50_value,
+  CAST(SUM(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN vi * (10 - ((n - 1) * 9) % 10)
+                WHEN rn = ((n - 1) * 9) // 10 + 2 AND ((n - 1) * 9) % 10 > 0
+                  THEN vi * (((n - 1) * 9) % 10)
+                ELSE 0 END) AS DOUBLE) / 1000.0 AS p90_value
+FROM ranked GROUP BY event_type
+"""
+
+
+def _pctl_weighted(tenths: int) -> Column:
+    """Exact interpolated percentile numerator at p = tenths/10: the
+    linear-interpolation weights (10−g, g) around position (n−1)·p stay
+    INTEGERS because p has denominator 10 — so the weighted sum is an
+    exact int64 and the percentile needs exactly ONE double division
+    (by 1000 = weight·mantissa scales), bit-identical across engines."""
+    pos = (F.col("n") - 1) * tenths
+    lo = F.expr(f"((n - 1) * {tenths}) div 10") + 1
+    g = pos % 10
+    return F.sum(
+        F.when(F.col("rn") == lo, F.col("vi") * (10 - g))
+        .when((F.col("rn") == lo + 1) & (g > 0), F.col("vi") * g)
+        .otherwise(0)
+    )
+
+
+@query("event_value_percentiles", oracle=_PCTL_ORACLE)
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median + p90 of event value per type — the
+    order statistic every metrics pipeline wants and most engines only
+    approximate.  Built-in percentile/quantile_cont interpolate in
+    floating point with engine-specific operation order, so they are NOT
+    bit-reproducible; here values quantize once to scale-2 integer
+    mantissas, ranks come from one window pass, and the interpolation at
+    p = k/10 is restated as an INTEGER-weighted sum (weights 10−g / g
+    around position (n−1)·p) — one double division at the end, identical
+    in both engines (see _pctl_weighted).
+
+    Scale shape: one shuffle partitioned by event_type with a per-type
+    sort (bounded type cardinality keeps partitions healthy; a skewed
+    type is handled by the two-pass value-histogram median — count per
+    value bucket, then binary-search the bucket holding rank n/2 —
+    which this integer-mantissa domain makes exact, since values are
+    already buckets).  The conditional aggregate that follows is
+    map-side combined; no driver-side work at all.
+
+    value IS NOT NULL on BOTH sides: a NULL value would rank first in
+    Spark's window but last in DuckDB's, shifting every rank — and an
+    order statistic over absent measurements is meaningless anyway."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.round(F.col("value") * 100.0).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select("event_type", "event_id", vi.alias("vi")).select(
+        "event_type",
+        "vi",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        (_pctl_weighted(5).cast("double") / F.lit(1000.0)).alias("p50_value"),
+        (_pctl_weighted(9).cast("double") / F.lit(1000.0)).alias("p90_value"),
+    )

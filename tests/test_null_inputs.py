@@ -46,6 +46,8 @@ _REGRESSIONS = [
     # (null embeddings drop a query's vectors on both sides)
     "dedup_keep_best_salted",
     "ann_recall_audit",
+    # exact percentiles: NULL value must be filtered, not ranked
+    "event_value_percentiles",
 ]
 
 
