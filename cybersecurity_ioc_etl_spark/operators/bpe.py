@@ -290,3 +290,114 @@ def q_bpe_n_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_count",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer INFERENCE: encode the corpus with the trained n-merge vocab
+# ---------------------------------------------------------------------------
+
+
+def trained_vocab(
+    spark: SparkSession, sf_dir: str, n_merges: int = _N_MERGES
+) -> DataFrame:
+    """(w, f, seq): the word table with each word's symbol sequence
+    after ``n_merges`` trained BPE merges — the tokenizer's vocabulary
+    artifact.  Same loop as bpe_n_merges but carrying the word column
+    through every round, so the result maps word → encoded form."""
+    cur = _word_freq(spark, sf_dir).select(
+        "w", "f", _to_seq(F.col("w")).alias("seq")
+    )
+    for r in range(1, n_merges + 1):
+        top1 = (
+            pair_counts(cur)
+            .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+            .limit(1)
+            .select(F.col("left_sym").alias("ml"), F.col("right_sym").alias("mr"))
+        )
+        cur = cur.crossJoin(F.broadcast(top1)).select(
+            "w",
+            "f",
+            F.expr(
+                "replace(seq, concat(ml, chr(31), mr, chr(31)),"
+                " concat(ml, mr, chr(31)))"
+            ).alias("seq"),
+        )
+        if r % 2 == 0:  # bpe_n_merges' checkpoint cadence
+            cur = cur.localCheckpoint(eager=True)
+    return cur
+
+
+def _encode_rounds_sql(n: int) -> str:
+    """w-carrying unrolled merge rounds: s0 → s{n} with (w, f, seq)."""
+    parts = []
+    for r in range(1, n + 1):
+        prev = f"s{r - 1}"
+        parts.append(f"""{_pairs_sql(f'w{r - 1}', prev)},
+t{r} AS (
+  SELECT left_sym, right_sym FROM pcw{r - 1}
+  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+),
+s{r} AS (
+  SELECT w, f,
+    replace(seq, t.left_sym || chr(31) || t.right_sym || chr(31),
+            t.left_sym || t.right_sym || chr(31)) AS seq
+  FROM {prev}, t{r} t
+),""")
+    return "".join(parts)
+
+
+_ENCODE_ORACLE = f"""
+WITH words AS (SELECT unnest({_TOKENIZE_SQL}) AS w FROM documents),
+wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+s0 AS (SELECT w, f, {_SEQ_SQL} AS seq FROM wf),
+{_encode_rounds_sql(_N_MERGES)}
+enc AS (
+  SELECT w, len(string_split(seq, chr(31))) - 1 AS n_syms FROM s{_N_MERGES}
+),
+docw AS (SELECT source, unnest({_TOKENIZE_SQL}) AS w FROM documents)
+SELECT source,
+  COUNT(*) AS n_words,
+  CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+  CAST(SUM(n_syms) AS DOUBLE) / COUNT(*) AS avg_symbols_per_word
+FROM docw JOIN enc USING (w)
+GROUP BY source
+"""
+
+
+@query("bpe_encode_stats", oracle=_ENCODE_ORACLE)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE — the encode pass that closes BPE's
+    train→apply loop the way ivf_trained_topk closes ANN's
+    train→index→serve: train the 4-merge vocabulary (bpe_n_merges'
+    exact loop, word column carried through), then encode EVERY corpus
+    word occurrence by broadcast-joining the word→sequence vocabulary
+    and count symbols per source.  avg symbols/word < avg chars/word is
+    the compression the merges bought — the number a tokenizer team
+    actually tracks per source.
+
+    Scale shape: training never rescans the corpus after the word-freq
+    shuffle (bpe.py module docstring); the encode pass is the standard
+    production tokenization sweep — ONE broadcast join of the vocab
+    against the streamed corpus (at a 30k-merge vocab the word→encoding
+    table is still MBs), then a map-side-combined per-source sum.  The
+    exact-integer symbol counts divide once into the per-source average
+    (int÷int, correctly rounded, engine-identical)."""
+    vocab = trained_vocab(spark, sf_dir)
+    enc = vocab.select(
+        "w", (F.size(F.split("seq", _SEP)) - 1).cast("long").alias("n_syms")
+    )
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    docw = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    return (
+        docw.join(F.broadcast(enc), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_symbols"),
+            (F.sum("n_syms").cast("double") / F.count("*")).alias(
+                "avg_symbols_per_word"
+            ),
+        )
+    )
