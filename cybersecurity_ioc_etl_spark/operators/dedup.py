@@ -1206,3 +1206,79 @@ def q_banding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_true_pairs", "n_candidates", "n_hits", recall.alias("recall")
     )
+
+
+@query(
+    "neardup_containment_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+  FROM documents WHERE doc_id < 60
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+  CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment,
+  CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END AS smaller_doc_id
+FROM inter i
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY containment DESC, doc_a, doc_b
+LIMIT 20
+""",
+)
+def q_neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup — the detector Jaccard structurally misses:
+    a document wholly embedded in a larger one (article + boilerplate
+    wrapper, quote-and-extend posts, crawl re-renders) has containment
+    |A∩B| / min(|A|,|B|) ≈ 1 while its Jaccard |A∩B| / |A∪B| can be
+    arbitrarily small.  Emits the top-20 containing pairs with the
+    smaller (contained) side identified — the row a curation pipeline
+    drops.  The fixture carries two genuine full-containment pairs that
+    Jaccard scores far below any dedup threshold.
+
+    Same bounded shingle self-join as neardup_jaccard_pairs (only the
+    scoring changes — min instead of union); at 100 TB the pair
+    generation is the SAME LSH banding plan (minhash_band_pairs), since
+    a contained doc shares its whole shingle set and therefore lands in
+    the container's buckets with high probability.  containment is one
+    int÷int correctly-rounded division — engine-identical, ties broken
+    on (doc_a, doc_b)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = d.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+            ).alias("containment"),
+            F.when(F.col("sa.n_sh") <= F.col("sb.n_sh"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("smaller_doc_id"),
+        )
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
