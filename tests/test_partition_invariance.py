@@ -41,6 +41,13 @@ _REPRESENTATIVES = [
     "cumulative_new_users",  # first-seen + running sum
     "corpus_token_budget",  # ledger + broadcast total
     "ioc_ip_block_enrichment",  # bucketed range join
+    # round-5 additions
+    "dedup_keep_best_salted",  # salted two-phase keeper election
+    "ivf_trained_topk",  # train -> inverted file -> serve
+    "ivfpq_adc_topk",  # PQ codes + broadcast ADC table
+    "bpe_n_merges",  # 4-round merge loop, checkpoint cadence
+    "ann_recall_audit",  # two top-k plans + intersection
+    "event_value_percentiles",  # rank-based order statistics
 ]
 
 
