@@ -993,3 +993,81 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_pctl_weighted(5).cast("double") / F.lit(1000.0)).alias("p50_value"),
         (_pctl_weighted(9).cast("double") / F.lit(1000.0)).alias("p90_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history fold: event log → validity-interval dimension
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+  WHERE ts IS NOT NULL AND user_id % 10 = 0
+),
+changes AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE prev_type IS NULL OR event_type != prev_type
+),
+versions AS (
+  SELECT user_id, event_type, ts AS vf,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+  FROM changes
+)
+SELECT user_id, event_type,
+  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  COALESCE(strftime(vt, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+  CAST(vt IS NULL AS BOOLEAN) AS is_current
+FROM versions
+"""
+
+
+@query("user_value_scd2", oracle=_SCD2_ORACLE)
+def q_user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 fold: compact the raw event log
+    into the versioned dimension a lakehouse MERGE maintains — one row
+    per (user, attribute-value run) carrying its validity interval and
+    a current flag.  cdc_snapshot_fold keeps only each key's LATEST
+    state; SCD2 keeps the full history, which is what joins-as-of-then
+    (pricing at order time, segment at click time) require.
+
+    Restated as two windows instead of a MERGE loop: change points are
+    rows whose attribute differs from their lag (runs collapse), and
+    each version's valid_to is the lead of the next change — no
+    self-join, no driver iteration; both shuffles share the user_id
+    partitioning (Spark plans one Window node per frame on the same
+    key).  At 100 TB this is the standard daily compaction: partition
+    by key-hash, the per-key sort is bounded by per-user event counts,
+    and the output replaces the dimension table atomically
+    (sinks/bucketed.py's overwrite pattern).
+
+    ts IS NOT NULL on both sides (NULL would rank first in Spark,
+    last in DuckDB); user_id % 10 scopes the fixture output — the plan
+    is identical unscoped."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & (F.col("user_id") % 10 == 0))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    versions = changes.withColumn("vt", F.lead("ts").over(wv))
+    return versions.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("vt", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to"),
+        F.col("vt").isNull().alias("is_current"),
+    )
