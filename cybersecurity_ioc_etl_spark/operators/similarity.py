@@ -1637,3 +1637,123 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adc_i").cast("double") / F.lit(1e14)).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation audit: prefix-dim retrieval vs full-dim
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16  # prefix length audited against the full 64 dims
+
+_MRL_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+fdots AS (  -- full-dimension ground truth
+  SELECT q.vec_id AS qid, d.vec_id AS vec_id,
+         SUM(d.xi * d.xi) AS sq, SUM(q.xi * q.xi) AS qsq,
+         SUM(d.xi * q.xi) AS dot_i
+  FROM comp d
+  JOIN comp q ON q.i = d.i AND q.vec_id < 4
+  WHERE d.vec_id >= 4
+  GROUP BY 1, 2
+),
+full_topk AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+              / (sqrt(CAST(sq AS DOUBLE) / 100000000000000.0)
+               * sqrt(CAST(qsq AS DOUBLE) / 100000000000000.0)), 6) DESC,
+        vec_id) AS rnk
+    FROM fdots
+  ) WHERE rnk <= 10
+),
+tdots AS (  -- first-{_MRL_DIMS}-dims retrieval under audit
+  SELECT q.vec_id AS qid, d.vec_id AS vec_id,
+         SUM(d.xi * d.xi) AS sq, SUM(q.xi * q.xi) AS qsq,
+         SUM(d.xi * q.xi) AS dot_i
+  FROM comp d
+  JOIN comp q ON q.i = d.i AND q.vec_id < 4
+  WHERE d.vec_id >= 4 AND d.i <= {_MRL_DIMS}
+  GROUP BY 1, 2
+),
+trunc_topk AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+              / (sqrt(CAST(sq AS DOUBLE) / 100000000000000.0)
+               * sqrt(CAST(qsq AS DOUBLE) / 100000000000000.0)), 6) DESC,
+        vec_id) AS rnk
+    FROM tdots
+  ) WHERE rnk <= 10
+)
+SELECT f.qid, COUNT(*) AS n_full,
+  CAST(COALESCE(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 END), 0) AS BIGINT)
+    AS n_hit,
+  CAST(COALESCE(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+    / COUNT(*) AS overlap
+FROM full_topk f
+LEFT JOIN trunc_topk t ON f.qid = t.qid AND f.vec_id = t.vec_id
+GROUP BY f.qid
+"""
+
+
+def _brute_topk(comp: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """Brute-force per-query cosine top-k straight from a component
+    frame (vec_id, i, xi) — norms derived from the same slice, so a
+    dimension-truncated comp audits truncated retrieval for free."""
+    qside = comp.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("i").alias("qi"), F.col("xi").alias("qxi")
+    )
+    dots = (
+        comp.filter(F.col("vec_id") >= n_queries)
+        .join(F.broadcast(qside), F.col("i") == F.col("qi"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("xi") * F.col("xi")).alias("sq"),
+            F.sum(F.col("qxi") * F.col("qxi")).alias("qsq"),
+            F.sum(F.col("xi") * F.col("qxi")).alias("dot_i"),
+        )
+    )
+    return _ann_score_topk(dots, k)
+
+
+@query("mrl_truncation_audit", oracle=_MRL_ORACLE)
+def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: score per query how much
+    of the TRUE full-dimension top-10 survives when retrieval uses only
+    the first 16 of 64 dimensions — the measurement behind the
+    'truncate MRL embeddings to cut index cost' decision (Kusupati et
+    al. 2022, arXiv:2205.13147).  Truncation here is a dimension-prefix
+    filter (i ≤ 16) on the SAME exploded component table, so prefix
+    norms and dots come from one pass with no re-embedding; overlap is
+    |trunc∩full|/10, one exact int÷int division.
+
+    This and ann_recall_audit are the two axes of the serving cost
+    table: buckets cut CANDIDATES (recall lever: nprobe), truncation
+    cuts PER-CANDIDATE work (recall lever: dims) — at 100 TB both run
+    on a sampled query batch exactly as here, and a prefix-dim index is
+    the common first stage ahead of full-dim re-ranking.  Same window
+    guarantees as the other audits: rounded integer-mantissa cosines,
+    vec_id tie-breaks, engine-identical intersections."""
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    comp, _ = _ann_comp_meta(e)
+    comp = comp.localCheckpoint(eager=True)  # both audits read it
+    full_k = _brute_topk(comp, 4, 10).select("qid", "vec_id")
+    trunc_k = _brute_topk(comp.filter(F.col("i") <= _MRL_DIMS), 4, 10).select(
+        "qid", "vec_id"
+    )
+    hit = F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+    return (
+        full_k.join(trunc_k.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_full"),
+            hit.alias("n_hit"),
+            (hit.cast("double") / F.count("*")).alias("overlap"),
+        )
+    )
