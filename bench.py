@@ -61,6 +61,13 @@ HEADLINE = [
     "bpe_n_merges",
     "ivf_trained_topk",
     "ann_recall_audit",
+    "pq_codes",
+    "ivfpq_adc_topk",
+    "bpe_encode_stats",
+    "neardup_containment_pairs",
+    "event_value_percentiles",
+    "user_value_scd2",
+    "mrl_truncation_audit",
 ]
 
 
