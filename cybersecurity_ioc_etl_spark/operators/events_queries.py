@@ -1071,3 +1071,94 @@ def q_user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.col("vt").isNull().alias("is_current"),
     )
+
+
+_WINSOR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(ROUND(value * 100.0) AS BIGINT), event_id)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL
+),
+bounds AS (  -- exact rank-based p05 / p95 cut mantissas (no interpolation:
+             -- winsorization clips at ORDER STATISTICS, so the bound is a
+             -- row's own integer value — engine-identical by construction)
+  SELECT event_type,
+    MAX(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN vi END) AS lo,
+    MAX(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN vi END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type, MAX(r.n) AS n_events,
+  CAST(b.lo AS DOUBLE) / 100.0 AS p05_cut,
+  CAST(b.hi AS DOUBLE) / 100.0 AS p95_cut,
+  CAST(SUM(LEAST(GREATEST(r.vi, b.lo), b.hi)) AS DOUBLE) / MAX(r.n) / 100.0
+    AS winsorized_mean,
+  CAST(SUM(CASE WHEN r.vi < b.lo OR r.vi > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped
+FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+GROUP BY r.event_type, b.lo, b.hi
+"""
+
+
+@query("event_value_winsorized", oracle=_WINSOR_ORACLE)
+def q_event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) robust mean per event type: values below the
+    p05 / above the p95 order statistic are clamped to the cut before
+    averaging — the robust aggregate metrics pipelines use when a few
+    bad instruments would otherwise drag the mean (the plain mean is
+    exactly what event_value_outliers shows being dragged).  Cuts are
+    ORDER STATISTICS (a row's own integer mantissa, rank
+    ⌊(n−1)·p⌋+1), not interpolations — so clamping compares exact
+    integers, the clipped sum is an exact int64, and the mean divides
+    once (÷n, ÷scale) — bit-identical across engines.
+
+    Same one-window + conditional-aggregate shape as
+    event_value_percentiles (the rank pass could even be shared); the
+    5-row bounds table broadcasts back onto the ranked rows, and the
+    final aggregate is map-side combined."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.round(F.col("value") * 100.0).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select("event_type", "event_id", vi.alias("vi")).select(
+        "event_type",
+        "vi",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("((n - 1) * 5) div 100") + 1, F.col("vi"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("((n - 1) * 95) div 100") + 1, F.col("vi"))
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("vi"), F.col("lo")), F.col("hi"))
+    return (
+        ranked.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(clipped).alias("s"),
+            F.sum(
+                F.when((F.col("vi") < F.col("lo")) | (F.col("vi") > F.col("hi")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("lo").cast("double") / F.lit(100.0)).alias("p05_cut"),
+            (F.col("hi").cast("double") / F.lit(100.0)).alias("p95_cut"),
+            (
+                F.col("s").cast("double") / F.col("n_events") / F.lit(100.0)
+            ).alias("winsorized_mean"),
+            "n_clipped",
+        )
+    )
