@@ -68,6 +68,8 @@ HEADLINE = [
     "event_value_percentiles",
     "user_value_scd2",
     "mrl_truncation_audit",
+    "event_value_winsorized",
+    "ioc_first_last_seen",
 ]
 
 

@@ -964,6 +964,27 @@ def q_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroid_norms(means2, counts2)
 
 
+def _trained_inverted_file(comp: DataFrame) -> DataFrame:
+    """(vec_id, cid): every vector's assignment under the TRAINED coarse
+    quantizer — two Lloyd rounds from the deterministic seed, quantized
+    round-2 means, one final assignment pass.  Checkpointed: it IS the
+    index, and every consumer (probe, membership, PQ serving) reads it."""
+    cent = (
+        comp.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
+    )
+    _, _, means1 = _lloyd_round(comp, cent)
+    cent2 = means1.select(
+        "cid", "i", _mi(F.col("mean_x")).alias("ci")
+    ).localCheckpoint(eager=True)
+    _, _, means2 = _lloyd_round(comp, cent2)
+    cent3 = means2.select(
+        "cid", "i", _mi(F.col("mean_x")).alias("ci")
+    ).localCheckpoint(eager=True)
+    assign3, _, _ = _lloyd_round(comp, cent3)
+    return assign3.localCheckpoint(eager=True)
+
+
 _IVF_TRAINED_ORACLE = f"""
 WITH comp AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1024,22 +1045,7 @@ def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join on cid BEFORE any per-dimension work, and the final
     top-10 is TakeOrderedAndProject."""
     comp = _kmeans_comp(spark, sf_dir)
-    cent = (
-        comp.filter(F.col("vec_id") < _KMEANS_K)
-        .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
-    )
-    _, _, means1 = _lloyd_round(comp, cent)
-    cent2 = means1.select(
-        "cid", "i", _mi(F.col("mean_x")).alias("ci")
-    ).localCheckpoint(eager=True)
-    _, _, means2 = _lloyd_round(comp, cent2)
-    cent3 = means2.select(
-        "cid", "i", _mi(F.col("mean_x")).alias("ci")
-    ).localCheckpoint(eager=True)
-    # inverted file: assignment under the trained quantizer, materialized
-    # once (probe + membership both read it)
-    assign3, _, _ = _lloyd_round(comp, cent3)
-    assign3 = assign3.localCheckpoint(eager=True)
+    assign3 = _trained_inverted_file(comp)
     probe = assign3.filter(F.col("vec_id") == 0).select("cid")
     members = assign3.filter(F.col("vec_id") != 0).join(
         F.broadcast(probe), "cid"
@@ -1476,32 +1482,42 @@ _PQ_K = 4  # centroids per subspace codebook
 # deterministic per-subspace seed codebooks (centroid c := vector c's
 # subvector), and the nearest-centroid code per (vector, subspace) —
 # exact-integer argmin, ties to the lower code, engine-identical.
-_PQ_CODES_SQL = f"""
-comp AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
-  FROM embeddings
-),
-sub AS (
+def _pq_codes_sql(p: str = "") -> str:
+    """CTE chain `{p}sub → {p}cent → {p}sqc → {p}dots → {p}codes` over an
+    existing `comp` CTE (1-based i, integer mantissas).  The prefix lets
+    the IVF-PQ composition oracle mix these with the Lloyd-round CTEs
+    (whose round-'' names would otherwise collide)."""
+    return f"""
+{p}sub AS (
   SELECT vec_id, CAST((i - 1) // {_PQ_DIMS} AS BIGINT) AS m, i, xi FROM comp
 ),
-cent AS (
-  SELECT vec_id AS c, m, i, xi AS ci FROM sub WHERE vec_id < {_PQ_K}
+{p}cent AS (
+  SELECT vec_id AS c, m, i, xi AS ci FROM {p}sub WHERE vec_id < {_PQ_K}
 ),
-sqc AS (SELECT c, m, SUM(ci * ci) AS sq_c FROM cent GROUP BY c, m),
-dots AS (
+{p}sqc AS (SELECT c, m, SUM(ci * ci) AS sq_c FROM {p}cent GROUP BY c, m),
+{p}dots AS (
   SELECT v.vec_id, c.c, v.m, SUM(v.xi * c.ci) AS dot_i
-  FROM sub v JOIN cent c ON v.i = c.i
+  FROM {p}sub v JOIN {p}cent c ON v.i = c.i
   GROUP BY 1, 2, 3
 ),
-codes AS (
+{p}codes AS (
   SELECT vec_id, m, c AS code FROM (
     SELECT d.vec_id, d.m, d.c,
       ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
                          ORDER BY s.sq_c - 2 * d.dot_i, d.c) AS rn
-    FROM dots d JOIN sqc s ON d.c = s.c AND d.m = s.m
+    FROM {p}dots d JOIN {p}sqc s ON d.c = s.c AND d.m = s.m
   ) WHERE rn = 1
 )"""
+
+
+_PQ_COMP_SQL = f"""
+comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+)"""
+
+_PQ_CODES_SQL = _PQ_COMP_SQL + "," + _pq_codes_sql()
 
 
 def _pq_codes_frame(
@@ -1599,6 +1615,28 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies the saving by cells/probe.  adc_i stays an exact int64
     through the ORDER BY; the double appears once in the output."""
     comp = _kmeans_comp(spark, sf_dir)
+    scored = _pq_adc_scored(spark, sf_dir, comp)
+    return (
+        scored.orderBy("adc_i", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            (F.col("adc_i").cast("double") / F.lit(1e14)).alias("adc_dist"),
+        )
+    )
+
+
+def _pq_adc_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    comp: DataFrame,
+    members: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, adc_i): every corpus vector's exact-integer asymmetric
+    PQ distance to the query (vec_id=0) — the ADC serving core shared
+    by ivfpq_adc_topk (whole corpus) and ivfpq_trained_topk (one
+    trained cell).  ``members`` restricts scoring to a (vec_id) subset
+    BEFORE the table join — the cell prune must precede per-code work."""
     sub = comp.select("vec_id", F.expr(f"i div {_PQ_DIMS}").alias("m"), "i", "xi")
     cent = sub.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), "m", "i", F.col("xi").alias("ci")
@@ -1616,26 +1654,20 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_codes_frame(spark, sf_dir, comp=comp).filter(
         F.col("vec_id") != 0
     )
+    if members is not None:
+        codes = codes.join(members, "vec_id")
     # rename the table side: codes and tbl share lineage (both derive
     # from comp), so bare column refs would be ambiguous
     tbl_r = tbl.select(
         F.col("c").alias("tc"), F.col("m").alias("tm"), "dist_i"
     )
-    scored = (
+    return (
         codes.join(
             F.broadcast(tbl_r),
             (F.col("m") == F.col("tm")) & (F.col("code") == F.col("tc")),
         )
         .groupBy("vec_id")
         .agg(F.sum("dist_i").alias("adc_i"))
-    )
-    return (
-        scored.orderBy("adc_i", "vec_id")
-        .limit(10)
-        .select(
-            "vec_id",
-            (F.col("adc_i").cast("double") / F.lit(1e14)).alias("adc_dist"),
-        )
     )
 
 
@@ -1755,5 +1787,85 @@ def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_full"),
             hit.alias("n_hit"),
             (hit.cast("double") / F.count("*")).alias("overlap"),
+        )
+    )
+
+
+_IVFPQ_TRAINED_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, i, xi AS ci FROM comp WHERE vec_id < {_KMEANS_K}
+),{_lloyd_round_sql('', 'cent')},
+cent2 AS (
+  SELECT cid, i, {_MI_SQL.format(x='mean_x')} AS ci FROM means
+),{_lloyd_round_sql('2', 'cent2')},
+cent3 AS (
+  SELECT cid, i, {_MI_SQL.format(x='mean_x')} AS ci FROM means2
+),{_lloyd_round_sql('3', 'cent3')},{_pq_codes_sql('p')},
+qsub AS (SELECT m, i, xi AS qx FROM psub WHERE vec_id = 0),
+tbl AS (
+  SELECT c.c, c.m, SUM((q.qx - c.ci) * (q.qx - c.ci)) AS dist_i
+  FROM pcent c JOIN qsub q ON c.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT k.vec_id, a.cid, SUM(t.dist_i) AS adc_i
+  FROM pcodes k
+  JOIN tbl t ON k.m = t.m AND k.code = t.c
+  JOIN assign3 a ON k.vec_id = a.vec_id
+  WHERE a.cid = (SELECT cid FROM assign3 WHERE vec_id = 0)
+    AND k.vec_id != 0
+  GROUP BY 1, 2
+)
+SELECT vec_id, cid, CAST(adc_i AS DOUBLE) / 100000000000000.0 AS adc_dist
+FROM scored
+ORDER BY adc_i, vec_id
+LIMIT 10
+"""
+
+
+@query("ivfpq_trained_topk", oracle=_IVFPQ_TRAINED_ORACLE)
+def q_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE two-level vector index, composed end-to-end — what
+    FAISS calls IVF-PQ and what a production 100 TB vector store
+    actually serves: the trained coarse quantizer routes the query to
+    its cell (ivf_trained_topk's inverted file, 1-row probe), and ADC
+    scores ONLY that cell's members from their 8 stored PQ codes via
+    the broadcast lookup table (ivfpq_adc_topk's serving core).
+
+    The cost multiplication is the point: routing touches 1/cells of
+    the corpus, PQ reads 8 small ints per touched vector instead of 64
+    doubles — together ~500× less data motion per query than
+    brute-force at k=8 cells, and both factors scale independently
+    (more cells, more subspaces).  The cell prune happens BEFORE any
+    per-code work (`_pq_adc_scored(members=...)`), exactly as the
+    inverted file makes physical on disk.
+
+    Everything stays on the exact-integer contract: Lloyd training,
+    cell assignment, code assignment, and the ADC sums are all int64
+    argmins/sums, so this 5-stage composition is bit-identical to the
+    oracle's single unrolled SQL — the strongest composition receipt
+    the engine can produce."""
+    comp = _kmeans_comp(spark, sf_dir)
+    assign3 = _trained_inverted_file(comp)
+    probe = assign3.filter(F.col("vec_id") == 0).select("cid")
+    members = (
+        assign3.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "cid")
+        .select("vec_id")
+    )
+    scored = _pq_adc_scored(spark, sf_dir, comp, members=members)
+    return (
+        scored.orderBy("adc_i", "vec_id")
+        .limit(10)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "cid",
+            (F.col("adc_i").cast("double") / F.lit(1e14)).alias("adc_dist"),
         )
     )
