@@ -1631,12 +1631,18 @@ def _pq_adc_scored(
     sf_dir: str,
     comp: DataFrame,
     members: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, adc_i): every corpus vector's exact-integer asymmetric
     PQ distance to the query (vec_id=0) — the ADC serving core shared
     by ivfpq_adc_topk (whole corpus) and ivfpq_trained_topk (one
     trained cell).  ``members`` restricts scoring to a (vec_id) subset
-    BEFORE the table join — the cell prune must precede per-code work."""
+    BEFORE the table join — the cell prune must precede per-code work.
+    ``codes`` injects a PRE-BUILT code table (the stored index): in
+    production the encode ran once at ingest and serving reads 8 ints
+    per vector; rebuilding codes per query (the default here, honest
+    for the fixture which persists no index) pays the encode again —
+    tools/pq_probe.py measures both sides of that split."""
     sub = comp.select("vec_id", F.expr(f"i div {_PQ_DIMS}").alias("m"), "i", "xi")
     cent = sub.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), "m", "i", F.col("xi").alias("ci")
@@ -1651,9 +1657,9 @@ def _pq_adc_scored(
             ).alias("dist_i")
         )
     )
-    codes = _pq_codes_frame(spark, sf_dir, comp=comp).filter(
-        F.col("vec_id") != 0
-    )
+    if codes is None:
+        codes = _pq_codes_frame(spark, sf_dir, comp=comp)
+    codes = codes.filter(F.col("vec_id") != 0)
     if members is not None:
         codes = codes.join(members, "vec_id")
     # rename the table side: codes and tbl share lineage (both derive
