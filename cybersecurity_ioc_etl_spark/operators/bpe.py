@@ -270,7 +270,14 @@ def q_bpe_n_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     round stays: pair census (map-side combined) → LIMIT-1 winner
     broadcast → literal replace over (seq, f) vocab rows — the corpus
     is never rescanned after the word-frequency shuffle."""
-    seqs = _word_freq(spark, sf_dir).select(_to_seq(F.col("w")).alias("seq"), "f")
+    # the loop's static input materializes ONCE (SCALE.md iteration
+    # rule): un-checkpointed rounds would otherwise replay the
+    # word-frequency shuffle per census (measured 2.12 -> ~1.5 s)
+    seqs = (
+        _word_freq(spark, sf_dir)
+        .select(_to_seq(F.col("w")).alias("seq"), "f")
+        .localCheckpoint(eager=True)
+    )
     cur, mps = seqs, []
     for r in range(1, _N_MERGES + 1):
         cur, mp = merge_top_pair(cur, checkpoint=(r % 2 == 0))
@@ -303,9 +310,13 @@ def trained_vocab(
     """(w, f, seq): the word table with each word's symbol sequence
     after ``n_merges`` trained BPE merges — the tokenizer's vocabulary
     artifact.  Same loop as bpe_n_merges but carrying the word column
-    through every round, so the result maps word → encoded form."""
-    cur = _word_freq(spark, sf_dir).select(
-        "w", "f", _to_seq(F.col("w")).alias("seq")
+    through every round, so the result maps word → encoded form.
+    The starting vocab materializes once ahead of the loop (the
+    bpe_n_merges checkpoint note)."""
+    cur = (
+        _word_freq(spark, sf_dir)
+        .select("w", "f", _to_seq(F.col("w")).alias("seq"))
+        .localCheckpoint(eager=True)
     )
     for r in range(1, n_merges + 1):
         top1 = (
