@@ -402,3 +402,66 @@ def test_ip_block_enrichment_is_bucketed_range_join(spark, sf_dir):
     # one BNLJ node = two mentions in formatted output (tree + detail)
     assert p.count("BroadcastNestedLoopJoin") <= 2  # block-table build only
     assert P.is_all_jvm(p)
+
+
+def test_pq_family_broadcast_and_topk(spark, sf_dir):
+    """PQ encode: codebooks broadcast, argmin is an aggregate (no
+    window shuffle of the corpus beyond (vec, m)); ADC serving: the
+    K*M lookup table broadcasts and the top-10 is distributed."""
+    p = plan(spark, sf_dir, "pq_codes")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+    p = plan(spark, sf_dir, "ivfpq_adc_topk")
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_ivf_trained_serving_shape(spark, sf_dir):
+    """Trained IVF: centroid sides broadcast through every Lloyd round
+    and the in-cell top-10 is a TakeOrderedAndProject."""
+    p = plan(spark, sf_dir, "ivf_trained_topk")
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_salted_keeper_is_aggregate_not_window(spark, sf_dir):
+    """The skew-hardened keeper must plan as a two-phase aggregate —
+    no Window node (that's the hot-key single-task shape it exists to
+    avoid), partials map-side combined."""
+    p = plan(spark, sf_dir, "dedup_keep_best_salted")
+    assert "Window" not in p
+    assert "partial_min" in p
+    assert P.is_all_jvm(p)
+
+
+def test_containment_pairs_shingle_equijoin(spark, sf_dir):
+    """Containment pair generation is the shingle equi-join (same as
+    Jaccard) — never a cartesian; sizes broadcast back."""
+    p = plan(spark, sf_dir, "neardup_containment_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert P.is_all_jvm(p)
+
+
+def test_percentiles_single_window_pass(spark, sf_dir):
+    """Exact percentiles: ONE window shuffle on event_type (rank and
+    count share the partitioning), then a map-side-combined aggregate."""
+    p = plan(spark, sf_dir, "event_value_percentiles")
+    assert p.count("Exchange hashpartitioning(event_type") <= 2
+    assert P.is_all_jvm(p)
+
+
+def test_scd2_windows_share_user_shuffle(spark, sf_dir):
+    """SCD2 fold: the lag and lead windows must share the user_id
+    partitioning — at most two exchanges on user_id, no extra."""
+    p = plan(spark, sf_dir, "user_value_scd2")
+    assert p.count("Exchange hashpartitioning(user_id") <= 2
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
