@@ -735,3 +735,32 @@ def q_ioc_first_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").alias("n_sources"),
         )
     )
+
+
+@query(
+    "stream_ioc_aging",
+    oracle=_EXTRACT_CTE
+    + """
+SELECT ioc, type,
+  MIN(date_received) AS first_seen,
+  MAX(date_received) AS last_seen,
+  COUNT(*) AS n_sightings,
+  COUNT(DISTINCT source) AS n_sources
+FROM ioc_rows
+GROUP BY ioc, type
+""",
+)
+def q_stream_ioc_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental maintenance of the aging table: sightings
+    drain as two real micro-batches and foreachBatch MERGEs each batch's
+    partials into a versioned state table at the finest MERGEABLE grain
+    (ioc, type, source) — min/max/count fold associatively there, while
+    the served COUNT(DISTINCT source) would not merge from partials, so
+    it is derived by counting state rows.  The drained serving view must
+    hash-match the batch ioc_first_last_seen oracle exactly (same SQL):
+    merge order cannot change associative folds.  See
+    streaming/pipeline.py::run_ioc_aging_stream for the
+    MERGE-INTO-without-a-table-format scale story."""
+    from ..streaming.pipeline import run_ioc_aging_stream
+
+    return run_ioc_aging_stream(spark, sf_dir)

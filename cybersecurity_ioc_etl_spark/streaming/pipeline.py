@@ -408,6 +408,82 @@ def run_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
 
 
+def run_ioc_aging_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE of the indicator-aging table: IOC sightings
+    arrive as two micro-batches, and foreachBatch folds each batch's
+    partial aggregates into a persistent state table — the pattern a
+    lakehouse expresses as MERGE INTO, restated without a table format
+    (each merge writes a new state version; production swaps the
+    versioned dirs for a Delta/Iceberg commit).
+
+    The state grain is the FINEST MERGEABLE one, (ioc, type, source):
+    min/max/count merge associatively at that grain, while the served
+    n_sources = COUNT(DISTINCT source) does NOT merge from partials —
+    so the state keeps one row per source and the serving view counts
+    rows.  Choosing the mergeable grain is what makes the aging table
+    maintainable incrementally at 100 TB of feed history: each batch
+    touches O(batch distinct keys), never the history."""
+    from ..operators.ioc_queries import ioc_table
+
+    rows = ioc_table(spark, sf_dir).select(
+        "ioc", "type", "source", "date_received"
+    )
+    src = tempfile.mkdtemp(prefix="stream_aging_src_")
+    rows.repartition(2).write.mode("overwrite").parquet(src)
+    state_root = tempfile.mkdtemp(prefix="stream_aging_state_")
+    latest: list[str] = []
+
+    def merge(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        part = batch.groupBy("ioc", "type", "source").agg(
+            F.min("date_received").alias("first_seen"),
+            F.max("date_received").alias("last_seen"),
+            F.count("*").alias("n"),
+        )
+        if latest:
+            cur = spark.read.parquet(latest[-1])
+            part = (
+                cur.unionByName(part)
+                .groupBy("ioc", "type", "source")
+                .agg(
+                    F.min("first_seen").alias("first_seen"),
+                    F.max("last_seen").alias("last_seen"),
+                    F.sum("n").alias("n"),
+                )
+            )
+        out = os.path.join(state_root, f"v{bid}")
+        part.write.mode("overwrite").parquet(out)
+        latest.append(out)
+
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_aging_")
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not latest:
+        return spark.createDataFrame(
+            [],
+            "ioc string, type string, first_seen string, last_seen string,"
+            " n_sightings bigint, n_sources bigint",
+        )
+    state = spark.read.parquet(latest[-1])
+    return state.groupBy("ioc", "type").agg(
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+        F.sum("n").cast("bigint").alias("n_sightings"),
+        F.count("*").alias("n_sources"),
+    )
+
+
 def run_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mixture sampling: documents drain as two micro-batches,
     each filtered by the deterministic md5-bucket-vs-keep-rate decision
