@@ -476,11 +476,14 @@ def run_ioc_aging_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_sightings bigint, n_sources bigint",
         )
     state = spark.read.parquet(latest[-1])
+    # count the source COLUMN, not rows: the state keeps a NULL-source
+    # group too (its sightings belong in n_sightings), but
+    # COUNT(DISTINCT source) ignores NULLs — so must we
     return state.groupBy("ioc", "type").agg(
         F.min("first_seen").alias("first_seen"),
         F.max("last_seen").alias("last_seen"),
         F.sum("n").cast("bigint").alias("n_sightings"),
-        F.count("*").alias("n_sources"),
+        F.count("source").alias("n_sources"),
     )
 
 

@@ -48,6 +48,8 @@ _REGRESSIONS = [
     "ann_recall_audit",
     # exact percentiles: NULL value must be filtered, not ranked
     "event_value_percentiles",
+    # aging merge: NULL source must not count toward n_sources
+    "stream_ioc_aging",
 ]
 
 
