@@ -1008,12 +1008,14 @@ WITH ordered AS (
   WHERE ts IS NOT NULL AND user_id % 10 = 0
 ),
 changes AS (
-  SELECT user_id, event_type, ts FROM ordered
+  SELECT user_id, event_type, ts, event_id FROM ordered
   WHERE prev_type IS NULL OR event_type != prev_type
 ),
-versions AS (
+versions AS (  -- ORDER BY (ts, event_id): two change points sharing a
+               -- timestamp would otherwise get engine-dependent
+               -- valid_to assignment (tie order is unspecified)
   SELECT user_id, event_type, ts AS vf,
-    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
   FROM changes
 )
 SELECT user_id, event_type,
@@ -1058,9 +1060,11 @@ def q_user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    wv = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) total order: equal-ts change points would get
+    # engine-dependent valid_to under a ts-only sort
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
     versions = changes.withColumn("vt", F.lead("ts").over(wv))
     return versions.select(
         "user_id",
