@@ -70,6 +70,7 @@ HEADLINE = [
     "mrl_truncation_audit",
     "event_value_winsorized",
     "ioc_first_last_seen",
+    "ivfpq_trained_topk",
 ]
 
 

@@ -179,15 +179,101 @@ def _decode_bmp(content: bytes) -> bytes | None:
     return bytes(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(content: bytes) -> bytes | None:
+    """Native decoder for non-interlaced 8-bit PNG (grayscale, gray+α,
+    RGB, RGBA): chunk walk → concatenated-IDAT zlib inflate (stdlib) →
+    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth, the
+    full spec set) → luma fold.  Returns top-down grayscale bytes, or
+    None for palette/16-bit/interlaced streams (PIL handles those when
+    present)."""
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        return None
+    pos, w = len(_PNG_SIG), 0
+    h = bit_depth = color = interlace = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack_from(">I", content, pos)
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            if ctype == b"IHDR":
+                w, h, bit_depth, color, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if not idat or h is None or bit_depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if channels is None or w <= 0 or h <= 0:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    off = 0
+    for _ in range(h):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        prev = line
+        for x in range(w):
+            px = line[x * channels : (x + 1) * channels]
+            if channels == 1:
+                out.append(px[0])
+            elif channels == 2:  # gray + alpha
+                out.append(px[0])
+            else:  # RGB / RGBA — alpha ignored for luma
+                out.append(_luma(px[0], px[1], px[2]))
+    return bytes(out)
+
+
 def decode_real(content: bytes, kind: str, dim: int = 8) -> list[float]:
     """Real decode path for images: PIL when the probe finds it, else the
-    pure-Python native decoders for uncompressed formats (P6 PPM, 24-bit
-    BI_RGB BMP) — so a GENUINE decode runs even in this codec-less
-    container.  Either way the decoded grayscale bytes fold to ``dim``
-    doubles under the same output contract as ``_fake_feature``.  Raises
-    NotImplementedError when nothing can decode `kind`/`content` (video/
-    audio here — pyav absent — and image formats beyond the native two
-    without PIL)."""
+    pure-Python native decoders — uncompressed formats (P6 PPM, 24-bit
+    BI_RGB BMP) AND non-interlaced 8-bit PNG (stdlib zlib inflate + the
+    full filter set) — so a GENUINE decode, including a real DEFLATE
+    stream, runs even in this codec-less container.  Either way the
+    decoded grayscale bytes fold to ``dim`` doubles under the same
+    output contract as ``_fake_feature``.  Raises NotImplementedError
+    when nothing can decode `kind`/`content` (video/audio here — pyav
+    absent — and image formats beyond the native three without PIL)."""
     if kind == "image":
         raw = None
         if _CODECS["image"]:
@@ -198,7 +284,7 @@ def decode_real(content: bytes, kind: str, dim: int = 8) -> list[float]:
             with PIL.Image.open(io.BytesIO(content)) as img:
                 raw = img.convert("L").tobytes()
         if raw is None:
-            raw = _decode_ppm(content) or _decode_bmp(content)
+            raw = _decode_ppm(content) or _decode_bmp(content) or _decode_png(content)
         if raw is not None:
             return _fake_feature(raw, dim)
     raise NotImplementedError(

@@ -176,3 +176,90 @@ def test_extract_features_runs_native_decode_through_spark(spark):
     got = {r.media_id: list(r.feature) for r in extract_features(media).collect()}
     assert got[1] == _fake_feature(bytes([76, 255]))
     assert got[2] == _fake_feature(b"\x01\x02\x03")
+
+
+def _png(width, height, color_type, rows_with_filters, channels):
+    """Minimal PNG builder: raw scanlines are (filter_type, channel
+    bytes BEFORE filtering is undone) — i.e. already-filtered data, so
+    tests can exercise each reconstruction branch."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(line) for f, line in rows_with_filters)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_native_png_decode_unfiltered_rgb():
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        _fake_feature,
+        decode_real,
+    )
+
+    # 2x2 RGB, all rows filter 0: red green / blue white
+    png = _png(2, 2, 2, [
+        (0, [255, 0, 0, 0, 255, 0]),
+        (0, [0, 0, 255, 255, 255, 255]),
+    ], 3)
+    # BT.601 luma of the four pixels, top-down
+    assert decode_real(png, "image") == _fake_feature(bytes([76, 149, 29, 255]))
+
+
+def test_native_png_decode_reconstructs_all_filters():
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        _fake_feature,
+        decode_real,
+    )
+
+    # grayscale 4x4 with one row per filter type: the decoder must undo
+    # Sub, Up, Average, and Paeth to recover the plain ramp 0..15
+    want = bytes(range(16))
+    # row0 ramp via Sub: first byte literal, rest deltas of 1
+    r0 = (1, [0, 1, 1, 1])
+    # row1 via Up: deltas vs row0 are all 4
+    r1 = (2, [4, 4, 4, 4])
+    # row2 via Average: x - (left + up)//2
+    row2, row1v = [8, 9, 10, 11], [4, 5, 6, 7]
+    avg = []
+    for i in range(4):
+        left = row2[i - 1] if i else 0
+        avg.append((row2[i] - ((left + row1v[i]) >> 1)) & 0xFF)
+    r2 = (3, avg)
+    # row3 via Paeth
+    row3 = [12, 13, 14, 15]
+    pae = []
+    for i in range(4):
+        a = row3[i - 1] if i else 0
+        b = row2[i]
+        c = row2[i - 1] if i else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        pae.append((row3[i] - pred) & 0xFF)
+    r3 = (4, pae)
+    png = _png(4, 4, 0, [r0, r1, r2, r3], 1)
+    assert decode_real(png, "image") == _fake_feature(want)
+
+
+def test_native_png_rejects_unsupported_flavors():
+    import pytest as _pytest
+
+    from cybersecurity_ioc_etl_spark.multimodal.columns import _decode_png, decode_real
+
+    assert _decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    assert _decode_png(b"not a png") is None
+    with _pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40, "image")
