@@ -264,16 +264,58 @@ def _decode_png(content: bytes) -> bytes | None:
     return bytes(out)
 
 
+def _decode_wav(content: bytes) -> bytes | None:
+    """Native decoder for RIFF/WAVE PCM audio (8- and 16-bit, any
+    channel count) via the stdlib ``wave`` module: frames → mono-folded
+    8-bit amplitude bytes (16-bit samples take the high byte offset to
+    unsigned), so audio features share the byte-fold contract with the
+    image decoders.  Returns None for non-WAV or compressed streams."""
+    import io
+    import wave
+
+    if not (content[:4] == b"RIFF" and content[8:12] == b"WAVE"):
+        return None
+    try:
+        with wave.open(io.BytesIO(content)) as wf:
+            width = wf.getsampwidth()
+            nch = wf.getnchannels()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width not in (1, 2) or nch < 1:
+        return None
+    out = bytearray()
+    step = width * nch
+    for off in range(0, len(frames) - step + 1, step):
+        acc = 0
+        for ch in range(nch):
+            base = off + ch * width
+            if width == 1:
+                acc += frames[base]  # already unsigned 8-bit
+            else:  # 16-bit little-endian signed → unsigned high byte
+                s = int.from_bytes(
+                    frames[base : base + 2], "little", signed=True
+                )
+                acc += (s >> 8) + 128
+        out.append(acc // nch)
+    return bytes(out)
+
+
 def decode_real(content: bytes, kind: str, dim: int = 8) -> list[float]:
-    """Real decode path for images: PIL when the probe finds it, else the
-    pure-Python native decoders — uncompressed formats (P6 PPM, 24-bit
-    BI_RGB BMP) AND non-interlaced 8-bit PNG (stdlib zlib inflate + the
-    full filter set) — so a GENUINE decode, including a real DEFLATE
-    stream, runs even in this codec-less container.  Either way the
-    decoded grayscale bytes fold to ``dim`` doubles under the same
-    output contract as ``_fake_feature``.  Raises NotImplementedError
-    when nothing can decode `kind`/`content` (video/audio here — pyav
-    absent — and image formats beyond the native three without PIL)."""
+    """Real decode path: PIL/pyav when the probe finds them, else the
+    pure-Python native decoders — uncompressed image formats (P6 PPM,
+    24-bit BI_RGB BMP), non-interlaced 8-bit PNG (stdlib zlib inflate +
+    the full filter set), and RIFF/WAVE PCM audio (stdlib wave) — so a
+    GENUINE decode, including a real DEFLATE stream, runs even in this
+    codec-less container.  Either way the decoded bytes fold to ``dim``
+    doubles under the same output contract as ``_fake_feature``.  Raises
+    NotImplementedError when nothing can decode `kind`/`content` (video
+    here — pyav absent — and formats beyond the native set without
+    PIL/pyav)."""
+    if kind == "audio" and not _CODECS["audio"]:
+        raw = _decode_wav(content)
+        if raw is not None:
+            return _fake_feature(raw, dim)
     if kind == "image":
         raw = None
         if _CODECS["image"]:
@@ -323,9 +365,10 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def feat(blob: bytes, kind: str) -> list[float]:
-            # images always attempt the real path — the native PPM/BMP
-            # decoders need no library; other kinds only when probed
-            if _CODECS.get(kind) or kind == "image":
+            # images and audio always attempt the real path — the native
+            # PPM/BMP/PNG/WAV decoders need no library; video only when
+            # pyav is probed
+            if _CODECS.get(kind) or kind in ("image", "audio"):
                 try:
                     return decode_real(bytes(blob), kind)
                 except Exception:

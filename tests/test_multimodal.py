@@ -263,3 +263,53 @@ def test_native_png_rejects_unsupported_flavors():
     assert _decode_png(b"not a png") is None
     with _pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40, "image")
+
+
+def _wav(samples, width=2, nch=1, rate=8000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        if width == 1:
+            wf.writeframes(bytes(samples))
+        else:
+            wf.writeframes(
+                b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+            )
+    return buf.getvalue()
+
+
+def test_native_wav_decode_16bit_mono():
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        _fake_feature,
+        decode_real,
+    )
+
+    # 16-bit samples fold to unsigned high bytes: -32768→0, 0→128, 32512→255
+    wav = _wav([-32768, 0, 32512, 256])
+    assert decode_real(wav, "audio") == _fake_feature(bytes([0, 128, 255, 129]))
+
+
+def test_native_wav_decode_stereo_averages_channels():
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        _fake_feature,
+        decode_real,
+    )
+
+    # L/R pairs average per frame: (0,255)→127, (10,20)→15 (8-bit PCM)
+    wav = _wav([0, 255, 10, 20], width=1, nch=2)
+    assert decode_real(wav, "audio") == _fake_feature(bytes([127, 15]))
+
+
+def test_native_wav_rejects_non_riff():
+    import pytest as _pytest
+
+    from cybersecurity_ioc_etl_spark.multimodal.columns import _decode_wav, decode_real
+
+    assert _decode_wav(b"not audio at all") is None
+    with _pytest.raises(NotImplementedError):
+        decode_real(b"RIFFxxxxWAVEbroken", "audio")
