@@ -474,12 +474,61 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans, one 5-row shuffle — the shape of every streaming-adjacent
     anomaly monitor at 100 TB (swap pass two for the live stream)."""
     e = load_table(spark, sf_dir, "events")
+    return score_value_outliers(e, value_stats(e))
+
+
+_OUTLIERS_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) AS s,
+    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)
+           * CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) AS q,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_type,
+    round((CAST(CAST(ROUND(e.value * 100.0) AS BIGINT) AS DOUBLE) - st.s / st.n)
+          / sqrt(st.q / st.n - (st.s / st.n) * (st.s / st.n)), 6) AS z
+  FROM events e JOIN stats st ON e.event_type = st.event_type
+)
+SELECT event_type,
+  CAST(COUNT(*) FILTER (WHERE z >= 3.0) AS BIGINT) AS n_outliers,
+  COUNT(*) AS n_events,
+  MAX(z) AS max_z
+FROM scored GROUP BY event_type
+"""
+
+
+@query("stream_value_outliers", oracle=_OUTLIERS_ORACLE)
+def q_stream_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING anomaly monitoring: the z-score pass deployed the way
+    event_value_outliers' docstring promises — stats trained once on
+    the static history, broadcast into real micro-batches, per-batch
+    partial censuses merged associatively (sum/sum/max), so the drained
+    result hash-matches the batch oracle (same SQL) however the stream
+    was batched.  See streaming/pipeline.py::run_stream_outliers for
+    the stateless-serving scale story."""
+    from ..streaming.pipeline import run_stream_outliers
+
+    return run_stream_outliers(spark, sf_dir)
+
+
+def value_stats(e: DataFrame) -> DataFrame:
+    """Per-type exact integer moment sums (s, q, n) — the broadcastable
+    'model' of the z-score monitor, shared by the batch and streaming
+    scoring passes."""
     vi = F.round(F.col("value") * 100.0).cast("bigint")
-    stats = e.groupBy("event_type").agg(
+    return e.groupBy("event_type").agg(
         F.sum(vi).cast("double").alias("s"),
         F.sum(vi * vi).cast("double").alias("q"),
         F.count("*").alias("n"),
     )
+
+
+def score_value_outliers(e: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score events against broadcast stats; per-type outlier census."""
+    vi = F.round(F.col("value") * 100.0).cast("bigint")
     mu = F.col("s") / F.col("n")
     z = F.round(
         (vi.cast("double") - mu)
