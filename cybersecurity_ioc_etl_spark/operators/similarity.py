@@ -1891,3 +1891,120 @@ def q_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adc_i").cast("double") / F.lit(1e14)).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: top principal direction of the embedding Gram matrix
+# ---------------------------------------------------------------------------
+
+def _power_round_sql(r: int, prev_v: str) -> str:
+    """One unrolled power-iteration round: row scores s = Xv (exact
+    int), down-quantized; back-projection t = Xᵀs (exact int);
+    max-normalized re-quantization to scale-4 integers.  FLOOR over a
+    correctly-rounded double division on BOTH sides — integer `div`
+    would diverge on negatives (Spark truncates, DuckDB floors)."""
+    return f"""
+s{r} AS (
+  SELECT c.vec_id, SUM(c.xi * v.v) AS s
+  FROM comp c JOIN {prev_v} v ON c.i = v.i GROUP BY 1
+),
+sq{r} AS (
+  SELECT vec_id,
+    CAST(FLOOR(CAST(s AS DOUBLE) / 10000000.0) AS BIGINT) AS sq
+  FROM s{r}
+),
+t{r} AS (
+  SELECT c.i, SUM(c.xi * q.sq) AS t
+  FROM comp c JOIN sq{r} q ON c.vec_id = q.vec_id GROUP BY 1
+),
+m{r} AS (SELECT GREATEST(MAX(ABS(t)), 1) AS m FROM t{r}),
+v{r} AS (
+  SELECT i,
+    CAST(FLOOR(CAST(t AS DOUBLE) * 10000.0 / CAST(m AS DOUBLE)) AS BIGINT)
+      AS v
+  FROM t{r}, m{r}
+)"""
+
+
+_POWER_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+vinit AS (SELECT range AS i, CAST(1 AS BIGINT) AS v FROM range(1, 65)),
+{_power_round_sql(1, 'vinit')},{_power_round_sql(2, 'v1')}
+SELECT i AS dim_idx, CAST(v AS DOUBLE) / 10000.0 AS loading
+FROM v2
+"""
+
+
+def _power_round(comp: DataFrame, v: DataFrame) -> DataFrame:
+    s = (
+        comp.join(F.broadcast(v), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xi") * F.col("v")).alias("s"))
+    )
+    sq = s.select(
+        "vec_id",
+        F.floor(F.col("s").cast("double") / F.lit(1e7)).cast("bigint").alias("sq"),
+    )
+    t = (
+        comp.join(sq, "vec_id")
+        .groupBy("i")
+        .agg(F.sum(F.col("xi") * F.col("sq")).alias("t"))
+    )
+    m = t.agg(F.greatest(F.max(F.abs(F.col("t"))), F.lit(1)).alias("m"))
+    return (
+        t.crossJoin(F.broadcast(m))
+        .select(
+            "i",
+            F.floor(
+                F.col("t").cast("double") * F.lit(10000.0)
+                / F.col("m").cast("double")
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@query("embedding_power_iteration", oracle=_POWER_ORACLE)
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal DIRECTION of the embedding corpus by two unrolled
+    power-iteration rounds on the Gram matrix — the spectral member of
+    the engine's iterative family (components, PageRank, Lloyd, BFS):
+    v ← XᵀXv without ever materializing the covariance, as two
+    map-side-combined passes per round (row scores s = Xv with the
+    64-row v broadcast; back-projection t = Xᵀs shuffled on vec_id),
+    then max-normalized re-quantization so the next round's argmin-free
+    arithmetic stays exact-integer.
+
+    Engine-identical by the FLOOR-over-double contract: row scores and
+    back-projections are exact int64 sums (bounds in _power_round_sql's
+    scales: |s| ≤ 64·1e7·1e4, |t| ≤ n·1e7·6.4e5 — fine to n ~ 1e6 rows
+    per job; at 100 TB the back-projection pre-aggregates per partition
+    with one more down-quantization, same algebra), and both
+    re-quantizations FLOOR a correctly-rounded double division — the
+    one integer-division form that agrees across engines on NEGATIVE
+    components (Spark's `div` truncates, DuckDB's `//` floors).
+
+    The loop discipline is kmeans/pagerank's: each round's 64-row v is
+    localCheckpoint-ed, comp materializes once.  This is the top-PC
+    pass under embedding whitening, ABTT ('all-but-the-top') cleanup,
+    and spectral outlier screens — and its output feeds the same
+    broadcast-projection shape the PQ/IVF family serves."""
+    comp = _kmeans_comp(spark, sf_dir)
+    # comp's i is 0-based (posexplode); the oracle's is 1-based
+    # (generate_subscripts) — seed v on the 0-based domain and shift
+    # only the OUTPUT index
+    v = spark.range(0, 64).select(
+        F.col("id").cast("bigint").alias("i"), F.lit(1).cast("bigint").alias("v")
+    )
+    v1 = _power_round(comp, v)
+    v2 = _power_round(comp, v1)
+    return v2.select(
+        (F.col("i") + 1).cast("bigint").alias("dim_idx"),
+        (F.col("v").cast("double") / F.lit(10000.0)).alias("loading"),
+    )
