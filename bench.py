@@ -71,6 +71,7 @@ HEADLINE = [
     "event_value_winsorized",
     "ioc_first_last_seen",
     "ivfpq_trained_topk",
+    "embedding_power_iteration",
 ]
 
 

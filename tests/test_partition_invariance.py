@@ -48,6 +48,7 @@ _REPRESENTATIVES = [
     "bpe_n_merges",  # 4-round merge loop, checkpoint cadence
     "ann_recall_audit",  # two top-k plans + intersection
     "event_value_percentiles",  # rank-based order statistics
+    "embedding_power_iteration",  # spectral iteration, signed floors
 ]
 
 
