@@ -1215,3 +1215,29 @@ def q_event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped",
         )
     )
+
+
+@query("approx_value_percentiles", oracle=None)
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) of event value per
+    type — the SCALE path beside event_value_percentiles' exact window
+    plan: a fixed-size mergeable sketch per group, map-side combined, no
+    per-group sort at all.  Rows-only check: sketch cut points are
+    engine-specific by design (DuckDB's approx_quantile is a different
+    t-digest), so there is no cross-engine oracle;
+    tests/test_analytics.py::test_approx_percentiles_bounded_by_exact
+    bounds the sketch against the exact order statistics instead —
+    accuracy 10000 means the estimate sits within 1/10000 of the rank
+    range of the true percentile.  At 100 TB a skewed type makes the
+    exact window's per-group sort the bottleneck; this sketch is what
+    dashboards actually serve, with the exact plan reserved for
+    reconciliation."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        pct[0].alias("p50_approx"),
+        pct[1].alias("p90_approx"),
+    )

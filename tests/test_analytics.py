@@ -105,3 +105,42 @@ def test_approx_percentile_tracks_exact_quantiles(spark, sf_dir):
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_approx_percentiles_bounded_by_exact(spark, sf_dir):
+    """GK-sketch rank guarantee: with accuracy A, the estimate's true
+    rank sits within n/A of the target rank.  Verified per event type
+    against the exact sorted values (rows-only query — no cross-engine
+    oracle possible for sketch cut points)."""
+    import bisect
+
+    from cybersecurity_ioc_etl_spark.operators import QUERIES
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_value_percentiles"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = {
+        r["event_type"]: sorted(r["vs"])
+        for r in e.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    assert set(approx) == set(vals)
+    for et, row in approx.items():
+        vs = vals[et]
+        n = len(vs)
+        assert row["n_events"] == n
+        for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx")):
+            got = row[col]
+            # rank window of the estimate in the exact sorted values
+            lo = bisect.bisect_left(vs, got)
+            hi = bisect.bisect_right(vs, got)
+            target = p * n
+            slack = n / 10000 + 1
+            assert lo - slack <= target <= hi + slack, (et, col, got)
