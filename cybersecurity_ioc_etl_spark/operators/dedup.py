@@ -1282,3 +1282,63 @@ def q_neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@query(
+    "doc_novelty_scores",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+first_seen AS (
+  SELECT md5(shingle) AS dg, MIN(doc_id) AS first_doc
+  FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+  COUNT(*) AS n_shingles,
+  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS novelty
+FROM sh s JOIN first_seen f ON md5(s.shingle) = f.dg
+GROUP BY s.doc_id
+ORDER BY novelty, doc_id
+LIMIT 100
+""",
+)
+def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY against ingestion history: the fraction of a
+    document's distinct 3-gram shingles it is the FIRST (lowest doc_id)
+    to contribute — the corpus-growth accounting metric behind 'is this
+    source still adding content or re-serving what we have?' decisions,
+    and the soft generalization of dedup (novelty 0 = everything seen
+    before ≈ near-dup of history; the 100 least-novel docs emitted here
+    are the prune candidates).
+
+    Scale shape: one shingle census keyed on the 16-byte md5 digest
+    (map-side MIN partials — text never shuffles), one join back on the
+    digest, one per-doc aggregate; the first-seen table IS dedup's
+    incremental fingerprint index widened to shingle grain, so at
+    100 TB it persists and each day's batch joins against it instead of
+    recomputing (incremental_dedup_new_docs' shape).  novelty is one
+    exact int÷int division; ties on (novelty, doc_id) make the top-100
+    a total order."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
+    ).select("doc_id", F.md5("shingle").alias("dg"))
+    first_seen = sh.groupBy("dg").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first_seen, "dg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+        .orderBy("novelty", "doc_id")
+        .limit(100)
+    )

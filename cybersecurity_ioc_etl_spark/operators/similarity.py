@@ -2008,3 +2008,77 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + 1).cast("bigint").alias("dim_idx"),
         (F.col("v").cast("double") / F.lit(10000.0)).alias("loading"),
     )
+
+
+_ABTT_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+vinit AS (SELECT range AS i, CAST(1 AS BIGINT) AS v FROM range(1, 65)),
+{_power_round_sql(1, 'vinit')},{_power_round_sql(2, 'v1')},
+vv AS (SELECT GREATEST(SUM(v * v), 1) AS vv FROM v2),
+per AS (
+  SELECT c.vec_id, SUM(c.xi * c.xi) AS xx, SUM(c.xi * w.v) AS xv
+  FROM comp c JOIN v2 w ON c.i = w.i
+  GROUP BY 1
+)
+SELECT vec_id,
+  sqrt(CAST(xx AS DOUBLE)) / 10000000.0 AS l2_norm,
+  sqrt(GREATEST(CAST(xx AS DOUBLE)
+       - CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE) / CAST(vv AS DOUBLE), 0))
+    / 10000000.0 AS residual_norm
+FROM per, vv
+"""
+
+
+@query("embedding_abtt_residuals", oracle=_ABTT_ORACLE)
+def q_embedding_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding cleanup (Mu & Viswanath 2018,
+    arXiv:1702.01417) COMPOSED with the trained spectral direction:
+    power-iteration finds the dominant common direction
+    (embedding_power_iteration's exact loop), and every vector's norm
+    is split into its projection on that direction vs the residual —
+    the residual is what ABTT keeps, because the common component
+    carries frequency artifacts, not meaning.  Third composition
+    receipt after ivf_trained_topk and ivfpq_trained_topk: the trained
+    artifact of one operator is the broadcast input of the next.
+
+    Engine-identical floats: xx, xv, vv are exact int64 sums; the
+    projection xv²/vv is computed double-first (the int square would
+    overflow at 4e25) via identical correctly-rounded expression chains
+    on both sides, and sqrt of bit-identical doubles is bit-identical.
+    Scale shape: the 64-row direction broadcasts; the residual pass is
+    ONE map-side-combined aggregation per vector over the same exploded
+    components the training rounds read — a narrow scan at 100 TB, and
+    at serving time the subtraction happens at query scoring with zero
+    extra passes."""
+    comp = _kmeans_comp(spark, sf_dir)
+    v0 = spark.range(0, 64).select(
+        F.col("id").cast("bigint").alias("i"), F.lit(1).cast("bigint").alias("v")
+    )
+    v2 = _power_round(comp, _power_round(comp, v0))
+    vv = v2.agg(
+        F.greatest(F.sum(F.col("v") * F.col("v")), F.lit(1)).alias("vv")
+    )
+    per = (
+        comp.join(F.broadcast(v2), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("xi") * F.col("xi")).alias("xx"),
+            F.sum(F.col("xi") * F.col("v")).alias("xv"),
+        )
+    )
+    proj_sq = (
+        F.col("xv").cast("double") * F.col("xv").cast("double")
+        / F.col("vv").cast("double")
+    )
+    return per.crossJoin(F.broadcast(vv)).select(
+        "vec_id",
+        (F.sqrt(F.col("xx").cast("double")) / F.lit(1e7)).alias("l2_norm"),
+        (
+            F.sqrt(F.greatest(F.col("xx").cast("double") - proj_sq, F.lit(0.0)))
+            / F.lit(1e7)
+        ).alias("residual_norm"),
+    )
