@@ -72,6 +72,9 @@ HEADLINE = [
     "ioc_first_last_seen",
     "ivfpq_trained_topk",
     "embedding_power_iteration",
+    "doc_novelty_scores",
+    "embedding_abtt_residuals",
+    "approx_value_percentiles",
 ]
 
 

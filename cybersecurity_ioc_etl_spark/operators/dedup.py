@@ -1322,11 +1322,20 @@ def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it persists and each day's batch joins against it instead of
     recomputing (incremental_dedup_new_docs' shape).  novelty is one
     exact int÷int division; ties on (novelty, doc_id) make the top-100
-    a total order."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
-    ).select("doc_id", F.md5("shingle").alias("dg"))
+    a total order.
+
+    fan_out + one materialization of the digest rows: the shingle+md5
+    explode is the CPU-bound stage CLAUDE.md reserves fan_out for, and
+    both the census and the join-back read the same rows (measured
+    14.6 -> ~1.5 s at sf0.1)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = (
+        d.select(
+            "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
+        )
+        .select("doc_id", F.md5("shingle").alias("dg"))
+        .localCheckpoint(eager=True)
+    )
     first_seen = sh.groupBy("dg").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
