@@ -1241,3 +1241,51 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct[0].alias("p50_approx"),
         pct[1].alias("p90_approx"),
     )
+
+
+@query(
+    "value_equidepth_histogram",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    NTILE(8) OVER (PARTITION BY event_type
+                   ORDER BY CAST(ROUND(value * 100.0) AS BIGINT), event_id)
+      AS bucket
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+  COUNT(*) AS n_values,
+  CAST(MIN(vi) AS DOUBLE) / 100.0 AS lo_value,
+  CAST(MAX(vi) AS DOUBLE) / 100.0 AS hi_value
+FROM ranked
+GROUP BY event_type, bucket
+""",
+)
+def q_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of event value per type (8 buckets of equal
+    row count, boundaries wherever the data is dense) — the complement
+    of doc_length_histogram's fixed log2 buckets, and the statistic
+    query optimizers and drift monitors actually want (equal-width
+    buckets collapse under skew; equal-depth boundaries ARE the
+    distribution).  NTILE over the (mantissa, event_id) total order is
+    engine-deterministic: both engines deal n rows into 8 runs with the
+    first n mod 8 runs one longer, so bucket membership — and every
+    min/max/count — is identical.
+
+    One window shuffle on event_type (same partitioning the percentile
+    queries share), then a map-side-combined aggregate; at 100 TB the
+    per-type sort swaps for the two-pass counting route exactly as
+    documented on event_value_percentiles.  Bucket boundaries divide
+    once from exact integer mantissas."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.round(F.col("value") * 100.0).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    ranked = e.select("event_type", "event_id", vi.alias("vi")).select(
+        "event_type", "vi", F.ntile(8).over(w).cast("bigint").alias("bucket")
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_values"),
+        (F.min("vi").cast("double") / F.lit(100.0)).alias("lo_value"),
+        (F.max("vi").cast("double") / F.lit(100.0)).alias("hi_value"),
+    )
