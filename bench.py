@@ -75,6 +75,7 @@ HEADLINE = [
     "doc_novelty_scores",
     "embedding_abtt_residuals",
     "approx_value_percentiles",
+    "value_equidepth_histogram",
 ]
 
 
