@@ -21,15 +21,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 
-# Queries already driver-confirmed green in CORRECTNESS_r01..r04.
+# Queries already driver-confirmed green in CORRECTNESS_r01..r05.
 # The driver's correctness gate samples the FIRST 50 entries of queries()
-# in iteration order, so we rotate: front-load the queries that have only
-# local-replica coverage so far (last round's _DEFER list), then any new
-# round-5 queries, then a few high-value re-confirmations, pushing the
-# driver-confirmed bulk to the tail.  Goal: after r5, every registered
-# query has a driver-issued green row at least once across r1-r5.
+# in iteration order, so we rotate: front-load the queries whose oracle
+# changed this round (the two restated sketch audits), then any new
+# round-6 queries (auto — unchecked, in the `mid` slot), then high-value
+# re-confirmations, pushing the driver-confirmed bulk to the tail.  As of
+# r5 every registered query has a driver-issued green row at least once.
 _DRIVER_CHECKED = frozenset(
     {
+        # r5 window (CORRECTNESS_r05: 49 hash-green + approx_value_
+        # percentiles rows-only — the latter now restated as a bound
+        # audit WITH an oracle, so it heads _PRIORITY instead)
+        "semdedup_prune", "dsir_importance_sample", "corpus_shard_shuffle",
+        "lang_classifier_confusion", "stream_classify_confusion",
+        "ioc_ip_block_enrichment", "trade_triangle_counts",
+        "trade_bfs_distances", "source_overlap_matrix",
+        "banding_recall_audit", "events_value_ztest", "cumulative_new_users",
+        "corpus_token_budget", "dedup_keep_best_salted",
+        "neardup_containment_pairs", "doc_novelty_scores",
+        "ioc_first_last_seen", "stream_ioc_aging", "stream_value_outliers",
+        "event_value_percentiles", "user_value_scd2",
+        "event_value_winsorized", "value_equidepth_histogram",
+        "bpe_n_merges", "bpe_encode_stats", "stream_mixture_sample",
+        "ann_recall_audit", "ivf_trained_topk", "pq_codes",
+        "ivfpq_adc_topk", "mrl_truncation_audit", "ivfpq_trained_topk",
+        "embedding_power_iteration", "embedding_abtt_residuals",
         # r4 window (CORRECTNESS_r04: 49 hash-green + approx_distinct_parts
         # rows-only by design)
         "best_offer_per_part", "nation_profit_by_year",
@@ -99,40 +116,43 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: the 13 queries never yet sampled by the driver's
-# 50-window (all of last round's _DEFER, per VERDICT r4 "Next round"
-# item 1), family-ordered.  New round-5 queries land in the `mid` slot of
-# _ordered() automatically (unchecked, not listed here); keep head +
-# expected-new <= 50.
+# Head of the rotation: queries whose ORACLE changed this round — the
+# two sketch queries restated as hash-checkable bound audits (VERDICT r5
+# "Next round" item 1).  Both have prior green rows, but only under the
+# weaker rows-only check; the new oracles need a driver hash row.  New
+# round-6 queries land in the `mid` slot of _ordered() automatically
+# (unchecked, not listed here); keep head + expected-new <= 50.
 _PRIORITY = [
-    "semdedup_prune",
-    "dsir_importance_sample",
-    "corpus_shard_shuffle",
-    "lang_classifier_confusion",
-    "stream_classify_confusion",
-    "ioc_ip_block_enrichment",
-    "trade_triangle_counts",
-    "trade_bfs_distances",
-    "source_overlap_matrix",
-    "banding_recall_audit",
-    "events_value_ztest",
-    "cumulative_new_users",
-    "corpus_token_budget",
+    "approx_value_percentiles",
+    "approx_distinct_parts",
 ]
 
-# High-value re-confirmations filling leftover window slots after the 13
-# unchecked + any new round-5 queries.
+# High-value re-confirmations filling leftover window slots after the
+# head + any new round-6 queries.  Rotated toward the queries whose only
+# driver-green row is oldest (r1-r3 windows), one per family.
 _RECONFIRM = [
-    "ioc_flagship", "shipping_priority", "pricing_summary",
-    "dedup_components", "ann_bucketed_topk", "curation_pipeline",
-    "stream_hourly_counts", "eval_contamination", "kmeans_two_rounds",
-    "tfidf_doc_similarity_pairs", "neardup_keep_canonical",
-    "incremental_dedup_new_docs", "minhash_band_pairs",
-    "knn_cosine_topk", "doc_quality", "events_hourly",
+    "ioc_flagship", "tweet_batch_pipeline", "unified_ioc_table",
+    "ioc_classify", "enrichment_scraped_iocs", "stream_stateful_type_totals",
+    "pricing_summary", "shipping_priority", "market_share_by_year",
+    "idle_rich_customers", "returned_never_accepted", "top_orders",
+    "region_nation_revenue", "rollup_region_nation_customers",
+    "grouping_sets_revenue", "lineitem_stats_by_flag",
+    "customer_spend_rank", "rolling_30d_spend", "customer_order_timeline",
+    "asof_click_before_purchase", "click_error_range_join",
+    "events_sessionize", "events_hourly_gapfill", "funnel_click_purchase",
+    "cdc_snapshot_fold", "dedup_exact_groups", "dedup_keep_first",
+    "minhash_signatures", "simhash_neardup_pairs", "neardup_jaccard_pairs",
+    "dedup_components", "knn_cosine_topk", "ivf_topk", "ivf_multiprobe_topk",
+    "ann_bucketed_topk", "embedding_lsh_neardup_pairs", "kmeans_lloyd_step",
+    "doc_quality", "doc_lang_id", "doc_fingerprint", "doc_token_stats",
+    "tfidf_top_terms_per_doc", "inverted_index_postings",
+    "deterministic_sample", "stratified_sample_k", "train_val_test_split",
+    "stream_hourly_counts", "stream_dedup_unique_users",
+    "media_dedup_groups", "frame_dedup_profile", "pagerank_nations",
 ]
 
 # Unchecked queries deliberately deferred past this round's window (none
-# this round: the 13-query backlog + expected r5 additions fit in 50).
+# this round: 2 restated + expected r6 additions fit in 50).
 _DEFER: list[str] = []
 
 

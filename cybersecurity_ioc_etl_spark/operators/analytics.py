@@ -193,18 +193,50 @@ def q_lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts", oracle=None)
+_ADP_ORACLE = """
+SELECT l_returnflag,
+  COUNT(*) AS n_items,
+  COUNT(DISTINCT l_partkey) AS exact_parts,
+  TRUE AS within_4rsd
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("approx_distinct_parts", oracle=_ADP_ORACLE)
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) of parts per supplier flag —
-    rows-only check: sketch estimates are engine-specific by design, so
-    there is no cross-engine oracle; tests/test_analytics.py bounds the
-    relative error against the exact count instead.  At 100 TB this is
-    the ONLY affordable distinct count: fixed-size sketch per group,
-    mergeable map-side, no exact-distinct re-shuffle."""
+    """approx_count_distinct (HyperLogLog++) of parts per return flag,
+    restated as a BOUND AUDIT so the sketch is hash-checkable: sketch
+    estimates are engine-specific (DuckDB's HLL differs), so instead of
+    emitting the raw estimate we emit the exact count (engine-identical)
+    plus a boolean asserting |est − exact| ≤ max(4·rsd·exact, 2) — four
+    relative standard deviations at rsd = 0.02 (P(miss) < 1e-4 for a
+    well-behaved HLL, and Spark's implementation is deterministic given
+    the data, so the boolean is stable).  The oracle computes the exact
+    side and states TRUE for the bound: if the sketch ever drifts out of
+    its guarantee the value hash mismatches and the driver flags it —
+    the banding_recall_audit pattern (dedup.py) applied to a sketch.
+
+    Scale shape: the HLL sketch is the production path (fixed-size,
+    mergeable map-side, no exact-distinct re-shuffle); the exact
+    count-distinct here is the CALIBRATION side, affordable because the
+    audit runs on a bounded slice / schedule, not per dashboard query.
+    At 100 TB you run the sketch everywhere and this audit weekly."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("est"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_items"),
+    )
+    bound = F.greatest(
+        F.ceil(F.lit(4 * 0.02) * F.col("exact_parts")), F.lit(2)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_items",
+        "exact_parts",
+        (F.abs(F.col("est") - F.col("exact_parts")) <= bound).alias(
+            "within_4rsd"
+        ),
     )
 
 

@@ -1217,29 +1217,101 @@ def q_event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_value_percentiles", oracle=None)
+_APCTL_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(ROUND(value * 100.0) AS BIGINT), event_id)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT event_type, MAX(n) AS n_events,
+  CAST(SUM(CASE WHEN rn = ((n - 1) * 5) // 10 + 1 THEN vi * (10 - ((n - 1) * 5) % 10)
+                WHEN rn = ((n - 1) * 5) // 10 + 2 AND ((n - 1) * 5) % 10 > 0
+                  THEN vi * (((n - 1) * 5) % 10)
+                ELSE 0 END) AS DOUBLE) / 1000.0 AS p50_exact,
+  CAST(SUM(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN vi * (10 - ((n - 1) * 9) % 10)
+                WHEN rn = ((n - 1) * 9) // 10 + 2 AND ((n - 1) * 9) % 10 > 0
+                  THEN vi * (((n - 1) * 9) % 10)
+                ELSE 0 END) AS DOUBLE) / 1000.0 AS p90_exact,
+  TRUE AS p50_within_bound,
+  TRUE AS p90_within_bound
+FROM ranked GROUP BY event_type
+"""
+
+
+@query("approx_value_percentiles", oracle=_APCTL_ORACLE)
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) of event value per
-    type — the SCALE path beside event_value_percentiles' exact window
-    plan: a fixed-size mergeable sketch per group, map-side combined, no
-    per-group sort at all.  Rows-only check: sketch cut points are
-    engine-specific by design (DuckDB's approx_quantile is a different
-    t-digest), so there is no cross-engine oracle;
-    tests/test_analytics.py::test_approx_percentiles_bounded_by_exact
-    bounds the sketch against the exact order statistics instead —
-    accuracy 10000 means the estimate sits within 1/10000 of the rank
-    range of the true percentile.  At 100 TB a skewed type makes the
-    exact window's per-group sort the bottleneck; this sketch is what
-    dashboards actually serve, with the exact plan reserved for
-    reconciliation."""
+    type, restated as a BOUND AUDIT so the sketch is hash-checkable:
+    sketch cut points are engine-specific (DuckDB's approx_quantile is a
+    t-digest), so instead of emitting the raw estimates we emit the
+    EXACT p50/p90 (the integer-mantissa order statistic, engine-
+    identical — same expression as event_value_percentiles) plus one
+    boolean per percentile asserting the GK rank guarantee: with
+    accuracy A, the estimate's true-rank interval [#(<est)+1, #(≤est)]
+    must intersect the target rank ± (⌈n/A⌉ + 2) — the +2 absorbs the
+    definitional off-by-ones between "smallest value such that ≤ p·n are
+    below" and the interpolated (n−1)·p position.  The oracle computes
+    the exact side and states TRUE for both bounds: a sketch drifting
+    out of its guarantee breaks the value hash and the driver flags it
+    (the banding_recall_audit pattern applied to a sketch).
+
+    Scale shape: the sketch is the production path — fixed-size,
+    mergeable, map-side combined, no per-group sort; the exact rank pass
+    here is the CALIBRATION side (one shuffle, integer weights).  At
+    100 TB a skewed type makes the exact window's per-group sort the
+    bottleneck; dashboards serve the sketch, this audit reconciles it."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.round(F.col("value") * 100.0).cast("bigint")
+    base = e.select("event_type", "event_id", vi.alias("vi"))
     pct = F.percentile_approx(
-        "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        "vi", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
     )
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        pct[0].alias("p50_approx"),
-        pct[1].alias("p90_approx"),
+    est = base.groupBy("event_type").agg(pct.alias("p")).select(
+        "event_type", F.col("p")[0].alias("est50"), F.col("p")[1].alias("est90")
+    )
+    w = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "vi",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    agg = (
+        ranked.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            (_pctl_weighted(5).cast("double") / F.lit(1000.0)).alias(
+                "p50_exact"
+            ),
+            (_pctl_weighted(9).cast("double") / F.lit(1000.0)).alias(
+                "p90_exact"
+            ),
+            F.sum(F.when(F.col("vi") < F.col("est50"), 1).otherwise(0)).alias("lt50"),
+            F.sum(F.when(F.col("vi") <= F.col("est50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("vi") < F.col("est90"), 1).otherwise(0)).alias("lt90"),
+            F.sum(F.when(F.col("vi") <= F.col("est90"), 1).otherwise(0)).alias("le90"),
+        )
+    )
+    n = F.col("n_events")
+    slack = F.ceil(n / F.lit(10000.0)) + F.lit(2)
+
+    def ok(tenths: int, lt: str, le: str) -> Column:
+        pos = F.expr(f"((n_events - 1) * {tenths}) div 10") + 1
+        return ((F.col(lt) + 1) <= pos + slack) & (F.col(le) >= pos - slack)
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        "p50_exact",
+        "p90_exact",
+        ok(5, "lt50", "le50").alias("p50_within_bound"),
+        ok(9, "lt90", "le90").alias("p90_within_bound"),
     )
 
 

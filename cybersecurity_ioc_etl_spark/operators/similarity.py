@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sinks.bucketed import write_bucketed
 from ..sources.readers import load_table
 from .registry import query
 
@@ -2082,3 +2083,225 @@ def q_embedding_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e7)
         ).alias("residual_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: build once (bucketed tables), serve with ZERO
+# exchanges — the physical build/serve split of a production vector store
+# ---------------------------------------------------------------------------
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of any orphaned warehouse
+    directory the (session-scoped, in-memory) catalog no longer knows
+    about — without this, re-running a build in a fresh session hits
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    loc = os.path.join(wh, table.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, prefix: str | None = None
+) -> tuple[str, str]:
+    """Train and PERSIST the IVF-PQ index as catalog tables — the build
+    half of the production split that ivfpq_trained_topk performs
+    logically but rebuilds per query:
+
+    - ``<prefix>_idx`` — one row per corpus vector ``(cid, vec_id,
+      codes array<bigint>)``, BUCKETED (and bucket-sorted) on cid with
+      one bucket per coarse cell, so each cell's members are one
+      contiguous bucket file: the inverted file made physical on disk.
+    - ``<prefix>_cent`` — the trained coarse quantizer ``(cid, i, ci)``
+      (k·dims integer mantissas), the tiny artifact a serving node loads
+      to route queries.
+
+    The PQ codebook needs no table: it is deterministically seeded from
+    the first _PQ_K corpus vectors (pq_codes contract), which the serve
+    path re-reads via a pushed-down ``vec_id < K`` scan.  At 100 TB the
+    build is the one-off ingest job (train → encode → bucketed write);
+    nothing here runs at query time."""
+    import hashlib
+
+    if prefix is None:
+        prefix = "ivfpq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # a fresh session's in-memory catalog forgets tables whose warehouse
+    # directories persist on disk — drop both layers or saveAsTable
+    # throws LOCATION_ALREADY_EXISTS on the second driver run
+    for t in (f"{prefix}_idx", f"{prefix}_cent"):
+        _drop_table_and_location(spark, t)
+    comp = _kmeans_comp(spark, sf_dir)
+    assign3 = _trained_inverted_file(comp)
+    codes = _pq_codes_frame(spark, sf_dir, comp=comp)
+    packed = (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc"))
+        .select(
+            "vec_id", F.transform("mc", lambda s: s["code"]).alias("codes")
+        )
+    )
+    idx = (
+        assign3.filter(F.col("vec_id") != 0)
+        .join(packed, "vec_id")
+        .select("cid", "vec_id", "codes")
+    )
+    write_bucketed(idx, f"{prefix}_idx", key="cid", n_buckets=_KMEANS_K)
+    # trained centroids: k·dims rows — tiny, plain table
+    cent3 = _trained_centroids(comp)
+    cent3.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_cent"
+    )
+    return f"{prefix}_idx", f"{prefix}_cent"
+
+
+def _trained_centroids(comp: DataFrame) -> DataFrame:
+    """(cid, i, ci): quantized round-2 Lloyd means — the trained coarse
+    quantizer _trained_inverted_file assigns against, exposed so the
+    build can persist the artifact itself."""
+    cent = (
+        comp.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
+    )
+    _, _, means1 = _lloyd_round(comp, cent)
+    cent2 = means1.select(
+        "cid", "i", _mi(F.col("mean_x")).alias("ci")
+    ).localCheckpoint(eager=True)
+    _, _, means2 = _lloyd_round(comp, cent2)
+    return means2.select("cid", "i", _mi(F.col("mean_x")).alias("ci"))
+
+
+def serve_ivfpq_stored(
+    spark: SparkSession, sf_dir: str, idx_table: str, cent_table: str
+) -> DataFrame:
+    """Serve top-10 from the PERSISTED index — the query-time half.
+    What a serving node does per query, reproduced exactly:
+
+    1. route: score the query's integer components against the stored
+       k·dims centroid table and take the argmin cell (one tiny
+       broadcast join; the single cid comes back to the driver — the
+       serving-node routing step, k values of work);
+    2. LUT: precompute the K·M exact-integer ADC table
+       ||q_sub − codebook centroid||² from the seeded codebook (a
+       pushed-down vec_id < K scan of 4 vectors; K·M = 32 values to the
+       driver);
+    3. scan: read ONLY the routed cell's bucket (cid = literal prunes
+       to 1 of k bucket files — SelectedBucketsCount in the plan), score
+       each member by M literal-array lookups on its stored codes, and
+       TakeOrderedAndProject the top-10.
+
+    The serve plan has ZERO Exchange operators end-to-end (pinned in
+    tests/test_plans.py): no shuffle, no join, no re-encode — a
+    bucket-pruned scan plus per-row integer arithmetic, which is why a
+    1000-executor cluster serves thousands of these concurrently
+    against a 100 TB corpus.  Driver-side values are k + K·M ints per
+    query — routing state, not data motion."""
+    from functools import reduce as _reduce
+
+    # DisableUnnecessaryBucketedScan only credits bucketing when a
+    # join/agg wants the partitioning — it doesn't model FILTER bucket
+    # pruning, so it would turn the layout off exactly where it pays
+    # most (cid = literal → read 1 of k bucket files,
+    # SelectedBucketsCount in the plan).  Keep auto-disable off for the
+    # serve session; non-bucketed scans are unaffected.
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            )
+        )
+        .select("i", _mi(F.col("x")).alias("qx"))
+    )
+    # 1. route against stored centroids (exact-int argmin, ties low cid)
+    cent = spark.table(cent_table)
+    routed = (
+        cent.join(F.broadcast(q), "i")
+        .groupBy("cid")
+        .agg(
+            F.sum(F.col("ci") * F.col("ci")).alias("sq_c"),
+            F.sum(F.col("ci") * F.col("qx")).alias("dot_i"),
+        )
+        .orderBy(F.col("sq_c") - 2 * F.col("dot_i"), "cid")
+        .limit(1)
+        .collect()
+    )
+    probe_cid = routed[0]["cid"]
+    # 2. ADC lookup table from the seeded codebook (vec_id < K pushdown)
+    cb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PQ_K)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("c"),
+            F.expr(f"i div {_PQ_DIMS}").alias("m"),
+            "i",
+            _mi(F.col("x")).alias("ci"),
+        )
+    )
+    lut_rows = (
+        cb.join(F.broadcast(q), "i")
+        .groupBy("c", "m")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("ci")) * (F.col("qx") - F.col("ci"))
+            ).alias("dist_i")
+        )
+        .collect()
+    )
+    lut = {(r["m"], r["c"]): int(r["dist_i"]) for r in lut_rows}
+    n_sub = 1 + max(m for m, _ in lut)
+    # 3. zero-Exchange serve: bucket-pruned scan + literal-array lookups
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(lut[(m, c)]) for c in range(_PQ_K)]),
+            F.element_at(F.col("codes"), m + 1).cast("int") + 1,
+        )
+        for m in range(n_sub)
+    ]
+    adc_i = _reduce(lambda a, b: a + b, terms)
+    return (
+        spark.table(idx_table)
+        .filter(F.col("cid") == F.lit(probe_cid))
+        .select("vec_id", "cid", adc_i.alias("adc_i"))
+        .orderBy("adc_i", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "cid",
+            (F.col("adc_i").cast("double") / F.lit(1e14)).alias("adc_dist"),
+        )
+    )
+
+
+@query("ivfpq_stored_topk", oracle=_IVFPQ_TRAINED_ORACLE)
+def q_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivfpq_trained_topk with the build/serve split made PHYSICAL: the
+    index (cell-bucketed codes + trained centroids) is written to
+    catalog tables by build_ivfpq_index, then the answer comes from
+    serve_ivfpq_stored reading ONLY the persisted artifacts — same
+    oracle, bit-identical result, but the serve plan is a bucket-pruned
+    scan with zero Exchanges instead of a five-stage training pipeline.
+    The fixture pays build+serve in one call (honest: nothing cached
+    across driver invocations); in production the build amortizes over
+    every query that follows — this query is the receipt that the
+    stored layout really serves the same answers as the logical
+    composition."""
+    idx_table, cent_table = build_ivfpq_index(spark, sf_dir)
+    return serve_ivfpq_stored(spark, sf_dir, idx_table, cent_table)

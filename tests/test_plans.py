@@ -465,3 +465,31 @@ def test_scd2_windows_share_user_shuffle(spark, sf_dir):
     assert p.count("Exchange hashpartitioning(user_id") <= 2
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_ivfpq_stored_serve_path_zero_exchange(spark, sf_dir):
+    """The persisted-index serve path (VERDICT r5 item 3): serving from
+    the bucketed code table must be a bucket-pruned scan (1 of k bucket
+    files via SelectedBucketsCount), per-row literal-array ADC, and a
+    TakeOrderedAndProject — ZERO Exchange operators anywhere in the
+    serve plan.  This is the physical build/serve split of a production
+    vector store: no shuffle, no join, no re-encode at query time."""
+    from cybersecurity_ioc_etl_spark.operators.similarity import (
+        _KMEANS_K,
+        build_ivfpq_index,
+        serve_ivfpq_stored,
+    )
+
+    idx, cent = build_ivfpq_index(spark, sf_dir)
+    try:
+        df = serve_ivfpq_stored(spark, sf_dir, idx, cent)
+        assert df.count() > 0
+        p = P.formatted_plan(df, execute=True)
+        assert "Exchange" not in p
+        assert f"SelectedBucketsCount: 1 out of {_KMEANS_K}" in p
+        assert P.has_pushed_filters(p)
+        assert P.has_take_ordered_topk(p)
+        assert P.is_all_jvm(p)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {cent}")
