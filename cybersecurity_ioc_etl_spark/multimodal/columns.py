@@ -2,11 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct.  The Spark-side machinery (schema, Arrow-batched mapInPandas,
-batch shapes, partition sizing) is real and tested; the actual codec
-calls are STUBBED — the container has no image/audio libraries, so
-``decode_stub`` derives deterministic fake features from the bytes and
-``decode_real`` raises NotImplementedError with the integration point
-documented.
+batch shapes, partition sizing) is real and tested.  Decoding is
+real where pure Python can be: native decoders cover P6 PPM, 24-bit
+BMP, non-interlaced 8-bit PNG (stdlib zlib), RIFF/WAVE PCM (stdlib
+wave), and YUV4MPEG2 video — all four media kinds decode without any
+imaging library.  Compressed formats beyond that set use PIL/pyav when
+the capability probe finds them, else ``_fake_feature`` derives
+deterministic stand-in features from the raw bytes (the oracle-checked
+columns flow through either way).
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB media corpus
 is processed at (batch_rows × avg_blob) memory per task — control it with
@@ -301,21 +304,86 @@ def _decode_wav(content: bytes) -> bytes | None:
     return bytes(out)
 
 
+def _decode_y4m(content: bytes) -> list[bytes] | None:
+    """Native decoder for YUV4MPEG2 (Y4M) video — the uncompressed
+    container mplayer/ffmpeg emit for raw frame pipelines: ASCII stream
+    header (W/H/C parameters), then per-frame ``FRAME\\n`` markers each
+    followed by fixed-size planar YUV data.  Returns the list of
+    per-frame Y (luma) planes — already the grayscale contract the
+    image decoders produce — or None for non-Y4M / truncated streams.
+    Supported colorspaces: C420* (all chroma sitings share the 3/2
+    layout), C422, C444, Cmono."""
+    if not content.startswith(b"YUV4MPEG2"):
+        return None
+    hdr_end = content.find(b"\n")
+    if hdr_end < 0:
+        return None
+    w = h = 0
+    cs = "420"
+    try:
+        for tok in content[9:hdr_end].split(b" "):
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C":
+                cs = tok[1:].decode("ascii", "replace")
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    ysz = w * h
+    if cs.startswith("420"):
+        fsz = ysz * 3 // 2
+    elif cs.startswith("422"):
+        fsz = ysz * 2
+    elif cs.startswith("444"):
+        fsz = ysz * 3
+    elif cs.startswith("mono"):
+        fsz = ysz
+    else:
+        return None
+    frames: list[bytes] = []
+    pos = hdr_end + 1
+    while pos < len(content):
+        if not content.startswith(b"FRAME", pos):
+            return None
+        nl = content.find(b"\n", pos)
+        if nl < 0:
+            return None
+        data = content[nl + 1 : nl + 1 + fsz]
+        if len(data) != fsz:
+            return None
+        frames.append(bytes(data[:ysz]))  # Y plane only
+        pos = nl + 1 + fsz
+    return frames or None
+
+
 def decode_real(content: bytes, kind: str, dim: int = 8) -> list[float]:
-    """Real decode path: PIL/pyav when the probe finds them, else the
+    """Real decode path: PIL when the probe finds it, else/and the
     pure-Python native decoders — uncompressed image formats (P6 PPM,
     24-bit BI_RGB BMP), non-interlaced 8-bit PNG (stdlib zlib inflate +
-    the full filter set), and RIFF/WAVE PCM audio (stdlib wave) — so a
-    GENUINE decode, including a real DEFLATE stream, runs even in this
-    codec-less container.  Either way the decoded bytes fold to ``dim``
-    doubles under the same output contract as ``_fake_feature``.  Raises
-    NotImplementedError when nothing can decode `kind`/`content` (video
-    here — pyav absent — and formats beyond the native set without
-    PIL/pyav)."""
-    if kind == "audio" and not _CODECS["audio"]:
+    the full filter set), RIFF/WAVE PCM audio (stdlib wave), and
+    YUV4MPEG2 (Y4M) video (per-frame Y planes) — so a GENUINE decode,
+    including a real DEFLATE stream, runs even in this codec-less
+    container.  Either way the decoded bytes fold to ``dim`` doubles
+    under the same output contract as ``_fake_feature``.  Raises
+    NotImplementedError when nothing can decode `kind`/`content`
+    (formats beyond the native set without PIL/pyav).
+
+    The native WAV/Y4M attempts are NOT gated on the pyav probe: there
+    is no pyav branch here yet, so gating would make a pyav install
+    silently REGRESS decodable streams to NotImplementedError (r5
+    ADVICE).  A future pyav path should be PREFERRED before these, not
+    replace them."""
+    if kind == "audio":
         raw = _decode_wav(content)
         if raw is not None:
             return _fake_feature(raw, dim)
+    if kind == "video":
+        frames = _decode_y4m(content)
+        if frames is not None:
+            return _fake_feature(b"".join(frames), dim)
     if kind == "image":
         raw = None
         if _CODECS["image"]:
@@ -365,15 +433,12 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def feat(blob: bytes, kind: str) -> list[float]:
-            # images and audio always attempt the real path — the native
-            # PPM/BMP/PNG/WAV decoders need no library; video only when
-            # pyav is probed
-            if _CODECS.get(kind) or kind in ("image", "audio"):
-                try:
-                    return decode_real(bytes(blob), kind)
-                except Exception:
-                    pass  # undecodable blob → deterministic fallback
-            return _fake_feature(bytes(blob))
+            # every kind attempts the real path first — the native
+            # PPM/BMP/PNG/WAV/Y4M decoders need no library at all
+            try:
+                return decode_real(bytes(blob), kind)
+            except Exception:
+                return _fake_feature(bytes(blob))  # undecodable blob
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -531,9 +596,13 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
     """Frame sampling (video): 1 row in → N frame rows out through
-    mapInPandas (the UDTF shape).  STUB sampler — fixed-stride byte
-    slices stand in for decoded frames; a real deployment uses pyav
-    keyframe seeks.  Output explodes, so downstream per-frame work
+    mapInPandas (the UDTF shape).  Real-decode-first: a blob that
+    parses as YUV4MPEG2 yields its ACTUAL decoded Y planes (first
+    ``max_frames`` — a real deployment adds pyav keyframe seeks for
+    compressed containers); anything else falls back to the
+    deterministic fixed-stride byte slices (what the synthesized
+    fixture exercises, and what the frame_dedup_profile oracle
+    re-derives).  Output explodes, so downstream per-frame work
     parallelizes beyond the source row count."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -543,6 +612,13 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
             frames: list[bytes] = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob)
+                decoded = _decode_y4m(b)
+                if decoded is not None:
+                    for i, y in enumerate(decoded[:max_frames]):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(y)
+                    continue
                 for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
                     ids.append(mid)
                     idxs.append(i)

@@ -181,3 +181,47 @@ def q_stream_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_classify
 
     return run_stream_classify(spark, sf_dir)
+
+
+def persist_model(
+    spark: SparkSession, grid: DataFrame, table: str
+) -> str:
+    """Write a trained weight grid to the catalog as a bucketed table —
+    the model-registry shape: training jobs publish (b, cls, w) tables,
+    scoring jobs read them by name, and the two never share a lineage.
+    Bucketed on the feature bucket ``b`` because that is the scoring
+    join key: at fixture V=64 the grid broadcasts anyway, but at a
+    production V of 1-10M buckets x classes the grid becomes a join
+    SIDE, and the bucketed layout lets a same-bucketed token table join
+    it with no exchange (tests/test_bucketed.py's co-location contract)."""
+    from ..sinks.bucketed import drop_table_and_location, write_bucketed
+
+    drop_table_and_location(spark, table)
+    write_bucketed(grid, table, key="b", n_buckets=8)
+    return table
+
+
+@query("stored_model_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def q_stored_model_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_classifier_confusion with the train/serve split made
+    PHYSICAL: the trained weight grid round-trips through a persisted
+    catalog table (persist_model) and scoring reads the STORED model —
+    same oracle, bit-identical confusion matrix.  This is the receipt
+    that the model artifact survives serialization: FLOOR-quantized
+    int64 weights write and read exactly (parquet bigint), so a scoring
+    job in a different session — the production shape, where training
+    runs nightly and scoring runs per-corpus-sweep — reproduces the
+    in-lineage result to the bit."""
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    grid = train_weight_grid(
+        spark, d.filter(hash_bucket(F.col("doc_id")) < 80)
+    )
+    table = persist_model(
+        spark, grid, "langmodel_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    pred = classify_docs(
+        d.filter(hash_bucket(F.col("doc_id")) >= 80), spark.table(table)
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks.bucketed import write_bucketed
+from ..sinks.bucketed import drop_table_and_location, write_bucketed
 from ..sources.readers import load_table
 from .registry import query
 
@@ -2090,25 +2090,6 @@ def q_embedding_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exchanges — the physical build/serve split of a production vector store
 # ---------------------------------------------------------------------------
 
-def _drop_table_and_location(spark: SparkSession, table: str) -> None:
-    """DROP TABLE IF EXISTS plus removal of any orphaned warehouse
-    directory the (session-scoped, in-memory) catalog no longer knows
-    about — without this, re-running a build in a fresh session hits
-    LOCATION_ALREADY_EXISTS."""
-    import os
-    import shutil
-
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for pre in ("file://", "file:"):
-        if wh.startswith(pre):
-            wh = wh[len(pre):]
-            break
-    loc = os.path.join(wh, table.lower())
-    if os.path.exists(loc):
-        shutil.rmtree(loc)
-
-
 def build_ivfpq_index(
     spark: SparkSession, sf_dir: str, prefix: str | None = None
 ) -> tuple[str, str]:
@@ -2137,7 +2118,7 @@ def build_ivfpq_index(
     # directories persist on disk — drop both layers or saveAsTable
     # throws LOCATION_ALREADY_EXISTS on the second driver run
     for t in (f"{prefix}_idx", f"{prefix}_cent"):
-        _drop_table_and_location(spark, t)
+        drop_table_and_location(spark, t)
     comp = _kmeans_comp(spark, sf_dir)
     assign3 = _trained_inverted_file(comp)
     codes = _pq_codes_frame(spark, sf_dir, comp=comp)

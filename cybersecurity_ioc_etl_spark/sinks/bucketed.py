@@ -26,6 +26,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of any orphaned warehouse
+    directory the (session-scoped, in-memory) catalog no longer knows
+    about — without this, re-running a build in a fresh session hits
+    LOCATION_ALREADY_EXISTS on saveAsTable."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    loc = os.path.join(wh, table.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

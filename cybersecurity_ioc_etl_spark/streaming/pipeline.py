@@ -466,7 +466,12 @@ def run_stream_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_ioc_aging_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_ioc_aging_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str | None = None,
+    fail_at_bid: int | None = None,
+) -> DataFrame:
     """Incremental MERGE of the indicator-aging table: IOC sightings
     arrive as two micro-batches, and foreachBatch folds each batch's
     partial aggregates into a persistent state table — the pattern a
@@ -480,16 +485,45 @@ def run_ioc_aging_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the state keeps one row per source and the serving view counts
     rows.  Choosing the mergeable grain is what makes the aging table
     maintainable incrementally at 100 TB of feed history: each batch
-    touches O(batch distinct keys), never the history."""
+    touches O(batch distinct keys), never the history.
+
+    REPLAY-SAFE: foreachBatch is at-least-once — after a crash between
+    the state write and the checkpoint commit, Spark re-fires the same
+    batch id with the same data.  State versions are therefore keyed BY
+    batch id on disk (``v{bid}``, committed iff Spark's ``_SUCCESS``
+    marker exists) and each merge reads the newest committed version
+    with a SMALLER bid — so replaying bid recomputes the identical
+    ``v{bid}`` instead of double-counting into the latest state.  Pass
+    ``work_dir`` to make src/state/checkpoint survive a restart (the
+    kill-resume test in tests/test_streaming.py), ``fail_at_bid`` to
+    inject a crash exactly in the vulnerable window (after the state
+    write, before the epoch commits)."""
     from ..operators.ioc_queries import ioc_table
 
-    rows = ioc_table(spark, sf_dir).select(
-        "ioc", "type", "source", "date_received"
-    )
-    src = tempfile.mkdtemp(prefix="stream_aging_src_")
-    rows.repartition(2).write.mode("overwrite").parquet(src)
-    state_root = tempfile.mkdtemp(prefix="stream_aging_state_")
-    latest: list[str] = []
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="stream_aging_")
+    src = os.path.join(work_dir, "src")
+    state_root = os.path.join(work_dir, "state")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(state_root, exist_ok=True)
+    if not os.path.isdir(src):  # first run populates; a resume reuses
+        rows = ioc_table(spark, sf_dir).select(
+            "ioc", "type", "source", "date_received"
+        )
+        rows.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _committed_versions() -> dict[int, str]:
+        out: dict[int, str] = {}
+        for name in os.listdir(state_root):
+            p = os.path.join(state_root, name)
+            if (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and os.path.exists(os.path.join(p, "_SUCCESS"))
+            ):
+                out[int(name[1:])] = p
+        return out
 
     def merge(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
@@ -499,8 +533,10 @@ def run_ioc_aging_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("date_received").alias("last_seen"),
             F.count("*").alias("n"),
         )
-        if latest:
-            cur = spark.read.parquet(latest[-1])
+        versions = _committed_versions()
+        prev = max((b for b in versions if b < bid), default=None)
+        if prev is not None:
+            cur = spark.read.parquet(versions[prev])
             part = (
                 cur.unionByName(part)
                 .groupBy("ioc", "type", "source")
@@ -510,16 +546,19 @@ def run_ioc_aging_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n").alias("n"),
                 )
             )
-        out = os.path.join(state_root, f"v{bid}")
-        part.write.mode("overwrite").parquet(out)
-        latest.append(out)
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{bid}")
+        )
+        if fail_at_bid is not None and bid == fail_at_bid:
+            raise RuntimeError(
+                f"injected crash after state write of batch {bid}"
+            )
 
     stream = (
-        spark.readStream.schema(rows.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_aging_")
     q = (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)
@@ -527,13 +566,14 @@ def run_ioc_aging_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    if not latest:
+    versions = _committed_versions()
+    if not versions:
         return spark.createDataFrame(
             [],
             "ioc string, type string, first_seen string, last_seen string,"
             " n_sightings bigint, n_sources bigint",
         )
-    state = spark.read.parquet(latest[-1])
+    state = spark.read.parquet(versions[max(versions)])
     # count the source COLUMN, not rows: the state keeps a NULL-source
     # group too (its sightings belong in n_sightings), but
     # COUNT(DISTINCT source) ignores NULLs — so must we

@@ -313,3 +313,88 @@ def test_native_wav_rejects_non_riff():
     assert _decode_wav(b"not audio at all") is None
     with _pytest.raises(NotImplementedError):
         decode_real(b"RIFFxxxxWAVEbroken", "audio")
+
+
+def _y4m(w, h, y_planes, cs=b"420jpeg"):
+    """Minimal YUV4MPEG2 builder: given Y planes, pads chroma with 0x80."""
+    csz = {b"4": w * h // 2, b"m": 0}[cs[:1] if cs[:1] == b"m" else b"4"]
+    hdr = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, cs)
+    body = b"".join(
+        b"FRAME\n" + bytes(y) + b"\x80" * csz for y in y_planes
+    )
+    return hdr + body
+
+
+def test_native_y4m_decode_extracts_luma_planes():
+    """decode_real must genuinely parse Y4M: header W/H/C, per-FRAME
+    markers, Y plane kept, chroma planes skipped, frames concatenated."""
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        _decode_y4m,
+        _fake_feature,
+        decode_real,
+    )
+
+    y0, y1 = bytes([10, 20, 30, 40]), bytes([50, 60, 70, 80])
+    blob = _y4m(2, 2, [y0, y1])
+    assert _decode_y4m(blob) == [y0, y1]
+    assert decode_real(blob, "video") == _fake_feature(y0 + y1)
+    # mono layout: no chroma at all
+    mono = _y4m(2, 2, [y0], cs=b"mono")
+    assert _decode_y4m(mono) == [y0]
+
+
+def test_native_y4m_rejects_malformed_streams():
+    import pytest as _pytest
+
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        _decode_y4m,
+        decode_real,
+    )
+
+    assert _decode_y4m(b"\x00\x00\x00 ftypisom") is None  # mp4, not y4m
+    assert _decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n\x01\x02") is None  # short
+    assert _decode_y4m(b"YUV4MPEG2 W2 H2 C999\nFRAME\n") is None  # bad cs
+    with _pytest.raises(NotImplementedError):
+        decode_real(b"YUV4MPEG2 W2 H2\ngarbage", "video")
+
+
+def test_frame_sampling_decodes_real_y4m_frames(spark):
+    """sample_frames through the REAL mapInPandas UDTF: a Y4M blob must
+    yield its decoded Y planes (not byte slices), capped at max_frames,
+    while a non-Y4M video blob still takes the stride-slice stub."""
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    planes = [bytes([i] * 4) for i in range(6)]
+    meta = ("video/x-yuv4mpeg", 2, 2, None)
+    rows = [
+        (1, "video", bytearray(_y4m(2, 2, planes)), meta),
+        (2, "video", bytearray(b"\xffnotyuv" * 20), meta),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {}
+    for r in sample_frames(media, every_n_bytes=64, max_frames=4).collect():
+        got.setdefault(r.media_id, []).append((r.frame_idx, bytes(r.frame)))
+    assert sorted(got[1]) == [(i, planes[i]) for i in range(4)]  # capped
+    stub = bytes(b"\xffnotyuv" * 20)
+    assert sorted(got[2]) == [(i, stub[i * 64 : (i + 1) * 64]) for i in range(2)]
+
+
+def test_extract_features_decodes_video_natively(spark):
+    """extract_features end-to-end on a Y4M blob: the feature must come
+    from the decoded luma planes, not the container bytes."""
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        MEDIA_SCHEMA,
+        _fake_feature,
+        extract_features,
+    )
+
+    y = bytes(range(4))
+    blob = _y4m(2, 2, [y])
+    rows = [(7, "video", bytearray(blob), ("video/x-yuv4mpeg", 2, 2, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    (row,) = extract_features(media).collect()
+    assert list(row.feature) == _fake_feature(y)
+    assert row.n_bytes == len(blob)

@@ -197,3 +197,32 @@ def test_neardup_stream_matches_batch_distinct_signatures(spark, sf_dir):
     distinct = {tuple(r) for r in batch}
     assert emitted == distinct
     assert len(batch) > len(distinct)  # fixture has clones → state dropped rows
+
+
+def test_aging_merge_crash_replay_resume_identical(spark, sf_dir):
+    """Kill-resume safety of the incremental aging MERGE (VERDICT r5
+    item 6 / ADVICE r5): crash injected in the vulnerable window (state
+    version written, epoch NOT committed) — the restart replays that
+    batch id, and because versions are keyed by bid and each merge
+    reads only versions with a smaller bid, the replay recomputes the
+    identical version instead of double-counting n_sightings.  The
+    resumed table must equal a clean one-shot run exactly."""
+    import pyspark.errors
+
+    from cybersecurity_ioc_etl_spark.streaming.pipeline import (
+        run_ioc_aging_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="aging_resume_")
+    try:
+        run_ioc_aging_stream(spark, sf_dir, work_dir=work, fail_at_bid=1)
+        raise AssertionError("injected crash did not fire")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    # the crashed run left v1 on disk but its epoch uncommitted
+    assert os.path.exists(os.path.join(work, "state", "v1", "_SUCCESS"))
+    resumed = run_ioc_aging_stream(spark, sf_dir, work_dir=work)
+    oneshot = run_ioc_aging_stream(spark, sf_dir)
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
