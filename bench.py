@@ -76,6 +76,9 @@ HEADLINE = [
     "embedding_abtt_residuals",
     "approx_value_percentiles",
     "value_equidepth_histogram",
+    "approx_distinct_parts",
+    "ivfpq_stored_topk",
+    "stored_model_confusion",
 ]
 
 

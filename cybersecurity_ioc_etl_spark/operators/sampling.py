@@ -409,3 +409,102 @@ def q_corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", shard.alias("shard"), h.alias("h"))
         .select("shard", "doc_id", F.row_number().over(w).cast("bigint").alias("pos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture/epoch planner — data-constrained budget allocation per source
+# ---------------------------------------------------------------------------
+
+# target mixture in basis points of the token budget (Σ ≤ 10000; the
+# remainder is deliberately unallocated headroom)
+_PLAN_W_SQL = """CASE WHEN source IN ('src0','src1','src2') THEN 1500
+     WHEN source IN ('src3','src4','src5') THEN 500
+     ELSE 250 END"""
+
+_EPOCH_CAP_MILLI = 4000  # ≤4 epochs of any source (repetition ceiling)
+
+_EPOCH_PLAN_ORACLE = f"""
+WITH tok AS (
+  SELECT source, CAST(len(str_split_regex(trim(text), '\\s+')) AS BIGINT)
+    AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+avail AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail_tokens FROM tok
+  GROUP BY source
+),
+budget AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS b FROM avail),
+plan AS (
+  SELECT source, avail_tokens,
+    (b * ({_PLAN_W_SQL})) // 10000 AS target_tokens,
+    LEAST(((b * ({_PLAN_W_SQL})) // 10000 * 1000) // avail_tokens,
+          {_EPOCH_CAP_MILLI}) AS epochs_milli
+  FROM avail, budget
+)
+SELECT source, avail_tokens, target_tokens, epochs_milli,
+  avail_tokens * epochs_milli // 1000 AS served_tokens,
+  target_tokens - avail_tokens * epochs_milli // 1000 AS deficit_tokens
+FROM plan
+"""
+
+
+@query("mixture_epoch_plan", oracle=_EPOCH_PLAN_ORACLE)
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture planning (the Muennighoff et al. 2023
+    'Scaling Data-Constrained LMs' shape): given a token budget (here
+    1× the corpus) and target per-source shares in basis points, compute
+    each source's target tokens, the repetition factor needed to reach
+    it (milli-epochs = ⌊1000·target/available⌋, CAPPED at 4 epochs —
+    repeating data beyond that stops buying loss), the tokens actually
+    served under the cap, and the unfillable deficit.  The deficit
+    column is the actionable output: it is what a pipeline reallocates
+    to other sources or goes acquiring.
+
+    All-integer arithmetic end to end (products ≤ B·10⁴ ≪ 2^63; integer
+    division truncates identically on positives in both engines), so
+    the plan is bit-identical.  Scale shape: one map-side-combined
+    token-count pass, a 1-row budget broadcast, and a per-source-row
+    closed form — the planning query costs one scan no matter how many
+    sources, and composes with source_mixture_sample's keep-rate filter
+    to EXECUTE the plan."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    avail = (
+        d.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("avail_tokens"))
+    )
+    budget = avail.agg(F.sum("avail_tokens").cast("bigint").alias("b"))
+    w = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 1500)
+        .when(F.col("source").isin("src3", "src4", "src5"), 500)
+        .otherwise(250)
+    )
+    plan = avail.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "avail_tokens",
+        F.expr(
+            f"(b * ({_PLAN_W_SQL})) div 10000"
+        ).alias("target_tokens"),
+        F.least(
+            F.expr(
+                f"((b * ({_PLAN_W_SQL})) div 10000 * 1000) div avail_tokens"
+            ),
+            F.lit(_EPOCH_CAP_MILLI).cast("bigint"),
+        ).alias("epochs_milli"),
+    )
+    served = F.expr("avail_tokens * epochs_milli div 1000")
+    return plan.select(
+        "source",
+        "avail_tokens",
+        "target_tokens",
+        "epochs_milli",
+        served.alias("served_tokens"),
+        (F.col("target_tokens") - served).alias("deficit_tokens"),
+    )

@@ -981,23 +981,19 @@ def q_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroid_norms(means2, counts2)
 
 
-def _trained_inverted_file(comp: DataFrame) -> DataFrame:
+def _trained_inverted_file(
+    comp: DataFrame, cent3: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, cid): every vector's assignment under the TRAINED coarse
     quantizer — two Lloyd rounds from the deterministic seed, quantized
     round-2 means, one final assignment pass.  Checkpointed: it IS the
-    index, and every consumer (probe, membership, PQ serving) reads it."""
-    cent = (
-        comp.filter(F.col("vec_id") < _KMEANS_K)
-        .select(F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci"))
-    )
-    _, _, means1 = _lloyd_round(comp, cent)
-    cent2 = means1.select(
-        "cid", "i", _mi(F.col("mean_x")).alias("ci")
-    ).localCheckpoint(eager=True)
-    _, _, means2 = _lloyd_round(comp, cent2)
-    cent3 = means2.select(
-        "cid", "i", _mi(F.col("mean_x")).alias("ci")
-    ).localCheckpoint(eager=True)
+    index, and every consumer (probe, membership, PQ serving) reads it.
+    Pass a pre-trained (checkpointed) ``cent3`` to reuse the training —
+    build_ivfpq_index persists those same centroids as the routing
+    table, and retraining them for the assignment pass would double the
+    Lloyd work."""
+    if cent3 is None:
+        cent3 = _trained_centroids(comp).localCheckpoint(eager=True)
     assign3, _, _ = _lloyd_round(comp, cent3)
     return assign3.localCheckpoint(eager=True)
 
@@ -2120,7 +2116,8 @@ def build_ivfpq_index(
     for t in (f"{prefix}_idx", f"{prefix}_cent"):
         drop_table_and_location(spark, t)
     comp = _kmeans_comp(spark, sf_dir)
-    assign3 = _trained_inverted_file(comp)
+    cent3 = _trained_centroids(comp).localCheckpoint(eager=True)
+    assign3 = _trained_inverted_file(comp, cent3=cent3)
     codes = _pq_codes_frame(spark, sf_dir, comp=comp)
     packed = (
         codes.groupBy("vec_id")
@@ -2135,8 +2132,8 @@ def build_ivfpq_index(
         .select("cid", "vec_id", "codes")
     )
     write_bucketed(idx, f"{prefix}_idx", key="cid", n_buckets=_KMEANS_K)
-    # trained centroids: k·dims rows — tiny, plain table
-    cent3 = _trained_centroids(comp)
+    # trained centroids: k·dims rows — tiny, plain table (the SAME
+    # checkpointed frame the assignment pass used, trained once)
     cent3.write.mode("overwrite").format("parquet").saveAsTable(
         f"{prefix}_cent"
     )
@@ -2218,6 +2215,10 @@ def serve_ivfpq_stored(
         .limit(1)
         .collect()
     )
+    if not routed:  # empty corpus → empty index, nothing to route to
+        return spark.createDataFrame(
+            [], "vec_id bigint, cid bigint, adc_dist double"
+        )
     probe_cid = routed[0]["cid"]
     # 2. ADC lookup table from the seeded codebook (vec_id < K pushdown)
     cb = (

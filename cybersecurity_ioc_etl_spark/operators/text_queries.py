@@ -800,3 +800,381 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_tokens").cast("bigint").alias("est_tokens"),
         (F.col("est_tokens").cast("double") / F.col("t")).alias("corpus_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy-hitter audit — a sketch made cross-engine EXACT
+# ---------------------------------------------------------------------------
+
+_CM_D = 4  # hash rows
+_CM_W = 256  # counters per row
+
+_CM_HASH_SQL = (
+    _dedup._SHINGLE_INT_SQL.format(
+        x="concat(CAST({i} AS VARCHAR), ':', {tok})"
+    )
+    + f" % {_CM_W}"
+)
+
+_CM_AUDIT_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(str_split_regex(
+    {_dedup._ASCII_FOLD_SQL.format(x='trim(text)')}, '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+htok AS (
+  SELECT tok, r.i AS i, {_CM_HASH_SQL.format(i='r.i', tok='tok')} AS b
+  FROM tok CROSS JOIN range({_CM_D}) r(i)
+),
+sketch AS (SELECT i, b, COUNT(*) AS c FROM htok GROUP BY 1, 2),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_n FROM tok GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT 20
+),
+aud AS (
+  SELECT e.tok, e.exact_n, r.i AS i,
+    {_CM_HASH_SQL.format(i='r.i', tok='e.tok')} AS b
+  FROM exact e CROSS JOIN range({_CM_D}) r(i)
+),
+est AS (
+  SELECT a.tok, a.exact_n, MIN(s.c) AS est_n
+  FROM aud a JOIN sketch s ON a.i = s.i AND a.b = s.b
+  GROUP BY 1, 2
+)
+SELECT tok AS token, exact_n, est_n, est_n - exact_n AS overcount
+FROM est
+"""
+
+
+@query("countmin_token_audit", oracle=_CM_AUDIT_ORACLE)
+def q_countmin_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream, audited against exact counts for the top-20 tokens —
+    and, unlike the HLL/GK bound-audits, the sketch itself is
+    HASH-CHECKED: its d=4 hash rows are deterministic md5-prefix
+    functions (the engine's portable-hash discipline), so DuckDB builds
+    the bit-identical d×w counter table and the estimates — not just a
+    bound boolean — must match.  est ≥ exact always (CM only
+    overcounts); the emitted overcount column is the per-token audit of
+    the ε = e/w guarantee.
+
+    Scale shape: the sketch is d·w = 1024 counters — a map-side
+    combined groupBy(i, bucket) count whose shuffle carries at most d·w
+    rows per partition regardless of corpus size; that fixed footprint
+    is why CM is THE heavy-hitter structure for 100 TB token streams
+    (the exact side here is the audit's calibration, affordable because
+    the audited slice is top-k, not the vocabulary).  The sketch side
+    broadcasts into the audit join."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    tok = d.select(
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+
+    def buckets(t: Column) -> Column:
+        return F.array(
+            *[
+                _dedup._shingle_int(
+                    F.concat(F.lit(str(i)), F.lit(":"), t)
+                )
+                % _CM_W
+                for i in range(_CM_D)
+            ]
+        )
+
+    htok = tok.select(F.posexplode(buckets(F.col("tok"))).alias("i", "b"))
+    sketch = htok.groupBy("i", "b").agg(F.count("*").alias("c"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(20)
+    )
+    aud = exact.select(
+        "tok", "exact_n", F.posexplode(buckets(F.col("tok"))).alias("i", "b")
+    )
+    est = (
+        aud.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring — the CCNet-style perplexity filter, restated
+# on the exact-integer contract
+# ---------------------------------------------------------------------------
+
+_LM_V = 4096  # hashed-token vocabulary (caps the model at V^2 pairs)
+
+# FLOOR-quantized smoothed bigram likelihood, the classifier's _SCORE_SQL
+# discipline: exact-int inputs, double-first multiply (no int64 overflow
+# at any count), ONE correctly-rounded division, floor — bit-identical.
+_LM_W_SQL = (
+    "CAST(FLOOR(CAST(COALESCE({c12}, 0) + 1 AS DOUBLE) * 1000000000.0"
+    f" / CAST(COALESCE({{c1}}, 0) + {_LM_V} AS DOUBLE)) AS BIGINT)"
+)
+
+_LM_SCORES_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+    {{bucket}} < 80 AS is_train,
+    list_transform(
+      str_split_regex({{fold}}, '\\s+'),
+      s -> {{sint}} % {_LM_V}) AS bs
+  FROM documents WHERE text IS NOT NULL
+),
+big AS (
+  SELECT doc_id, is_train,
+    bs[CAST(i AS INTEGER)] AS b1, bs[CAST(i AS INTEGER) + 1] AS b2
+  FROM tok, unnest(range(1, len(bs))) AS u(i)
+),
+pairs AS (
+  SELECT b1, b2, COUNT(*) AS c12 FROM big WHERE is_train GROUP BY 1, 2
+),
+ctx AS (SELECT b1, SUM(c12) AS c1 FROM pairs GROUP BY 1),
+scored AS (
+  SELECT h.doc_id, COUNT(*) AS n_bigrams,
+    SUM({_LM_W_SQL.format(c12='p.c12', c1='c.c1')}) AS sw
+  FROM big h
+  LEFT JOIN pairs p ON h.b1 = p.b1 AND h.b2 = p.b2
+  LEFT JOIN ctx c ON h.b1 = c.b1
+  WHERE NOT h.is_train
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+  CAST(sw AS DOUBLE) / n_bigrams / 1000000000.0 AS lm_score
+FROM scored
+ORDER BY lm_score DESC, doc_id
+LIMIT 20
+"""
+
+
+@query(
+    "bigram_lm_doc_scores",
+    oracle=_LM_SCORES_ORACLE.format(
+        bucket="("
+        + _dedup._SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")
+        + " % 100)",
+        fold=_dedup._ASCII_FOLD_SQL.format(x="trim(text)"),
+        sint=_dedup._SHINGLE_INT_SQL.format(x="s"),
+    ),
+)
+def q_bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring — the CCNet/KenLM
+    'perplexity filter' of pretraining pipelines, restated so it is
+    engine-exact: train hashed-bigram counts on the 80% hash-bucket
+    split, score every HELD-OUT document by the mean FLOOR-quantized
+    smoothed bigram likelihood (w = ⌊(c₁₂+1)·10⁹/(c₁+V)⌋, the linear
+    stand-in for log-prob — logs would put a transcendental in the
+    score; monotone in the same ranking), and emit the top-20 most
+    in-distribution documents.  Low scorers are the gibberish/
+    boilerplate a real pipeline drops.
+
+    Scale shape: the MODEL is two count tables bounded by the hashed
+    vocabulary (≤V² pairs regardless of corpus size — the CM-sketch
+    trick applied to an LM) built in one train-token shuffle; scoring
+    is two broadcast LEFT joins + a map-side-combined per-doc sum, and
+    the top-20 is TakeOrderedAndProject.  Exact int sums → one double
+    division per doc: scores are bit-identical, so the double ORDER BY
+    is engine-safe (ties break on doc_id).  Train/held-out hygiene is
+    the classifier's leak-proof hash split."""
+    from .sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    bs = F.transform(
+        F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+"),
+        lambda s: _dedup._shingle_int(s) % _LM_V,
+    )
+    tk = d.select(
+        "doc_id",
+        (hash_bucket(F.col("doc_id")) < 80).alias("is_train"),
+        bs.alias("bs"),
+    )
+    n = F.size(F.col("bs"))
+    big = tk.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("bs"), 1, n - 1).alias("b1"),
+                F.slice(F.col("bs"), 2, n - 1).alias("b2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "is_train", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
+    pairs = (
+        big.filter(F.col("is_train"))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=True)  # the model: feeds ctx AND the join
+    )
+    ctx = pairs.groupBy("b1").agg(F.sum("c12").alias("c1"))
+    w = F.floor(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+        * F.lit(1000000000.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + _LM_V).cast("double")
+    ).cast("bigint")
+    scored = (
+        big.filter(~F.col("is_train"))
+        .join(F.broadcast(pairs), ["b1", "b2"], "left")
+        .join(F.broadcast(ctx), ["b1"], "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(w).alias("sw"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sw").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(1000000000.0)
+            ).alias("lm_score"),
+        )
+        .orderBy(F.col("lm_score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 more-like-this retrieval — Okapi BM25 on the exact-integer contract
+# ---------------------------------------------------------------------------
+
+# k1 = 1.2 and b = 0.75 as exact rationals: with avgdl = S/N the per-term
+# normalized tf collapses to 44·tf·S / (20·tf·S + 6·S + 18·dl·N) — every
+# factor an exact int64 (products < 2^63 by orders of magnitude at any
+# plausible S), so the whole BM25 term is TWO exact-int→double casts, one
+# multiply, one divide — correctly-rounded IEEE ops, bit-identical.
+_BM25_SCORE_SQL = (
+    "CAST(2 * {n} - 2 * {df} + 1 AS DOUBLE) * CAST(44 * {tf} * {s} AS DOUBLE)"
+    " / (CAST(2 * {df} + 1 AS DOUBLE)"
+    " * CAST(20 * {tf} * {s} + 6 * {s} + 18 * {dl} * {n} AS DOUBLE))"
+)
+
+_BM25_ORACLE = f"""
+WITH docs_t AS (
+  SELECT doc_id,
+    str_split_regex({_dedup._ASCII_FOLD_SQL.format(x='trim(text)')},
+                    '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM docs_t),
+st AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl
+),
+toks AS (SELECT doc_id, unnest(t) AS tok FROM docs_t),
+qt AS (SELECT DISTINCT tok FROM toks WHERE doc_id = 0),
+tf AS (
+  SELECT k.doc_id, k.tok, COUNT(*) AS tf
+  FROM toks k JOIN qt USING (tok) GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+wi AS (
+  SELECT tf.doc_id,
+    CAST(FLOOR({_BM25_SCORE_SQL.format(n='st.n', df='dfreq.df', tf='tf.tf',
+                                       s='st.s', dl='dl.dl')}
+               * 1000000.0) AS BIGINT) AS w
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(w) AS BIGINT) AS sw
+  FROM wi GROUP BY doc_id
+)
+SELECT doc_id, n_terms,
+  CAST(sw AS DOUBLE) / 1000000.0 AS bm25_score
+FROM scored
+ORDER BY sw DESC, doc_id
+LIMIT 15
+"""
+
+
+@query("bm25_more_like_this", oracle=_BM25_ORACLE)
+def q_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval, query-by-example: document 0's distinct
+    tokens are the query, every document scores by Σ_t idf·tf_norm with
+    k1 = 1.2, b = 0.75, top-15 served.  The classic lexical ranker
+    (Robertson & Zaragoza 2009) — and the retrieval half of a RAG data
+    pipeline — restated so it is engine-exact: the log-idf is replaced
+    by its argument's exact rational (monotone in df, so the RANKING is
+    BM25's), the length normalization collapses to an all-integer
+    rational (see _BM25_SCORE_SQL), each per-(doc, term) score is one
+    double multiply+divide over exact-int casts, FLOOR-quantized to
+    int64 so the per-document sum is EXACT — no SUM(double) anywhere —
+    and the top-15 orders by the integer sum.
+
+    Scale shape: the query's term set and the per-term df table
+    broadcast (bounded by query length); tf is the one corpus shuffle
+    (map-side combined, postings grain); doc length joins on the same
+    doc_id partitioning; top-15 is TakeOrderedAndProject.  At 100 TB
+    this is per-query work proportional to the query terms' postings —
+    the inverted-index serving shape (inverted_index_postings builds
+    the physical layout)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    st = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("bigint").alias("s")
+    )
+    qt = toks.filter(F.col("doc_id") == 0).select("tok").distinct()
+    tf = (
+        toks.join(F.broadcast(qt), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    score = (
+        (2 * F.col("n") - 2 * F.col("df") + 1).cast("double")
+        * (44 * F.col("tf") * F.col("s")).cast("double")
+        / (
+            (2 * F.col("df") + 1).cast("double")
+            * (
+                20 * F.col("tf") * F.col("s")
+                + 6 * F.col("s")
+                + 18 * F.col("dl") * F.col("n")
+            ).cast("double")
+        )
+    )
+    wi = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.floor(score * F.lit(1000000.0)).cast("bigint").alias("w"),
+        )
+    )
+    scored = wi.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"), F.sum("w").cast("bigint").alias("sw")
+    )
+    return (
+        scored.orderBy(F.col("sw").desc(), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            "n_terms",
+            (F.col("sw").cast("double") / F.lit(1000000.0)).alias(
+                "bm25_score"
+            ),
+        )
+    )

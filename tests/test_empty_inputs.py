@@ -68,6 +68,13 @@ _FAMILIES = [
     "bpe_n_merges",
     "ivf_trained_topk",
     "ann_recall_audit",
+    # round-6 additions: ivfpq_stored_topk CRASHED on empty input before
+    # the empty-routing guard (IndexError on the collected probe cid) —
+    # the stored-serve path and the restated sketch audits stay pinned
+    "ivfpq_stored_topk",
+    "stored_model_confusion",
+    "approx_value_percentiles",
+    "approx_distinct_parts",
 ]
 
 

@@ -50,6 +50,12 @@ _REGRESSIONS = [
     "event_value_percentiles",
     # aging merge: NULL source must not count toward n_sources
     "stream_ioc_aging",
+    # round-6 additions: the sketch bound-audits must filter/ignore NULL
+    # values exactly as their exact sides do; the stored-model scorer
+    # must survive null text rows
+    "approx_value_percentiles",
+    "approx_distinct_parts",
+    "stored_model_confusion",
 ]
 
 

@@ -493,3 +493,40 @@ def test_ivfpq_stored_serve_path_zero_exchange(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
         spark.sql(f"DROP TABLE IF EXISTS {cent}")
+
+
+def test_countmin_sketch_is_bounded_aggregate(spark, sf_dir):
+    """CM sketch: fixed d·w counter aggregate (map-side combined), the
+    sketch side broadcast into the audit join, all JVM."""
+    p = plan(spark, sf_dir, "countmin_token_audit")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_bigram_lm_model_broadcasts_and_topk(spark, sf_dir):
+    """LM scoring: the pair/context count tables (the model, bounded by
+    the hashed vocabulary) broadcast into the held-out scoring pass;
+    top-20 is distributed."""
+    p = plan(spark, sf_dir, "bigram_lm_doc_scores")
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_bm25_query_side_broadcasts_and_topk(spark, sf_dir):
+    """BM25: query terms + df + corpus stats broadcast; the only corpus
+    shuffles are the tf/dl aggregates; top-15 is distributed."""
+    p = plan(spark, sf_dir, "bm25_more_like_this")
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert P.is_all_jvm(p)
+
+
+def test_epoch_plan_single_scan_broadcast_budget(spark, sf_dir):
+    """Mixture planner: one token-count aggregation, 1-row budget
+    broadcast, no extra corpus pass."""
+    p = plan(spark, sf_dir, "mixture_epoch_plan")
+    assert P.has_broadcast_join(p) or "BroadcastNestedLoopJoin" in p
+    assert P.is_all_jvm(p)

@@ -51,3 +51,55 @@ def test_aqe_splits_hot_key_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_cloned_orderkey_join(spark, sf_dir):
+    """The fixture-shaped receipt behind SCALE.md's skew-join probe: one
+    hot orderkey's lineitem rows cloned on top of the real tables, the
+    forced-SMJ fact join must come back with its hot partition split
+    (skew=true) and the SAME aggregate as the unsplit plan."""
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    saved = {k: spark.conf.get(k, None) for k in _CONFS}
+    try:
+        for k, v in _CONFS.items():
+            spark.conf.set(k, v)
+        li0 = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pi"),
+        )
+        hot = li0.agg(F.min("l_orderkey")).collect()[0][0]
+        clones = spark.range(200_000).select(
+            F.lit(hot).cast("bigint").alias("l_orderkey"),
+            (F.col("id") % 10_000).alias("pi"),
+        )
+        li = li0.unionByName(clones)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+
+        def run():
+            return (
+                li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n"), F.sum("pi").alias("s"))
+            )
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        split = run()
+        split_rows = sorted(map(tuple, split.collect()))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            split.explain(mode="formatted")
+        assert "skew=true" in buf.getvalue()
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain_rows = sorted(map(tuple, run().collect()))
+        assert split_rows == plain_rows
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -44,6 +44,9 @@ _REGRESSIONS = [
     # variant; n-merge BPE must treat multi-byte symbols atomically
     "dedup_keep_best_salted",
     "bpe_n_merges",
+    # round-6 addition: stored-model round-trip tokenizes with the same
+    # ASCII casefold as the in-lineage classifier
+    "stored_model_confusion",
 ]
 
 
