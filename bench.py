@@ -79,6 +79,12 @@ HEADLINE = [
     "approx_distinct_parts",
     "ivfpq_stored_topk",
     "stored_model_confusion",
+    "ivfpq_upsert_topk",
+    "countmin_token_audit",
+    "bigram_lm_doc_scores",
+    "bm25_more_like_this",
+    "mixture_epoch_plan",
+    "incremental_neardup_new_batch",
 ]
 
 

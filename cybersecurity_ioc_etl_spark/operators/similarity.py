@@ -909,12 +909,12 @@ def _kmeans_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one Lloyd round as SQL CTEs, parameterized on the centroid CTE name and
 # a suffix — the two-round oracle unrolls this exactly the way the
 # pagerank oracle unrolls its iteration CTEs
-def _lloyd_round_sql(s: str, cent: str) -> str:
+def _lloyd_round_sql(s: str, cent: str, comp: str = "comp") -> str:
     return f"""
 sqc{s} AS (SELECT cid, SUM(ci * ci) AS sq_c FROM {cent} GROUP BY cid),
 dots{s} AS (
   SELECT v.vec_id, c.cid, SUM(v.xi * c.ci) AS dot_i
-  FROM comp v JOIN {cent} c ON v.i = c.i
+  FROM {comp} v JOIN {cent} c ON v.i = c.i
   GROUP BY 1, 2
 ),
 assign{s} AS (
@@ -929,7 +929,7 @@ counts{s} AS (SELECT cid, COUNT(*) AS n_members FROM assign{s} GROUP BY cid),
 means{s} AS (
   SELECT a.cid, c.i,
     CAST(SUM(c.xi) AS DOUBLE) / 10000000.0 / COUNT(*) AS mean_x
-  FROM assign{s} a JOIN comp c ON a.vec_id = c.vec_id
+  FROM assign{s} a JOIN {comp} c ON a.vec_id = c.vec_id
   GROUP BY a.cid, c.i
 )"""
 
@@ -1495,14 +1495,14 @@ _PQ_K = 4  # centroids per subspace codebook
 # deterministic per-subspace seed codebooks (centroid c := vector c's
 # subvector), and the nearest-centroid code per (vector, subspace) —
 # exact-integer argmin, ties to the lower code, engine-identical.
-def _pq_codes_sql(p: str = "") -> str:
+def _pq_codes_sql(p: str = "", comp: str = "comp") -> str:
     """CTE chain `{p}sub → {p}cent → {p}sqc → {p}dots → {p}codes` over an
     existing `comp` CTE (1-based i, integer mantissas).  The prefix lets
     the IVF-PQ composition oracle mix these with the Lloyd-round CTEs
     (whose round-'' names would otherwise collide)."""
     return f"""
 {p}sub AS (
-  SELECT vec_id, CAST((i - 1) // {_PQ_DIMS} AS BIGINT) AS m, i, xi FROM comp
+  SELECT vec_id, CAST((i - 1) // {_PQ_DIMS} AS BIGINT) AS m, i, xi FROM {comp}
 ),
 {p}cent AS (
   SELECT vec_id AS c, m, i, xi AS ci FROM {p}sub WHERE vec_id < {_PQ_K}
@@ -2119,6 +2119,21 @@ def build_ivfpq_index(
     cent3 = _trained_centroids(comp).localCheckpoint(eager=True)
     assign3 = _trained_inverted_file(comp, cent3=cent3)
     codes = _pq_codes_frame(spark, sf_dir, comp=comp)
+    _write_ivfpq_segment(spark, assign3, codes, f"{prefix}_idx")
+    # trained centroids: k·dims rows — tiny, plain table (the SAME
+    # checkpointed frame the assignment pass used, trained once)
+    cent3.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_cent"
+    )
+    return f"{prefix}_idx", f"{prefix}_cent"
+
+
+def _write_ivfpq_segment(
+    spark: SparkSession, assign: DataFrame, codes: DataFrame, table: str
+) -> None:
+    """Pack (vec_id, m, code) rows to per-vector code arrays, attach the
+    cell assignment, and persist as one immutable cid-bucketed segment —
+    the storage unit both the initial build and every upsert write."""
     packed = (
         codes.groupBy("vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc"))
@@ -2127,17 +2142,11 @@ def build_ivfpq_index(
         )
     )
     idx = (
-        assign3.filter(F.col("vec_id") != 0)
+        assign.filter(F.col("vec_id") != 0)
         .join(packed, "vec_id")
         .select("cid", "vec_id", "codes")
     )
-    write_bucketed(idx, f"{prefix}_idx", key="cid", n_buckets=_KMEANS_K)
-    # trained centroids: k·dims rows — tiny, plain table (the SAME
-    # checkpointed frame the assignment pass used, trained once)
-    cent3.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_cent"
-    )
-    return f"{prefix}_idx", f"{prefix}_cent"
+    write_bucketed(idx, table, key="cid", n_buckets=_KMEANS_K)
 
 
 def _trained_centroids(comp: DataFrame) -> DataFrame:
@@ -2157,7 +2166,10 @@ def _trained_centroids(comp: DataFrame) -> DataFrame:
 
 
 def serve_ivfpq_stored(
-    spark: SparkSession, sf_dir: str, idx_table: str, cent_table: str
+    spark: SparkSession,
+    sf_dir: str,
+    idx_table: str | list[str],
+    cent_table: str,
 ) -> DataFrame:
     """Serve top-10 from the PERSISTED index — the query-time half.
     What a serving node does per query, reproduced exactly:
@@ -2213,7 +2225,7 @@ def serve_ivfpq_stored(
         )
         .orderBy(F.col("sq_c") - 2 * F.col("dot_i"), "cid")
         .limit(1)
-        .collect()
+        .collect()  # driver-ok: LIMIT-1 routing state (the probe cid)
     )
     if not routed:  # empty corpus → empty index, nothing to route to
         return spark.createDataFrame(
@@ -2245,7 +2257,7 @@ def serve_ivfpq_stored(
                 (F.col("qx") - F.col("ci")) * (F.col("qx") - F.col("ci"))
             ).alias("dist_i")
         )
-        .collect()
+        .collect()  # driver-ok: K·M LUT rows (codebook-bounded, not data)
     )
     lut = {(r["m"], r["c"]): int(r["dist_i"]) for r in lut_rows}
     n_sub = 1 + max(m for m, _ in lut)
@@ -2258,9 +2270,16 @@ def serve_ivfpq_stored(
         for m in range(n_sub)
     ]
     adc_i = _reduce(lambda a, b: a + b, terms)
+    # segments: a str serves one table; a list UNIONs bucket-pruned
+    # scans of several immutable segments (the upsert layout) — union
+    # adds no Exchange, each side prunes to its own cid bucket
+    tables = [idx_table] if isinstance(idx_table, str) else list(idx_table)
+    scan = _reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.table(t) for t in tables],
+    )
     return (
-        spark.table(idx_table)
-        .filter(F.col("cid") == F.lit(probe_cid))
+        scan.filter(F.col("cid") == F.lit(probe_cid))
         .select("vec_id", "cid", adc_i.alias("adc_i"))
         .orderBy("adc_i", "vec_id")
         .limit(10)
@@ -2287,3 +2306,96 @@ def q_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition."""
     idx_table, cent_table = build_ivfpq_index(spark, sf_dir)
     return serve_ivfpq_stored(spark, sf_dir, idx_table, cent_table)
+
+
+# ---------------------------------------------------------------------------
+# Index UPSERT: immutable segments — maintain the stored index without
+# retraining, serve across segments with zero exchanges
+# ---------------------------------------------------------------------------
+
+_IVFPQ_UPSERT_ORACLE = f"""
+WITH allcomp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+comp AS (SELECT * FROM allcomp WHERE vec_id % 10 != 7),
+cent AS (
+  SELECT vec_id AS cid, i, xi AS ci FROM comp WHERE vec_id < {_KMEANS_K}
+),{_lloyd_round_sql('', 'cent')},
+cent2 AS (
+  SELECT cid, i, {_MI_SQL.format(x='mean_x')} AS ci FROM means
+),{_lloyd_round_sql('2', 'cent2')},
+cent3 AS (  -- trained on the BASE slice only
+  SELECT cid, i, {_MI_SQL.format(x='mean_x')} AS ci FROM means2
+),{_lloyd_round_sql('3', 'cent3', comp='allcomp')},{_pq_codes_sql('p', comp='allcomp')},
+qsub AS (SELECT m, i, xi AS qx FROM psub WHERE vec_id = 0),
+tbl AS (
+  SELECT c.c, c.m, SUM((q.qx - c.ci) * (q.qx - c.ci)) AS dist_i
+  FROM pcent c JOIN qsub q ON c.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT k.vec_id, a.cid, SUM(t.dist_i) AS adc_i
+  FROM pcodes k
+  JOIN tbl t ON k.m = t.m AND k.code = t.c
+  JOIN assign3 a ON k.vec_id = a.vec_id
+  WHERE a.cid = (SELECT cid FROM assign3 WHERE vec_id = 0)
+    AND k.vec_id != 0
+  GROUP BY 1, 2
+)
+SELECT vec_id, cid, CAST(adc_i AS DOUBLE) / 100000000000000.0 AS adc_dist
+FROM scored
+ORDER BY adc_i, vec_id
+LIMIT 10
+"""
+
+
+@query("ivfpq_upsert_topk", oracle=_IVFPQ_UPSERT_ORACLE)
+def q_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE without retraining — the immutable-segment
+    shape every production vector store (and Lucene) uses: the coarse
+    quantizer trains on the BASE 90% slice and builds the first
+    cid-bucketed segment; the 10% DELTA batch arrives later and is
+    UPSERTED by assignment-only routing against the STORED centroid
+    table plus PQ encoding with the same seeded codebooks — one narrow
+    pass over the new vectors, the base segment untouched, no Lloyd
+    round anywhere in the upsert path.  Serving unions the bucket-pruned
+    scans of both segments (serve_ivfpq_stored: still ZERO exchanges —
+    union is not a shuffle) and must rank base and delta members
+    identically to the oracle's single logical index.
+
+    This is the 100 TB ingest story: training is rare (distribution
+    drift), upserts are continuous (cost ∝ batch, not corpus), and a
+    background compaction merging small segments is a pure
+    bucketed-table rewrite.  Everything stays on the exact-int
+    contract, so segment boundaries are physically invisible in the
+    results — the strongest maintenance receipt the engine can give."""
+    import hashlib
+
+    prefix = "ivfpqu_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tables = (f"{prefix}_base", f"{prefix}_delta", f"{prefix}_cent")
+    for t in tables:
+        drop_table_and_location(spark, t)
+    comp_all = _kmeans_comp(spark, sf_dir)
+    base = comp_all.filter(F.col("vec_id") % 10 != 7)
+    # ---- build: train on base, write segment 1 + the centroid table
+    cent3 = _trained_centroids(base).localCheckpoint(eager=True)
+    assign_b, _, _ = _lloyd_round(base, cent3)
+    codes_b = _pq_codes_frame(spark, sf_dir, comp=base)
+    _write_ivfpq_segment(spark, assign_b, codes_b, f"{prefix}_base")
+    cent3.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_cent"
+    )
+    # ---- upsert: route + encode the delta batch against STORED artifacts
+    delta = comp_all.filter(F.col("vec_id") % 10 == 7)
+    assign_d, _, _ = _lloyd_round(delta, spark.table(f"{prefix}_cent"))
+    seeds = comp_all.filter(F.col("vec_id") < _PQ_K)
+    codes_d = _pq_codes_frame(
+        spark, sf_dir, comp=delta.unionByName(seeds)
+    ).filter(F.col("vec_id") % 10 == 7)
+    _write_ivfpq_segment(spark, assign_d, codes_d, f"{prefix}_delta")
+    # ---- serve across both segments
+    return serve_ivfpq_stored(
+        spark, sf_dir, [f"{prefix}_base", f"{prefix}_delta"], f"{prefix}_cent"
+    )

@@ -75,6 +75,11 @@ _FAMILIES = [
     "stored_model_confusion",
     "approx_value_percentiles",
     "approx_distinct_parts",
+    "ivfpq_upsert_topk",
+    "countmin_token_audit",
+    "bigram_lm_doc_scores",
+    "bm25_more_like_this",
+    "mixture_epoch_plan",
 ]
 
 

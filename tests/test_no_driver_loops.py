@@ -16,6 +16,12 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "cybersecurity_ioc_etl_sp
 
 FORBIDDEN = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toLocalIterator\(")
 
+# Line-level escape hatch: a call site annotated `# driver-ok: <reason>`
+# declares a BOUNDED driver-side materialization (rows limited by a
+# parameter like k·M or LIMIT 1, never by data volume).  The reason is
+# mandatory — a bare pragma still fails.
+PRAGMA = re.compile(r"#\s*driver-ok:\s*\S")
+
 # file → reason a driver-side materialization is legitimate there
 ALLOWED = {
     "sinks/kv.py": "compact_parquet samples ONE aggregated row (avg width) to size output files",
@@ -31,7 +37,11 @@ def test_no_driver_side_materialization_in_operators():
     for py in PKG.rglob("*.py"):
         rel = str(py.relative_to(PKG))
         for i, line in enumerate(py.read_text().splitlines(), 1):
-            if FORBIDDEN.search(line) and rel not in ALLOWED:
+            if (
+                FORBIDDEN.search(line)
+                and rel not in ALLOWED
+                and not PRAGMA.search(line)
+            ):
                 offenders.append(f"{rel}:{i}: {line.strip()}")
     assert not offenders, (
         "driver-side materialization in operator code (move to a "

@@ -530,3 +530,58 @@ def test_epoch_plan_single_scan_broadcast_budget(spark, sf_dir):
     p = plan(spark, sf_dir, "mixture_epoch_plan")
     assert P.has_broadcast_join(p) or "BroadcastNestedLoopJoin" in p
     assert P.is_all_jvm(p)
+
+
+def test_ivfpq_upsert_serves_segments_without_exchange(spark, sf_dir):
+    """Segment-union serving: the upsert query's final plan must union
+    TWO bucket-pruned segment scans with zero Exchange operators — the
+    immutable-segment maintenance shape (union is not a shuffle)."""
+    p = plan(spark, sf_dir, "ivfpq_upsert_topk", execute=True)
+    tail = p.split("TakeOrderedAndProject", 1)[-1]
+    assert "Exchange" not in tail
+    assert tail.count("SelectedBucketsCount: 1 out of") == 2  # both segments pruned
+    assert "Union" in p
+    assert P.has_take_ordered_topk(p)
+
+
+def test_ivfpq_segment_compaction_preserves_results(spark, sf_dir):
+    """Compaction receipt: merging two immutable segments into one
+    bucketed table (a pure read-union-rewrite, no retraining or
+    re-encoding) must serve the IDENTICAL top-k, and the compacted
+    serve plan is again a single bucket-pruned zero-Exchange scan."""
+    import uuid
+
+    from cybersecurity_ioc_etl_spark.operators.similarity import (
+        _KMEANS_K,
+        serve_ivfpq_stored,
+    )
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import write_bucketed
+
+    # build the two-segment layout via the registered upsert query's
+    # tables (rebuild here so the test owns its lifecycle)
+    QUERIES["ivfpq_upsert_topk"](spark, sf_dir).collect()
+    import hashlib
+
+    prefix = "ivfpqu_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    compacted = f"compact_{uuid.uuid4().hex[:8]}"
+    try:
+        merged = spark.table(f"{prefix}_base").unionByName(
+            spark.table(f"{prefix}_delta")
+        )
+        write_bucketed(merged, compacted, key="cid", n_buckets=_KMEANS_K)
+        before = serve_ivfpq_stored(
+            spark, sf_dir, [f"{prefix}_base", f"{prefix}_delta"],
+            f"{prefix}_cent",
+        ).collect()
+        after_df = serve_ivfpq_stored(
+            spark, sf_dir, compacted, f"{prefix}_cent"
+        )
+        after = after_df.collect()
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+        p = P.formatted_plan(after_df, execute=True)
+        assert "Exchange" not in p
+        assert f"SelectedBucketsCount: 1 out of {_KMEANS_K}" in p
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {compacted}")
+        for t in (f"{prefix}_base", f"{prefix}_delta", f"{prefix}_cent"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -80,9 +80,10 @@ def sync(write: bool) -> list[str]:
     readme_path = os.path.join(REPO, "README.md")
     with open(readme_path) as f:
         readme = f.read()
+    all_marker = "ALL " if n_q == n_o else ""
     new_readme, n_sub = re.subn(
-        r"\(\d+ at last count, \d+ with full\s*\noracles\)",
-        f"({n_q} at last count, {n_o} with full\noracles)",
+        r"\(\d+ at last count, (?:ALL )?\d+ with\s+full\s+oracles\)",
+        f"({n_q} at last count, {all_marker}{n_o} with\nfull oracles)",
         readme,
     )
     if n_sub == 0:
