@@ -85,6 +85,10 @@ HEADLINE = [
     "bm25_more_like_this",
     "mixture_epoch_plan",
     "incremental_neardup_new_batch",
+    "ppjoin_doc_pairs",
+    "ivf_filtered_topk",
+    "events_ohlc_bars",
+    "kneser_ney_doc_scores",
 ]
 
 

@@ -1490,3 +1490,182 @@ def q_incremental_neardup_new_batch(
         nd.alias("n_dup_partners"),
         (nd == 0).alias("is_novel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT set-similarity join via prefix filtering (AllPairs / PPJoin) —
+# the zero-recall-loss complement to MinHash banding
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold 3/5 kept as an exact rational so every pruning and
+# verification predicate is integer arithmetic (engine-identical):
+#   prefix length      p(n)  = n - ceil(3n/5) + 1,  ceil(3n/5) = (3n+4) div 5
+#   size compatibility 3 * max(na, nb) <= 5 * min(na, nb)
+#   verification       8 * shared >= 3 * (na + nb)
+#     (shared/(na+nb-shared) >= 3/5  <=>  8*shared >= 3*(na+nb))
+_PPJ_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SHINGLE_INT_SQL.format(x='s')} AS tok
+  FROM (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+    FROM documents WHERE text IS NOT NULL
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.tok,
+    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rk
+  FROM toks t JOIN df d USING (tok)
+),
+pref AS (
+  SELECT r.doc_id, r.tok
+  FROM ranked r JOIN sizes s USING (doc_id)
+  WHERE r.rk <= s.n - (3 * s.n + 4) // 5 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+cand2 AS (
+  SELECT c.doc_a, c.doc_b, sa.n AS n_a, sb.n AS n_b
+  FROM cand c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE 3 * GREATEST(sa.n, sb.n) <= 5 * LEAST(sa.n, sb.n)
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, COUNT(*) AS n_shared
+  FROM cand2 c
+  JOIN toks ta ON c.doc_a = ta.doc_id
+  JOIN toks tb ON c.doc_b = tb.doc_id AND ta.tok = tb.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, n_a, n_b, n_shared,
+  CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jac
+FROM ver
+WHERE 8 * n_shared >= 3 * (n_a + n_b)
+"""
+
+
+@query("ppjoin_doc_pairs", oracle=_PPJ_ORACLE)
+def q_ppjoin_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set-similarity self-join (Jaccard >= 3/5) via
+    prefix filtering — AllPairs/PPJoin (Bayardo et al., WWW'07; Xiao et
+    al., WWW'08) re-expressed as DataFrame ops, over the same word
+    3-gram shingles the MinHash family signs.  Shingles are globally
+    ordered by (df ASC, shingle): each document's PREFIX is its rarest
+    n - ceil(t*n) + 1 shingles, and two sets can clear the threshold
+    only if their prefixes share a shingle — so candidates come from a
+    self-join on PREFIX shingles only, never the full posting lists,
+    and the guarantee is EXACT (contrast minhash_band_pairs, which
+    trades recall for the same pruning; banding_recall_audit measures
+    what it loses — this operator loses nothing by construction).
+    Survivors of the integer size filter are verified by one exact
+    intersection count; every predicate is integer arithmetic (the
+    threshold kept as the rational 3/5), so both engines emit the
+    identical pair set.
+
+    Scale shape: candidate cost is sum over prefix shingles of df^2 —
+    and prefix shingles are by construction the RAREST in each set, the
+    exact opposite of the posting-join's df^2 hot spot (the df census
+    that orders shingles is the same vocabulary-sized aggregate
+    tfidf_doc_similarity_pairs already pays).  The verify join touches
+    only surviving candidates.  All joins are equi-joins; nothing is
+    quadratic in the corpus.  Shingles are digested to md5-prefix ints
+    before anything shuffles (the corpus_segment_dedup discipline) and
+    verification intersects per-doc digest ARRAYS, so no stage ever
+    carries shingle text.  100 TB variant: band the global order into
+    ranges so the prefix self-join co-partitions by shingle range."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    # shingle text is digested to md5-prefix ints IMMEDIATELY and the
+    # (doc_id, digest) frame materialized once: three consumers (df
+    # census, rank window, verify arrays) would otherwise re-shingle
+    # the corpus, and every downstream shuffle carries 8-byte ints,
+    # never shingle strings (A/B at sf0.1: ~0.6 s faster per run)
+    toks = (
+        d.select(
+            "doc_id", F.explode(_word_shingles(F.col("text"))).alias("s")
+        )
+        .select("doc_id", _shingle_int(F.col("s")).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    df_c = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    # rank and set size share ONE doc_id shuffle (two Window ops over
+    # the same partitioning); the size rides along on every prefix row,
+    # so no sizes table and no join-back anywhere downstream
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "tok")
+    w_all = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(df_c, "tok")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+    )
+    pref = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
+    ).select("doc_id", "tok", "n")
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("n").alias("n_a")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (3 * F.greatest("n_a", "n_b") <= 5 * F.least("n_a", "n_b"))
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    # verification fetches each side's full digest SET as one sorted
+    # array row and intersects in-expression (array_intersect is
+    # whole-stage codegen): the join payload is two ~n-int arrays per
+    # candidate, not an exploded (pair x token) row blowup — measured
+    # 4.2 s -> 2.7 s at sf0.1 on 193k candidates (positional filtering
+    # was tried and dropped: the valid min(i,j)+min(n_a-i,n_b-j) bound
+    # pruned only 193k -> 190k on this clone-heavy corpus)
+    arrs = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("arr")
+    )
+    ver = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return ver.filter(
+        8 * F.col("n_shared") >= 3 * (F.col("n_a") + F.col("n_b"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        (
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        ).alias("jac"),
+    )

@@ -1361,3 +1361,78 @@ def q_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("vi").cast("double") / F.lit(100.0)).alias("lo_value"),
         (F.max("vi").cast("double") / F.lit(100.0)).alias("hi_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling — the time-series bar compaction (metrics / market
+# data shape): one row per (hour, type) with open/high/low/close
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, ts, event_id,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY h, event_type
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY h, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM ev
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+  CAST(MAX(CASE WHEN rn_a = 1 THEN vi END) AS DOUBLE) / 10000.0 AS open,
+  CAST(MAX(vi) AS DOUBLE) / 10000.0 AS high,
+  CAST(MIN(vi) AS DOUBLE) / 10000.0 AS low,
+  CAST(MAX(CASE WHEN rn_d = 1 THEN vi END) AS DOUBLE) / 10000.0 AS close,
+  COUNT(*) AS volume,
+  CAST(SUM(vi) AS DOUBLE) / 10000.0 AS total_value
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+@query("events_ohlc_bars", oracle=_OHLC_ORACLE)
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling: each (hour, event_type) group compacts to
+    open (value at the earliest (ts, event_id)), high, low, close
+    (latest), volume, and exact total — the canonical time-series
+    rollup every metrics store and market-data pipeline runs.  Open and
+    close use the argmin/argmax struct idiom on the (ts, event_id)
+    total order (event_id breaks ts ties deterministically); the oracle
+    states the same order as ROW_NUMBER.  NULL ts / NULL value rows are
+    excluded on BOTH sides (the window NULL-ordering divergence rule).
+    All extrema and sums are integer mantissas converted once.
+
+    Scale shape: ONE map-side-combined aggregation — min/max/sum/count
+    partials are associative, so a year of raw events compacts to
+    (hours x types) rows in a single shuffle whose payload is the
+    partial structs, never the events.  This is the streaming-friendly
+    form too: the same partials fold per micro-batch (stream_hourly's
+    pattern).  min/max over structs plan as SortAggregate (struct
+    buffers aren't hash-agg compatible) — still map-side combined."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    ev = e.select(
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "event_type",
+        "ts",
+        "event_id",
+        vi.alias("vi"),
+    )
+    first_s = F.min(F.struct("ts", "event_id", "vi"))
+    last_s = F.max(F.struct("ts", "event_id", "vi"))
+    return ev.groupBy("hour_start", "event_type").agg(
+        (first_s.getField("vi").cast("double") / F.lit(1e4)).alias("open"),
+        (F.max("vi").cast("double") / F.lit(1e4)).alias("high"),
+        (F.min("vi").cast("double") / F.lit(1e4)).alias("low"),
+        (last_s.getField("vi").cast("double") / F.lit(1e4)).alias("close"),
+        F.count("*").alias("volume"),
+        (F.sum("vi").cast("double") / F.lit(1e4)).alias("total_value"),
+    )

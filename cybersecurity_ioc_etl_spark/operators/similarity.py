@@ -2399,3 +2399,137 @@ def q_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_ivfpq_stored(
         spark, sf_dir, [f"{prefix}_base", f"{prefix}_delta"], f"{prefix}_cent"
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTERED vector search — ANN under a metadata predicate, the hybrid
+# retrieval shape (vector store + WHERE clause)
+# ---------------------------------------------------------------------------
+
+_IVF_FILTERED_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, i, xi AS ci FROM comp WHERE vec_id < {_KMEANS_K}
+),
+sqc AS (SELECT cid, SUM(ci * ci) AS sq_c FROM cent GROUP BY cid),
+dots AS (
+  SELECT v.vec_id, c.cid, SUM(v.xi * c.ci) AS dot_i
+  FROM comp v JOIN cent c ON v.i = c.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+      row_number() OVER (PARTITION BY d.vec_id
+                         ORDER BY s.sq_c - 2 * d.dot_i, d.cid) AS rn
+    FROM dots d JOIN sqc s USING (cid)
+  ) WHERE rn = 1
+),
+probe2 AS (
+  SELECT d.cid FROM dots d JOIN sqc s USING (cid)
+  WHERE d.vec_id = 0
+  ORDER BY s.sq_c - 2 * d.dot_i, d.cid
+  LIMIT 2
+),
+qv AS (SELECT i, xi AS qx FROM comp WHERE vec_id = 0),
+cell AS (
+  SELECT a.vec_id, a.cid, e.label,
+    SUM(c.xi * q.qx) AS dot_i,
+    SUM(c.xi * c.xi) AS sq_v,
+    SUM(q.qx * q.qx) AS sq_q
+  FROM assign a
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  JOIN comp c ON a.vec_id = c.vec_id
+  JOIN qv q ON c.i = q.i
+  WHERE a.cid IN (SELECT cid FROM probe2)
+    AND a.vec_id != 0
+    AND e.label = (SELECT label FROM embeddings WHERE vec_id = 0)
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, cid, label,
+  round((CAST(dot_i AS DOUBLE) / 100000000000000.0)
+        / (sqrt(CAST(sq_v AS DOUBLE) / 100000000000000.0)
+         * sqrt(CAST(sq_q AS DOUBLE) / 100000000000000.0)), 6) AS cosine_sim
+FROM cell
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("ivf_filtered_topk", oracle=_IVF_FILTERED_ORACLE)
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — top-10 same-label neighbors of the query vector,
+    served through the IVF index under a metadata predicate (the
+    'hybrid search' every production vector store exposes: WHERE label
+    = q.label AND vector near q).  The filter is applied INSIDE the
+    probed cells (pre-filtering), and because a predicate thins every
+    cell, the probe width doubles to nprobe=2 — the standard
+    filtered-search compensation, reusing the recall lever
+    ivf_multiprobe_topk established.  Assignment, routing, and scoring
+    all stay on the exact-integer contract (argmin on sq_c - 2*dot,
+    ties to lower cid), so the served set is engine-identical.
+
+    Scale shape: the label predicate joins the inverted file BEFORE any
+    scoring — with an index stored per (cid) bucket and label as a
+    second partition column the scan prunes to (probed cells x one
+    label); scoring cost is members-after-filter, not cell size.  The
+    centroid/query sides are broadcast; top-k is
+    TakeOrderedAndProject."""
+    comp = _kmeans_comp(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    cent = comp.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "i", F.col("xi").alias("ci")
+    )
+    assign, _, _ = _lloyd_round(comp, cent)
+    sqc = cent.groupBy("cid").agg(
+        F.sum(F.col("ci") * F.col("ci")).alias("sq_c")
+    )
+    qv = comp.filter(F.col("vec_id") == 0).select(
+        "i", F.col("xi").alias("qx")
+    )
+    probe2 = (
+        comp.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cent), "i")
+        .groupBy("cid")
+        .agg(F.sum(F.col("xi") * F.col("ci")).alias("dot_i"))
+        .join(F.broadcast(sqc), "cid")
+        .orderBy(F.col("sq_c") - 2 * F.col("dot_i"), "cid")
+        .limit(2)
+        .select("cid")
+    )
+    qlab = labels.filter(F.col("vec_id") == 0).select("label")
+    members = (
+        assign.join(F.broadcast(probe2), "cid")
+        .filter(F.col("vec_id") != 0)
+        .join(labels, "vec_id")
+        .join(F.broadcast(qlab), "label")
+    )
+    cell = (
+        members.join(comp, "vec_id")
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id", "cid", "label")
+        .agg(
+            F.sum(F.col("xi") * F.col("qx")).alias("dot_i"),
+            F.sum(F.col("xi") * F.col("xi")).alias("sq_v"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sq_q"),
+        )
+    )
+    cos = F.round(
+        (F.col("dot_i").cast("double") / F.lit(1e14))
+        / (
+            F.sqrt(F.col("sq_v").cast("double") / F.lit(1e14))
+            * F.sqrt(F.col("sq_q").cast("double") / F.lit(1e14))
+        ),
+        6,
+    )
+    return (
+        cell.select("vec_id", "cid", "label", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -846,6 +846,34 @@ FROM est
 """
 
 
+def _cm_buckets(t: Column) -> Column:
+    """The d deterministic md5-prefix bucket hashes of one token —
+    shared by the batch audit and the streaming merge so both build the
+    bit-identical sketch."""
+    return F.array(
+        *[
+            _dedup._shingle_int(F.concat(F.lit(str(i)), F.lit(":"), t))
+            % _CM_W
+            for i in range(_CM_D)
+        ]
+    )
+
+
+def cm_token_partials(docs: DataFrame) -> DataFrame:
+    """(i, b, c) count-min partial census of a document batch's token
+    stream — associative: partials from any micro-batching sum to the
+    corpus sketch."""
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+    htok = tok.select(F.posexplode(_cm_buckets(F.col("tok"))).alias("i", "b"))
+    return htok.groupBy(
+        F.col("i").cast("bigint").alias("i"), "b"
+    ).agg(F.count("*").alias("c"))
+
+
 @query("countmin_token_audit", oracle=_CM_AUDIT_ORACLE)
 def q_countmin_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus
@@ -874,18 +902,7 @@ def q_countmin_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
 
-    def buckets(t: Column) -> Column:
-        return F.array(
-            *[
-                _dedup._shingle_int(
-                    F.concat(F.lit(str(i)), F.lit(":"), t)
-                )
-                % _CM_W
-                for i in range(_CM_D)
-            ]
-        )
-
-    htok = tok.select(F.posexplode(buckets(F.col("tok"))).alias("i", "b"))
+    htok = tok.select(F.posexplode(_cm_buckets(F.col("tok"))).alias("i", "b"))
     sketch = htok.groupBy("i", "b").agg(F.count("*").alias("c"))
     exact = (
         tok.groupBy("tok")
@@ -894,7 +911,7 @@ def q_countmin_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     aud = exact.select(
-        "tok", "exact_n", F.posexplode(buckets(F.col("tok"))).alias("i", "b")
+        "tok", "exact_n", F.posexplode(_cm_buckets(F.col("tok"))).alias("i", "b")
     )
     est = (
         aud.join(F.broadcast(sketch), ["i", "b"])
@@ -1181,3 +1198,211 @@ def q_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring — the KenLM-grade smoothing,
+# restated on the exact-integer contract
+# ---------------------------------------------------------------------------
+
+# With discount D = 3/4 kept rational, the interpolated-KN probability
+#   P(b2|b1) = max(c12 - D, 0)/c1 + D·N1+(b1·)/c1 · N1+(·b2)/N1+(··)
+# collapses over the common denominator 4·c1·ntot to
+#   num = max(4·c12 - 3, 0)·ntot + 3·n1f·ncont        (seen context)
+#   num = 4·ncont,  den = 4·ntot                       (unseen context:
+#                                                       pure continuation)
+# Every factor is an exact int64 well under 2^53 (c12 ≤ corpus bigrams,
+# ntot ≤ V² = 1.6e7, n1f/ncont ≤ V), so num and den are exact as
+# doubles; the FLOOR-quantized likelihood then follows the _LM_W_SQL
+# discipline — double multiply, ONE division, floor — bit-identical.
+_KN_W_SQL = (
+    "CAST(FLOOR(CAST({num} AS DOUBLE) * 1000000000.0"
+    " / CAST({den} AS DOUBLE)) AS BIGINT)"
+)
+
+_KN_NUM_SQL = (
+    "CASE WHEN COALESCE({c1}, 0) = 0 THEN 4 * COALESCE({ncont}, 0)"
+    " ELSE GREATEST(4 * COALESCE({c12}, 0) - 3, 0) * {ntot}"
+    " + 3 * COALESCE({n1f}, 0) * COALESCE({ncont}, 0) END"
+)
+_KN_DEN_SQL = (
+    "CASE WHEN COALESCE({c1}, 0) = 0 THEN 4 * {ntot}"
+    " ELSE 4 * {c1} * {ntot} END"
+)
+
+_KN_SCORES_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+    {{bucket}} < 80 AS is_train,
+    list_transform(
+      str_split_regex({{fold}}, '\\s+'),
+      s -> {{sint}} % {_LM_V}) AS bs
+  FROM documents WHERE text IS NOT NULL
+),
+big AS (
+  SELECT doc_id, is_train,
+    bs[CAST(i AS INTEGER)] AS b1, bs[CAST(i AS INTEGER) + 1] AS b2
+  FROM tok, unnest(range(1, len(bs))) AS u(i)
+),
+pairs AS (
+  SELECT b1, b2, COUNT(*) AS c12 FROM big WHERE is_train GROUP BY 1, 2
+),
+fol AS (
+  SELECT b1, SUM(c12) AS c1, COUNT(*) AS n1f FROM pairs GROUP BY 1
+),
+pre AS (SELECT b2, COUNT(*) AS ncont FROM pairs GROUP BY 1),
+tot AS (SELECT COUNT(*) AS ntot FROM pairs),
+scored AS (
+  SELECT h.doc_id, COUNT(*) AS n_bigrams,
+    SUM({_KN_W_SQL.format(
+        num=_KN_NUM_SQL.format(
+            c1='f.c1', c12='p.c12', n1f='f.n1f',
+            ncont='r.ncont', ntot='t.ntot'),
+        den=_KN_DEN_SQL.format(c1='f.c1', ntot='t.ntot'))}) AS sw
+  FROM big h
+  LEFT JOIN pairs p ON h.b1 = p.b1 AND h.b2 = p.b2
+  LEFT JOIN fol f ON h.b1 = f.b1
+  LEFT JOIN pre r ON h.b2 = r.b2
+  CROSS JOIN tot t
+  WHERE NOT h.is_train
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+  CAST(sw AS DOUBLE) / n_bigrams / 1000000000.0 AS kn_score
+FROM scored
+ORDER BY kn_score DESC, doc_id
+LIMIT 20
+"""
+
+
+@query(
+    "kneser_ney_doc_scores",
+    oracle=_KN_SCORES_ORACLE.format(
+        bucket="("
+        + _dedup._SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")
+        + " % 100)",
+        fold=_dedup._ASCII_FOLD_SQL.format(x="trim(text)"),
+        sint=_dedup._SHINGLE_INT_SQL.format(x="s"),
+    ),
+)
+def q_kneser_ney_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1998) — the smoothing KenLM ships and CCNet's perplexity
+    filter actually runs, upgrading bigram_lm_doc_scores' add-one
+    smoothing: mass is DISCOUNTED from seen bigrams (D = 3/4) and
+    re-distributed by CONTINUATION counts (how many distinct contexts a
+    word follows — why 'Francisco' scores low outside 'San Francisco'
+    despite high raw frequency).  The absolute discount keeps
+    everything rational: the whole probability collapses to one
+    integer-ratio per bigram (see _KN_NUM_SQL), FLOOR-quantized and
+    summed exactly, so ranking is engine-identical.  Unseen contexts
+    back off to the pure continuation distribution.
+
+    Scale shape: identical to the add-one LM — the model is three count
+    tables bounded by the hashed vocabulary (pairs ≤ V², fol/pre ≤ V)
+    plus a 1-row total, all broadcast; scoring is broadcast left joins
+    + one map-side-combined per-doc sum; top-20 is
+    TakeOrderedAndProject.  The continuation tables cost two extra
+    vocabulary-bounded aggregations over the pair census — never a
+    second corpus pass."""
+    from .sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    bs = F.transform(
+        F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+"),
+        lambda s: _dedup._shingle_int(s) % _LM_V,
+    )
+    tk = d.select(
+        "doc_id",
+        (hash_bucket(F.col("doc_id")) < 80).alias("is_train"),
+        bs.alias("bs"),
+    )
+    n = F.size(F.col("bs"))
+    big = tk.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("bs"), 1, n - 1).alias("b1"),
+                F.slice(F.col("bs"), 2, n - 1).alias("b2"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "is_train", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2")
+    )
+    pairs = (
+        big.filter(F.col("is_train"))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=True)  # the model: feeds fol, pre, tot, join
+    )
+    fol = pairs.groupBy("b1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    pre = pairs.groupBy("b2").agg(F.count("*").alias("ncont"))
+    tot = pairs.agg(F.count("*").alias("ntot"))
+    c1z = F.coalesce(F.col("c1"), F.lit(0))
+    num = F.when(c1z == 0, 4 * F.coalesce(F.col("ncont"), F.lit(0))).otherwise(
+        F.greatest(4 * F.coalesce(F.col("c12"), F.lit(0)) - 3, F.lit(0))
+        * F.col("ntot")
+        + 3
+        * F.coalesce(F.col("n1f"), F.lit(0))
+        * F.coalesce(F.col("ncont"), F.lit(0))
+    )
+    den = F.when(c1z == 0, 4 * F.col("ntot")).otherwise(
+        4 * F.col("c1") * F.col("ntot")
+    )
+    w = F.floor(
+        num.cast("double") * F.lit(1000000000.0) / den.cast("double")
+    ).cast("bigint")
+    scored = (
+        big.filter(~F.col("is_train"))
+        .join(F.broadcast(pairs), ["b1", "b2"], "left")
+        .join(F.broadcast(fol), ["b1"], "left")
+        .join(F.broadcast(pre), ["b2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(w).alias("sw"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sw").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(1000000000.0)
+            ).alias("kn_score"),
+        )
+        .orderBy(F.col("kn_score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_CM_STREAM_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(str_split_regex(
+    {_dedup._ASCII_FOLD_SQL.format(x='trim(text)')}, '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+htok AS (
+  SELECT tok, r.i AS i, {_CM_HASH_SQL.format(i='r.i', tok='tok')} AS b
+  FROM tok CROSS JOIN range({_CM_D}) r(i)
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(b AS BIGINT) AS b, COUNT(*) AS c
+FROM htok GROUP BY 1, 2
+"""
+
+
+@query("stream_countmin_merge", oracle=_CM_STREAM_ORACLE)
+def q_stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min sketch: per-micro-batch partial sketches
+    folded by integer addition into the corpus sketch — hash-checked
+    against DuckDB building the same d·w counter table in one batch
+    pass (linear-sketch mergeability means the micro-batching is
+    invisible in the result; see run_stream_countmin)."""
+    from ..streaming.pipeline import run_stream_countmin
+
+    return run_stream_countmin(spark, sf_dir)

@@ -904,3 +904,49 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("max_session_events"),
         )
     )
+
+
+def run_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch construction — the mergeability
+    property exercised for real: each micro-batch of documents builds
+    its own (i, b, c) partial sketch (a fixed d·w-counter census) and
+    appends it; the drained partials fold by integer ADDITION into the
+    corpus sketch, bit-identical to the batch build regardless of how
+    the stream was batched — the defining property of a linear sketch,
+    and the reason CM is the heavy-hitter state for unbounded token
+    streams (state is d·w counters forever, merge is associative, so
+    it survives repartitioning, restarts, and shard-parallel ingest).
+
+    Scale shape: per trigger one map-side-combined aggregate bounded by
+    d·w rows; the final fold touches (batches · d·w) partial rows,
+    never the corpus."""
+    from ..operators.text_queries import cm_token_partials
+    from ..sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="stream_cm_src_")
+    d.repartition(4).write.mode("overwrite").parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="stream_cm_out_")
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        cm_token_partials(batch).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_cm_")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return spark.createDataFrame([], "i bigint, b bigint, c bigint")
+    parts = spark.read.parquet(out_dir)
+    return parts.groupBy("i", "b").agg(F.sum("c").cast("bigint").alias("c"))

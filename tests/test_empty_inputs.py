@@ -80,6 +80,14 @@ _FAMILIES = [
     "bigram_lm_doc_scores",
     "bm25_more_like_this",
     "mixture_epoch_plan",
+    # round-6 batch 2: prefix-filter join, filtered ANN (empty index →
+    # empty routed cell), OHLC bars, KN scorer (empty model: every
+    # context unseen), streaming sketch (no batches → empty fold)
+    "ppjoin_doc_pairs",
+    "ivf_filtered_topk",
+    "events_ohlc_bars",
+    "kneser_ney_doc_scores",
+    "stream_countmin_merge",
 ]
 
 

@@ -585,3 +585,47 @@ def test_ivfpq_segment_compaction_preserves_results(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {compacted}")
         for t in (f"{prefix}_base", f"{prefix}_delta", f"{prefix}_cent"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ppjoin_is_equi_joins_all_jvm(spark, sf_dir):
+    """Prefix-filter set-similarity join: every join is an equi-join
+    (prefix-token candidates, array-verify fetch) — a Cartesian or
+    nested-loop node here would mean the quadratic all-pairs plan the
+    prefix filter exists to avoid."""
+    p = plan(spark, sf_dir, "ppjoin_doc_pairs", execute=True)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_ivf_filtered_broadcasts_and_topk(spark, sf_dir):
+    """Filtered ANN: centroid/query/probe/label sides all broadcast
+    into the big-side scan, and the final k is TakeOrderedAndProject —
+    the metadata predicate must not introduce a big-side shuffle."""
+    p = plan(spark, sf_dir, "ivf_filtered_topk", execute=True)
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert P.is_all_jvm(p)
+
+
+def test_ohlc_bars_single_aggregation_pass(spark, sf_dir):
+    """OHLC compaction is ONE map-side-combined aggregation: exactly
+    one shuffle (the final agg exchange), SortAggregate expected (the
+    argmin/argmax struct buffers aren't hash-agg compatible), partial
+    aggregation before the exchange."""
+    # execute=False: the AQE-final rendering duplicates the tree
+    # (initial + final sections), double-counting the one Exchange
+    p = plan(spark, sf_dir, "events_ohlc_bars")
+    assert P.shuffle_count(p) == 1
+    assert "SortAggregate" in p
+    assert P.is_all_jvm(p)
+
+
+def test_kneser_ney_model_tables_broadcast(spark, sf_dir):
+    """KN scoring: the pair/follower/continuation model tables are
+    vocabulary-bounded and must broadcast into the held-out scoring
+    pass; top-20 is TakeOrderedAndProject."""
+    p = plan(spark, sf_dir, "kneser_ney_doc_scores", execute=True)
+    assert P.has_broadcast_join(p, min_count=3)
+    assert P.has_take_ordered_topk(p)
+    assert P.is_all_jvm(p)

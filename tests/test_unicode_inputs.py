@@ -47,6 +47,12 @@ _REGRESSIONS = [
     # round-6 addition: stored-model round-trip tokenizes with the same
     # ASCII casefold as the in-lineage classifier
     "stored_model_confusion",
+    # round-6 batch 2: shingle prefixes keep multi-byte text intact
+    # (no fold — conservative non-merge); the KN tokenizer and the
+    # streaming sketch fold ASCII-only like every other tokenizer
+    "ppjoin_doc_pairs",
+    "kneser_ney_doc_scores",
+    "stream_countmin_merge",
 ]
 
 
