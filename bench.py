@@ -89,6 +89,16 @@ HEADLINE = [
     "ivf_filtered_topk",
     "events_ohlc_bars",
     "kneser_ney_doc_scores",
+    "pareto_frontier_parts",
+    "event_value_trend_ols",
+    "hybrid_rrf_retrieval",
+    "cluster_safe_split",
+    "events_twap",
+    "viterbi_segment_stats",
+    "event_value_mad_outliers",
+    "classifier_margin_reliability",
+    "media_dhash_groups",
+    "media_dhash_neardup_pairs",
 ]
 
 

@@ -243,3 +243,103 @@ def q_part_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_red"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — dominance pruning via shared-shuffle
+# windows, distributive two-phase plan
+# ---------------------------------------------------------------------------
+
+_SKYLINE_WINDOWS_SQL = """
+  MAX(p_size) OVER (PARTITION BY {part} ORDER BY pi
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_le,
+  MAX(p_size) OVER (PARTITION BY {part} ORDER BY pi
+    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt
+"""
+
+_PARETO_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size,
+    CAST(ROUND(p_retailprice * 100.0) AS BIGINT) AS pi
+  FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+),
+local AS (
+  SELECT * FROM (
+    SELECT p_partkey, p_brand, p_size, pi,
+      {_SKYLINE_WINDOWS_SQL.format(part='p_brand')}
+    FROM p
+  ) WHERE NOT m_le > p_size AND NOT COALESCE(m_lt, -1) >= p_size
+),
+gsky AS (
+  SELECT * FROM (
+    SELECT p_partkey, p_brand, p_size, pi,
+      {_SKYLINE_WINDOWS_SQL.format(part='1')}
+    FROM local
+  ) WHERE NOT m_le > p_size AND NOT COALESCE(m_lt, -1) >= p_size
+)
+SELECT p_partkey, p_brand, p_size,
+  CAST(pi AS DOUBLE) / 100.0 AS price
+FROM gsky
+"""
+
+
+def _skyline_pass(df: DataFrame, part_cols: list) -> DataFrame:
+    """One dominance-pruning pass (maximize p_size, minimize pi): a row
+    is dominated iff some row has size STRICTLY greater at price <=
+    (m_le window, RANGE frame includes price peers) or size >= at price
+    STRICTLY less (m_lt window, RANGE ... 1 PRECEDING excludes peers).
+    Two window functions over ONE (partition, price-order) shuffle."""
+    base = Window.partitionBy(*part_cols).orderBy("pi") if part_cols else (
+        Window.partitionBy().orderBy("pi")
+    )
+    w_le = base.rangeBetween(Window.unboundedPreceding, 0)
+    w_lt = base.rangeBetween(Window.unboundedPreceding, -1)
+    return (
+        df.withColumn("m_le", F.max("p_size").over(w_le))
+        .withColumn("m_lt", F.max("p_size").over(w_lt))
+        .filter(
+            ~(F.col("m_le") > F.col("p_size"))
+            & ~(F.coalesce(F.col("m_lt"), F.lit(-1)) >= F.col("p_size"))
+        )
+        .drop("m_le", "m_lt")
+    )
+
+
+@query("pareto_frontier_parts", oracle=_PARETO_ORACLE)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (Börzsönyi et al., ICDE'01):
+    the parts no other part beats on BOTH axes — size maximized, price
+    minimized (ties don't dominate).  Dominance is resolved by two
+    window maxima sharing one price-ordered shuffle (RANGE frames: the
+    peer-inclusive frame catches strictly-taller-at-equal-or-lower-
+    price dominators, the 1-PRECEDING frame catches
+    equal-or-taller-at-strictly-cheaper) — no self-join, no quadratic
+    dominance test.
+
+    Scale shape: the skyline is DISTRIBUTIVE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so phase 1 prunes within each
+    p_brand partition in parallel (the window shuffle is partitioned,
+    never global) and phase 2 re-runs the same pass over the tiny
+    survivor set.  At 100 TB the phase-1 partitioning key is any
+    existing layout column (or a grid over the axes); survivors per
+    partition are O(frontier), so the global pass is a single small
+    task — the canonical two-level skyline plan."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+    )
+    base = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("pi"),
+    )
+    local = _skyline_pass(base, ["p_brand"])
+    glob = _skyline_pass(local, [])
+    return glob.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        (F.col("pi").cast("double") / F.lit(100.0)).alias("price"),
+    )

@@ -225,3 +225,98 @@ def q_stored_model_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(hash_bucket(F.col("doc_id")) >= 80), spark.table(table)
     )
     return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+
+# ---------------------------------------------------------------------------
+# Margin-binned reliability — the threshold-picking table for a
+# corpus-sweep classifier
+# ---------------------------------------------------------------------------
+
+_RELIABILITY_ORACLE = (
+    _LANG_CONFUSION_ORACLE.split("pred AS")[0].rstrip().rstrip(",")
+    + """,
+ranked AS (
+  SELECT doc_id, lang, cls, s,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
+  FROM scored
+),
+tops AS (
+  SELECT doc_id, lang,
+    MAX(CASE WHEN rn = 1 THEN cls END) AS pred,
+    MAX(CASE WHEN rn = 1 THEN s END) AS s1,
+    MAX(CASE WHEN rn = 2 THEN s END) AS s2
+  FROM ranked WHERE rn <= 2 GROUP BY 1, 2
+),
+binned AS (
+  SELECT CAST(LEAST((s1 - COALESCE(s2, 0)) // 20000000, 9) AS BIGINT)
+    AS margin_bin,
+    CASE WHEN pred = lang THEN 1 ELSE 0 END AS c
+  FROM tops
+)
+SELECT margin_bin,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(c) AS BIGINT) AS n_correct,
+  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS accuracy
+FROM binned GROUP BY margin_bin
+"""
+)
+
+
+@query("classifier_margin_reliability", oracle=_RELIABILITY_ORACLE)
+def q_classifier_margin_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability table for the corpus-sweep classifier: held-out
+    documents bucketed by prediction MARGIN (top-1 minus top-2 integer
+    class score — the engine-exact confidence proxy; softmax would put
+    transcendentals in the decision), with per-bin accuracy.  This is
+    the table a pipeline reads to pick the keep/drop threshold for a
+    quality or language gate ('only trust predictions with margin above
+    bin 6') and to detect miscalibration drift after retraining —
+    the calibration half of model scoring, beside the confusion matrix.
+
+    Engine-identical: margins are exact int64 differences, bin edges
+    integer division (width 2e7, capped at bin 9), the accuracy one
+    double division per bin.  Top-2 extraction is a per-doc rank window
+    over |classes| rows.
+
+    Scale shape: identical to lang_classifier_confusion through the
+    scoring join (broadcast grid, map-side-combined sums); the rank
+    window partitions by doc_id (parallel); the reliability table is
+    10 rows."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    grid = train_weight_grid(
+        spark, d.filter(hash_bucket(F.col("doc_id")) < 80)
+    )
+    scored = (
+        _tokenize_buckets(d.filter(hash_bucket(F.col("doc_id")) >= 80))
+        .join(F.broadcast(grid), "b")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum("w").alias("s"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), "cls")
+    ranked = scored.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= 2
+    )
+    tops = ranked.groupBy("doc_id", "lang").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cls"))).alias("pred"),
+        F.max(F.when(F.col("rn") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("rn") == 2, F.col("s"))).alias("s2"),
+    )
+    binned = tops.select(
+        F.least(
+            F.expr("(s1 - coalesce(s2, cast(0 as bigint))) div 20000000"),
+            F.lit(9),
+        )
+        .cast("bigint")
+        .alias("margin_bin"),
+        F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("c"),
+    )
+    return binned.groupBy("margin_bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("c").cast("bigint").alias("n_correct"),
+        (F.sum("c").cast("double") / F.count("*")).alias("accuracy"),
+    )

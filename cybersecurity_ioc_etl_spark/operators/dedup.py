@@ -1576,10 +1576,19 @@ def q_ppjoin_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     before anything shuffles (the corpus_segment_dedup discipline) and
     verification intersects per-doc digest ARRAYS, so no stage ever
     carries shingle text.  100 TB variant: band the global order into
-    ranges so the prefix self-join co-partitions by shingle range."""
+    ranges so the prefix self-join co-partitions by shingle range.
+    tools/ppjoin_probe.py carries the scale receipt (wall tracks
+    candidate pairs, not docs^2)."""
     d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
         F.col("text").isNotNull()
     )
+    return ppjoin_pairs(d)
+
+
+def ppjoin_pairs(d: DataFrame) -> DataFrame:
+    """The prefix-filter join body over any (doc_id, text) frame —
+    shared by the registered query and tools/ppjoin_probe.py (which
+    feeds it synthetic corpus scale-ups)."""
     # shingle text is digested to md5-prefix ints IMMEDIATELY and the
     # (doc_id, digest) frame materialized once: three consumers (df
     # census, rank window, verify arrays) would otherwise re-shingle
@@ -1668,4 +1677,93 @@ def q_ppjoin_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
         ).alias("jac"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Cluster-safe corpus split — leakage-proof at the NEAR-DUP grain
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_COMPONENTS_CTE_SQL},
+assign AS (
+  SELECT doc_id, component,
+    CASE WHEN {{cb}} < 80 THEN 'train'
+         WHEN {{cb}} < 90 THEN 'val' ELSE 'test' END AS split,
+    CASE WHEN {{db}} < 80 THEN 'train'
+         WHEN {{db}} < 90 THEN 'val' ELSE 'test' END AS naive_split
+  FROM comp
+),
+leaky AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS naive_leaky_clusters FROM (
+    SELECT component FROM assign
+    GROUP BY component HAVING COUNT(DISTINCT naive_split) > 1
+  )
+)
+SELECT a.split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT a.component) AS BIGINT) AS n_clusters,
+  l.naive_leaky_clusters
+FROM assign a CROSS JOIN leaky l
+GROUP BY a.split, l.naive_leaky_clusters
+"""
+
+
+@query(
+    "cluster_safe_split",
+    oracle=_CLUSTER_SPLIT_ORACLE.format(
+        cb="(" + _SHINGLE_INT_SQL.format(x="CAST(component AS VARCHAR)") + " % 100)",
+        db="(" + _SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)") + " % 100)",
+    ),
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that is leakage-proof at the NEAR-DUP
+    CLUSTER grain: documents are first clustered by connected
+    components over the SimHash near-dup graph (the dedup_components
+    machinery), then the 80/10/10 hash split keys on the COMPONENT id —
+    so a near-duplicate of a training document can never land in test,
+    the contamination mode a per-document split cannot prevent (an
+    eval doc with a near-identical training twin is leaked even though
+    the doc ids differ).  The emitted naive_leaky_clusters column
+    audits exactly that: how many clusters the per-doc hash split
+    would have straddled across splits.
+
+    Scale shape: components is the documented iterative plan (banded
+    edges, pointer-jumping label propagation, checkpoint cadence); the
+    split itself is a pure narrow map on the component label, and the
+    audit is two component-grain aggregations — nothing touches text.
+    Composes deterministic hash_bucket, so assignment is stable under
+    corpus growth exactly like train_val_test_split."""
+    from .sampling import hash_bucket
+
+    comp = neardup_components(spark, sf_dir)
+    b_comp = hash_bucket(F.col("component"))
+    b_doc = hash_bucket(F.col("doc_id"))
+    split = F.when(b_comp < 80, "train").when(b_comp < 90, "val").otherwise(
+        "test"
+    )
+    naive = F.when(b_doc < 80, "train").when(b_doc < 90, "val").otherwise(
+        "test"
+    )
+    assign = comp.select(
+        "doc_id",
+        "component",
+        split.alias("split"),
+        naive.alias("naive_split"),
+    )
+    leaky = (
+        assign.groupBy("component")
+        .agg(F.countDistinct("naive_split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("bigint").alias("naive_leaky_clusters"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("component").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select("split", "n_docs", "n_clusters", "naive_leaky_clusters")
     )

@@ -1436,3 +1436,311 @@ def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("volume"),
         (F.sum("vi").cast("double") / F.lit(1e4)).alias("total_value"),
     )
+
+
+@query("stream_ohlc_bars", oracle=_OHLC_ORACLE)
+def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC bars: per-micro-batch partial bars (first/last
+    structs + extrema + moments) merged by the same struct-extrema
+    aggregation — hash-identical to the batch bars for ANY batching
+    (see run_stream_ohlc).  Same oracle as events_ohlc_bars."""
+    from ..streaming.pipeline import run_stream_ohlc
+
+    return run_stream_ohlc(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# OLS trend per key — drift detection as one exact-moment aggregation
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+    (epoch_us(ts) // 1000000 - 1704067200) // 3600 AS x,
+    CAST(ROUND(value * 100.0) AS BIGINT) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND ts >= TIMESTAMP '2024-01-01'
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM ev GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n,
+    CAST(n * sxy - sx * sy AS DOUBLE) AS nd,
+    CAST(n * sxx - sx * sx AS DOUBLE) AS dd,
+    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS ed,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT event_type, n,
+  nd / dd / 100.0 AS slope_per_hour,
+  (syd - nd / dd * sxd) / n / 100.0 AS intercept,
+  nd * nd / (dd * ed) AS r2
+FROM fit
+"""
+
+
+@query("event_value_trend_ols", oracle=_TREND_ORACLE)
+def q_event_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of event value over time — the drift-detection
+    fit every metrics pipeline runs, as ONE map-side-combined moment
+    aggregation: x is integer hours since the epoch origin, y the value
+    mantissa, and the five moment sums (Sx, Sy, Sxx, Sxy, Syy) are
+    exact int64 per group, so slope numerator/denominator
+    (n·Sxy − Sx·Sy, n·Sxx − Sx²) are EXACT integers converted once;
+    slope, intercept, and r² are then identical closed-form double
+    expressions on both engines.  Overflow margins at sf0.1: x ≤ 720,
+    y ≤ 5.7e4, n = 1e5 keep every product ≤ ~4e17 < 2^63 (r²'s n·Syy
+    term would not, so that one derives from the exact ints in double —
+    still deterministic IEEE ops).  At larger corpora, re-center x per
+    group (two-pass) or per time-shard to keep the int64 headroom.
+
+    Scale shape: one shuffle carrying 7 numbers per event type —
+    associative partials (the Welch-z/stddev discipline), so it folds
+    per micro-batch too."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+    )
+    ev = e.select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) - 1704067200) div 3600").alias("x"),
+        F.round(F.col("value") * F.lit(100.0)).cast("bigint").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dd = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ed = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        (nd / dd / F.lit(100.0)).alias("slope_per_hour"),
+        (
+            (F.col("sy").cast("double") - nd / dd * F.col("sx").cast("double"))
+            / F.col("n")
+            / F.lit(100.0)
+        ).alias("intercept"),
+        (nd * nd / (dd * ed)).alias("r2"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average price — irregular-sample integration per type
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH ev AS (
+  SELECT event_type, ts, event_id,
+    epoch_us(ts) // 1000000 AS sec,
+    CAST(ROUND(value * 100.0) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+seg AS (
+  SELECT event_type, vi,
+    lead(sec) OVER (PARTITION BY event_type ORDER BY ts, event_id) - sec
+      AS dt
+  FROM ev
+),
+agg AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_intervals,
+    SUM(vi * dt) AS swv, SUM(dt) AS sw
+  FROM seg WHERE dt IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_intervals,
+  CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 AS twap
+FROM agg
+WHERE sw > 0
+"""
+
+
+@query("events_twap", oracle=_TWAP_ORACLE)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per type (TWAP) — the
+    irregular-sample integral every metrics/market pipeline needs when
+    events arrive unevenly: each value is weighted by how long it was
+    CURRENT (seconds until the type's next event, one lead window),
+    and the per-type mean is Sum(v_i * dt_i) / Sum(dt_i) on exact int64
+    products (vi <= 5.7e4, dt <= the month in seconds: every product
+    and sum stays far inside int64; the final ratio is one double
+    division).  The last observation of each type carries no interval
+    and drops on both engines; dt truncates to whole seconds by the
+    same epoch_us // 1e6 floor Spark's unix_timestamp applies.
+
+    Scale shape: one per-type-partitioned lead window (parallel — no
+    global sort) followed by one map-side-combined aggregation; at
+    100 TB the window key extends to (type, day) so partitions bound
+    state, splicing the per-day edges exactly like rolling_30d_spend's
+    RANGE frames."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    ev = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.round(F.col("value") * F.lit(100.0)).cast("bigint").alias("vi"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        "vi",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    agg = seg.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum(F.col("vi") * F.col("dt")).alias("swv"),
+        F.sum("dt").alias("sw"),
+    )
+    return agg.filter(F.col("sw") > 0).select(
+        "event_type",
+        "n_intervals",
+        (
+            F.col("swv").cast("double") / F.col("sw").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers — two exact weighted-median passes
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(ROUND(value * 100.0) AS BIGINT), event_id)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, MAX(n) AS n,
+    SUM(CASE WHEN rn = ((n - 1) * 5) // 10 + 1 THEN vi * (10 - ((n - 1) * 5) % 10)
+             WHEN rn = ((n - 1) * 5) // 10 + 2 AND ((n - 1) * 5) % 10 > 0
+               THEN vi * (((n - 1) * 5) % 10)
+             ELSE 0 END) AS med10
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.event_id, r.vi,
+    abs(10 * r.vi - m.med10) AS dv,
+    ROW_NUMBER() OVER (PARTITION BY r.event_type
+                       ORDER BY abs(10 * r.vi - m.med10), r.event_id) AS rn,
+    m.n
+  FROM ranked r JOIN med m ON r.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type,
+    SUM(CASE WHEN rn = ((n - 1) * 5) // 10 + 1 THEN dv * (10 - ((n - 1) * 5) % 10)
+             WHEN rn = ((n - 1) * 5) // 10 + 2 AND ((n - 1) * 5) % 10 > 0
+               THEN dv * (((n - 1) * 5) % 10)
+             ELSE 0 END) AS mad100
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  CAST(MAX(d.n) AS BIGINT) AS n_events,
+  CAST(MAX(m.med10) AS DOUBLE) / 1000.0 AS median_value,
+  CAST(MAX(a.mad100) AS DOUBLE) / 10000.0 AS mad_value,
+  CAST(SUM(CASE WHEN 10 * d.dv > 3 * a.mad100 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev d
+JOIN med m ON d.event_type = m.event_type
+JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+"""
+
+
+@query("event_value_mad_outliers", oracle=_MAD_ORACLE)
+def q_event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the Median Absolute Deviation — the
+    breakdown-resistant alternative to z-scores (one wild value drags a
+    mean/stddev fence, but not the median-of-deviations): per type,
+    median and MAD come from TWO exact weighted-median passes (the
+    event_value_percentiles idiom, each a rank window + integer-weighted
+    interpolation), deviations stay integers by scaling — dv = |10·vi −
+    med10| — and the 3-MAD fence is the pure integer predicate
+    10·dv > 3·mad100, so the outlier census is engine-identical with no
+    double anywhere in the decision.
+
+    Scale shape: two rank-window passes partitioned by type (parallel;
+    same health note as the percentile query) and map-side-combined
+    aggregates between them; the median/MAD tables are type-cardinality
+    and broadcast back.  The classic two-pass robust statistic with
+    nothing driver-side."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.round(F.col("value") * 100.0).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select("event_type", "event_id", vi.alias("vi")).select(
+        "event_type", "event_id", "vi",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"), _pctl_weighted(5).alias("med10")
+    )
+    dv_col = F.abs(10 * F.col("vi") - F.col("med10"))
+    w2 = Window.partitionBy("event_type").orderBy("dv", "event_id")
+    dev = (
+        ranked.select("event_type", "event_id", "vi")
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", "event_id", "n", dv_col.alias("dv"), "med10"
+        )
+        .select(
+            "event_type", "event_id", "n", "dv", "med10",
+            F.row_number().over(w2).alias("rn"),
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("rn") == F.expr("((n - 1) * 5) div 10") + 1,
+                F.col("dv") * (10 - ((F.col("n") - 1) * 5) % 10),
+            )
+            .when(
+                (F.col("rn") == F.expr("((n - 1) * 5) div 10") + 2)
+                & (((F.col("n") - 1) * 5) % 10 > 0),
+                F.col("dv") * (((F.col("n") - 1) * 5) % 10),
+            )
+            .otherwise(0)
+        ).alias("mad100")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            (F.max("med10").cast("double") / F.lit(1000.0)).alias(
+                "median_value"
+            ),
+            (F.max("mad100").cast("double") / F.lit(10000.0)).alias(
+                "mad_value"
+            ),
+            F.sum(
+                F.when(10 * F.col("dv") > 3 * F.col("mad100"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -1143,6 +1143,24 @@ def q_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
         F.col("text").isNotNull()
     )
+    scored = _bm25_scored(d)
+    return (
+        scored.orderBy(F.col("sw").desc(), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            "n_terms",
+            (F.col("sw").cast("double") / F.lit(1000000.0)).alias(
+                "bm25_score"
+            ),
+        )
+    )
+
+
+def _bm25_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, n_terms, sw) BM25 integer scores of every document
+    against document 0's term set — shared by the ranker query and the
+    RRF fusion."""
     toks = d.select(
         "doc_id",
         F.explode(
@@ -1184,19 +1202,8 @@ def q_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(score * F.lit(1000000.0)).cast("bigint").alias("w"),
         )
     )
-    scored = wi.groupBy("doc_id").agg(
+    return wi.groupBy("doc_id").agg(
         F.count("*").alias("n_terms"), F.sum("w").cast("bigint").alias("sw")
-    )
-    return (
-        scored.orderBy(F.col("sw").desc(), "doc_id")
-        .limit(15)
-        .select(
-            "doc_id",
-            "n_terms",
-            (F.col("sw").cast("double") / F.lit(1000000.0)).alias(
-                "bm25_score"
-            ),
-        )
     )
 
 
@@ -1406,3 +1413,419 @@ def q_stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_countmin
 
     return run_stream_countmin(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of two rankers
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60     # the standard RRF dampening constant
+_RRF_TOP = 20   # per-ranker candidate depth
+
+_RRF_ORACLE = f"""
+WITH docs_t AS (
+  SELECT doc_id,
+    str_split_regex({_dedup._ASCII_FOLD_SQL.format(x='trim(text)')},
+                    '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM docs_t),
+st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+toks AS (SELECT doc_id, unnest(t) AS tok FROM docs_t),
+qt AS (SELECT DISTINCT tok FROM toks WHERE doc_id = 0),
+tf AS (
+  SELECT k.doc_id, k.tok, COUNT(*) AS tf
+  FROM toks k JOIN qt USING (tok) GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+wi AS (
+  SELECT tf.doc_id,
+    CAST(FLOOR({_BM25_SCORE_SQL.format(n='st.n', df='dfreq.df', tf='tf.tf',
+                                       s='st.s', dl='dl.dl')}
+               * 1000000.0) AS BIGINT) AS w
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+bm AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS sw FROM wi
+  WHERE doc_id != 0 GROUP BY doc_id
+),
+bm_top AS (SELECT doc_id, sw FROM bm ORDER BY sw DESC, doc_id LIMIT {_RRF_TOP}),
+ra AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY sw DESC, doc_id) AS rank_bm25
+  FROM bm_top
+),
+sh AS (
+  SELECT doc_id, {_dedup._SHINGLE_INT_SQL.format(x='s')} AS sg
+  FROM (
+    SELECT doc_id, unnest({_dedup._SHINGLES_SQL}) AS s
+    FROM documents WHERE text IS NOT NULL
+  )
+),
+q0 AS (SELECT DISTINCT sg FROM sh WHERE doc_id = 0),
+ov AS (
+  SELECT s.doc_id, COUNT(*) AS ov
+  FROM sh s JOIN q0 USING (sg)
+  WHERE s.doc_id != 0 GROUP BY s.doc_id
+),
+ov_top AS (SELECT doc_id, ov FROM ov ORDER BY ov DESC, doc_id LIMIT {_RRF_TOP}),
+rb AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY ov DESC, doc_id) AS rank_shingle
+  FROM ov_top
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+    ra.rank_bm25, rb.rank_shingle,
+    COALESCE(1000000000 // ({_RRF_K} + ra.rank_bm25), 0)
+      + COALESCE(1000000000 // ({_RRF_K} + rb.rank_shingle), 0) AS rrf_i
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rank_bm25, rank_shingle,
+  CAST(rrf_i AS DOUBLE) / 1000000000.0 AS rrf_score
+FROM fused
+ORDER BY rrf_i DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("hybrid_rrf_retrieval", oracle=_RRF_ORACLE)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the standard
+    way production search fuses heterogeneous rankers without score
+    calibration: two retrievers answer document 0's query-by-example
+    (BM25 over tokens; 3-gram shingle overlap — the order-aware lexical
+    signal BM25's bag-of-words misses), each contributes its top-20
+    ranking, and every candidate's fused score is
+    Σ 1/(60 + rank) over the lists that returned it.  The reciprocal is
+    kept exact as the integer 10⁹ div (60 + rank), so fused scores sum
+    and rank identically on both engines; absent-from-one-list
+    candidates take 0 from that list via the FULL OUTER join.
+
+    Scale shape: each ranker's candidate pull is its own documented
+    plan (BM25: query-term postings; shingles: broadcast query-shingle
+    semi-join) ending in a TakeOrderedAndProject top-20; ranks are then
+    assigned by a window over 20 ROWS (never the corpus — the orderBy/
+    limit happens BEFORE the rank window), and the fusion join touches
+    at most 40 rows.  Adding a third ranker (e.g. the ANN column) is
+    one more tiny outer join — the reason RRF is the default fusion at
+    scale."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    from pyspark.sql import Window
+
+    bm_top = (
+        _bm25_scored(d)
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.col("sw").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    ra = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("sw").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank_bm25"),
+    )
+    sh = d.select(
+        "doc_id", F.explode(_dedup._word_shingles(F.col("text"))).alias("s")
+    ).select("doc_id", _dedup._shingle_int(F.col("s")).alias("sg"))
+    q0 = sh.filter(F.col("doc_id") == 0).select("sg").distinct()
+    ov_top = (
+        sh.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q0), "sg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ov"))
+        .orderBy(F.col("ov").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    rb = ov_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("ov").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank_shingle"),
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_shingle",
+        (
+            F.coalesce(
+                F.expr(f"1000000000 div ({_RRF_K} + rank_bm25)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 div ({_RRF_K} + rank_shingle)"), F.lit(0)
+            )
+        ).alias("rrf_i"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_i").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_shingle",
+            (F.col("rrf_i").cast("double") / F.lit(1000000000.0)).alias(
+                "rrf_score"
+            ),
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Viterbi word segmentation — the unigram-tokenizer inference step as
+# unrolled min-plus relaxation rounds
+# ---------------------------------------------------------------------------
+
+# Segmentation cost of a piece: the rational stand-in for -log p —
+# strictly decreasing in corpus frequency, positive, integer (the
+# no-transcendentals contract; the true -log objective differs only in
+# the argmin's shape preference, the DP machinery is identical).  The
+# DP state packs (cost, hops) into ONE int64 — pk = 16*cost + hops —
+# so relaxing an edge is pk + (16*c + 1) and the lexicographic
+# (cost, fewest-pieces) argmin is a plain MIN over integers.
+_VIT_ROUNDS = 12  # words capped at 12 chars -> <= 12 hops to the end
+
+_VITERBI_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(str_split_regex(
+    {{fold}}, '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM tok
+  WHERE len(w) BETWEEN 1 AND {_VIT_ROUNDS} GROUP BY w
+),
+edges AS MATERIALIZED (
+  SELECT w, wf, j.j AS j, j.j + k.k AS i,
+    substr(w, CAST(j.j + 1 AS INTEGER), CAST(k.k AS INTEGER)) AS piece
+  FROM words, range(0, {_VIT_ROUNDS}) j(j), range(1, 5) k(k)
+  WHERE j.j + k.k <= len(w)
+),
+census AS MATERIALIZED (SELECT piece, SUM(wf) AS cnt FROM edges GROUP BY piece),
+edges_c AS MATERIALIZED (
+  SELECT e.w, e.j, e.i, 16 * (1000000000000 // c.cnt) + 1 AS c16
+  FROM edges e JOIN census c ON e.piece = c.piece
+),
+d0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS pk FROM words),
+{{rounds}}
+SELECT v.w AS word, s.wf, CAST(v.pk // 16 AS BIGINT) AS cost_i,
+  CAST(v.pk % 16 AS BIGINT) AS n_pieces
+FROM d{_VIT_ROUNDS} v JOIN words s ON v.w = s.w
+WHERE v.pos = len(v.w)
+ORDER BY s.wf DESC, v.w
+LIMIT 20
+"""
+
+
+@query(
+    "viterbi_segment_stats",
+    oracle=_VITERBI_ORACLE.format(
+        fold=_dedup._ASCII_FOLD_SQL.format(x="trim(text)"),
+        rounds="""d1 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d0
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d0 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d2 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d1
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d1 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d3 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d2
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d2 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d4 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d3
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d3 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d5 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d4
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d4 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d6 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d5
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d5 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d7 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d6
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d6 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d8 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d7
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d7 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d9 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d8
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d8 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d10 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d9
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d9 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d11 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d10
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d10 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+),
+d12 AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM d11
+    UNION ALL
+    SELECT e.w, e.i AS pos, d.pk + e.c16
+    FROM d11 d JOIN edges_c e ON d.w = e.w AND d.pos = e.j
+  ) GROUP BY 1, 2
+)""",
+    ),
+)
+def q_viterbi_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi word segmentation — the INFERENCE step of a
+    unigram-LM tokenizer (SentencePiece's decode direction, Kudo 2018):
+    each corpus word is optimally split into vocabulary pieces (all
+    corpus substrings of length 1-4, weighted by corpus frequency) by a
+    shortest-path DP over its character positions, minimizing total
+    piece cost with ties to the FEWEST pieces.  Both objectives ride
+    one packed int64 (pk = 16*cost + hops: relaxation is pk + 16c + 1,
+    argmin is MIN), so the chosen segmentation is engine-identical;
+    the oracle unrolls the same 12 min-plus rounds as CTEs, the
+    BFS/pagerank discipline.
+
+    Scale shape: the DP runs at the DISTINCT-WORD grain — state is
+    (vocabulary x positions) rows and edges (vocabulary x len x 4),
+    both bounded by the corpus VOCABULARY, never its token count (the
+    word-frequency census is the only corpus-wide pass, the same
+    shuffle BPE training starts with).  Rounds relax via equi-joins
+    with localCheckpoint every 2 (the iterative-lineage rule); a piece
+    census at 100 TB is the substring analog of the BPE pair census —
+    map-side combined, vocabulary-sized output."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    return viterbi_segment(d)
+
+
+def viterbi_segment(d: DataFrame) -> DataFrame:
+    """The segmentation DP over any (doc_id, text) frame — shared by
+    the registered query and tools/viterbi_probe.py (which feeds it
+    corpus scale-ups to pin the vocabulary-grain cost law)."""
+    tok = d.select(
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("w")
+    )
+    words = (
+        tok.filter(F.length("w").between(1, _VIT_ROUNDS))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("wf"))
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        words.select(
+            "w", "wf",
+            F.explode(
+                F.sequence(F.lit(0), F.length("w") - 1)
+            ).alias("j"),
+        )
+        .select(
+            "w", "wf", "j",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"),
+        )
+        .filter(F.col("j") + F.col("k") <= F.length("w"))
+        .select(
+            "w", "wf", "j",
+            (F.col("j") + F.col("k")).alias("i"),
+            F.expr("substring(w, j + 1, k)").alias("piece"),
+        )
+    )
+    census = edges.groupBy("piece").agg(F.sum("wf").alias("cnt"))
+    edges_c = (
+        edges.join(census, "piece")
+        .select(
+            "w", "j", "i",
+            (16 * F.expr("1000000000000 div cnt") + 1).alias("c16"),
+        )
+        .localCheckpoint(eager=True)  # static across rounds
+    )
+    dist = words.select(
+        "w", F.lit(0).alias("pos"), F.lit(0).cast("bigint").alias("pk")
+    ).localCheckpoint(eager=True)
+    for r in range(_VIT_ROUNDS):
+        relaxed = (
+            dist.alias("d")
+            .join(
+                edges_c.alias("e"),
+                (F.col("d.w") == F.col("e.w"))
+                & (F.col("d.pos") == F.col("e.j")),
+            )
+            .select(
+                F.col("e.w").alias("w"),
+                F.col("e.i").alias("pos"),
+                (F.col("d.pk") + F.col("e.c16")).alias("pk"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("w", "pos")
+            .agg(F.min("pk").alias("pk"))
+        )
+        if (r + 1) % 3 == 0 or r == _VIT_ROUNDS - 1:
+            dist = dist.localCheckpoint(eager=True)
+    final = dist.filter(F.col("pos") == F.length("w")).join(words, "w")
+    return (
+        final.select(
+            F.col("w").alias("word"),
+            "wf",
+            F.expr("pk div 16").alias("cost_i"),
+            (F.col("pk") % 16).cast("bigint").alias("n_pieces"),
+        )
+        .orderBy(F.col("wf").desc(), "word")
+        .limit(20)
+    )

@@ -950,3 +950,105 @@ def run_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "i bigint, b bigint, c bigint")
     parts = spark.read.parquet(out_dir)
     return parts.groupBy("i", "b").agg(F.sum("c").cast("bigint").alias("c"))
+
+
+def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — the argmin/argmax partial-merge law
+    exercised across micro-batches: each batch compacts its own events
+    to per-(hour, type) PARTIAL bars (first/last struct, hi, lo, count,
+    sum), and the drained partials fold with the SAME struct-extrema
+    aggregation — min of firsts is the true open, max of lasts the true
+    close — so the merged bars hash-match the batch oracle however the
+    stream was split.  This is the property that lets a bar pipeline
+    run shard-parallel and out of order at 100 TB: every partial is a
+    few columns per (bar, type), associative and commutative under
+    merge, exactly like the moment partials of stream_value_outliers.
+
+    Scale shape: per trigger one map-side-combined SortAggregate over
+    the batch's own rows; the final fold touches (batches x bars)
+    partial rows, never the raw events."""
+    from ..sources.readers import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "ts", "event_type", "value")
+    )
+    src = tempfile.mkdtemp(prefix="stream_ohlc_src_")
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="stream_ohlc_out_")
+
+    def partial_bars(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+        ev = batch.select(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_start"),
+            "event_type",
+            "ts",
+            "event_id",
+            vi.alias("vi"),
+        )
+        part = ev.groupBy("hour_start", "event_type").agg(
+            F.min(F.struct("ts", "event_id", "vi")).alias("first"),
+            F.max(F.struct("ts", "event_id", "vi")).alias("last"),
+            F.max("vi").alias("hi"),
+            F.min("vi").alias("lo"),
+            F.count("*").alias("cnt"),
+            F.sum("vi").alias("sm"),
+        )
+        part.select(
+            "hour_start",
+            "event_type",
+            F.col("first.ts").alias("f_ts"),
+            F.col("first.event_id").alias("f_eid"),
+            F.col("first.vi").alias("f_vi"),
+            F.col("last.ts").alias("l_ts"),
+            F.col("last.event_id").alias("l_eid"),
+            F.col("last.vi").alias("l_vi"),
+            "hi",
+            "lo",
+            "cnt",
+            "sm",
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_ohlc_")
+    q = (
+        stream.writeStream.foreachBatch(partial_bars)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [],
+            "hour_start string, event_type string, open double, high double,"
+            " low double, close double, volume bigint, total_value double",
+        )
+    parts = spark.read.parquet(out_dir)
+    merged = parts.groupBy("hour_start", "event_type").agg(
+        F.min(F.struct("f_ts", "f_eid", "f_vi")).getField("f_vi").alias("o_vi"),
+        F.max("hi").alias("hi"),
+        F.min("lo").alias("lo"),
+        F.max(F.struct("l_ts", "l_eid", "l_vi")).getField("l_vi").alias("c_vi"),
+        F.sum("cnt").cast("bigint").alias("volume"),
+        F.sum("sm").alias("sm"),
+    )
+    return merged.select(
+        "hour_start",
+        "event_type",
+        (F.col("o_vi").cast("double") / F.lit(1e4)).alias("open"),
+        (F.col("hi").cast("double") / F.lit(1e4)).alias("high"),
+        (F.col("lo").cast("double") / F.lit(1e4)).alias("low"),
+        (F.col("c_vi").cast("double") / F.lit(1e4)).alias("close"),
+        "volume",
+        (F.col("sm").cast("double") / F.lit(1e4)).alias("total_value"),
+    )

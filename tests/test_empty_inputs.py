@@ -88,6 +88,20 @@ _FAMILIES = [
     "events_ohlc_bars",
     "kneser_ney_doc_scores",
     "stream_countmin_merge",
+    # round-6 batch 3
+    "stream_ohlc_bars",
+    "pareto_frontier_parts",
+    "event_value_trend_ols",
+    "hybrid_rrf_retrieval",
+    # round-6 batch 4
+    "cluster_safe_split",
+    "events_twap",
+    "viterbi_segment_stats",
+    "event_value_mad_outliers",
+    "classifier_margin_reliability",
+    # round-6 batch 5
+    "media_dhash_groups",
+    "media_dhash_neardup_pairs",
 ]
 
 

@@ -63,6 +63,20 @@ _REGRESSIONS = [
     "events_ohlc_bars",
     "kneser_ney_doc_scores",
     "stream_countmin_merge",
+    # round-6 batch 3: NULL ts/value/size/price rows drop identically
+    "stream_ohlc_bars",
+    "pareto_frontier_parts",
+    "event_value_trend_ols",
+    "hybrid_rrf_retrieval",
+    # round-6 batch 4
+    "cluster_safe_split",
+    "events_twap",
+    "viterbi_segment_stats",
+    "event_value_mad_outliers",
+    "classifier_margin_reliability",
+    # round-6 batch 5: NULL media rows drop identically
+    "media_dhash_groups",
+    "media_dhash_neardup_pairs",
 ]
 
 

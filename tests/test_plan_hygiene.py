@@ -32,6 +32,8 @@ _PYTHON_STAGE_OK = {
     "enrichment_scraped_iocs",  # HTTP fetch+parse
     "media_byte_profile",  # multimodal feature extraction
     "frame_dedup_profile",  # frame-sampling UDTF shape
+    "media_dhash_groups",  # native image decode → perceptual hash
+    "media_dhash_neardup_pairs",  # same decode stage feeding the LSH join
 }
 
 _BATCH_QUERIES = sorted(

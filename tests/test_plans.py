@@ -629,3 +629,64 @@ def test_kneser_ney_model_tables_broadcast(spark, sf_dir):
     assert P.has_broadcast_join(p, min_count=3)
     assert P.has_take_ordered_topk(p)
     assert P.is_all_jvm(p)
+
+
+def test_trend_ols_single_moment_pass(spark, sf_dir):
+    """OLS trend: one map-side-combined hash aggregation carrying seven
+    moments per type — a single shuffle, no window, no join."""
+    p = plan(spark, sf_dir, "event_value_trend_ols")
+    assert P.shuffle_count(p) == 1
+    assert "HashAggregate" in p
+    assert P.is_all_jvm(p)
+
+
+def test_pareto_skyline_no_self_join(spark, sf_dir):
+    """Skyline: dominance is two shared-shuffle window maxima, never a
+    quadratic self-join — no join node of any kind in the plan; the
+    phase-1 window must be partitioned (parallel), leaving exactly one
+    single-partition window for the tiny phase-2 survivor pass."""
+    p = plan(spark, sf_dir, "pareto_frontier_parts", execute=True)
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+    assert "Window" in p
+
+
+def test_rrf_ranks_after_topk_not_corpus_window(spark, sf_dir):
+    """RRF fusion: both rankers end in TakeOrderedAndProject BEFORE any
+    rank window runs — the window sorts 20 rows, never the corpus —
+    and the fusion join is tiny."""
+    p = plan(spark, sf_dir, "hybrid_rrf_retrieval", execute=True)
+    assert p.count("TakeOrderedAndProject") >= 3  # 2 rankers + final 10
+    assert P.is_all_jvm(p)
+
+
+def test_twap_partitioned_window_single_agg(spark, sf_dir):
+    """TWAP: the lead window is PARTITIONED by type (parallel, never a
+    global sort) and the integral is one map-side-combined hash agg."""
+    p = plan(spark, sf_dir, "events_twap")
+    assert "Window" in p
+    assert "HashAggregate" in p
+    assert P.is_all_jvm(p)
+    assert P.shuffle_count(p) <= 2  # window exchange + agg exchange
+
+
+def test_viterbi_state_is_vocabulary_grain(spark, sf_dir):
+    """Viterbi segmentation: the DP joins are equi-joins over the
+    distinct-word state — no cartesian/BNLJ anywhere in the unrolled
+    rounds, everything JVM-side."""
+    p = plan(spark, sf_dir, "viterbi_segment_stats", execute=True)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_dhash_pairs_candidates_are_banded_equi_join(spark, sf_dir):
+    """Perceptual near-dup pairs: candidates come only from the
+    (band, byte) bucket equi-join — no cartesian / nested-loop pair
+    generation anywhere; the only Python stage is the Arrow-batched
+    decode map, and the final Hamming verify is JVM popcount."""
+    p = plan(spark, sf_dir, "media_dhash_neardup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p

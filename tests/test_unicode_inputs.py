@@ -53,6 +53,13 @@ _REGRESSIONS = [
     "ppjoin_doc_pairs",
     "kneser_ney_doc_scores",
     "stream_countmin_merge",
+    "hybrid_rrf_retrieval",
+    # round-6 batch 4: multi-byte words segment as opaque byte pieces
+    "cluster_safe_split",
+    "viterbi_segment_stats",
+    "classifier_margin_reliability",
+    # round-6 batch 5: non-ASCII docs excluded identically both sides
+    "media_dhash_neardup_pairs",
 ]
 
 
