@@ -99,6 +99,7 @@ HEADLINE = [
     "classifier_margin_reliability",
     "media_dhash_groups",
     "media_dhash_neardup_pairs",
+    "boilerplate_segment_scrub",
 ]
 
 

@@ -1767,3 +1767,122 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leaky))
         .select("split", "n_docs", "n_clusters", "naive_leaky_clusters")
     )
+
+
+_SEG_W = 8  # words per boilerplate segment
+_BOILER_DF = 2  # a segment seen in >= 2 distinct docs is boilerplate
+
+_BOILER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+idx AS (
+  SELECT doc_id, ts, unnest(range(0, len(ts) // {_SEG_W})) AS i FROM toks
+),
+segs AS (
+  SELECT doc_id, len(ts) AS ntok,
+    {{x}} AS x
+  FROM (
+    SELECT doc_id, ts,
+      array_to_string(
+        ts[CAST(i * {_SEG_W} + 1 AS BIGINT):CAST(i * {_SEG_W} + {_SEG_W} AS BIGINT)],
+        ' ') AS s
+    FROM idx)
+),
+census AS (
+  SELECT x FROM segs GROUP BY x
+  HAVING COUNT(DISTINCT doc_id) >= {_BOILER_DF}
+),
+perdoc AS (
+  SELECT g.doc_id, MAX(g.ntok) AS ntok, COUNT(*) AS n_segments,
+    SUM(CASE WHEN c.x IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM segs g LEFT JOIN census c ON g.x = c.x
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+  CAST(n_segments AS BIGINT) AS n_segments,
+  CAST(n_boiler AS BIGINT) AS n_boiler_segments,
+  CAST(ntok - n_boiler * {_SEG_W} AS BIGINT) AS kept_tokens,
+  CAST(n_boiler * 1000000 // n_segments AS BIGINT) AS boiler_ppm
+FROM perdoc
+WHERE n_boiler > 0
+ORDER BY n_boiler_segments DESC, doc_id
+LIMIT 50
+"""
+
+
+@query(
+    "boilerplate_segment_scrub",
+    oracle=_BOILER_ORACLE.format(x=_SHINGLE_INT_SQL.format(x="s")),
+)
+def q_boilerplate_segment_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal, the C4/RefinedWeb cleaning
+    step: a fixed-width word segment (the token-stream analog of a
+    LINE — the fixture text has no newlines) that appears verbatim in
+    >= 2 distinct documents is boilerplate (headers, footers, license
+    blocks, navigation chrome), and is scrubbed from every document
+    that carries it.  Emits the per-doc scrub ledger — segments kept
+    vs removed, surviving token count, removed fraction in ppm (exact
+    integer, no float contract needed) — for the 50 most-affected docs.
+
+    Scale shape: segments never shuffle as text — each doc's token
+    array is sliced and digested in place (fan_out ahead of the
+    CPU-bound md5 pass), and only the 8-byte digest + doc_id leave the
+    map side.  The census is a digest groupBy with a distinct-doc
+    count; the boilerplate digest set (df >= 2, tiny by construction)
+    BROADCASTS back into the segment stream, so the per-doc ledger
+    costs one doc_id shuffle.  At 100 TB this is exactly the
+    common-crawl line-dedup recipe: census + broadcast blocklist,
+    never a self-join.  (fan_out measured counterproductive here —
+    ~20 cheap segment digests per doc, unlike the 3-gram shingle
+    explosion that justifies it for doc_novelty_scores.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("ts")
+    )
+    seg_strs = F.expr(
+        f"transform(sequence(0, size(ts) DIV {_SEG_W} - 1),"
+        f" i -> concat_ws(' ', slice(ts, i * {_SEG_W} + 1, {_SEG_W})))"
+    )
+    segs = (
+        base.filter(F.size("ts") >= _SEG_W)
+        .select(
+            "doc_id",
+            F.size("ts").alias("ntok"),
+            F.explode(seg_strs).alias("s"),
+        )
+        .select("doc_id", "ntok", _shingle_int(F.col("s")).alias("x"))
+    )
+    census = (
+        segs.groupBy("x")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("x", F.lit(1).alias("boiler"))
+    )
+    perdoc = (
+        segs.join(F.broadcast(census), "x", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("ntok").alias("ntok"),
+            F.count("*").alias("n_segments"),
+            F.sum(F.coalesce(F.col("boiler"), F.lit(0))).alias("n_boiler"),
+        )
+        .filter(F.col("n_boiler") > 0)
+    )
+    return (
+        perdoc.select(
+            "doc_id",
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("n_boiler").cast("bigint").alias("n_boiler_segments"),
+            (F.col("ntok") - F.col("n_boiler") * _SEG_W)
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.expr("CAST(n_boiler * 1000000 DIV n_segments AS BIGINT)").alias(
+                "boiler_ppm"
+            ),
+        )
+        .orderBy(F.col("n_boiler_segments").desc(), "doc_id")
+        .limit(50)
+    )

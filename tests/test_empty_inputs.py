@@ -102,6 +102,7 @@ _FAMILIES = [
     # round-6 batch 5
     "media_dhash_groups",
     "media_dhash_neardup_pairs",
+    "boilerplate_segment_scrub",
 ]
 
 

@@ -77,6 +77,7 @@ _REGRESSIONS = [
     # round-6 batch 5: NULL media rows drop identically
     "media_dhash_groups",
     "media_dhash_neardup_pairs",
+    "boilerplate_segment_scrub",
 ]
 
 

@@ -690,3 +690,14 @@ def test_dhash_pairs_candidates_are_banded_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_boilerplate_census_broadcasts_and_topk(spark, sf_dir):
+    """Boilerplate scrub: the df>=2 digest blocklist joins back as a
+    BROADCAST (never a shuffled self-join on segments), top-50 plans as
+    TakeOrderedAndProject, and the whole pipeline is JVM-side."""
+    p = plan(spark, sf_dir, "boilerplate_segment_scrub")
+    assert P.has_broadcast_join(p)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)

@@ -60,6 +60,7 @@ _REGRESSIONS = [
     "classifier_margin_reliability",
     # round-6 batch 5: non-ASCII docs excluded identically both sides
     "media_dhash_neardup_pairs",
+    "boilerplate_segment_scrub",
 ]
 
 
