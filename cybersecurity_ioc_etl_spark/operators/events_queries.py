@@ -1478,9 +1478,9 @@ fit AS (
   FROM m
 )
 SELECT event_type, n,
-  nd / dd / 100.0 AS slope_per_hour,
-  (syd - nd / dd * sxd) / n / 100.0 AS intercept,
-  nd * nd / (dd * ed) AS r2
+  nd / NULLIF(dd, 0) / 100.0 AS slope_per_hour,
+  (syd - nd / NULLIF(dd, 0) * sxd) / n / 100.0 AS intercept,
+  nd * nd / (NULLIF(dd, 0) * NULLIF(ed, 0)) AS r2
 FROM fit
 """
 
@@ -1522,10 +1522,18 @@ def q_event_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     nd = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dd = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    ed = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
-        "sy"
-    ).cast("double") * F.col("sy").cast("double")
+    # Degenerate groups (single bucket / constant value) make dd or ed
+    # exactly 0: NULLIF both so slope/intercept/r2 come out NULL instead
+    # of IEEE Inf/NaN — the two engines then agree by construction.
+    dd = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    ed = F.nullif(
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double"),
+        F.lit(0.0),
+    )
     return m.select(
         "event_type",
         "n",

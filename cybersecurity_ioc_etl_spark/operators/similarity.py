@@ -2195,15 +2195,12 @@ def serve_ivfpq_stored(
     query — routing state, not data motion."""
     from functools import reduce as _reduce
 
-    # DisableUnnecessaryBucketedScan only credits bucketing when a
-    # join/agg wants the partitioning — it doesn't model FILTER bucket
-    # pruning, so it would turn the layout off exactly where it pays
-    # most (cid = literal → read 1 of k bucket files,
-    # SelectedBucketsCount in the plan).  Keep auto-disable off for the
-    # serve session; non-bucketed scans are unaffected.
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-    )
+    # File-level bucket pruning (SelectedBucketsCount: 1 of k) requires
+    # autoBucketedScan to be OFF at EXECUTION time — callers scope that
+    # with sinks.bucketed.bucket_filter_pruning around the action (the
+    # registered queries materialize inside the scope; the plan tests
+    # hold it open across their explain).  Setting it here session-wide
+    # would leak into every later query's physical plans (ADVICE r6).
     q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
@@ -2303,9 +2300,16 @@ def q_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     across driver invocations); in production the build amortizes over
     every query that follows — this query is the receipt that the
     stored layout really serves the same answers as the logical
-    composition."""
+    composition.  The serve executes inside the bucket_filter_pruning
+    scope (materialized eagerly — top-10 rows) so the autoBucketedScan
+    override never leaks past this call."""
+    from ..sinks.bucketed import bucket_filter_pruning
+
     idx_table, cent_table = build_ivfpq_index(spark, sf_dir)
-    return serve_ivfpq_stored(spark, sf_dir, idx_table, cent_table)
+    with bucket_filter_pruning(spark):
+        return serve_ivfpq_stored(
+            spark, sf_dir, idx_table, cent_table
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2371,6 +2375,21 @@ def q_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed-table rewrite.  Everything stays on the exact-int
     contract, so segment boundaries are physically invisible in the
     results — the strongest maintenance receipt the engine can give."""
+    from ..sinks.bucketed import bucket_filter_pruning
+
+    segments, cent = build_ivfpq_upsert_segments(spark, sf_dir)
+    with bucket_filter_pruning(spark):
+        return serve_ivfpq_stored(
+            spark, sf_dir, segments, cent
+        ).localCheckpoint(eager=True)
+
+
+def build_ivfpq_upsert_segments(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[str], str]:
+    """Build the two-segment upsert layout (train on base, route+encode
+    the delta against stored artifacts) and return
+    ([base_table, delta_table], centroid_table) for serving."""
     import hashlib
 
     prefix = "ivfpqu_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -2395,10 +2414,7 @@ def q_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, comp=delta.unionByName(seeds)
     ).filter(F.col("vec_id") % 10 == 7)
     _write_ivfpq_segment(spark, assign_d, codes_d, f"{prefix}_delta")
-    # ---- serve across both segments
-    return serve_ivfpq_stored(
-        spark, sf_dir, [f"{prefix}_base", f"{prefix}_delta"], f"{prefix}_cent"
-    )
+    return [f"{prefix}_base", f"{prefix}_delta"], f"{prefix}_cent"
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,48 @@ Rules that make bucketing actually work (all encoded here):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of the block, restoring the
+    prior value (or unsetting) on exit — session confs are global to the
+    SparkSession, so a bare ``conf.set`` inside an operator silently
+    changes every later query's physical plans (plan-pinned tests, bench
+    timings).  NOTE Spark plans lazily: the conf must still be in scope
+    when the DataFrame EXECUTES, so callers either materialize inside
+    the block (``localCheckpoint(eager=True)``) or keep the block open
+    across the action."""
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+@contextmanager
+def bucket_filter_pruning(spark: SparkSession):
+    """Scope for serving bucket-PRUNED scans: Spark's
+    DisableUnnecessaryBucketedScan rule (default on) only credits a
+    bucketed layout when a join/aggregate wants the partitioning — it
+    does not model FILTER bucket pruning, so a scan-only path filtering
+    on the bucket key (``cid = literal`` → read 1 of k bucket files)
+    loses SelectedBucketsCount unless autoBucketedScan is disabled.
+    Scoped here so the override cannot leak into unrelated queries."""
+    with scoped_conf(
+        spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    ):
+        yield
 
 
 def drop_table_and_location(spark: SparkSession, table: str) -> None:

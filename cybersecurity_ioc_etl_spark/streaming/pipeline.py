@@ -906,16 +906,51 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _write_partial_bid(df: DataFrame, out_dir: str, bid: int) -> None:
+    """Write a micro-batch's partial output keyed BY batch id
+    (overwrite of ``b{bid}/``) — foreachBatch is at-least-once, so a
+    blind append double-counts a replayed batch; an overwrite of the
+    bid's own subdir makes the replay recompute the identical partial
+    instead (the run_ioc_aging_stream committed-version discipline
+    applied to append-only partial sinks)."""
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, f"b{bid}"))
+
+
+def _committed_partial_dirs(out_dir: str) -> list[str]:
+    """Bid subdirs whose write COMMITTED (Spark's ``_SUCCESS`` marker) —
+    a half-written partial from a crash mid-write is invisible to the
+    fold, and its replay overwrites it."""
+    out = []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if (
+            name.startswith("b")
+            and name[1:].isdigit()
+            and os.path.exists(os.path.join(p, "_SUCCESS"))
+        ):
+            out.append(p)
+    return out
+
+
+def run_stream_countmin(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str | None = None,
+    fail_at_bid: int | None = None,
+) -> DataFrame:
     """Streaming Count-Min sketch construction — the mergeability
     property exercised for real: each micro-batch of documents builds
     its own (i, b, c) partial sketch (a fixed d·w-counter census) and
-    appends it; the drained partials fold by integer ADDITION into the
-    corpus sketch, bit-identical to the batch build regardless of how
-    the stream was batched — the defining property of a linear sketch,
-    and the reason CM is the heavy-hitter state for unbounded token
-    streams (state is d·w counters forever, merge is associative, so
-    it survives repartitioning, restarts, and shard-parallel ingest).
+    writes it under its BATCH ID; the committed partials fold by
+    integer ADDITION into the corpus sketch, bit-identical to the batch
+    build regardless of how the stream was batched — the defining
+    property of a linear sketch, and the reason CM is the heavy-hitter
+    state for unbounded token streams (state is d·w counters forever,
+    merge is associative, so it survives repartitioning, restarts, and
+    shard-parallel ingest).  REPLAY-SAFE: partials are bid-keyed
+    overwrites, so an at-least-once re-fire recomputes ``b{bid}``
+    instead of appending a duplicate sketch (pass ``work_dir`` +
+    ``fail_at_bid`` to exercise the crash-resume path).
 
     Scale shape: per trigger one map-side-combined aggregate bounded by
     d·w rows; the final fold touches (batches · d·w) partial rows,
@@ -923,22 +958,31 @@ def run_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_queries import cm_token_partials
     from ..sources.readers import load_table
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="stream_cm_src_")
-    d.repartition(4).write.mode("overwrite").parquet(src)
-    out_dir = tempfile.mkdtemp(prefix="stream_cm_out_")
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="stream_cm_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    if not os.path.isdir(src):  # first run populates; a resume reuses
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        d.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
 
-    def fold(batch: DataFrame, _bid: int) -> None:
+    def fold(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
             return
-        cm_token_partials(batch).write.mode("append").parquet(out_dir)
+        _write_partial_bid(cm_token_partials(batch), out_dir, bid)
+        if fail_at_bid is not None and bid == fail_at_bid:
+            raise RuntimeError(
+                f"injected crash after partial write of batch {bid}"
+            )
 
     stream = (
-        spark.readStream.schema(d.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_cm_")
     q = (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
@@ -946,9 +990,10 @@ def run_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
         return spark.createDataFrame([], "i bigint, b bigint, c bigint")
-    parts = spark.read.parquet(out_dir)
+    parts = spark.read.parquet(*dirs)
     return parts.groupBy("i", "b").agg(F.sum("c").cast("bigint").alias("c"))
 
 
@@ -963,6 +1008,9 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     run shard-parallel and out of order at 100 TB: every partial is a
     few columns per (bar, type), associative and commutative under
     merge, exactly like the moment partials of stream_value_outliers.
+    REPLAY-SAFE: partials are bid-keyed overwrites folded from
+    committed (_SUCCESS) subdirs only — an at-least-once re-fire
+    recomputes its own partial instead of double-counting a bar.
 
     Scale shape: per trigger one map-side-combined SortAggregate over
     the batch's own rows; the final fold touches (batches x bars)
@@ -978,7 +1026,7 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.repartition(3).write.mode("overwrite").parquet(src)
     out_dir = tempfile.mkdtemp(prefix="stream_ohlc_out_")
 
-    def partial_bars(batch: DataFrame, _bid: int) -> None:
+    def partial_bars(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
             return
         vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
@@ -999,7 +1047,7 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
             F.sum("vi").alias("sm"),
         )
-        part.select(
+        flat = part.select(
             "hour_start",
             "event_type",
             F.col("first.ts").alias("f_ts"),
@@ -1012,7 +1060,8 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lo",
             "cnt",
             "sm",
-        ).write.mode("append").parquet(out_dir)
+        )
+        _write_partial_bid(flat, out_dir, bid)
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -1027,13 +1076,14 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
         return spark.createDataFrame(
             [],
             "hour_start string, event_type string, open double, high double,"
             " low double, close double, volume bigint, total_value double",
         )
-    parts = spark.read.parquet(out_dir)
+    parts = spark.read.parquet(*dirs)
     merged = parts.groupBy("hour_start", "event_type").agg(
         F.min(F.struct("f_ts", "f_eid", "f_vi")).getField("f_vi").alias("o_vi"),
         F.max("hi").alias("hi"),

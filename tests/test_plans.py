@@ -479,17 +479,30 @@ def test_ivfpq_stored_serve_path_zero_exchange(spark, sf_dir):
         build_ivfpq_index,
         serve_ivfpq_stored,
     )
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import (
+        bucket_filter_pruning,
+    )
 
     idx, cent = build_ivfpq_index(spark, sf_dir)
     try:
-        df = serve_ivfpq_stored(spark, sf_dir, idx, cent)
-        assert df.count() > 0
-        p = P.formatted_plan(df, execute=True)
+        # conf scope held open across the explain: bucket pruning is an
+        # execution-time decision, so the plan must be produced inside
+        with bucket_filter_pruning(spark):
+            df = serve_ivfpq_stored(spark, sf_dir, idx, cent)
+            assert df.count() > 0
+            p = P.formatted_plan(df, execute=True)
         assert "Exchange" not in p
         assert f"SelectedBucketsCount: 1 out of {_KMEANS_K}" in p
         assert P.has_pushed_filters(p)
         assert P.has_take_ordered_topk(p)
         assert P.is_all_jvm(p)
+        # the scope restored the session default on exit
+        assert (
+            spark.conf.get(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            )
+            == "true"
+        )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
         spark.sql(f"DROP TABLE IF EXISTS {cent}")
@@ -533,15 +546,30 @@ def test_epoch_plan_single_scan_broadcast_budget(spark, sf_dir):
 
 
 def test_ivfpq_upsert_serves_segments_without_exchange(spark, sf_dir):
-    """Segment-union serving: the upsert query's final plan must union
+    """Segment-union serving: the upsert layout's serve plan must union
     TWO bucket-pruned segment scans with zero Exchange operators — the
     immutable-segment maintenance shape (union is not a shuffle)."""
-    p = plan(spark, sf_dir, "ivfpq_upsert_topk", execute=True)
-    tail = p.split("TakeOrderedAndProject", 1)[-1]
-    assert "Exchange" not in tail
-    assert tail.count("SelectedBucketsCount: 1 out of") == 2  # both segments pruned
-    assert "Union" in p
-    assert P.has_take_ordered_topk(p)
+    from cybersecurity_ioc_etl_spark.operators.similarity import (
+        build_ivfpq_upsert_segments,
+        serve_ivfpq_stored,
+    )
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import (
+        bucket_filter_pruning,
+    )
+
+    segs, cent = build_ivfpq_upsert_segments(spark, sf_dir)
+    try:
+        with bucket_filter_pruning(spark):
+            df = serve_ivfpq_stored(spark, sf_dir, segs, cent)
+            p = P.formatted_plan(df, execute=True)
+        tail = p.split("TakeOrderedAndProject", 1)[-1]
+        assert "Exchange" not in tail
+        assert tail.count("SelectedBucketsCount: 1 out of") == 2  # both segments pruned
+        assert "Union" in p
+        assert P.has_take_ordered_topk(p)
+    finally:
+        for t in segs + [cent]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_ivfpq_segment_compaction_preserves_results(spark, sf_dir):
@@ -569,16 +597,21 @@ def test_ivfpq_segment_compaction_preserves_results(spark, sf_dir):
             spark.table(f"{prefix}_delta")
         )
         write_bucketed(merged, compacted, key="cid", n_buckets=_KMEANS_K)
-        before = serve_ivfpq_stored(
-            spark, sf_dir, [f"{prefix}_base", f"{prefix}_delta"],
-            f"{prefix}_cent",
-        ).collect()
-        after_df = serve_ivfpq_stored(
-            spark, sf_dir, compacted, f"{prefix}_cent"
+        from cybersecurity_ioc_etl_spark.sinks.bucketed import (
+            bucket_filter_pruning,
         )
-        after = after_df.collect()
+
+        with bucket_filter_pruning(spark):
+            before = serve_ivfpq_stored(
+                spark, sf_dir, [f"{prefix}_base", f"{prefix}_delta"],
+                f"{prefix}_cent",
+            ).collect()
+            after_df = serve_ivfpq_stored(
+                spark, sf_dir, compacted, f"{prefix}_cent"
+            )
+            after = after_df.collect()
+            p = P.formatted_plan(after_df, execute=True)
         assert sorted(map(tuple, before)) == sorted(map(tuple, after))
-        p = P.formatted_plan(after_df, execute=True)
         assert "Exchange" not in p
         assert f"SelectedBucketsCount: 1 out of {_KMEANS_K}" in p
     finally:

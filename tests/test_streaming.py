@@ -226,3 +226,31 @@ def test_aging_merge_crash_replay_resume_identical(spark, sf_dir):
     assert sorted(map(tuple, resumed.collect())) == sorted(
         map(tuple, oneshot.collect())
     )
+
+
+def test_countmin_stream_crash_replay_resume_identical(spark, sf_dir):
+    """Replay safety of the streaming CM partial sink (ADVICE r6): the
+    crash fires AFTER batch 1's partial is written but before its epoch
+    commits, so the restart re-fires bid 1 with the same rows.  Because
+    partials are bid-keyed OVERWRITES (not blind appends), the replay
+    rewrites b1/ instead of double-counting the sketch — the resumed
+    fold must equal a clean one-shot run exactly."""
+    import pyspark.errors
+
+    from cybersecurity_ioc_etl_spark.streaming.pipeline import (
+        run_stream_countmin,
+    )
+
+    work = tempfile.mkdtemp(prefix="cm_resume_")
+    try:
+        run_stream_countmin(spark, sf_dir, work_dir=work, fail_at_bid=1)
+        raise AssertionError("injected crash did not fire")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    # the crashed run left b1 committed on disk but its epoch uncommitted
+    assert os.path.exists(os.path.join(work, "partials", "b1", "_SUCCESS"))
+    resumed = run_stream_countmin(spark, sf_dir, work_dir=work)
+    oneshot = run_stream_countmin(spark, sf_dir)
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
