@@ -21,15 +21,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 
-# Queries already driver-confirmed green in CORRECTNESS_r01..r05.
+# Queries already driver-confirmed green in CORRECTNESS_r01..r06.
 # The driver's correctness gate samples the FIRST 50 entries of queries()
-# in iteration order, so we rotate: front-load the queries whose oracle
-# changed this round (the two restated sketch audits), then any new
-# round-6 queries (auto — unchecked, in the `mid` slot), then high-value
-# re-confirmations, pushing the driver-confirmed bulk to the tail.  As of
-# r5 every registered query has a driver-issued green row at least once.
+# in iteration order, so we rotate: new round-7 queries land in the `mid`
+# slot automatically (unchecked, not listed here), then high-value
+# re-confirmations fill the window, pushing the driver-confirmed bulk to
+# the tail.  As of r6 every registered query has a driver-issued green
+# HASH row at least once (CORRECTNESS_r06: 50/50 green, including both
+# restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r6 window (CORRECTNESS_r06: 50/50 hash-green — the 25 round-6
+        # additions + the restated approx_value_percentiles; the other
+        # 24 sampled rows were re-confirmations already listed below)
+        "approx_value_percentiles", "incremental_neardup_new_batch",
+        "ppjoin_doc_pairs", "cluster_safe_split", "boilerplate_segment_scrub",
+        "events_ohlc_bars", "stream_ohlc_bars", "event_value_trend_ols",
+        "events_twap", "event_value_mad_outliers", "countmin_token_audit",
+        "bigram_lm_doc_scores", "bm25_more_like_this",
+        "kneser_ney_doc_scores", "stream_countmin_merge",
+        "hybrid_rrf_retrieval", "viterbi_segment_stats", "mixture_epoch_plan",
+        "ivfpq_stored_topk", "ivfpq_upsert_topk", "ivf_filtered_topk",
+        "pareto_frontier_parts", "stored_model_confusion",
+        "classifier_margin_reliability", "media_dhash_groups",
+        "media_dhash_neardup_pairs",
         # r5 window (CORRECTNESS_r05: 49 hash-green + approx_value_
         # percentiles rows-only — the latter now restated as a bound
         # audit WITH an oracle, so it heads _PRIORITY instead)
@@ -116,30 +131,23 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: queries whose ORACLE changed this round — the
-# two sketch queries restated as hash-checkable bound audits (VERDICT r5
-# "Next round" item 1).  Both have prior green rows, but only under the
-# weaker rows-only check; the new oracles need a driver hash row.  New
-# round-6 queries land in the `mid` slot of _ordered() automatically
-# (unchecked, not listed here); keep head + expected-new <= 50.
+# Head of the rotation: queries whose oracle changed or that must be
+# re-sampled first this round (none for r7 — no oracle restatements;
+# the OLS NULLIF hardening is behavior-identical on the current
+# fixtures, but list it first anyway so the driver re-confirms the
+# edited oracle text).  New round-7 queries land in the `mid` slot of
+# _ordered() automatically (unchecked, not listed here); keep
+# head + expected-new <= 50.
 _PRIORITY = [
-    "approx_value_percentiles",
-    "approx_distinct_parts",
+    "event_value_trend_ols",
 ]
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-6 queries.  Rotated toward the queries whose only
-# driver-green row is oldest (r1-r3 windows), one per family.
+# head + any new round-7 queries.  Continues the r6 rotation from where
+# its 50-query window cut off (funnel_click_purchase onward — oldest
+# driver-green rows first, one per family).
 _RECONFIRM = [
-    "ioc_flagship", "tweet_batch_pipeline", "unified_ioc_table",
-    "ioc_classify", "enrichment_scraped_iocs", "stream_stateful_type_totals",
-    "pricing_summary", "shipping_priority", "market_share_by_year",
-    "idle_rich_customers", "returned_never_accepted", "top_orders",
-    "region_nation_revenue", "rollup_region_nation_customers",
-    "grouping_sets_revenue", "lineitem_stats_by_flag",
-    "customer_spend_rank", "rolling_30d_spend", "customer_order_timeline",
-    "asof_click_before_purchase", "click_error_range_join",
-    "events_sessionize", "events_hourly_gapfill", "funnel_click_purchase",
+    "funnel_click_purchase",
     "cdc_snapshot_fold", "dedup_exact_groups", "dedup_keep_first",
     "minhash_signatures", "simhash_neardup_pairs", "neardup_jaccard_pairs",
     "dedup_components", "knn_cosine_topk", "ivf_topk", "ivf_multiprobe_topk",
@@ -149,10 +157,18 @@ _RECONFIRM = [
     "deterministic_sample", "stratified_sample_k", "train_val_test_split",
     "stream_hourly_counts", "stream_dedup_unique_users",
     "media_dedup_groups", "frame_dedup_profile", "pagerank_nations",
+    "trade_triangle_counts", "trade_bfs_distances", "dsir_importance_sample",
+    "corpus_shard_shuffle", "lang_classifier_confusion",
+    "ioc_ip_block_enrichment", "banding_recall_audit", "user_value_scd2",
+    "bpe_n_merges", "stream_mixture_sample", "stream_ioc_aging",
+    "event_value_percentiles", "value_equidepth_histogram",
+    "embedding_power_iteration", "semdedup_prune", "doc_novelty_scores",
+    "neardup_containment_pairs", "dedup_keep_best_salted",
+    "cumulative_new_users", "events_value_ztest", "corpus_token_budget",
 ]
 
 # Unchecked queries deliberately deferred past this round's window (none
-# this round: 2 restated + expected r6 additions fit in 50).
+# this round: 1 priority + expected r7 additions fit in 50).
 _DEFER: list[str] = []
 
 
