@@ -357,3 +357,182 @@ def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("spend_prev_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic, hash-checked
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_SKETCH_SQL = """
+tok AS (
+  SELECT source, unnest(str_split_regex({fold}, '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+dh AS (SELECT DISTINCT source, {hint} AS h FROM tok),
+rk AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM dh
+),
+sk AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth_hash
+  FROM rk WHERE rn <= {k} GROUP BY 1
+),
+est AS (
+  SELECT source, k_used, kth_hash,
+    CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+         ELSE {km1}.0 * 4294967296.0 / CAST(kth_hash AS DOUBLE)
+    END AS est_distinct
+  FROM sk
+)
+"""
+
+
+def _kmv_sketch_sql() -> str:
+    from . import dedup as _dedup
+
+    return _KMV_SKETCH_SQL.format(
+        fold=_dedup._ASCII_FOLD_SQL.format(x="trim(text)"),
+        hint=_dedup._SHINGLE_INT_SQL.format(x="tok"),
+        k=_KMV_K,
+        km1=_KMV_K - 1,
+    )
+
+
+_KMV_AUDIT_ORACLE = (
+    "WITH "
+    + _kmv_sketch_sql()
+    + """,
+ex AS (SELECT source, COUNT(*) AS exact_distinct FROM dh GROUP BY 1)
+SELECT est.source, est.k_used, est.kth_hash, est.est_distinct,
+  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+  abs(est.est_distinct - CAST(ex.exact_distinct AS DOUBLE))
+    / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+FROM est JOIN ex USING (source)
+"""
+)
+
+
+def kmv_token_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (source, h) token-hash universe of a document batch —
+    md5-prefix ints, the engine's portable-hash discipline, so DuckDB
+    rebuilds the identical sketch."""
+    from . import dedup as _dedup
+
+    tok = docs.filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select(
+        "source",
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    return tok.select(
+        "source", _dedup._shingle_int(F.col("tok")).alias("h")
+    ).distinct()
+
+
+def kmv_bottom_k(dh: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """Per-source bottom-k of the distinct hash universe — THE KMV
+    sketch.  Mergeable: the union of per-batch bottom-k sets contains
+    the global bottom-k, so re-ranking a union of partials yields the
+    identical sketch (exercised by stream_kmv_merge)."""
+    w = Window.partitionBy("source").orderBy("h")
+    return (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(sk: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """(source, k_used, kth_hash, est_distinct) from a bottom-k frame:
+    est = (k−1)·2³² / kth for a full sketch, the exact seen-count when
+    fewer than k distinct values exist.  One double division per group
+    from exact integers — bit-identical cross-engine."""
+    agg = sk.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    return agg.select(
+        "source",
+        "k_used",
+        "kth_hash",
+        F.when(
+            F.col("k_used") < k, F.col("k_used").cast("double")
+        )
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(4294967296.0)
+            / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+@query("kmv_distinct_audit", oracle=_KMV_AUDIT_ORACLE)
+def q_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (Bar-Yossef et al. 2002) of the
+    per-source token vocabulary, audited against the exact distinct
+    count — and, like countmin_token_audit, the sketch itself is
+    HASH-CHECKED: the k minimum values of a deterministic md5-prefix
+    hash are a pure function of the data, so DuckDB rebuilds the
+    bit-identical sketch and the ESTIMATE (not just a bound boolean)
+    must match.  est = (k−1)·2³²/kth_hash; when a source has fewer
+    than k distinct tokens the sketch IS the exact set.
+
+    Scale shape: per-source state is k=64 integers — the sketch side
+    is a distinct-project (map-side combined) plus a per-group
+    bottom-k window; the exact side is the audit's calibration,
+    affordable because the grouping is low-cardinality.  KMV beats
+    HLL where you also need the SAMPLE of distinct values (the k
+    hashes double as a uniform sample of the universe) and mergeability
+    under set-union — see stream_kmv_merge for the merge receipt."""
+    from ..sources.readers import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents", fan_out=True)
+    dh = kmv_token_hashes(d)
+    est = kmv_estimate(kmv_bottom_k(dh))
+    ex = dh.groupBy("source").agg(F.count("*").alias("exact_distinct"))
+    return est.join(F.broadcast(ex), "source").select(
+        "source",
+        "k_used",
+        "kth_hash",
+        "est_distinct",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(
+                F.col("est_distinct") - F.col("exact_distinct").cast("double")
+            )
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+_KMV_STREAM_ORACLE = (
+    "WITH "
+    + _kmv_sketch_sql()
+    + """
+SELECT source, k_used, kth_hash, est_distinct FROM est
+"""
+)
+
+
+@query("stream_kmv_merge", oracle=_KMV_STREAM_ORACLE)
+def q_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV — set-union mergeability exercised for real: each
+    micro-batch writes its own per-source bottom-k partial (bid-keyed
+    overwrite, replay-safe), and the fold re-ranks the UNION of
+    partials — which contains the global bottom-k by the KMV merge
+    law — so the merged sketch and its estimate are bit-identical to
+    the batch build however the stream was split.  Same oracle as the
+    batch sketch (minus the exact-side audit columns).
+
+    Scale shape: per trigger a distinct-project bounded by the batch's
+    vocabulary plus a k-row-per-source window; the fold touches
+    (batches × sources × k) partial rows, never the corpus."""
+    from ..streaming.pipeline import run_stream_kmv
+
+    return run_stream_kmv(spark, sf_dir)

@@ -1752,3 +1752,305 @@ def q_event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix — sequence mining over per-user event streams
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+pr AS (
+  SELECT event_type AS next_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM ev
+),
+c AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM pr
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n,
+  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+FROM c JOIN t USING (prev_type)
+"""
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-mining primitive behind next-action
+    prediction, funnel discovery, and session-quality heuristics: one
+    lag window on the (user, ts, event_id) total order yields the
+    (prev → next) bigram stream, and the row-conditional probabilities
+    are a single integer-count division (n/tot, one double op — no
+    float sums).  NULL ts/user/type rows are excluded on BOTH sides
+    (the window NULL-ordering divergence rule).
+
+    Scale shape: the lag window partitions by user_id (parallel, no
+    global sort), the census shuffles only (types² ≤ 25) pair rows, and
+    the per-prev totals derive FROM the census (a second agg over 25
+    rows, broadcast back) — the corpus is scanned once."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pr = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = pr.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA with a power-of-two decay — recursion restated as a bounded exact fold
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH ev AS (
+  SELECT event_type, ts, event_id,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+recent AS (
+  SELECT event_type, ts, event_id, vi,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC)
+      AS rn
+  FROM ev
+),
+arr AS (
+  SELECT event_type,
+    list_transform(list(vi ORDER BY ts, event_id), x -> CAST(x AS DOUBLE))
+      AS xs
+  FROM recent WHERE rn <= 12 GROUP BY 1
+)
+SELECT event_type, CAST(len(xs) AS BIGINT) AS n_used,
+  list_reduce(xs, (acc, x) -> (acc + x) / 2.0) / 10000.0 AS ewma
+FROM arr
+"""
+
+
+@query("events_ewma_half_life", oracle=_EWMA_ORACLE)
+def q_events_ewma_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of the last 12 values per type with alpha = 1/2 — the
+    classic recursive smoother s_t = (x_t + s_{t-1})/2 restated as a
+    BOUNDED exact fold: a power-of-two decay halves exactly in binary
+    doubles, and 12 steps over integer mantissas < 2^31 accumulate at
+    most 12 fractional bits (43 significand bits total < 53), so every
+    intermediate state is exactly representable and the two engines
+    fold bit-identically — the only legal way to hash-check a
+    left-recursive float chain (general alpha would drift).  The last-k
+    slice comes from one descending row_number window; the fold runs
+    over the chronological array (array_sort on the (ts, event_id, vi)
+    struct = list(... ORDER BY ts, event_id)).
+
+    Scale shape: per-key state is k=12 values — the window partitions
+    by type (parallel), and the fold is a per-row array op with zero
+    extra shuffle.  This is the batch twin of a streaming EWMA whose
+    state is one double per key."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        e.select("event_type", "ts", "event_id", vi.alias("vi"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 12)
+    )
+    arr = recent.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "vi"))),
+            lambda s: s.vi.cast("double"),
+        ).alias("xs")
+    )
+    folded = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size(F.col("xs")) - 1),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: (acc + x) / F.lit(2.0),
+    )
+    return arr.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_used"),
+        (folded / F.lit(10000.0)).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing — gaps-and-islands union coverage per user
+# ---------------------------------------------------------------------------
+
+_INTERVALS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id,
+    epoch_us(ts) // 1000000 AS s,
+    epoch_us(ts) // 1000000 + 300 AS e
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+flag AS (
+  SELECT user_id, event_id, s, e,
+    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+    THEN 1 ELSE 0 END AS new_island
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT user_id, s, e,
+    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flag
+),
+merged AS (
+  SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(SUM(en - st) AS BIGINT) AS active_secs,
+  MAX(en - st) AS longest_secs
+FROM merged GROUP BY 1
+"""
+
+
+@query("user_active_intervals", oracle=_INTERVALS_ORACLE)
+def q_user_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands UNION) per user: each
+    event opens a 300-second presence interval, overlapping/touching
+    intervals merge, and the output is the exact union coverage — the
+    dwell-time/uptime operator that sessionization does NOT give you
+    (a session counts events; coalesced intervals measure covered
+    seconds, the billing/SLA quantity).  Islands come from the
+    classic running-max-of-end window: an interval starts a new island
+    iff its start exceeds the max end seen so far; the island id is
+    the running sum of those flags.  All arithmetic is integer
+    seconds (epoch_us // 1e6, the unix_timestamp truncation contract);
+    NULL ts/user rows are excluded on BOTH sides.
+
+    Scale shape: two windows and one aggregation, all partitioned by
+    user_id — no global sort, per-user state is a single running max.
+    At 100 TB the key extends to (user, day) with edge splicing
+    exactly like rolling_30d_spend."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    # unix_timestamp truncates to whole seconds — the epoch_us // 1e6
+    # floor the oracle states (DuckDB's epoch() would ROUND instead)
+    sec = F.unix_timestamp("ts")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        sec.alias("s"),
+        (sec + F.lit(300)).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag = ev.withColumn(
+        "new_island",
+        F.when(
+            F.max("e").over(w).isNull() | (F.col("s") > F.max("e").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = flag.withColumn("island", F.sum("new_island").over(wrun))
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).alias("active_secs"),
+        F.max(F.col("en") - F.col("st")).alias("longest_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence residuals — event_type × day-of-week
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH ev AS (
+  SELECT event_type, dayofweek(ts) AS dow FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+cell AS (SELECT event_type, dow, COUNT(*) AS observed FROM ev GROUP BY 1, 2),
+r AS (SELECT event_type, SUM(observed) AS rn FROM cell GROUP BY 1),
+c AS (SELECT dow, SUM(observed) AS cn FROM cell GROUP BY 1),
+n AS (SELECT SUM(observed) AS n FROM cell)
+SELECT cell.event_type, cell.dow, cell.observed,
+  CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE) / CAST(n.n AS DOUBLE)
+    AS expected,
+  (CAST(cell.observed AS DOUBLE)
+   - CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE) / CAST(n.n AS DOUBLE))
+  / sqrt(CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE) / CAST(n.n AS DOUBLE))
+    AS residual
+FROM cell JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+"""
+
+
+@query("event_dow_residuals", oracle=_CHI2_ORACLE)
+def q_event_dow_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson standardized residuals of the event_type × day-of-week
+    contingency table — the chi-square independence diagnostic emitted
+    PER CELL (which type over-/under-indexes on which weekday) instead
+    of as one summed statistic: a float sum over cells would be
+    order-dependent and unhashable, while per-cell residuals
+    (o − e)/√e are closed-form doubles from exact integer counts
+    (marginals and total are int64 sums; e = r·c/n is three casts and
+    two IEEE ops; √ is correctly rounded) — bit-identical by
+    construction.  Spark's 1-based dayofweek is aligned to DuckDB's
+    0-based convention (the documented divergence).
+
+    Scale shape: one census shuffle carrying (types × 7) cells; the
+    marginals derive from the census itself (25-row aggregations,
+    broadcast back) — the events table is scanned once."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cell = e.select(
+        "event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count("*").alias("observed"))
+    r = cell.groupBy("event_type").agg(F.sum("observed").alias("rn"))
+    c = cell.groupBy("dow").agg(F.sum("observed").alias("cn"))
+    n = cell.agg(F.sum("observed").alias("n"))
+    expected = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        cell.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            expected.alias("expected"),
+            (
+                (F.col("observed").cast("double") - expected)
+                / F.sqrt(expected)
+            ).alias("residual"),
+        )
+    )

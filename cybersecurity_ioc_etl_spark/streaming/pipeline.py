@@ -997,6 +997,58 @@ def run_stream_countmin(
     return parts.groupBy("i", "b").agg(F.sum("c").cast("bigint").alias("c"))
 
 
+def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct sketch: per micro-batch the per-source
+    bottom-k of the batch's distinct token hashes is written as a
+    bid-keyed overwrite partial (replay-safe, like run_stream_countmin);
+    the fold re-ranks the union of committed partials — the KMV
+    set-union merge — and estimates from the merged sketch.  State per
+    (batch, source) is k integers; the fold never touches the corpus."""
+    from ..operators.analytics import (
+        kmv_bottom_k,
+        kmv_estimate,
+        kmv_token_hashes,
+    )
+    from ..sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    work_dir = tempfile.mkdtemp(prefix="stream_kmv_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    d.repartition(4).write.mode("overwrite").parquet(src)
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(kmv_bottom_k(kmv_token_hashes(batch)), out_dir, bid)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            "source string, k_used bigint, kth_hash bigint,"
+            " est_distinct double",
+        )
+    parts = spark.read.parquet(*dirs).distinct()
+    return kmv_estimate(kmv_bottom_k(parts))
+
+
 def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC bars — the argmin/argmax partial-merge law
     exercised across micro-batches: each batch compacts its own events
