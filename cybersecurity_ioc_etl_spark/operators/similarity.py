@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sinks.bucketed import drop_table_and_location, write_bucketed
 from ..sources.readers import load_table
@@ -2548,4 +2549,350 @@ def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.select("vec_id", "cid", "label", cos.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss ±1 projection — distance-preservation audit
+# ---------------------------------------------------------------------------
+
+_JL_R = 16  # projected dimensions
+_JL_SLICE = 20  # audited vector slice (bounded pair set: 190 pairs)
+
+from .dedup import _SHINGLE_INT_SQL as _SHINGLE_INT_SQL_REF  # noqa: E402
+
+# scale-1e6 mantissas keep the projected sums exactly in int64:
+# |y_j| <= 64 * 1e6 = 6.4e7, pair diff^2 <= 1.6e16, 16-dim sum <= 2.6e17
+_MI6_SQL = "CAST(ROUND({x} * 1000000.0) AS BIGINT)"
+
+_JL_SIGN_SQL = (
+    "(1 - 2 * ("
+    + _SHINGLE_INT_SQL_REF.format(
+        x="concat(CAST({j} AS VARCHAR), ':', CAST({i} AS VARCHAR))"
+    )
+    + " % 2))"
+)
+
+_JL_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI6_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings WHERE vec_id < {_JL_SLICE}
+),
+proj AS (
+  SELECT c.vec_id, r.j,
+    SUM({_JL_SIGN_SQL.format(j='r.j', i='c.i')} * c.xi) AS yj
+  FROM comp c CROSS JOIN range({_JL_R}) r(j)
+  GROUP BY 1, 2
+),
+orig AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SUM((a.xi - b.xi) * (a.xi - b.xi)) AS d2o
+  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SUM((a.yj - b.yj) * (a.yj - b.yj)) AS d2p
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT o.vec_a, o.vec_b,
+  CAST(o.d2o AS DOUBLE) / 1000000000000.0 AS d2_orig,
+  CAST(p.d2p AS DOUBLE) / 1000000000000.0 AS d2_proj,
+  CAST(p.d2p AS DOUBLE)
+    / ({_JL_R}.0 * CAST(NULLIF(o.d2o, 0) AS DOUBLE)) AS distortion
+FROM orig o JOIN pr p ON o.vec_a = p.vec_a AND o.vec_b = p.vec_b
+"""
+
+
+@query("jl_projection_audit", oracle=_JL_ORACLE)
+def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (±1 Achlioptas signs)
+    from 64 to r=16 dimensions, audited on a bounded pair slice: the
+    sign matrix is DETERMINISTIC (parity of the md5-prefix hash of
+    "j:i" — the engine's portable-hash discipline), so both engines
+    build the identical projection and the per-pair distortion
+    ||ya−yb||²/(r·||xa−xb||²) — whose expectation is 1 under the JL
+    law E||y||² = r·||x||² — is hash-checked, not just bounded.
+    Mantissas are scale-1e6 so the projected sums stay exactly inside
+    int64 (the scale-1e7 contract would overflow the 16-dim squared
+    diffs).  NULLIF guards the degenerate identical-pair cell.
+
+    Scale shape: the projection is ONE census over (vector × r) with
+    broadcast of the r-row dimension grid — at 100 TB this is the
+    pre-pass that shrinks every downstream pair computation by d/r
+    (here 4×); pairs are only formed on the audited slice, exactly like
+    ann_recall_audit's bounded ground-truth side."""
+    comp = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _JL_SLICE)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            ),
+        )
+        .select(
+            "vec_id",
+            (F.col("i") + 1).alias("i"),  # 1-based like generate_subscripts
+            F.round(F.col("x") * F.lit(1e6)).cast("bigint").alias("xi"),
+        )
+    )
+    jgrid = spark.range(_JL_R).select(F.col("id").alias("j"))
+    sign = 1 - 2 * (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    proj = (
+        comp.crossJoin(F.broadcast(jgrid))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(sign * F.col("xi")).alias("yj"))
+    )
+    ca, cb = comp.alias("ca"), comp.alias("cb")
+    orig = (
+        ca.join(
+            cb,
+            (F.col("ca.i") == F.col("cb.i"))
+            & (F.col("ca.vec_id") < F.col("cb.vec_id")),
+        )
+        .groupBy(
+            F.col("ca.vec_id").alias("vec_a"),
+            F.col("cb.vec_id").alias("vec_b"),
+        )
+        .agg(
+            F.sum(
+                (F.col("ca.xi") - F.col("cb.xi"))
+                * (F.col("ca.xi") - F.col("cb.xi"))
+            ).alias("d2o")
+        )
+    )
+    pa, pb = proj.alias("pa"), proj.alias("pb")
+    pr = (
+        pa.join(
+            pb,
+            (F.col("pa.j") == F.col("pb.j"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .groupBy(
+            F.col("pa.vec_id").alias("vec_a"),
+            F.col("pb.vec_id").alias("vec_b"),
+        )
+        .agg(
+            F.sum(
+                (F.col("pa.yj") - F.col("pb.yj"))
+                * (F.col("pa.yj") - F.col("pb.yj"))
+            ).alias("d2p")
+        )
+    )
+    return orig.join(pr, ["vec_a", "vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        (F.col("d2o").cast("double") / F.lit(1e12)).alias("d2_orig"),
+        (F.col("d2p").cast("double") / F.lit(1e12)).alias("d2_proj"),
+        (
+            F.col("d2p").cast("double")
+            / (
+                F.lit(float(_JL_R))
+                * F.nullif(F.col("d2o"), F.lit(0)).cast("double")
+            )
+        ).alias("distortion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality audit — exact-integer DCG of IVF vs brute force
+# ---------------------------------------------------------------------------
+
+# L = lcm(2..11): rank discounts L/(rank+1) are EXACT integers, so DCG
+# sums are int64 and hash-checkable (log2 discounts would need a float
+# sum — order-dependent and unhashable).
+_DCG_L = 27720
+
+_DCG_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+qv AS (SELECT i, {_MI_SQL.format(x='x')} AS qx FROM comp WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id, v.label,
+    round((CAST(SUM({_MI_SQL.format(x='v.x')} * qv.qx) AS DOUBLE)
+           / 100000000000000.0)
+        / (sqrt(CAST(SUM({_MI_SQL.format(x='v.x')}
+                        * {_MI_SQL.format(x='v.x')}) AS DOUBLE)
+                / 100000000000000.0)
+         * sqrt(CAST(SUM(qv.qx * qv.qx) AS DOUBLE)
+                / 100000000000000.0)), 6) AS cosine_sim
+  FROM comp v JOIN qv ON v.i = qv.i
+  WHERE v.vec_id != 0
+  GROUP BY v.vec_id, v.label
+),
+brute AS (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 10
+),
+cent AS (
+  SELECT label, i,
+    {_MI_SQL.format(x=f"CAST(SUM({_MI_SQL.format(x='x')}) AS DOUBLE) / 10000000.0 / COUNT(*)")} AS cx
+  FROM comp GROUP BY label, i
+),
+probe AS (
+  SELECT c.label
+  FROM cent c JOIN qv ON c.i = qv.i
+  GROUP BY c.label
+  ORDER BY CAST(SUM(c.cx * qv.qx) AS DOUBLE)
+           / sqrt(CAST(SUM(c.cx * c.cx) AS DOUBLE)) DESC, c.label
+  LIMIT 1
+),
+ivf AS (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+  WHERE label = (SELECT label FROM probe)
+  ORDER BY cosine_sim DESC, vec_id LIMIT 10
+),
+dcg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_hits,
+    CAST(SUM(CASE WHEN b.vec_id IS NOT NULL
+             THEN {_DCG_L} // (a.rank + 1) ELSE 0 END) AS BIGINT) AS dcg_i
+  FROM ivf a LEFT JOIN brute b ON a.vec_id = b.vec_id
+),
+idcg AS (
+  SELECT CAST(SUM({_DCG_L} // (rank + 1)) AS BIGINT) AS idcg_i FROM brute
+)
+SELECT d.n_candidates, d.n_hits, d.dcg_i, i.idcg_i,
+  CAST(d.dcg_i AS DOUBLE) / CAST(i.idcg_i AS DOUBLE) AS ndcg
+FROM dcg d CROSS JOIN idcg i
+"""
+
+
+@query("retrieval_dcg_audit", oracle=_DCG_ORACLE)
+def q_retrieval_dcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCG@10 of the IVF (nprobe=1) candidate list against the
+    brute-force ground truth — the retrieval-quality metric that
+    weights EARLY hits, complementing ann_recall_audit's unweighted
+    recall.  The discount is linear (gain = L/(rank+1) with
+    L = lcm(2..11) = 27720), so every gain is an exact integer and the
+    DCG sums hash cross-engine — log2 discounts would force an
+    order-dependent float sum.  ndcg = dcg/idcg is the single final
+    double division; idcg derives from the ground-truth list itself
+    (robust to short lists).
+
+    Scale shape: both rankings reuse ONE scored pass over the corpus
+    (the cell filter restricts the IVF side); the audit join touches
+    10×10 rows.  At 100 TB the brute side is the bounded calibration
+    slice, the IVF side the production path — same discipline as
+    ann_recall_audit."""
+    comp = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    qv = comp.filter(F.col("vec_id") == 0).select(
+        "i", _mi(F.col("x")).alias("qx")
+    )
+    scored = (
+        comp.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(_mi(F.col("x")) * F.col("qx")).alias("dot_i"),
+            F.sum(_mi(F.col("x")) * _mi(F.col("x"))).alias("sq_v"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sq_q"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                (F.col("dot_i").cast("double") / F.lit(1e14))
+                / (
+                    F.sqrt(F.col("sq_v").cast("double") / F.lit(1e14))
+                    * F.sqrt(F.col("sq_q").cast("double") / F.lit(1e14))
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .localCheckpoint(eager=False)  # scored once, served to both rankings
+    )
+    wrank = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    brute = (
+        scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(wrank))
+    )
+    cent = comp.groupBy("label", "i").agg(
+        _mi(
+            F.sum(_mi(F.col("x"))).cast("double") / F.lit(1e7) / F.count("*")
+        ).alias("cx")
+    )
+    probe = (
+        cent.join(F.broadcast(qv), "i")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("cx") * F.col("qx")).cast("double")
+                / F.sqrt(F.sum(F.col("cx") * F.col("cx")).cast("double"))
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("label"))
+        .limit(1)
+        .select("label")
+    )
+    ivf = (
+        scored.join(F.broadcast(probe), "label")
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(wrank))
+    )
+    gain = F.lit(_DCG_L) / (F.col("rank") + 1)  # exact: L divisible by 2..11
+    hit = F.col("b.vec_id").isNotNull()
+    dcg = (
+        ivf.alias("a")
+        .join(
+            F.broadcast(brute.select("vec_id").alias("b")),
+            F.col("a.vec_id") == F.col("b.vec_id"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_hits"),
+            F.sum(
+                F.when(hit, F.expr(f"{_DCG_L} div (rank + 1)")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dcg_i"),
+        )
+    )
+    idcg = brute.agg(
+        F.sum(F.expr(f"{_DCG_L} div (rank + 1)"))
+        .cast("bigint")
+        .alias("idcg_i")
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "n_candidates",
+        "n_hits",
+        "dcg_i",
+        "idcg_i",
+        (F.col("dcg_i").cast("double") / F.col("idcg_i").cast("double")).alias(
+            "ndcg"
+        ),
     )
