@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     classify,
     analytics,
     profiling,
+    pruning,
 )
 from ..multimodal import columns as _multimodal_columns  # noqa: F401,E402
 from .registry import ORACLES, QUERIES  # noqa: F401

@@ -1886,3 +1886,96 @@ def q_boilerplate_segment_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_boiler_segments").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring anchor dedup — cross-document duplicated-span scoring
+# ---------------------------------------------------------------------------
+
+_ANCHOR_LEN = 40
+_ANCHOR_STRIDE = 10
+
+_ANCHOR_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {_ANCHOR_LEN}
+),
+an AS (
+  SELECT DISTINCT doc_id, md5(substring(text, p, {_ANCHOR_LEN})) AS dg
+  FROM (
+    SELECT doc_id, text,
+      unnest(generate_series(1, length(text) - {_ANCHOR_LEN - 1},
+                             {_ANCHOR_STRIDE})) AS p
+    FROM d
+  )
+),
+sh AS (SELECT dg FROM an GROUP BY dg HAVING COUNT(*) >= 2),
+per AS (
+  SELECT a.doc_id, COUNT(*) AS n_anchors,
+    SUM(CASE WHEN s.dg IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+  FROM an a LEFT JOIN sh s ON a.dg = s.dg GROUP BY 1
+)
+SELECT doc_id, CAST(n_anchors AS BIGINT) AS n_anchors,
+  CAST(n_shared AS BIGINT) AS n_shared,
+  CAST(n_shared AS DOUBLE) / CAST(n_anchors AS DOUBLE) AS share_ratio
+FROM per
+"""
+
+
+@query("substring_anchor_scores", oracle=_ANCHOR_ORACLE)
+def q_substring_anchor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication scoring (the Lee et al. 2022
+    "Deduplicating Training Data" signal, suffix-array semantics
+    restated as a bucketed census): every 40-char window at stride 10
+    is an ANCHOR; an anchor digest seen in ≥ 2 documents marks an
+    exactly-duplicated span, and each document's share of shared
+    anchors is its duplicated-span ratio — the decision signal for
+    span-level (not whole-doc) dedup that MinHash cannot give (MinHash
+    measures set overlap of shingles; anchors localize verbatim runs).
+
+    Scale shape: stride bounds anchors to len/10 per doc; only 16-byte
+    digests shuffle (text never leaves its partition — the digest-census
+    discipline of dedup_exact_groups); the shared-set join is
+    digest-keyed, so cost tracks duplicated mass, not docs².  At 100 TB
+    the stride and window are the recall/cost levers (halving stride
+    doubles anchors), and the census is incrementally maintainable
+    exactly like incremental_dedup_new_docs."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull() & (F.length("text") >= _ANCHOR_LEN)
+    )
+    pos = F.sequence(
+        F.lit(1),
+        F.length("text") - F.lit(_ANCHOR_LEN - 1),
+        F.lit(_ANCHOR_STRIDE),
+    )
+    an = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                pos,
+                lambda p: F.md5(F.col("text").substr(p, F.lit(_ANCHOR_LEN))),
+            )
+        ).alias("dg"),
+    ).distinct()
+    sh = an.groupBy("dg").agg(F.count("*").alias("nd")).filter(
+        F.col("nd") >= 2
+    ).select("dg")
+    per = (
+        an.join(F.broadcast(sh.withColumn("is_sh", F.lit(1))), "dg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_anchors"),
+            F.sum(F.coalesce(F.col("is_sh"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_anchors",
+        "n_shared",
+        (
+            F.col("n_shared").cast("double")
+            / F.col("n_anchors").cast("double")
+        ).alias("share_ratio"),
+    )
