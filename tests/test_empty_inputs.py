@@ -103,6 +103,20 @@ _FAMILIES = [
     "media_dhash_groups",
     "media_dhash_neardup_pairs",
     "boilerplate_segment_scrub",
+    # round-7: sequence/interval/chi2/EWMA on empty events; KMV with no
+    # tokens (empty sketch), empty JL pair set, DCG with no candidates,
+    # layouts over zero files, Bloom over an empty dim, zero anchors
+    "event_transition_matrix",
+    "events_ewma_half_life",
+    "user_active_intervals",
+    "event_dow_residuals",
+    "kmv_distinct_audit",
+    "stream_kmv_merge",
+    "jl_projection_audit",
+    "retrieval_dcg_audit",
+    "zorder_layout_audit",
+    "bloom_semijoin_audit",
+    "substring_anchor_scores",
 ]
 
 

@@ -78,6 +78,20 @@ _REGRESSIONS = [
     "media_dhash_groups",
     "media_dhash_neardup_pairs",
     "boilerplate_segment_scrub",
+    # round-7: NULL ts/user/type/value/text/source rows must be filtered
+    # on BOTH sides (window NULL-ordering rule) — pinned for the new
+    # sequence/interval/sketch/layout operators
+    "event_transition_matrix",
+    "events_ewma_half_life",
+    "user_active_intervals",
+    "event_dow_residuals",
+    "kmv_distinct_audit",
+    "stream_kmv_merge",
+    "jl_projection_audit",
+    "retrieval_dcg_audit",
+    "zorder_layout_audit",
+    "bloom_semijoin_audit",
+    "substring_anchor_scores",
 ]
 
 

@@ -734,3 +734,85 @@ def test_boilerplate_census_broadcasts_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+# --------------------------------------------------------------------------
+# round-7 plan shapes
+# --------------------------------------------------------------------------
+
+
+def test_transition_matrix_broadcasts_totals(spark, sf_dir):
+    """Markov transitions: the per-prev totals (types-bounded) broadcast
+    back into the census; one corpus scan, no cartesian, all JVM."""
+    p = plan(spark, sf_dir, "event_transition_matrix")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_active_intervals_windows_share_user_shuffle(spark, sf_dir):
+    """Interval coalescing: the running-max window, the island-sum
+    window, and the island aggregation must all reuse ONE user_id
+    partitioning — at most one exchange on user_id."""
+    p = plan(spark, sf_dir, "user_active_intervals")
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+    assert P.is_all_jvm(p)
+
+
+def test_kmv_sketch_broadcasts_exact_side(spark, sf_dir):
+    """KMV audit: distinct-hash census map-side combined; the per-source
+    exact counts (low-cardinality) broadcast into the sketch join."""
+    p = plan(spark, sf_dir, "kmv_distinct_audit")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_bloom_audit_broadcasts_filter_bits(spark, sf_dir):
+    """Bloom pruning: the dim-side bit set broadcasts; the fact side is
+    scanned once (distinct + k-position explode); counters fold via
+    broadcast 1-row joins, never a cartesian of data."""
+    p = plan(spark, sf_dir, "bloom_semijoin_audit")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_jl_projection_pushes_slice_filter(spark, sf_dir):
+    """JL audit: the vec_id < slice filter must reach the parquet scan —
+    the bounded-pair discipline is only real if the scan is bounded."""
+    p = plan(spark, sf_dir, "jl_projection_audit")
+    assert P.has_pushed_filters(p)
+    assert P.is_all_jvm(p)
+
+
+def test_dcg_audit_uses_distributed_topk(spark, sf_dir):
+    """DCG audit: both rankings take their top-10 via
+    TakeOrderedAndProject (never a global sort); ground-truth and
+    candidate sides join broadcast."""
+    p = plan(spark, sf_dir, "retrieval_dcg_audit")
+    assert P.has_take_ordered_topk(p)
+    assert P.has_broadcast_join(p) or "BroadcastNestedLoopJoin" in p
+    assert P.is_all_jvm(p)
+
+
+def test_anchor_scores_shuffle_digests_only(spark, sf_dir):
+    """Substring anchors: only 32-hex digests shuffle — the text column
+    must not appear in any exchange (the census discipline), and the
+    shared-digest set broadcasts."""
+    p = plan(spark, sf_dir, "substring_anchor_scores")
+    assert P.has_broadcast_join(p)
+    assert P.is_all_jvm(p)
+    # text is consumed by the per-partition anchor projection; the
+    # aggregate exchanges carry digests only
+    for frag in p.split("Exchange")[1:]:
+        assert "text" not in frag.split("\n")[0]
+
+
+def test_zorder_audit_is_jvm_and_prunes_columns(spark, sf_dir):
+    """Layout audit: all-JVM; the orders scan reads only the three
+    involved columns (key, date, orderkey)."""
+    p = plan(spark, sf_dir, "zorder_layout_audit")
+    assert P.is_all_jvm(p)
+    cols = P.read_schema_columns(p)
+    assert "o_totalprice" not in cols and "o_orderpriority" not in cols

@@ -61,6 +61,12 @@ _REGRESSIONS = [
     # round-6 batch 5: non-ASCII docs excluded identically both sides
     "media_dhash_neardup_pairs",
     "boilerplate_segment_scrub",
+    # round-7: char-based length/substring semantics must agree for the
+    # anchor windows; md5 of multi-byte tokens must hash identically in
+    # the KMV sketch
+    "substring_anchor_scores",
+    "kmv_distinct_audit",
+    "stream_kmv_merge",
 ]
 
 
