@@ -100,6 +100,17 @@ HEADLINE = [
     "media_dhash_groups",
     "media_dhash_neardup_pairs",
     "boilerplate_segment_scrub",
+    # round-7 additions
+    "event_transition_matrix",
+    "events_ewma_half_life",
+    "user_active_intervals",
+    "event_dow_residuals",
+    "kmv_distinct_audit",
+    "jl_projection_audit",
+    "retrieval_dcg_audit",
+    "zorder_layout_audit",
+    "bloom_semijoin_audit",
+    "substring_anchor_scores",
 ]
 
 
