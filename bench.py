@@ -111,6 +111,7 @@ HEADLINE = [
     "zorder_layout_audit",
     "bloom_semijoin_audit",
     "substring_anchor_scores",
+    "audio_rms_profile",
 ]
 
 

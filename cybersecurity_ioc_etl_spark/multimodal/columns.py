@@ -892,3 +892,135 @@ def q_media_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= _DH_HAMMING_T).select(
         "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction through the REAL WAV decode path
+# ---------------------------------------------------------------------------
+
+_AU_N = 192  # samples per synthesized clip
+_AU_FRAME = 16  # samples per analysis frame -> 12 frames per clip
+
+# constant 44-byte RIFF/WAVE header: PCM, mono, 8-bit, 8 kHz, N samples
+import struct as _struct
+
+_WAV_HEADER = (
+    b"RIFF"
+    + _struct.pack("<I", 36 + _AU_N)
+    + b"WAVE"
+    + b"fmt "
+    + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    + b"data"
+    + _struct.pack("<I", _AU_N)
+)
+
+RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame", T.LongType(), False),
+        T.StructField("energy_i", T.LongType(), False),
+    ]
+)
+
+
+def synthesize_wav_audio(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL RIFF/WAVE blobs: each document's first 192
+    ASCII bytes (x-padded) become unsigned 8-bit PCM samples behind a
+    genuine constant 44-byte header — so the native ``wave`` decoder
+    exercises its actual parse path (the audio twin of
+    synthesize_ppm_images)."""
+    ascii_only = F.length(F.encode(F.col("text"), "utf-8")) == F.length(
+        F.col("text")
+    )
+    pcm = F.encode(
+        F.rpad(F.substring(F.col("text"), 1, _AU_N), _AU_N, "x"), "utf-8"
+    )
+    return documents.filter(F.col("text").isNotNull() & ascii_only).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(_WAV_HEADER), pcm).alias("content"),
+    )
+
+
+def frame_energies(media: DataFrame) -> DataFrame:
+    """Per-frame integer energy Σ(s−128)² over the REAL decode path:
+    mapInPandas batches feed _decode_wav (RIFF parse + mono fold), then
+    each 16-sample frame folds to one exact int — features leave the
+    Python stage as (media_id, frame, energy) rows, so everything
+    downstream is JVM aggregation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame": [], "energy_i": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                samples = _decode_wav(bytes(blob))
+                if samples is None:
+                    continue
+                for f in range(len(samples) // _AU_FRAME):
+                    chunk = samples[f * _AU_FRAME : (f + 1) * _AU_FRAME]
+                    out["media_id"].append(int(mid))
+                    out["frame"].append(f)
+                    out["energy_i"].append(
+                        sum((s - 128) * (s - 128) for s in chunk)
+                    )
+            yield pd.DataFrame(out, columns=list(RMS_SCHEMA.names))
+
+    return media.filter(F.col("content").isNotNull()).mapInPandas(
+        run, schema=RMS_SCHEMA
+    )
+
+
+_AUDIO_RMS_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, rpad(substring(text, 1, {_AU_N}), {_AU_N}, 'x') AS p
+  FROM documents
+  WHERE text IS NOT NULL AND strlen(text) = length(text)
+),
+samp AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+    ord(substring(p, CAST(g.i + 1 AS INTEGER), 1)) AS s
+  FROM px, range(0, {_AU_N}) g(i)
+),
+fr AS (
+  SELECT doc_id, i // {_AU_FRAME} AS frame,
+    SUM((s - 128) * (s - 128)) AS energy_i
+  FROM samp GROUP BY 1, 2
+)
+SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(SUM(energy_i) AS BIGINT) AS total_energy,
+  CAST(MAX(energy_i) AS BIGINT) AS peak_energy,
+  sqrt(CAST(SUM(energy_i) AS DOUBLE)
+       / CAST(COUNT(*) * {_AU_FRAME} AS DOUBLE)) AS rms
+FROM fr GROUP BY doc_id
+"""
+
+
+@query("audio_rms_profile", oracle=_AUDIO_RMS_ORACLE)
+def q_audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy per audio clip through the REAL decode path:
+    a genuine RIFF/WAVE PCM blob per document, the native stdlib
+    ``wave`` parse + mono fold, Arrow-batched mapInPandas emitting one
+    exact integer energy per 16-sample frame, then JVM aggregation to
+    per-clip (n_frames, total/peak energy, RMS).  The ORACLE re-derives
+    every sample from raw character codes — a decoder regression
+    (header offset, sample signedness, channel fold) shifts energies
+    and breaks the value hash, exactly like media_dhash_groups does for
+    the image decoder.  RMS is the one non-integer output: sqrt of an
+    exact-int ratio, a correctly-rounded IEEE op on identical inputs.
+
+    Scale shape: decode + frame fold is a narrow Arrow map (no shuffle
+    until the 3-int frame rows aggregate); per-clip state is bounded by
+    clip length / frame size.  This is the audio-feature stage of a
+    multimodal curation pipeline — silence trimming, loudness
+    normalization, and VAD gates all consume exactly these frame
+    energies."""
+    d = load_table(spark, sf_dir, "documents")
+    fr = frame_energies(synthesize_wav_audio(d))
+    return fr.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("energy_i").cast("bigint").alias("total_energy"),
+        F.max("energy_i").cast("bigint").alias("peak_energy"),
+        F.sqrt(
+            F.sum("energy_i").cast("double")
+            / (F.count("*") * F.lit(_AU_FRAME)).cast("double")
+        ).alias("rms"),
+    )

@@ -117,6 +117,7 @@ _FAMILIES = [
     "zorder_layout_audit",
     "bloom_semijoin_audit",
     "substring_anchor_scores",
+    "audio_rms_profile",
 ]
 
 

@@ -398,3 +398,24 @@ def test_extract_features_decodes_video_natively(spark):
     (row,) = extract_features(media).collect()
     assert list(row.feature) == _fake_feature(y)
     assert row.n_bytes == len(blob)
+
+
+def test_synthesized_wav_roundtrips_through_native_decoder(spark):
+    """synthesize_wav_audio emits genuine RIFF/WAVE blobs: the native
+    stdlib decoder must recover exactly the padded text bytes (8-bit
+    mono PCM decode is the identity on the data chunk)."""
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        _AU_N,
+        _decode_wav,
+        synthesize_wav_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 500)], "doc_id long, text string"
+    )
+    rows = {r["media_id"]: bytes(r["content"])
+            for r in synthesize_wav_audio(docs).collect()}
+    got = _decode_wav(rows[1])
+    want = ("hello world" + "x" * (_AU_N - 11)).encode()
+    assert got == want
+    assert _decode_wav(rows[2]) == b"x" * _AU_N

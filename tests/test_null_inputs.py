@@ -92,6 +92,7 @@ _REGRESSIONS = [
     "zorder_layout_audit",
     "bloom_semijoin_audit",
     "substring_anchor_scores",
+    "audio_rms_profile",
 ]
 
 

@@ -816,3 +816,18 @@ def test_zorder_audit_is_jvm_and_prunes_columns(spark, sf_dir):
     assert P.is_all_jvm(p)
     cols = P.read_schema_columns(p)
     assert "o_totalprice" not in cols and "o_orderpriority" not in cols
+
+
+def test_audio_rms_python_stage_is_one_arrow_map(spark, sf_dir):
+    """Audio features: exactly ONE Arrow-batched Python stage (the
+    decode+frame-fold map); all aggregation after it is JVM, and
+    nothing shuffles before the 3-int frame rows exist."""
+    import re
+
+    p = plan(spark, sf_dir, "audio_rms_profile")
+    # formatted explain prints each node in the tree AND the detail
+    # section — count distinct node ids, not string occurrences
+    assert len(set(re.findall(r"\((\d+)\) MapInPandas", p))) == 1
+    assert "BatchEvalPython" not in p  # never row-at-a-time Python
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p

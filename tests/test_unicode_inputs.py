@@ -67,6 +67,7 @@ _REGRESSIONS = [
     "substring_anchor_scores",
     "kmv_distinct_audit",
     "stream_kmv_merge",
+    "audio_rms_profile",
 ]
 
 
