@@ -186,7 +186,11 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-filter semi-join pruning audit
 # --------------------------------------------------------------------------
 
-_BLOOM_M = 4096  # bits
+# m sized for the LARGEST fixture's dim cardinality (sf0.1: ~3k keys →
+# k·n/m ≈ 0.36, fill ≈ 30%, fp ≈ 0.9%); production sizes m ≈ 10·n per
+# the same law the audit makes measurable — an undersized filter
+# saturates (fill → 1) and passes everything
+_BLOOM_M = 32768  # bits
 _BLOOM_K = 4  # hash functions
 
 _BLOOM_HASH_SQL = (
