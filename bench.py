@@ -112,6 +112,10 @@ HEADLINE = [
     "bloom_semijoin_audit",
     "substring_anchor_scores",
     "audio_rms_profile",
+    "ioc_ip_prefix_rollup",
+    "ioc_host_dga_scores",
+    "token_cooccurrence_pmi",
+    "rfm_customer_segments",
 ]
 
 

@@ -536,3 +536,78 @@ def q_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_kmv
 
     return run_stream_kmv(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — quartile scoring on three behavioral axes
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    MAX(o_orderdate) AS last_order,
+    COUNT(*) AS freq,
+    CAST(SUM({MI.format(x='o_totalprice')}) AS BIGINT) AS mon_i
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, mon_i,
+    ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+    ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+    ntile(4) OVER (ORDER BY mon_i DESC, o_custkey) AS m
+  FROM per_cust
+)
+SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_segment,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(mon_i) AS DOUBLE) / 10000.0 AS total_spend
+FROM scored GROUP BY 1
+"""
+
+
+@query("rfm_customer_segments", oracle=_RFM_ORACLE)
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the marketing-analytics staple: each customer scores 1 (best) to 4
+    on how recently they ordered, how often, and how much, and the
+    3-digit segment code rolls the base up into the champions /
+    at-risk / hibernating buckets.  Quartiles are ntile over total
+    orders (ties broken by custkey so both engines agree); monetary is
+    the exact mantissa sum.
+
+    Scale shape: one per-customer aggregation, then three rank windows
+    over the CUSTOMER-grain frame (already 1/|orders-per-customer| of
+    the data).  The global ntile is the audit-exact form; at 100 TB the
+    same scores come from approx-quantile cutoffs broadcast as a 3×3
+    boundary table (the value_equidepth_histogram lever) so no global
+    sort is needed — segment semantics are unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(mi(F.col("o_totalprice"))).cast("bigint").alias("mon_i"),
+    )
+    scored = per_cust.select(
+        "mon_i",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("mon_i").desc(), "o_custkey"))
+        .alias("m"),
+    )
+    return (
+        scored.select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("bigint")
+            .alias("rfm_segment"),
+            "mon_i",
+        )
+        .groupBy("rfm_segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (F.sum("mon_i").cast("double") / F.lit(1e4)).alias("total_spend"),
+        )
+    )

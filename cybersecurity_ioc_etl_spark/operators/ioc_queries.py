@@ -764,3 +764,160 @@ def q_stream_ioc_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_ioc_aging_stream
 
     return run_ioc_aging_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Infrastructure rollups over extracted IOCs — the pivots a threat team runs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ioc_ip_prefix_rollup",
+    oracle=_EXTRACT_CTE
+    + r"""
+, ips AS (SELECT ioc, source FROM ioc_rows WHERE type = 'ip'),
+lvl AS (
+  SELECT 16 AS prefix_len,
+    regexp_extract(ioc, '^(\d+\.\d+)\.', 1) AS prefix, ioc, source
+  FROM ips
+  UNION ALL
+  SELECT 24, regexp_extract(ioc, '^(\d+\.\d+\.\d+)\.', 1), ioc, source
+  FROM ips
+)
+SELECT CAST(prefix_len AS BIGINT) AS prefix_len, prefix,
+  CAST(COUNT(*) AS BIGINT) AS n_sightings,
+  CAST(COUNT(DISTINCT ioc) AS BIGINT) AS n_ips,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM lvl WHERE prefix != ''
+GROUP BY 1, 2
+""",
+)
+def q_ioc_ip_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR-prefix rollup of extracted IP indicators (/16 and /24) —
+    the infrastructure-clustering pivot: attacker hosting concentrates
+    in netblocks, so sightings grouped by prefix surface the block even
+    when individual IPs rotate.  Both levels are string-prefix
+    projections over the refanged dotted quads (no parsing UDF), and
+    the multi-granularity union is two groupings of the same narrow
+    frame — the ROLLUP idiom at string grain.
+
+    Scale shape: one extraction pass feeds both levels; the census
+    shuffles (prefix, ip, source) triples — distinct-count state is
+    bounded by the prefix's member count, and the rollup output is
+    prefix-cardinality, not sightings."""
+    ips = ioc_table(spark, sf_dir).filter(F.col("type") == "ip")
+    lvl = None
+    for plen, pat in ((16, r"^(\d+\.\d+)\."), (24, r"^(\d+\.\d+\.\d+)\.")):
+        part = ips.select(
+            F.lit(plen).cast("bigint").alias("prefix_len"),
+            F.regexp_extract("ioc", pat, 1).alias("prefix"),
+            "ioc",
+            "source",
+        )
+        lvl = part if lvl is None else lvl.unionByName(part)
+    return (
+        lvl.filter(F.col("prefix") != "")
+        .groupBy("prefix_len", "prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sightings"),
+            F.count_distinct("ioc").cast("bigint").alias("n_ips"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "ioc_host_dga_scores",
+    oracle=_EXTRACT_CTE
+    + r"""
+, hosts AS (
+  SELECT DISTINCT lower(regexp_replace(
+    regexp_extract(ioc, '//([^/?#]*)', 1), ':[0-9]+$', '')) AS host
+  FROM ioc_rows WHERE type = 'url'
+),
+named AS (
+  SELECT host, replace(host, '.', '') AS chars FROM hosts
+  WHERE length(replace(host, '.', '')) > 0
+),
+pos AS (
+  SELECT host, chars, unnest(generate_series(1, length(chars))) AS i
+  FROM named
+),
+census AS (
+  SELECT host, substring(chars, CAST(i AS INTEGER), 1) AS ch, COUNT(*) AS c
+  FROM pos GROUP BY 1, 2
+),
+scored AS (
+  SELECT host,
+    CAST(SUM(c) AS BIGINT) AS n_chars,
+    CAST(SUM(CASE WHEN ch BETWEEN '0' AND '9' THEN c ELSE 0 END)
+         AS BIGINT) AS n_digits,
+    CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000000.0)
+                      AS BIGINT)) AS BIGINT) AS s_i
+  FROM census GROUP BY 1
+)
+SELECT host, n_chars,
+  CAST(len(string_split(host, '.')) AS BIGINT) AS n_labels,
+  CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_ratio,
+  ln(CAST(n_chars AS DOUBLE))
+    - CAST(s_i AS DOUBLE) / (CAST(n_chars AS DOUBLE) * 1000000000.0)
+    AS entropy_nats
+FROM scored
+""",
+)
+def q_ioc_host_dga_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGA-style lexical scoring of extracted URL hosts — the
+    domain-generation-algorithm heuristic every SOC pipeline runs:
+    algorithmically generated names have high character entropy and
+    digit density with few meaningful labels.  Entropy is the one
+    operator that normally forces a float sum (H = ln n − Σc·ln c / n);
+    it stays hash-checkable here by the bigram-LM discipline —
+    FLOOR-quantize each ln(c) to an integer (·1e9), sum EXACT integers
+    per host, and convert once, so both engines compute the identical
+    double.  Ports are stripped, case folded, dots excluded from the
+    character census but counted as labels.
+
+    Scale shape: the census is (host × distinct-char) rows — ≤ 40 per
+    host — aggregated map-side; hosts deduplicate before any character
+    work (cost ∝ distinct infrastructure, not sightings)."""
+    urls = ioc_table(spark, sf_dir).filter(F.col("type") == "url")
+    hosts = (
+        urls.select(
+            F.lower(
+                F.regexp_replace(
+                    K.extract_host(F.col("ioc")), ":[0-9]+$", ""
+                )
+            ).alias("host")
+        )
+        .distinct()
+        .withColumn("chars", F.regexp_replace("host", r"\.", ""))
+        .filter(F.length("chars") > 0)
+    )
+    pos = hosts.select(
+        "host",
+        "chars",
+        F.explode(F.sequence(F.lit(1), F.length("chars"))).alias("i"),
+    )
+    census = pos.select(
+        "host", F.col("chars").substr(F.col("i"), F.lit(1)).alias("ch")
+    ).groupBy("host", "ch").agg(F.count("*").alias("c"))
+    li = F.floor(F.log(F.col("c").cast("double")) * F.lit(1e9)).cast("bigint")
+    scored = census.groupBy("host").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.sum(
+            F.when(F.col("ch").between("0", "9"), F.col("c")).otherwise(0)
+        ).cast("bigint").alias("n_digits"),
+        F.sum(F.col("c") * li).cast("bigint").alias("s_i"),
+    )
+    return scored.select(
+        "host",
+        "n_chars",
+        F.size(F.split("host", r"\.")).cast("bigint").alias("n_labels"),
+        (F.col("n_digits").cast("double") / F.col("n_chars").cast("double"))
+        .alias("digit_ratio"),
+        (
+            F.log(F.col("n_chars").cast("double"))
+            - F.col("s_i").cast("double")
+            / (F.col("n_chars").cast("double") * F.lit(1e9))
+        ).alias("entropy_nats"),
+    )

@@ -1829,3 +1829,106 @@ def viterbi_segment(d: DataFrame) -> DataFrame:
         .orderBy(F.col("wf").desc(), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI token co-occurrence — corpus association mining over a bounded vocab
+# ---------------------------------------------------------------------------
+
+_PMI_V = 40  # vocabulary: top tokens by document frequency
+_PMI_MIN_AB = 3  # minimum co-document count
+
+_PMI_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(str_split_regex(
+      {_dedup._ASCII_FOLD_SQL.format(x='trim(text)')}, '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE tok != ''
+),
+df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1),
+vocab AS (
+  SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {_PMI_V}
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+vt AS (SELECT dt.doc_id, dt.tok FROM dt JOIN vocab USING (tok)),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_AB}
+)
+SELECT p.tok_a, p.tok_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+  round(ln(CAST(p.n_ab AS DOUBLE) * CAST(nd.n AS DOUBLE)
+           / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE))), 6) AS pmi
+FROM pairs p
+JOIN vocab va ON p.tok_a = va.tok
+JOIN vocab vb ON p.tok_b = vb.tok
+CROSS JOIN nd
+"""
+
+
+@query("token_cooccurrence_pmi", oracle=_PMI_ORACLE)
+def q_token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence (document
+    grain) over the top-40-df vocabulary — the association-mining
+    primitive behind collocation discovery, topic seeding, and
+    word-vector objectives (PMI matrices are what SGNS implicitly
+    factorizes).  pmi = ln(n_ab·N / (df_a·df_b)) on exact integer
+    counts with the ln applied to one identical double ratio and
+    rounded (the tfidf discipline) — hash-checkable.
+
+    Scale shape: the vocabulary is bounded (top-k df census first —
+    distributed TakeOrdered), so each document contributes at most
+    V tokens and V²/2 pair increments; the pair census shuffles
+    ≤ V² rows total.  Unbounded-vocab co-occurrence at 100 TB uses the
+    same plan with df-band pruning (inverted_index_postings' cap) —
+    vocabulary choice IS the cost model."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = df.orderBy(F.col("df").desc(), "tok").limit(_PMI_V)
+    nd = dt.agg(F.count_distinct("doc_id").alias("n"))
+    vt = dt.join(F.broadcast(vocab.select("tok")), "tok")
+    a = vt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = vt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_AB)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n").cast("double")
+                    / (
+                        F.col("df_a").cast("double")
+                        * F.col("df_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -93,6 +93,11 @@ _REGRESSIONS = [
     "bloom_semijoin_audit",
     "substring_anchor_scores",
     "audio_rms_profile",
+    # round-7 batch 2
+    "ioc_ip_prefix_rollup",
+    "ioc_host_dga_scores",
+    "token_cooccurrence_pmi",
+    "rfm_customer_segments",
 ]
 
 

@@ -831,3 +831,31 @@ def test_audio_rms_python_stage_is_one_arrow_map(spark, sf_dir):
     assert "BatchEvalPython" not in p  # never row-at-a-time Python
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_dga_scores_dedup_before_char_census(spark, sf_dir):
+    """DGA scoring: hosts deduplicate BEFORE the per-character explode
+    (cost ∝ distinct infrastructure, not sightings) and everything is
+    JVM expressions."""
+    p = plan(spark, sf_dir, "ioc_host_dga_scores")
+    assert P.is_all_jvm(p)
+    assert "CartesianProduct" not in p
+
+
+def test_pmi_vocab_bounded_and_broadcast(spark, sf_dir):
+    """PMI census: the top-V vocabulary comes from a distributed top-k
+    and joins back as a BROADCAST — each document contributes at most
+    V tokens to the pair census."""
+    p = plan(spark, sf_dir, "token_cooccurrence_pmi")
+    assert P.has_take_ordered_topk(p)
+    assert P.has_broadcast_join(p)
+    assert P.is_all_jvm(p)
+
+
+def test_rfm_windows_run_on_customer_grain(spark, sf_dir):
+    """RFM: the ntile windows sort the per-customer frame (already
+    aggregated), never the orders table — exactly one pre-aggregation
+    shuffle feeds all three rank windows."""
+    p = plan(spark, sf_dir, "rfm_customer_segments")
+    assert p.count("Exchange hashpartitioning(o_custkey") <= 1
+    assert P.is_all_jvm(p)

@@ -68,6 +68,9 @@ _REGRESSIONS = [
     "kmv_distinct_audit",
     "stream_kmv_merge",
     "audio_rms_profile",
+    # round-7 batch 2: unicode hosts/tokens hash + case-fold identically
+    "ioc_host_dga_scores",
+    "token_cooccurrence_pmi",
 ]
 
 
