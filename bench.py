@@ -116,6 +116,8 @@ HEADLINE = [
     "ioc_host_dga_scores",
     "token_cooccurrence_pmi",
     "rfm_customer_segments",
+    "event_value_quantile_normalized",
+    "asof_next_purchase_tolerance",
 ]
 
 

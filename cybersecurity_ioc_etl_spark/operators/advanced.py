@@ -343,3 +343,95 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         (F.col("pi").cast("double") / F.lit(100.0)).alias("price"),
     )
+
+
+@query(
+    "asof_next_purchase_tolerance",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+    AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+carried AS (
+  SELECT user_id, ts, event_id, kind,
+    last_value(CASE WHEN kind = 1 THEN ts END IGNORE NULLS) OVER w AS p_ts,
+    last_value(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS) OVER w
+      AS p_eid
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+    ORDER BY ts DESC, kind DESC, event_id DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+clicks AS (
+  SELECT event_id, user_id, strftime(ts, '{_TS_FMT_DUCK}') AS click_ts,
+    epoch_us(p_ts) // 1000000 - epoch_us(ts) // 1000000 AS gap_raw,
+    p_eid
+  FROM carried WHERE kind = 0
+)
+SELECT event_id, user_id, click_ts,
+  CASE WHEN gap_raw <= 3600 THEN p_eid END AS next_purchase_id,
+  CAST(CASE WHEN gap_raw <= 3600 THEN gap_raw END AS BIGINT) AS gap_secs
+FROM clicks
+""",
+)
+def q_asof_next_purchase_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORWARD as-of join with a tolerance — for each click, the next
+    purchase by the same user at-or-after it, matched only within one
+    hour (pandas merge_asof(direction='forward', tolerance=...), the
+    attribution-window primitive).  Same union+window plan as the
+    backward as-of, with the ordering REVERSED (ts desc; purchases
+    before clicks at equal ts → '>=' semantics; event_id completes the
+    total order so equal-timestamp purchase ties resolve identically
+    in both engines — DuckDB's native ASOF leaves that tie
+    unspecified, so the oracle states this exact window instead).
+    Out-of-tolerance matches null out AFTER the carry, one CASE.
+
+    Scale shape: ONE shuffle on user_id for both sides together;
+    tolerance filtering is a post-window projection, never a range
+    join — the standard scalable as-of plan."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(), F.col("kind").desc(), F.col("event_id").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(
+            F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True
+        ).over(w).alias("p_ts"),
+        F.last(
+            F.when(F.col("kind") == 1, F.col("event_id")), ignorenulls=True
+        ).over(w).alias("p_eid"),
+    )
+    gap_raw = F.unix_timestamp("p_ts") - F.unix_timestamp("ts")
+    return (
+        carried.filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("click_ts"),
+            F.when(gap_raw <= 3600, F.col("p_eid")).alias("next_purchase_id"),
+            F.when(gap_raw <= 3600, gap_raw).cast("bigint").alias("gap_secs"),
+        )
+    )

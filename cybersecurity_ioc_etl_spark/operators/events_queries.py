@@ -2054,3 +2054,104 @@ def q_event_dow_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization — map each type's values onto the global distribution
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+tr AS (
+  SELECT event_id, event_type, vi,
+    row_number() OVER (PARTITION BY event_type ORDER BY vi, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_t
+  FROM ev
+),
+gr AS (
+  SELECT vi, row_number() OVER (ORDER BY vi, event_id) AS rg FROM ev
+),
+ng AS (SELECT COUNT(*) AS n_g FROM ev),
+tgt AS (
+  SELECT t.event_id, t.event_type, t.vi,
+    CASE WHEN t.n_t > 1
+      THEN CAST(((t.rn - 1) * (ng.n_g - 1)) // (t.n_t - 1) AS BIGINT) + 1
+      ELSE CAST((ng.n_g - 1) // 2 AS BIGINT) + 1
+    END AS idx
+  FROM tr t CROSS JOIN ng
+)
+SELECT t.event_id, t.event_type,
+  CAST(t.vi AS DOUBLE) / 10000.0 AS value_orig,
+  CAST(g.vi AS DOUBLE) / 10000.0 AS value_norm
+FROM tgt t JOIN gr g ON t.idx = g.rg
+"""
+
+
+@query("event_value_quantile_normalized", oracle=_QNORM_ORACLE)
+def q_event_value_quantile_normalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization: each event's value is replaced by the
+    GLOBAL distribution's value at the same relative rank within its
+    type — the feature-engineering transform that makes heterogeneous
+    metrics comparable (microarray normalization, learned-feature
+    preprocessing) and the distribution-matching step behind
+    copula-style synthetic data.  Ranks are integer row_numbers with
+    event_id tie-breaks, the target index is one exact integer
+    proportion ((rn−1)·(n_g−1) div (n_t−1), singleton types map to the
+    global median index), and the lookup is a rank-keyed equi-join —
+    every step deterministic, no float interpolation.
+
+    Scale shape: the per-type rank partitions by type; the global rank
+    is the audit-exact form (single ordering) — at 100 TB the same
+    transform uses the equi-depth histogram's range-partitioned rank
+    (value_equidepth_histogram) or approx-quantile reference cutpoints
+    broadcast to a narrow map, trading exactness for zero global
+    sort; semantics are pinned here."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ev = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(10000.0)).cast("bigint").alias("vi"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    tr = ev.select(
+        "event_id",
+        "event_type",
+        "vi",
+        F.row_number().over(wt).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_t"),
+    )
+    gr = ev.select(
+        "vi",
+        F.row_number()
+        .over(Window.orderBy("vi", "event_id"))
+        .alias("rg"),
+    )
+    ng = ev.agg(F.count("*").alias("n_g"))
+    tgt = tr.crossJoin(F.broadcast(ng)).select(
+        "event_id",
+        "event_type",
+        "vi",
+        F.when(
+            F.col("n_t") > 1,
+            F.expr("CAST(((rn - 1) * (n_g - 1)) div (n_t - 1) AS BIGINT)")
+            + 1,
+        )
+        .otherwise(F.expr("CAST((n_g - 1) div 2 AS BIGINT)") + 1)
+        .alias("idx"),
+    )
+    # tgt and gr derive from the same ev frame — alias both sides (the
+    # AMBIGUOUS_SELF_JOIN gotcha) and qualify every column
+    t, g = tgt.alias("t"), gr.alias("g")
+    return t.join(g, F.col("t.idx") == F.col("g.rg")).select(
+        F.col("t.event_id").alias("event_id"),
+        F.col("t.event_type").alias("event_type"),
+        (F.col("t.vi").cast("double") / F.lit(1e4)).alias("value_orig"),
+        (F.col("g.vi").cast("double") / F.lit(1e4)).alias("value_norm"),
+    )

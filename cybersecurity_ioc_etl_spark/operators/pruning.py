@@ -276,13 +276,33 @@ def q_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries non-passing rows past the filter.  This is the explicit
     form of what the AQE bloom join does inside the shuffle — the
     audit makes its selectivity measurable per dim predicate."""
-    dim = (
+    dim = bloom_dim(spark, sf_dir)
+    bits = bloom_bits(dim)
+    return bloom_audit_row(spark, sf_dir, dim, bits)
+
+
+def bloom_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective dim side the filter is built from."""
+    return (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("key"))
         .distinct()
     )
-    bits = dim.select(_bloom_positions(F.col("key"), "pos")).distinct()
+
+
+def bloom_bits(dim: DataFrame) -> DataFrame:
+    """Distinct set bit positions of a key frame — the Bloom filter.
+    Set-union mergeable: partial bit sets from any key batching union
+    to the same filter (exercised by stream_bloom_build)."""
+    return dim.select(_bloom_positions(F.col("key"), "pos")).distinct()
+
+
+def bloom_audit_row(
+    spark: SparkSession, sf_dir: str, dim: DataFrame, bits: DataFrame
+) -> DataFrame:
+    """The audit row: probe the fact side's distinct keys through a
+    prebuilt bit set and count exact pass/true/false-positive."""
     fact = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey").isNotNull())
@@ -325,3 +345,20 @@ def q_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_rate"),
     )
+
+
+@query("stream_bloom_build", oracle=_BLOOM_ORACLE)
+def q_stream_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bloom-filter construction — the third mergeable-sketch
+    law exercised end to end (count-min merges by integer ADDITION,
+    KMV by bottom-k set union, Bloom by bit-set UNION): each dim
+    micro-batch writes its distinct bit positions as a replay-safe
+    bid-keyed partial, the fold unions them into the full filter, and
+    the audit row probed through the merged filter must hash-match the
+    one-shot batch build exactly (same oracle as
+    bloom_semijoin_audit).  This is how a long-lived runtime filter is
+    maintained against a dim that arrives continuously — cost per
+    trigger is the batch's distinct positions, never the dim."""
+    from ..streaming.pipeline import run_stream_bloom
+
+    return run_stream_bloom(spark, sf_dir)

@@ -1154,3 +1154,47 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume",
         (F.col("sm").cast("double") / F.lit(1e4)).alias("total_value"),
     )
+
+
+def run_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom build: dim keys arrive in micro-batches; each
+    batch's distinct bit positions land as a bid-keyed overwrite
+    partial (replay-safe), the fold unions committed partials into the
+    filter, and the full false-positive audit runs against the static
+    fact side.  Bit sets are idempotent under union, so this is the
+    most forgiving of the three mergeable sketches — but the committed
+    partial discipline still applies (a half-written partial must not
+    fold)."""
+    from ..operators.pruning import bloom_audit_row, bloom_bits, bloom_dim
+
+    dim = bloom_dim(spark, sf_dir)
+    work_dir = tempfile.mkdtemp(prefix="stream_bloom_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    dim.repartition(4).write.mode("overwrite").parquet(src)
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(bloom_bits(batch), out_dir, bid)
+
+    stream = (
+        spark.readStream.schema(dim.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if dirs:
+        bits = spark.read.parquet(*dirs).distinct()
+    else:
+        bits = spark.createDataFrame([], "pos bigint")
+    return bloom_audit_row(spark, sf_dir, dim, bits)

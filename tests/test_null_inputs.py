@@ -98,6 +98,10 @@ _REGRESSIONS = [
     "ioc_host_dga_scores",
     "token_cooccurrence_pmi",
     "rfm_customer_segments",
+    # round-7 batch 3
+    "event_value_quantile_normalized",
+    "asof_next_purchase_tolerance",
+    "stream_bloom_build",
 ]
 
 

@@ -34,6 +34,7 @@ _PYTHON_STAGE_OK = {
     "frame_dedup_profile",  # frame-sampling UDTF shape
     "media_dhash_groups",  # native image decode → perceptual hash
     "media_dhash_neardup_pairs",  # same decode stage feeding the LSH join
+    "audio_rms_profile",  # native WAV decode → frame energies (one Arrow map)
 }
 
 _BATCH_QUERIES = sorted(

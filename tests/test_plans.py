@@ -859,3 +859,22 @@ def test_rfm_windows_run_on_customer_grain(spark, sf_dir):
     p = plan(spark, sf_dir, "rfm_customer_segments")
     assert p.count("Exchange hashpartitioning(o_custkey") <= 1
     assert P.is_all_jvm(p)
+
+
+def test_quantile_normalization_is_rank_keyed_join(spark, sf_dir):
+    """Quantile normalization: the global-reference lookup is a keyed
+    join on the rank (never a cartesian), counts broadcast, all JVM."""
+    p = plan(spark, sf_dir, "event_value_quantile_normalized")
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert P.is_all_jvm(p)
+
+
+def test_forward_asof_shares_one_user_shuffle(spark, sf_dir):
+    """Forward as-of with tolerance: both event sides ride ONE user_id
+    exchange into the carry window — same cost law as the backward
+    as-of; tolerance is a projection, not a range join."""
+    p = plan(spark, sf_dir, "asof_next_purchase_tolerance")
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
