@@ -118,6 +118,9 @@ HEADLINE = [
     "rfm_customer_segments",
     "event_value_quantile_normalized",
     "asof_next_purchase_tolerance",
+    "scd2_temporal_join",
+    "linear_attribution_credits",
+    "orders_profile_drift",
 ]
 
 

@@ -2155,3 +2155,177 @@ def q_event_value_quantile_normalized(
         (F.col("t.vi").cast("double") / F.lit(1e4)).alias("value_orig"),
         (F.col("g.vi").cast("double") / F.lit(1e4)).alias("value_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 temporal join — facts joined to the dimension version valid at
+# event time (join-as-of-then)
+# ---------------------------------------------------------------------------
+
+_SCD2_JOIN_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE ts IS NOT NULL AND user_id % 10 = 0
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM ev
+),
+versions AS (
+  SELECT user_id, event_type, ts AS vf,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM marked
+  WHERE prev_type IS NULL OR event_type != prev_type
+),
+purchases AS (
+  SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  v.event_type AS regime_type,
+  strftime(v.vf, '%Y-%m-%d %H:%M:%S') AS regime_from
+FROM purchases p JOIN versions v
+  ON p.user_id = v.user_id
+ AND v.vf <= p.ts AND (p.ts < v.vt OR v.vt IS NULL)
+"""
+
+
+@query("scd2_temporal_join", oracle=_SCD2_JOIN_ORACLE)
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-as-of-THEN: each purchase is joined to the SCD2 dimension
+    version valid AT ITS TIMESTAMP (vf ≤ ts < vt, open-ended current
+    version) — the lakehouse temporal-join pattern (price at order
+    time, segment at click time) that plain as-of joins approximate
+    and SCD2 makes exact.  The dimension is the user_value_scd2 fold
+    (change-point runs with lead validity); zero-length versions from
+    equal-timestamp change points match nothing in BOTH engines
+    (vf ≤ ts < vt is vacuous), so the tie rule of the fold carries
+    through the join unchanged.
+
+    Scale shape: dimension build and join share the user_id
+    partitioning — the interval predicate rides a KEYED join (per-user
+    intervals, bounded versions per user), never a cartesian; at
+    100 TB the dimension is the compacted bucketed table and the join
+    is co-located (sinks/bucketed.py)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & (F.col("user_id") % 10 == 0))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("vf"), "event_id")
+        .withColumn(
+            "vt",
+            F.lead("vf").over(
+                Window.partitionBy("user_id").orderBy("vf", "event_id")
+            ),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    p, v = purchases.alias("p"), versions.alias("v")
+    return (
+        p.join(
+            v,
+            (F.col("p.user_id") == F.col("v.user_id"))
+            & (F.col("v.vf") <= F.col("p.ts"))
+            & ((F.col("p.ts") < F.col("v.vt")) | F.col("v.vt").isNull()),
+        )
+        .select(
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.user_id").alias("user_id"),
+            F.date_format("p.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("v.event_type").alias("regime_type"),
+            F.date_format("v.vf", "yyyy-MM-dd HH:mm:ss").alias("regime_from"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear attribution — purchase value split equally over the click window
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+    epoch_us(ts) // 1000000 AS sec,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+    AND user_id IS NOT NULL AND value IS NOT NULL
+),
+c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) // 1000000 AS sec
+  FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+j AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, p.vi,
+    COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_clicks
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND c.sec <= p.sec AND p.sec - c.sec <= 3600
+)
+SELECT purchase_id, click_id, user_id,
+  CAST(n_clicks AS BIGINT) AS n_clicks,
+  CAST(vi AS DOUBLE) / CAST(n_clicks AS DOUBLE) / 10000.0 AS credit
+FROM j
+"""
+
+
+@query("linear_attribution_credits", oracle=_ATTRIBUTION_ORACLE)
+def q_linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) attribution: every purchase's value is
+    split evenly across the same user's clicks in the preceding hour —
+    the marketing-attribution primitive between last-touch (the as-of
+    join) and data-driven models.  The click window is a keyed
+    time-range join on user_id (never a cartesian), the per-purchase
+    click count one window over the join result, and each credit is a
+    single double division of the exact value mantissa.
+
+    Scale shape: join and window share the key partitioning; output is
+    (purchase × window clicks) rows — bounded by the tolerance, the
+    same state law as the stream-stream click/error join."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    p = base.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("p_sec"),
+        F.round(F.col("value") * F.lit(10000.0)).cast("bigint").alias("vi"),
+    )
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_timestamp("ts").alias("c_sec"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_sec") <= F.col("p_sec"))
+        & (F.col("p_sec") - F.col("c_sec") <= 3600),
+    ).withColumn(
+        "n_clicks", F.count("*").over(Window.partitionBy("purchase_id"))
+    )
+    return j.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("n_clicks").cast("bigint").alias("n_clicks"),
+        (
+            F.col("vi").cast("double")
+            / F.col("n_clicks").cast("double")
+            / F.lit(10000.0)
+        ).alias("credit"),
+    )

@@ -148,3 +148,123 @@ def q_lineitem_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("null_shipdates"),
     )
     return orphans.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(domain))
+
+
+# ---------------------------------------------------------------------------
+# Profile drift — two-era column statistics diff (data-quality monitoring)
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "1995-01-01"
+
+_DRIFT_COLS_SQL = []
+for _c, _expr in (
+    ("o_custkey", "o_custkey"),
+    ("o_totalprice", MI.format(x="o_totalprice")),
+    ("o_orderpriority", "o_orderpriority"),
+):
+    _DRIFT_COLS_SQL.append(f"""
+SELECT '{_c}' AS col,
+  CAST(COUNT(*) FILTER (WHERE era = 'a') AS BIGINT) AS n_a,
+  CAST(COUNT(*) FILTER (WHERE era = 'b') AS BIGINT) AS n_b,
+  CAST(COUNT(*) FILTER (WHERE era = 'a' AND {_expr} IS NULL)
+       AS BIGINT) AS nulls_a,
+  CAST(COUNT(*) FILTER (WHERE era = 'b' AND {_expr} IS NULL)
+       AS BIGINT) AS nulls_b,
+  CAST(COUNT(DISTINCT CASE WHEN era = 'a' THEN {_expr} END)
+       AS BIGINT) AS distinct_a,
+  CAST(COUNT(DISTINCT CASE WHEN era = 'b' THEN {_expr} END)
+       AS BIGINT) AS distinct_b
+FROM eras""")
+
+_DRIFT_ORACLE = f"""
+WITH eras AS (
+  SELECT *, CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+                 THEN 'a' ELSE 'b' END AS era
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+long AS ({" UNION ALL ".join(_DRIFT_COLS_SQL)})
+SELECT col, n_a, n_b, nulls_a, nulls_b, distinct_a, distinct_b,
+  CAST(nulls_b AS DOUBLE) / CAST(NULLIF(n_b, 0) AS DOUBLE)
+    - CAST(nulls_a AS DOUBLE) / CAST(NULLIF(n_a, 0) AS DOUBLE)
+    AS null_rate_delta,
+  CAST(distinct_b AS DOUBLE) / CAST(NULLIF(distinct_a, 0) AS DOUBLE)
+    AS distinct_ratio
+FROM long
+"""
+
+
+@query("orders_profile_drift", oracle=_DRIFT_ORACLE)
+def q_orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/statistics DRIFT between two eras of the same table — the
+    data-quality monitor that catches a broken upstream before it
+    poisons training: per column, null counts and distinct cardinality
+    in era A (before the split date) vs era B, with the null-rate delta
+    and distinct-cardinality ratio as the alerting signals.  Computed
+    like orders_column_profile: ONE pass with conditional aggregates
+    (era is a CASE tag, never a second scan), unpivoted to long form.
+
+    Scale shape: a single aggregation producing every (column × era)
+    metric — profiling at 100 TB cannot afford a scan per column or per
+    era; the COUNT(DISTINCT CASE ...) pairs expand to a two-round
+    shuffle carrying keys only.  In production the split is
+    yesterday/today partitions and the output feeds the freshness
+    dashboard."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    era = F.when(
+        F.col("o_orderdate") < F.lit(_DRIFT_SPLIT).cast("timestamp"), "a"
+    ).otherwise("b")
+    eras = o.withColumn("era", era)
+    pi = mi(F.col("o_totalprice"))
+    cols = [
+        ("o_custkey", F.col("o_custkey")),
+        ("o_totalprice", pi),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    parts = []
+    for name, expr in cols:
+        parts.append(
+            eras.agg(
+                F.count(F.when(F.col("era") == "a", 1))
+                .cast("bigint")
+                .alias("n_a"),
+                F.count(F.when(F.col("era") == "b", 1))
+                .cast("bigint")
+                .alias("n_b"),
+                F.count(
+                    F.when((F.col("era") == "a") & expr.isNull(), 1)
+                ).cast("bigint").alias("nulls_a"),
+                F.count(
+                    F.when((F.col("era") == "b") & expr.isNull(), 1)
+                ).cast("bigint").alias("nulls_b"),
+                F.count_distinct(F.when(F.col("era") == "a", expr))
+                .cast("bigint")
+                .alias("distinct_a"),
+                F.count_distinct(F.when(F.col("era") == "b", expr))
+                .cast("bigint")
+                .alias("distinct_b"),
+            ).select(F.lit(name).alias("col"), "*")
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.select(
+        "col",
+        "n_a",
+        "n_b",
+        "nulls_a",
+        "nulls_b",
+        "distinct_a",
+        "distinct_b",
+        (
+            F.col("nulls_b").cast("double")
+            / F.nullif(F.col("n_b"), F.lit(0)).cast("double")
+            - F.col("nulls_a").cast("double")
+            / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+        ).alias("null_rate_delta"),
+        (
+            F.col("distinct_b").cast("double")
+            / F.nullif(F.col("distinct_a"), F.lit(0)).cast("double")
+        ).alias("distinct_ratio"),
+    )

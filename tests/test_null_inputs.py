@@ -102,6 +102,9 @@ _REGRESSIONS = [
     "event_value_quantile_normalized",
     "asof_next_purchase_tolerance",
     "stream_bloom_build",
+    "scd2_temporal_join",
+    "linear_attribution_credits",
+    "orders_profile_drift",
 ]
 
 

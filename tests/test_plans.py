@@ -878,3 +878,32 @@ def test_forward_asof_shares_one_user_shuffle(spark, sf_dir):
     assert p.count("Exchange hashpartitioning(user_id") <= 1
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_scd2_temporal_join_is_keyed_interval_join(spark, sf_dir):
+    """Join-as-of-then: the validity-interval predicate must ride a
+    KEYED user_id join (interval condition as post-join filter), never
+    a cartesian; dimension build + join share the user partitioning."""
+    p = plan(spark, sf_dir, "scd2_temporal_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_attribution_window_join_is_keyed(spark, sf_dir):
+    """Linear attribution: the click-window join is keyed on user_id
+    with the time predicates as residuals; the per-purchase count
+    window rides the join output."""
+    p = plan(spark, sf_dir, "linear_attribution_credits")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_profile_drift_single_pass(spark, sf_dir):
+    """Drift profile: one scan per metric UNION leg at most — no joins,
+    no Python, and the orderdate filter reaches the scan."""
+    p = plan(spark, sf_dir, "orders_profile_drift")
+    assert P.has_pushed_filters(p)
+    assert "HashJoin" not in p and "SortMergeJoin" not in p  # agg-only plan
+    assert P.is_all_jvm(p)
