@@ -611,3 +611,93 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("mon_i").cast("double") / F.lit(1e4)).alias("total_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration — Gini coefficient + top-share from exact ranks
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(SUM({MI.format(x='o_totalprice')}) AS BIGINT) AS xi
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT xi, row_number() OVER (ORDER BY xi, o_custkey) AS i,
+    COUNT(*) OVER () AS n
+  FROM per_cust
+),
+agg AS (
+  SELECT MAX(n) AS n,
+    CAST(SUM(xi) AS BIGINT) AS s1,
+    CAST(SUM(CAST(i AS BIGINT) * xi) AS DOUBLE) AS s2d,
+    CAST(SUM(CASE WHEN i > n - n // 10 THEN xi ELSE 0 END) AS BIGINT)
+      AS top10_i,
+    CAST(SUM(CASE WHEN i > n - n // 100 THEN xi ELSE 0 END) AS BIGINT)
+      AS top1_i
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+  CAST(s1 AS DOUBLE) / 10000.0 AS total_revenue,
+  2.0 * s2d / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini,
+  CAST(top10_i AS DOUBLE) / CAST(s1 AS DOUBLE) AS top10pct_share,
+  CAST(top1_i AS DOUBLE) / CAST(s1 AS DOUBLE) AS top1pct_share
+FROM agg
+"""
+
+
+@query("revenue_gini_concentration", oracle=_GINI_ORACLE)
+def q_revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration audit: the Gini coefficient of customer
+    spend plus top-10%/top-1% revenue shares — the inequality metrics
+    behind whale-risk analysis, and for a training corpus the same
+    math measures source/domain concentration.  Gini uses the exact
+    rank identity G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n: ranks are integer
+    row_numbers (custkey tie-break), Σi·xᵢ accumulates in DECIMAL(38,0)
+    (exact beyond int64) and converts to double ONCE — the single
+    permitted rounding — so both engines emit the bit-identical
+    coefficient.  Top-k shares are pure integer sums over rank
+    thresholds.
+
+    Scale shape: one per-customer aggregation, one rank ordering over
+    the customer-grain frame, one scalar row out.  The global rank is
+    the audit-exact form; the production path at 100 TB substitutes the
+    range-partitioned rank (value_equidepth_histogram's lever)."""
+    from .relational import isum
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(mi(F.col("o_totalprice"))).cast("bigint").alias("xi")
+    )
+    ranked = per_cust.select(
+        "xi",
+        F.row_number().over(Window.orderBy("xi", "o_custkey")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum("xi").cast("bigint").alias("s1"),
+        isum(F.col("i").cast("bigint") * F.col("xi")).alias("s2d"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - F.expr("n div 10"), F.col("xi"))
+            .otherwise(0)
+        ).cast("bigint").alias("top10_i"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - F.expr("n div 100"), F.col("xi"))
+            .otherwise(0)
+        ).cast("bigint").alias("top1_i"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        (s1d / F.lit(1e4)).alias("total_revenue"),
+        (
+            F.lit(2.0) * F.col("s2d") / (nd * s1d)
+            - (nd + F.lit(1.0)) / nd
+        ).alias("gini"),
+        (F.col("top10_i").cast("double") / s1d).alias("top10pct_share"),
+        (F.col("top1_i").cast("double") / s1d).alias("top1pct_share"),
+    )

@@ -2329,3 +2329,98 @@ def q_linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain — unrolled
+# integer power iteration on the transition counts
+# ---------------------------------------------------------------------------
+
+_STATIONARY_ROUND_SQL = """
+v{r} AS (
+  SELECT c.next_type AS event_type,
+    CAST(SUM(CAST((v.v * c.n) // t.tot AS BIGINT)) AS BIGINT) AS v
+  FROM c JOIN v{p} v ON c.prev_type = v.event_type
+         JOIN t ON c.prev_type = t.prev_type
+  GROUP BY 1
+)"""
+
+_STATIONARY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+pr AS (
+  SELECT event_type AS next_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM ev
+),
+c AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM pr
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY 1),
+v0 AS (SELECT DISTINCT prev_type AS event_type, 1000000000 AS v FROM c),
+{_STATIONARY_ROUND_SQL.format(r=1, p=0)},
+{_STATIONARY_ROUND_SQL.format(r=2, p=1)},
+{_STATIONARY_ROUND_SQL.format(r=3, p=2)},
+s AS (SELECT CAST(SUM(v) AS BIGINT) AS total FROM v3)
+SELECT v3.event_type, v3.v AS mass_i,
+  CAST(v3.v AS DOUBLE) / CAST(s.total AS DOUBLE) AS stationary_share
+FROM v3 CROSS JOIN s
+"""
+
+
+@query("event_type_stationary_dist", oracle=_STATIONARY_ORACLE)
+def q_event_type_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — three
+    unrolled power-iteration rounds v ← vP over the transition counts
+    (where does user attention settle in steady state).  Everything is
+    EXACT integer arithmetic: the mass vector starts at 1e9 per type
+    and each round's update is Σ_i (v_i·n_ij) div tot_i — floor
+    division on non-negative ints is engine-identical, so three rounds
+    compose deterministically (the pagerank discipline applied to the
+    behavioral chain); the final share is one double division.
+
+    Scale shape: the transition matrix is types² rows (broadcast); each
+    round is a broadcast join + types-row aggregate — iteration cost is
+    independent of the corpus after the one census pass."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pr = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = pr.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    c = c.localCheckpoint(eager=True)  # census once; rounds reuse it
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    v = c.select(F.col("prev_type").alias("event_type")).distinct().select(
+        "event_type", F.lit(1000000000).cast("bigint").alias("v")
+    )
+    for _ in range(3):
+        v = (
+            c.join(
+                F.broadcast(v),
+                c["prev_type"] == v["event_type"],
+            )
+            .join(F.broadcast(t), "prev_type")
+            .select(
+                F.col("next_type").alias("event_type"),
+                F.expr("CAST((v * n) div tot AS BIGINT)").alias("term"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("term").cast("bigint").alias("v"))
+        )
+    s = v.agg(F.sum("v").cast("bigint").alias("total"))
+    return v.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        F.col("v").alias("mass_i"),
+        (F.col("v").cast("double") / F.col("total").cast("double")).alias(
+            "stationary_share"
+        ),
+    )

@@ -268,3 +268,72 @@ def q_orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("distinct_a"), F.lit(0)).cast("double")
         ).alias("distinct_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — quasi-identifier group-size census (privacy gate)
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH qi AS (
+  SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hr, COUNT(*) AS k
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+classed AS (
+  SELECT CASE WHEN k = 1 THEN '1'
+              WHEN k < 5 THEN '2-4'
+              WHEN k < 10 THEN '5-9'
+              ELSE '10+' END AS k_class,
+    CASE WHEN k < 5 THEN k ELSE 0 END AS suppressed,
+    k
+  FROM qi
+)
+SELECT k_class,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(k) AS BIGINT) AS n_rows,
+  CAST(SUM(suppressed) AS BIGINT) AS rows_suppressed_at_k5
+FROM classed GROUP BY 1
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_ORACLE)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (event_type, weekday, hour)
+    quasi-identifier: the privacy gate run before releasing or training
+    on behavioral data — groups smaller than k are re-identification
+    risks, and the suppressed-rows column is the exact utility cost of
+    enforcing k = 5 by suppression.  One census aggregation (map-side
+    combined), then a 4-row class rollup; the QI choice is a projection
+    and swaps freely (the operator is the census, not the schema).
+    Spark's 1-based dayofweek is aligned to DuckDB's 0-based convention
+    upstream of the class grouping — the dow value itself never leaves
+    the census, so no alignment column is emitted.
+
+    Scale shape: state is one counter per occupied QI cell; at 100 TB
+    with high-cardinality QIs the same census becomes the sketch-backed
+    variant (count-min over QI hashes) — the exact form here is the
+    calibration, exactly like countmin_token_audit's split."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    qi = e.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").alias("k"))
+    classed = qi.select(
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") < 5, "2-4")
+        .when(F.col("k") < 10, "5-9")
+        .otherwise("10+")
+        .alias("k_class"),
+        F.when(F.col("k") < 5, F.col("k")).otherwise(0).alias("suppressed"),
+        "k",
+    )
+    return classed.groupBy("k_class").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.sum("suppressed").cast("bigint").alias("rows_suppressed_at_k5"),
+    )
