@@ -121,6 +121,9 @@ HEADLINE = [
     "scd2_temporal_join",
     "linear_attribution_credits",
     "orders_profile_drift",
+    "event_type_stationary_dist",
+    "revenue_gini_concentration",
+    "k_anonymity_audit",
 ]
 
 

@@ -907,3 +907,29 @@ def test_profile_drift_single_pass(spark, sf_dir):
     assert P.has_pushed_filters(p)
     assert "HashJoin" not in p and "SortMergeJoin" not in p  # agg-only plan
     assert P.is_all_jvm(p)
+
+
+def test_stationary_rounds_broadcast_census(spark, sf_dir):
+    """Stationary distribution: after the one census pass, every
+    iteration round joins the checkpointed types² matrix via BROADCAST —
+    no corpus rescans, no cartesian."""
+    p = plan(spark, sf_dir, "event_type_stationary_dist")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_gini_ranks_customer_grain_single_scalar_out(spark, sf_dir):
+    """Gini: one per-customer aggregation feeds the rank ordering; the
+    output is a single scalar row, all JVM."""
+    p = plan(spark, sf_dir, "revenue_gini_concentration")
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_k_anonymity_is_two_phase_census(spark, sf_dir):
+    """k-anonymity: the QI census partially aggregates map-side; the
+    class rollup touches only occupied cells."""
+    p = plan(spark, sf_dir, "k_anonymity_audit")
+    assert p.count("HashAggregate") >= 2
+    assert P.is_all_jvm(p)
