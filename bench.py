@@ -124,6 +124,7 @@ HEADLINE = [
     "event_type_stationary_dist",
     "revenue_gini_concentration",
     "k_anonymity_audit",
+    "video_scene_cuts",
 ]
 
 

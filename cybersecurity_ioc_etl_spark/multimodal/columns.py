@@ -1024,3 +1024,134 @@ def q_audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.lit(_AU_FRAME)).cast("double")
         ).alias("rms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection through the REAL Y4M decode path
+# ---------------------------------------------------------------------------
+
+_VID_W = 8
+_VID_H = 8
+_VID_FRAMES = 4
+_VID_PLANE = _VID_W * _VID_H  # Cmono: Y plane only
+_VID_CHARS = _VID_PLANE * _VID_FRAMES
+_SCENE_CUT_T = 640  # Σ|Δluma| over 64 px (avg 10/px) → a cut
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("pair_idx", T.LongType(), False),
+        T.StructField("delta_i", T.LongType(), False),
+    ]
+)
+
+
+def synthesize_y4m_videos(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL YUV4MPEG2 blobs: each document's first 256
+    ASCII bytes (x-padded) become four 8×8 mono Y planes behind a
+    genuine Y4M stream header with per-frame FRAME markers — the video
+    twin of synthesize_ppm_images / synthesize_wav_audio, so
+    _decode_y4m exercises its actual parse path."""
+    ascii_only = F.length(F.encode(F.col("text"), "utf-8")) == F.length(
+        F.col("text")
+    )
+    pad = F.rpad(F.substring(F.col("text"), 1, _VID_CHARS), _VID_CHARS, "x")
+    header = F.lit(f"YUV4MPEG2 W{_VID_W} H{_VID_H} F25:1 Cmono\n".encode())
+    marker = F.lit(b"FRAME\n")
+    parts = [header]
+    for f in range(_VID_FRAMES):
+        parts.append(marker)
+        parts.append(
+            F.encode(F.substring(pad, f * _VID_PLANE + 1, _VID_PLANE), "utf-8")
+        )
+    return documents.filter(F.col("text").isNotNull() & ascii_only).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(*parts).alias("content"),
+    )
+
+
+def frame_pair_deltas(media: DataFrame) -> DataFrame:
+    """Σ|Δluma| between consecutive decoded frames — the scene-cut
+    signal, computed inside one Arrow-batched mapInPandas over the REAL
+    Y4M decoder; each pair leaves Python as one exact integer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "pair_idx": [], "delta_i": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                frames = _decode_y4m(bytes(blob))
+                if not frames:
+                    continue
+                for i in range(1, len(frames)):
+                    a, b = frames[i - 1], frames[i]
+                    out["media_id"].append(int(mid))
+                    out["pair_idx"].append(i)
+                    out["delta_i"].append(
+                        sum(abs(x - y) for x, y in zip(a, b))
+                    )
+            yield pd.DataFrame(out, columns=list(SCENE_SCHEMA.names))
+
+    return media.filter(F.col("content").isNotNull()).mapInPandas(
+        run, schema=SCENE_SCHEMA
+    )
+
+
+_SCENE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, rpad(substring(text, 1, {_VID_CHARS}), {_VID_CHARS}, 'x')
+    AS p
+  FROM documents
+  WHERE text IS NOT NULL AND strlen(text) = length(text)
+),
+pos AS (
+  SELECT doc_id, p, unnest(generate_series(1, {_VID_FRAMES - 1})) AS f
+  FROM px
+),
+cell AS (
+  SELECT doc_id, f, unnest(generate_series(0, {_VID_PLANE - 1})) AS i, p
+  FROM pos
+),
+deltas AS (
+  SELECT doc_id, f AS pair_idx,
+    CAST(SUM(abs(
+      ord(substring(p, CAST(f * {_VID_PLANE} + i + 1 AS INTEGER), 1))
+      - ord(substring(p, CAST((f - 1) * {_VID_PLANE} + i + 1 AS INTEGER), 1))
+    )) AS BIGINT) AS delta_i
+  FROM cell GROUP BY 1, 2
+)
+SELECT doc_id AS media_id,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN delta_i > {_SCENE_CUT_T} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_cuts,
+  CAST(MAX(delta_i) AS BIGINT) AS max_delta
+FROM deltas GROUP BY 1
+"""
+
+
+@query("video_scene_cuts", oracle=_SCENE_ORACLE)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection through the REAL video decode path: genuine
+    YUV4MPEG2 blobs (stream header + FRAME markers + mono Y planes),
+    the native _decode_y4m parse, and per-consecutive-frame Σ|Δluma|
+    computed inside one Arrow map — frames whose delta exceeds the
+    threshold are cuts, the shot-segmentation primitive every video
+    curation pipeline needs (keyframe selection, clip splitting,
+    near-static filtering).  The ORACLE re-derives every luma sample
+    from character codes, so a decoder regression (header parse, frame
+    stride, plane size) shifts deltas and breaks the value hash — the
+    media_dhash/audio_rms discipline completing the third media kind.
+
+    Scale shape: decode + pairwise fold is a narrow Arrow map emitting
+    3 ints per frame pair; aggregation is JVM and per-clip state is
+    bounded by frames-per-clip.  A real deployment swaps the synth for
+    pyav keyframe iterators; the plumbing (batch shape, UDTF explode,
+    integer features) is exactly what ships here."""
+    d = load_table(spark, sf_dir, "documents")
+    deltas = frame_pair_deltas(synthesize_y4m_videos(d))
+    return deltas.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("delta_i") > _SCENE_CUT_T, 1).otherwise(0)
+        ).cast("bigint").alias("n_cuts"),
+        F.max("delta_i").cast("bigint").alias("max_delta"),
+    )

@@ -133,6 +133,7 @@ _FAMILIES = [
     "event_type_stationary_dist",
     "revenue_gini_concentration",
     "k_anonymity_audit",
+    "video_scene_cuts",
 ]
 
 

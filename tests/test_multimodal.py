@@ -419,3 +419,25 @@ def test_synthesized_wav_roundtrips_through_native_decoder(spark):
     want = ("hello world" + "x" * (_AU_N - 11)).encode()
     assert got == want
     assert _decode_wav(rows[2]) == b"x" * _AU_N
+
+
+def test_synthesized_y4m_roundtrips_through_native_decoder(spark):
+    """synthesize_y4m_videos emits genuine Y4M streams: the native
+    decoder must recover the four 64-byte Y planes exactly."""
+    from cybersecurity_ioc_etl_spark.multimodal.columns import (
+        _decode_y4m,
+        _VID_CHARS,
+        synthesize_y4m_videos,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "y" * 300)], "doc_id long, text string"
+    )
+    rows = {r["media_id"]: bytes(r["content"])
+            for r in synthesize_y4m_videos(docs).collect()}
+    pad = ("abc" + "x" * (_VID_CHARS - 3)).encode()
+    frames = _decode_y4m(rows[1])
+    assert [bytes(f) for f in frames] == [
+        pad[i * 64:(i + 1) * 64] for i in range(4)
+    ]
+    assert all(bytes(f) == b"y" * 64 for f in _decode_y4m(rows[2]))

@@ -108,6 +108,7 @@ _REGRESSIONS = [
     "event_type_stationary_dist",
     "revenue_gini_concentration",
     "k_anonymity_audit",
+    "video_scene_cuts",
 ]
 
 

@@ -933,3 +933,14 @@ def test_k_anonymity_is_two_phase_census(spark, sf_dir):
     p = plan(spark, sf_dir, "k_anonymity_audit")
     assert p.count("HashAggregate") >= 2
     assert P.is_all_jvm(p)
+
+
+def test_scene_cuts_python_stage_is_one_arrow_map(spark, sf_dir):
+    """Video scene cuts: exactly ONE Arrow-batched Python stage (decode
+    + pair fold); aggregation after it is JVM."""
+    import re
+
+    p = plan(spark, sf_dir, "video_scene_cuts")
+    assert len(set(re.findall(r"\((\d+)\) MapInPandas", p))) == 1
+    assert "BatchEvalPython" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p

@@ -71,6 +71,7 @@ _REGRESSIONS = [
     # round-7 batch 2: unicode hosts/tokens hash + case-fold identically
     "ioc_host_dga_scores",
     "token_cooccurrence_pmi",
+    "video_scene_cuts",
 ]
 
 
