@@ -1,7 +1,7 @@
 """Scan-pruning and data-layout audits — the physical-design operators a
 100 TB lakehouse lives or dies by, made measurable and oracle-checked.
 
-Two families:
+Families:
 
 - **Z-order layout** (`zorder_layout_audit`): the Morton-interleave
   clustering every table format exposes (Delta ``ZORDER BY``, Iceberg
@@ -15,7 +15,8 @@ Two families:
   (``spark.sql.optimizer.runtime.bloomFilter.enabled``), restated with
   deterministic md5-prefix hash functions so BOTH engines construct the
   bit-identical filter and the false-positive count — not just a bound —
-  is hash-checked.
+  is hash-checked.  `stream_bloom_build` maintains the same filter from
+  a dim STREAM by bit-set union of replay-safe per-batch partials.
 
 Reference analog: none (the reference is a single-feed ETL script);
 these are engine-provided scale operators per the builder's brief.
