@@ -341,3 +341,113 @@ def q_trade_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_trade_bfs_distances.__doc__ = q_trade_bfs_distances.__doc__.replace(
     "{n}", str(_BFS_ROUNDS)
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — 3 unrolled peeling rounds over the trade graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+
+_KCORE_ROUND_SQL = """
+d{r} AS MATERIALIZED (
+  SELECT e.src AS id, COUNT(*) AS d
+  FROM bi e JOIN a{p} x ON e.src = x.id JOIN a{p} y ON e.dst = y.id
+  GROUP BY 1
+),
+a{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE d >= %d)""" % _KCORE_K
+
+_KCORE_ORACLE = f"""
+WITH draw AS ({_EDGES_SQL}),
+uedges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM draw WHERE src != dst
+),
+bi AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM uedges
+  UNION ALL
+  SELECT b, a FROM uedges
+),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id FROM uedges UNION SELECT DISTINCT b FROM uedges
+),{_KCORE_ROUND_SQL.format(r=1, p=0)},{_KCORE_ROUND_SQL.format(r=2, p=1)},{_KCORE_ROUND_SQL.format(r=3, p=2)},
+degf AS (
+  SELECT e.src AS id, COUNT(*) AS d
+  FROM bi e JOIN a3 x ON e.src = x.id JOIN a3 y ON e.dst = y.id
+  GROUP BY 1
+)
+SELECT n.id AS nation, a3.id IS NOT NULL AS in_core,
+  CAST(degf.d AS BIGINT) AS core_degree
+FROM a0 n
+LEFT JOIN a3 ON n.id = a3.id
+LEFT JOIN degf ON n.id = degf.id
+"""
+
+
+@query("trade_kcore_membership", oracle=_KCORE_ORACLE)
+def q_trade_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the undirected nation trade graph,
+    three unrolled peeling rounds — the graph-density member of the
+    iterative family (components, PageRank, BFS, Lloyd): each round
+    recomputes degrees WITHIN the surviving set and drops nodes below
+    k, converging to the maximal subgraph where everyone keeps ≥ k
+    alive neighbors (the community-core / spam-farm detector, and the
+    preprocessing cut that shrinks expensive graph algorithms).  All
+    counts are exact integers; the oracle's rounds are MATERIALIZED
+    CTEs (the inlining blow-up gotcha).
+
+    Scale shape: per round one edge-alive semi-join pair + a degree
+    census; the alive set only shrinks, so round cost is monotone
+    non-increasing, and the edge frame is checkpointed once.  Peeling
+    to convergence at 100 TB runs the same round under a driver loop
+    with the components-style checkpoint cadence."""
+    ue = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    bi = ue.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        ue.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        ue.select(F.col("a").alias("id"))
+        .unionByName(ue.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    alive = nodes
+    for _ in range(3):
+        deg = (
+            bi.join(
+                F.broadcast(alive.select(F.col("id").alias("src"))), "src"
+            )
+            .join(
+                F.broadcast(alive.select(F.col("id").alias("dst"))), "dst"
+            )
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= _KCORE_K).select(
+            F.col("src").alias("id")
+        )
+    degf = (
+        bi.join(F.broadcast(alive.select(F.col("id").alias("src"))), "src")
+        .join(F.broadcast(alive.select(F.col("id").alias("dst"))), "dst")
+        .groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .select(F.col("src").alias("id"), "d")
+    )
+    a3 = alive.withColumn("flag", F.lit(1))
+    n, a, g = nodes.alias("n"), a3.alias("a"), degf.alias("g")
+    return (
+        n.join(F.broadcast(a), F.col("n.id") == F.col("a.id"), "left")
+        .join(F.broadcast(g), F.col("n.id") == F.col("g.id"), "left")
+        .select(
+            F.col("n.id").cast("bigint").alias("nation"),
+            F.col("a.flag").isNotNull().alias("in_core"),
+            F.col("g.d").cast("bigint").alias("core_degree"),
+        )
+    )

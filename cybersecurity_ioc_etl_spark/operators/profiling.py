@@ -337,3 +337,59 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("n_rows"),
         F.sum("suppressed").cast("bigint").alias("rows_suppressed_at_k5"),
     )
+
+
+_LDIV_ORACLE = """
+WITH qi AS (
+  SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hr,
+    COUNT(*) AS k, COUNT(DISTINCT user_id) AS l
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN l <= 1 THEN '<=1' WHEN l < 5 THEN '2-4' ELSE '5+' END
+    AS l_class,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(k) AS BIGINT) AS n_rows,
+  CAST(MIN(l) AS BIGINT) AS min_l
+FROM qi GROUP BY 1
+"""
+
+
+@query("l_diversity_audit", oracle=_LDIV_ORACLE)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion: a QI
+    group can be large (k-anonymous) yet expose its members anyway if
+    the SENSITIVE attribute (here user_id as the stand-in) takes ≤ 1
+    distinct value inside it.  Per (type, weekday, hour) group, count
+    rows AND distinct sensitive values, then roll up by diversity
+    class; '<=1' groups are the disclosure risks k-anonymity alone
+    misses.  COUNT(DISTINCT user_id) ignores NULLs identically in both
+    engines (the aging-table lesson).
+
+    Scale shape: one census carrying (k, l) per occupied QI cell — the
+    distinct-count expands to the standard two-round key-only shuffle;
+    the class rollup touches cells, not rows."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    qi = e.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count("*").alias("k"),
+        F.count_distinct("user_id").alias("l"),
+    )
+    return qi.select(
+        F.when(F.col("l") <= 1, "<=1")
+        .when(F.col("l") < 5, "2-4")
+        .otherwise("5+")
+        .alias("l_class"),
+        "k",
+        "l",
+    ).groupBy("l_class").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("l").cast("bigint").alias("min_l"),
+    )

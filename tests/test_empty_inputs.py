@@ -134,6 +134,8 @@ _FAMILIES = [
     "revenue_gini_concentration",
     "k_anonymity_audit",
     "video_scene_cuts",
+    "trade_kcore_membership",
+    "l_diversity_audit",
 ]
 
 

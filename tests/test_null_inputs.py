@@ -109,6 +109,8 @@ _REGRESSIONS = [
     "revenue_gini_concentration",
     "k_anonymity_audit",
     "video_scene_cuts",
+    "trade_kcore_membership",
+    "l_diversity_audit",
 ]
 
 

@@ -944,3 +944,21 @@ def test_scene_cuts_python_stage_is_one_arrow_map(spark, sf_dir):
     assert len(set(re.findall(r"\((\d+)\) MapInPandas", p))) == 1
     assert "BatchEvalPython" not in p
     assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_kcore_rounds_broadcast_alive_set(spark, sf_dir):
+    """k-core peeling: every round's alive-set membership joins
+    BROADCAST against the checkpointed edge frame — no cartesian, no
+    corpus rescans past the one edge derivation."""
+    p = plan(spark, sf_dir, "trade_kcore_membership")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_l_diversity_census_two_phase(spark, sf_dir):
+    """l-diversity: the (k, l) census partially aggregates; distinct
+    user counting is the standard two-round key shuffle."""
+    p = plan(spark, sf_dir, "l_diversity_audit")
+    assert p.count("HashAggregate") >= 2
+    assert P.is_all_jvm(p)
