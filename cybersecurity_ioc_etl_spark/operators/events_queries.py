@@ -2424,3 +2424,127 @@ def q_event_type_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stationary_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly autocorrelation — ACF lags 1..6 over the gapfilled count series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 6
+
+_ACF_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, ts FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM base GROUP BY 1, 2
+),
+b AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM actual GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+series AS (
+  SELECT s.event_type, s.h, COALESCE(a.n, 0) AS x
+  FROM spine s LEFT JOIN actual a
+    ON a.event_type = s.event_type AND a.h = s.h
+),
+st AS (
+  SELECT event_type, h, x,
+    COUNT(*) OVER (PARTITION BY event_type) AS n,
+    SUM(x) OVER (PARTITION BY event_type) AS s
+  FROM series
+),
+yt AS (SELECT event_type, h, n AS nh, n * x - s AS y FROM st),
+ld AS (
+  SELECT event_type, nh, y,
+    {", ".join(f"lead(y, {k}) OVER w AS y{k}" for k in range(1, _ACF_LAGS + 1))}
+  FROM yt WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+agg AS (
+  SELECT event_type, MAX(nh) AS n_hours, SUM(y * y) AS d,
+    {", ".join(f"SUM(y * y{k}) AS n{k}" for k in range(1, _ACF_LAGS + 1))}
+  FROM ld GROUP BY 1
+)
+{" UNION ALL ".join(
+    f"SELECT event_type, CAST({k} AS BIGINT) AS lag, "
+    "CAST(n_hours AS BIGINT) AS n_hours, "
+    f"CAST(n{k} AS DOUBLE) / CAST(NULLIF(d, 0) AS DOUBLE) AS acf FROM agg"
+    for k in range(1, _ACF_LAGS + 1))}
+"""
+
+
+@query("event_hourly_autocorrelation", oracle=_ACF_ORACLE)
+def q_event_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's hourly count series
+    at lags 1..6 — the seasonality detector feeding anomaly thresholds
+    and forecast model choice (a daily rhythm shows as structure across
+    the lag profile).  The series is gapfilled to a complete hourly
+    spine first (missing buckets are real zeros — ACF over a sparse
+    series is a different, wrong statistic).  Determinism contract: with
+    S = Σx and n the series length, r_k = Σ(n·x_t − S)(n·x_{{t+k}} − S) /
+    Σ(n·x_t − S)² — both sums are exact integers (the n² factor
+    cancels), divided ONCE; NULLIF guards the constant-series 0/0 (the
+    OLS lesson).  The lag alignment is lead() over the complete spine —
+    the order key is the generated hour, never NULL.
+
+    Scale shape: the spine is generated O(hours) per type, the census
+    map-side combines events to cells, and the n/S/lead windows all ride
+    ONE shuffle on event_type; the moment reduction emits one row per
+    (type, lag).  Series length, not event count, bounds every stage
+    after the census."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    actual = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = actual.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    series = spine.join(actual, ["event_type", "h"], "left").withColumn(
+        "x", F.coalesce("n", F.lit(0))
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("h")
+    yt = series.select(
+        "event_type",
+        "h",
+        F.count("*").over(wt).alias("nh"),
+        (F.count("*").over(wt) * F.col("x") - F.sum("x").over(wt)).alias("y"),
+    )
+    ld = yt.select(
+        "event_type",
+        "nh",
+        "y",
+        *[F.lead("y", k).over(wo).alias(f"y{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    agg = ld.groupBy("event_type").agg(
+        F.max("nh").alias("n_hours"),
+        F.sum(F.col("y") * F.col("y")).alias("d"),
+        *[
+            F.sum(F.col("y") * F.col(f"y{k}")).alias(f"n{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"cast({k} as bigint), cast(n{k} as double)"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.expr(f"stack({_ACF_LAGS}, {stack_args})").alias("lag", "nk"),
+        F.col("d"),
+    ).select(
+        "event_type",
+        "lag",
+        "n_hours",
+        (F.col("nk") / F.nullif(F.col("d"), F.lit(0)).cast("double")).alias("acf"),
+    )

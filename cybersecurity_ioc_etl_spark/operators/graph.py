@@ -451,3 +451,188 @@ def q_trade_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g.d").cast("bigint").alias("core_degree"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities — 2 unrolled L1-normalized rounds
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 2
+_HITS_SCALE = 1_000_000
+
+_HITS_ROUND_SQL = """
+araw{r} AS MATERIALIZED (
+  SELECT n.id, COALESCE(SUM(h.hi), 0) AS raw
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN h{p} h ON h.id = e.src
+  GROUP BY 1
+),
+a{r} AS MATERIALIZED (
+  SELECT id,
+    CAST((raw * %(s)d) // (SELECT SUM(raw) FROM araw{r}) AS BIGINT) AS ai
+  FROM araw{r}
+),
+hraw{r} AS MATERIALIZED (
+  SELECT n.id, COALESCE(SUM(a.ai), 0) AS raw
+  FROM nodes n
+  LEFT JOIN edges e ON e.src = n.id
+  LEFT JOIN a{r} a ON a.id = e.dst
+  GROUP BY 1
+),
+h{r} AS MATERIALIZED (
+  SELECT id,
+    CAST((raw * %(s)d) // (SELECT SUM(raw) FROM hraw{r}) AS BIGINT) AS hi
+  FROM hraw{r}
+)""" % {"s": _HITS_SCALE}
+
+_HITS_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges
+),
+h0 AS MATERIALIZED (SELECT id, {_HITS_SCALE} AS hi FROM nodes),{",".join(
+    _HITS_ROUND_SQL.format(r=i + 1, p=i) for i in range(_HITS_ROUNDS))}
+SELECT CAST(h.id AS BIGINT) AS nation_id,
+  CAST(h.hi AS DOUBLE) / {_HITS_SCALE}.0 AS hub,
+  CAST(a.ai AS DOUBLE) / {_HITS_SCALE}.0 AS authority
+FROM h{_HITS_ROUNDS} h JOIN a{_HITS_ROUNDS} a ON h.id = a.id
+"""
+
+
+def _l1_normalize(raw: DataFrame, col: str, out: str) -> DataFrame:
+    """(id, raw) -> (id, out) with out = (raw * SCALE) // sum(raw) — the
+    exact-integer L1 normalization both engines floor identically.  The
+    1-row total broadcasts (the argmax idiom)."""
+    total = raw.agg(F.sum(col).alias("_tot"))
+    return raw.crossJoin(F.broadcast(total)).select(
+        "id", F.expr(f"({col} * {_HITS_SCALE}) div _tot").alias(out)
+    )
+
+
+@query("hits_hubs_authorities", oracle=_HITS_ORACLE)
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the directed nation trade graph, 2 unrolled rounds — the
+    bipartite-centrality member of the iterative family: authority(v) =
+    Σ hub(u) over in-edges, hub(u) = Σ authority(v) over out-edges,
+    L1-normalized each half-step.  Exporter nations score as hubs,
+    importer nations as authorities — the asymmetry PageRank's single
+    score collapses.  Determinism contract: scores are integer mantissas
+    (scale 1e6); each half-step is exact-integer sums followed by one
+    integer floor-division by the L1 total (a broadcast 1-row scalar),
+    so every round's vector is bit-identical in Spark and DuckDB; the
+    oracle unrolls the same rounds as MATERIALIZED CTEs (the CTE
+    inlining blow-up gotcha).
+
+    Scale shape: per half-step one edges ⋈ scores shuffle on the edge
+    key plus a map-side-combined sum — identical to the PageRank loop,
+    reusing the checkpointed edge leaf; the normalization total is a
+    1-row aggregate, never a sort."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("id", F.lit(_HITS_SCALE).cast("bigint").alias("hi"))
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            nodes.alias("n")
+            .join(edges.alias("e"), F.col("e.dst") == F.col("n.id"), "left")
+            .join(hub.alias("h"), F.col("h.id") == F.col("e.src"), "left")
+            .groupBy(F.col("n.id").alias("id"))
+            .agg(F.coalesce(F.sum("h.hi"), F.lit(0)).alias("raw"))
+        )
+        auth = _l1_normalize(araw, "raw", "ai").localCheckpoint(eager=True)
+        hraw = (
+            nodes.alias("n")
+            .join(edges.alias("e"), F.col("e.src") == F.col("n.id"), "left")
+            .join(auth.alias("a"), F.col("a.id") == F.col("e.dst"), "left")
+            .groupBy(F.col("n.id").alias("id"))
+            .agg(F.coalesce(F.sum("a.ai"), F.lit(0)).alias("raw"))
+        )
+        hub = _l1_normalize(hraw, "raw", "hi").localCheckpoint(eager=True)
+    return (
+        hub.alias("h")
+        .join(auth.alias("a"), "id")
+        .select(
+            F.col("id").cast("bigint").alias("nation_id"),
+            (F.col("hi").cast("double") / F.lit(float(_HITS_SCALE))).alias("hub"),
+            (F.col("ai").cast("double") / F.lit(float(_HITS_SCALE))).alias(
+                "authority"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — one-pass moment sums over the edge list
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+odeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+ideg AS (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY 1),
+xy AS (
+  SELECT o.od AS x, i.idg AS y
+  FROM edges e JOIN odeg o ON e.src = o.src JOIN ideg i ON e.dst = i.dst
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n, sx, sy, sxy, sxx, syy,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+FROM m
+"""
+
+
+@query("trade_degree_assortativity", oracle=_ASSORT_ORACLE)
+def q_trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the directed trade graph: the Pearson
+    correlation, across edges, between the source's out-degree and the
+    destination's in-degree — positive means high-volume exporters ship
+    to high-volume importers (a hub-to-hub core), negative a
+    hub-and-spoke topology.  The moment sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are exact integers emitted alongside the coefficient; the
+    final r is one identical closed-form double expression both sides
+    (exact-int casts + correctly-rounded IEEE divide/sqrt — the
+    moment-sum stddev/corr discipline).
+
+    Scale shape: two degree censuses (map-side combined) joined back to
+    the edge list — degree tables are node-cardinality, broadcastable;
+    the moment reduction is a single 1-row aggregate.  No sort, no
+    all-pairs."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    odeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ideg = edges.groupBy("dst").agg(F.count("*").alias("idg"))
+    xy = (
+        edges.join(F.broadcast(odeg), "src")
+        .join(F.broadcast(ideg), "dst")
+        .select(F.col("od").alias("x"), F.col("idg").alias("y"))
+    )
+    m = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        "n", "sx", "sy", "sxy", "sxx", "syy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("assortativity"),
+    )

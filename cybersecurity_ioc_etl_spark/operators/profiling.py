@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
 from .registry import query
@@ -392,4 +393,121 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_groups"),
         F.sum("k").cast("bigint").alias("n_rows"),
         F.min("l").cast("bigint").alias("min_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit — EMD between per-group and global sensitive dists
+# ---------------------------------------------------------------------------
+
+_TCLOSE_ORACLE = """
+WITH base AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hr, event_type
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+gtotal AS (
+  SELECT event_type, COUNT(*) AS ki FROM base GROUP BY 1
+),
+gcum AS (
+  SELECT event_type,
+    SUM(ki) OVER (ORDER BY event_type
+                  ROWS UNBOUNDED PRECEDING) AS kcum_g,
+    SUM(ki) OVER () AS ktot_g,
+    COUNT(*) OVER () AS m
+  FROM gtotal
+),
+cell AS (
+  SELECT dow, hr, event_type, COUNT(*) AS ki FROM base GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT g.dow, g.hr, t.event_type, t.kcum_g, t.ktot_g, t.m,
+    COALESCE(c.ki, 0) AS ki
+  FROM (SELECT DISTINCT dow, hr FROM base) g
+  CROSS JOIN gcum t
+  LEFT JOIN cell c
+    ON c.dow = g.dow AND c.hr = g.hr AND c.event_type = t.event_type
+),
+cum AS (
+  SELECT dow, hr, kcum_g, ktot_g, m,
+    SUM(ki) OVER (PARTITION BY dow, hr ORDER BY event_type
+                  ROWS UNBOUNDED PRECEDING) AS kcum,
+    SUM(ki) OVER (PARTITION BY dow, hr) AS k
+  FROM grid
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+  CAST(MAX(k) AS BIGINT) AS k_rows,
+  CAST(SUM(ABS(kcum * ktot_g - kcum_g * k)) AS DOUBLE)
+    / CAST(MAX(k) * MAX(ktot_g) * (MAX(m) - 1) AS DOUBLE) AS t_value
+FROM cum GROUP BY 1, 2
+"""
+
+
+@query("t_closeness_audit", oracle=_TCLOSE_ORACLE)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third privacy gate after k-anonymity and
+    l-diversity: a QI group can be large AND diverse yet still leak if
+    its sensitive-attribute DISTRIBUTION diverges from the table-wide
+    one.  Per (weekday, hour) QI group, the Earth Mover's Distance
+    between the group's event_type distribution and the global one over
+    the lexicographic category order: EMD = Σ|cumdiff| / (m-1).
+    Determinism contract: the cumulative differences are kept as the
+    exact integer numerator Σ|kcum·K − Kcum·k| (cross-multiplied to
+    clear both denominators) and divided ONCE by the exact integer
+    k·K·(m−1) — one correctly-rounded IEEE division both sides, no
+    float sums.  Spark's 1-based dayofweek is aligned to DuckDB's
+    0-based convention in the emitted column.
+
+    Scale shape: one census per occupied (QI, category) cell plus a
+    category-grid completion against a broadcast m-row global table;
+    the cumulative windows ride a single shuffle on the QI key.  Cells,
+    not rows, flow through every stage after the first census."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hr"),
+            "event_type",
+        )
+    )
+    glob = e.groupBy("event_type").agg(F.count("*").alias("ki"))
+    wg = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    gcum = glob.select(
+        "event_type",
+        F.sum("ki").over(wg).alias("kcum_g"),
+        F.sum("ki").over(wall).alias("ktot_g"),
+        F.count("*").over(wall).alias("m"),
+    )
+    cell = e.groupBy("dow", "hr", "event_type").agg(F.count("*").alias("ki"))
+    grid = (
+        e.select("dow", "hr")
+        .distinct()
+        .crossJoin(F.broadcast(gcum))
+        .join(cell, ["dow", "hr", "event_type"], "left")
+        .withColumn("ki", F.coalesce("ki", F.lit(0)))
+    )
+    wq = Window.partitionBy("dow", "hr").orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wk = Window.partitionBy("dow", "hr")
+    cum = grid.select(
+        "dow", "hr", "kcum_g", "ktot_g", "m",
+        F.sum("ki").over(wq).alias("kcum"),
+        F.sum("ki").over(wk).alias("k"),
+    )
+    return cum.groupBy(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("hr").cast("bigint").alias("hr"),
+    ).agg(
+        F.max("k").cast("bigint").alias("k_rows"),
+        (
+            F.sum(
+                F.abs(
+                    F.col("kcum") * F.col("ktot_g")
+                    - F.col("kcum_g") * F.col("k")
+                )
+            ).cast("double")
+            / (F.max("k") * F.max("ktot_g") * (F.max("m") - 1)).cast("double")
+        ).alias("t_value"),
     )

@@ -136,6 +136,12 @@ _FAMILIES = [
     "video_scene_cuts",
     "trade_kcore_membership",
     "l_diversity_audit",
+    # round-7 batch 6: graph metrics on an empty edge set (assortativity
+    # keeps its 1-row NULL-r shape), t-closeness/ACF over empty events
+    "hits_hubs_authorities",
+    "trade_degree_assortativity",
+    "t_closeness_audit",
+    "event_hourly_autocorrelation",
 ]
 
 

@@ -111,6 +111,12 @@ _REGRESSIONS = [
     "video_scene_cuts",
     "trade_kcore_membership",
     "l_diversity_audit",
+    # round-7 batch 6: NULL ts/type rows filtered identically upstream of
+    # the QI census and the hourly spine; graph edges carry no NULL keys
+    "hits_hubs_authorities",
+    "trade_degree_assortativity",
+    "t_closeness_audit",
+    "event_hourly_autocorrelation",
 ]
 
 
