@@ -921,3 +921,74 @@ def q_ioc_host_dga_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_chars").cast("double") * F.lit(1e9))
         ).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Typosquat detection — edit distance against the benign-domain allowlist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ioc_typosquat_candidates",
+    oracle=_EXTRACT_CTE
+    + """
+, allow AS (
+  SELECT DISTINCT 'www.host' || CAST(doc_id % 10 AS VARCHAR) || '.example'
+    AS benign_host
+  FROM documents
+),
+hosts AS (
+  SELECT regexp_extract(ioc, '//([^/?#]*)', 1) AS host, COUNT(*) AS n_iocs
+  FROM ioc_rows WHERE type = 'url'
+  GROUP BY 1
+)
+SELECT h.host, a.benign_host,
+  CAST(levenshtein(h.host, a.benign_host) AS BIGINT) AS edit_dist,
+  CAST(h.n_iocs AS BIGINT) AS n_iocs
+FROM hosts h JOIN allow a
+  ON levenshtein(h.host, a.benign_host) BETWEEN 1 AND 2
+""",
+)
+def q_ioc_typosquat_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat detection — the fuzzy-match kernel applied where intel
+    pipelines actually need it: IOC hosts within edit distance 1-2 of a
+    known-benign domain are candidate impersonations (allowlist equality
+    drops them, typosquats sail through; this catches them).  Hosts
+    first collapse to a distinct census (the big side shrinks before
+    any distance work), then meet the tiny allowlist under a broadcast
+    nested-loop join whose predicate is the distance band — exact same
+    Spark/DuckDB levenshtein semantics as similar_part_names, which
+    documents this blocked/broadcast form as the scale plan.
+
+    Scale shape: distance work is |distinct hosts| × |allowlist|, never
+    per-IOC; the allowlist broadcasts.  With a large brand list the
+    band join adds a cheap blocking key (host length band) first —
+    same candidate-pruning discipline as the LSH families."""
+    d = F.col("doc_id")
+    allow = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                F.lit("www.host"), (d % 10).cast("string"), F.lit(".example")
+            ).alias("benign_host")
+        )
+        .distinct()
+    )
+    hosts = (
+        ioc_table(spark, sf_dir)
+        .filter(F.col("type") == "url")
+        .withColumn("host", K.extract_host(F.col("ioc")))
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_iocs"))
+    )
+    dist = F.levenshtein(F.col("host"), F.col("benign_host"))
+    return hosts.join(
+        F.broadcast(allow), dist.between(1, 2)
+    ).select(
+        "host",
+        "benign_host",
+        F.levenshtein(F.col("host"), F.col("benign_host"))
+        .cast("bigint")
+        .alias("edit_dist"),
+        "n_iocs",
+    )

@@ -1932,3 +1932,220 @@ def q_token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring — Flesch / FK grade from exact per-doc counts
+# ---------------------------------------------------------------------------
+
+_SYLL_RE = "[aeiouyAEIOUY]+"
+_SENT_RE = "[.!?]+"
+
+_READABILITY_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+    len({_TOKENIZE_SQL}) AS w,
+    GREATEST(1, len(regexp_extract_all(text, '{_SENT_RE}'))) AS s,
+    list_sum(list_transform({_TOKENIZE_SQL},
+      t -> GREATEST(1, len(regexp_extract_all(t, '{_SYLL_RE}'))))) AS y
+  FROM documents
+  WHERE len({_TOKENIZE_SQL}) >= 1
+)
+SELECT doc_id,
+  CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+  CAST(y AS BIGINT) AS n_syllables,
+  206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+          - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) AS flesch,
+  0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+    + 11.8 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59 AS fk_grade
+FROM c
+"""
+
+
+@query("doc_readability_scores", oracle=_READABILITY_ORACLE)
+def q_doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading-ease + Flesch-Kincaid grade)
+    — the classic text-quality feature pretraining filters cut on
+    alongside stopword ratio and TTR.  Syllables use the standard
+    vowel-group proxy (≥1 per word); sentences the terminal-punctuation
+    census (≥1 per doc).  All three inputs are exact per-row integers
+    from one regex pass each; the scores are identical closed-form
+    double expressions both sides (correctly-rounded IEEE divide /
+    multiply / subtract in the same association order), so no rounding
+    is applied at all — the raw doubles are already bit-identical.
+    ASCII character classes keep Java-regex and RE2 semantics aligned.
+
+    Scale shape: pure per-row map — no shuffle anywhere; runs inside
+    whole-stage codegen and scales linearly with the scan."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokens(F.col("text"))
+    w = F.size(toks)
+    s = F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(_SENT_RE)))
+    y = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(t, F.lit(_SYLL_RE), 0))
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    wps = w.cast("double") / s.cast("double")
+    spw = y.cast("double") / w.cast("double")
+    return (
+        d.filter(F.size(tokens(F.col("text"))) >= 1)
+        .select(
+            "doc_id",
+            w.cast("bigint").alias("n_words"),
+            s.cast("bigint").alias("n_sentences"),
+            y.alias("n_syllables"),
+            (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+                "flesch"
+            ),
+            (
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+            ).alias("fk_grade"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — chars-per-token economics per language
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+  CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+    AS total_pieces,
+  CAST(SUM(COALESCE({_BPE_SQL}, 0)) AS BIGINT) AS total_bpe_tokens,
+  CAST(SUM(length(text)) AS DOUBLE)
+    / CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS DOUBLE)
+    AS chars_per_piece,
+  CAST(SUM(length(text)) AS DOUBLE)
+    / CAST(SUM(COALESCE({_BPE_SQL}, 0)) AS DOUBLE) AS chars_per_bpe_token
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("lang_token_fertility", oracle=_FERTILITY_ORACLE)
+def q_lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — chars-per-token economics: the
+    metric that decides whether a tokenizer (and therefore a token
+    budget) is fair across languages, and the denominator of every
+    cost-per-document estimate.  Reuses the BPE-ish piece regex and the
+    ceil(len/4) subword estimate; all sums are exact integers, each
+    ratio one correctly-rounded division.
+
+    Scale shape: per-row regex work fans out with the scan
+    (CPU-bound), then a map-side-combined rollup on the tiny lang
+    key."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    est = F.aggregate(
+        F.transform(
+            pieces,
+            lambda p: F.when(
+                p.rlike("^[A-Za-z]+$"), F.ceil(F.length(p) / 4.0)
+            ).otherwise(F.lit(1).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    agg = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(F.size(pieces).cast("bigint")).cast("bigint").alias("total_pieces"),
+        F.sum(F.coalesce(est, F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("total_bpe_tokens"),
+    )
+    return agg.select(
+        "lang", "n_docs", "total_chars", "total_pieces", "total_bpe_tokens",
+        (
+            F.col("total_chars").cast("double")
+            / F.col("total_pieces").cast("double")
+        ).alias("chars_per_piece"),
+        (
+            F.col("total_chars").cast("double")
+            / F.col("total_bpe_tokens").cast("double")
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — degree/frequency over stopword-split phrases
+# ---------------------------------------------------------------------------
+
+_STOP_LIST_SQL = "['" + "','".join(EN_STOPWORDS) + "']"
+
+_RAKE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
+px AS (
+  SELECT doc_id,
+    unnest([{{'pos': i, 'tok': toks[i],
+             'stp': CASE WHEN list_contains({_STOP_LIST_SQL}, toks[i])
+                    THEN 1 ELSE 0 END}}
+            for i in range(1, len(toks) + 1)]) AS u
+  FROM t
+),
+ph AS (
+  SELECT doc_id, u.tok AS tok, u.stp AS stp,
+    SUM(u.stp) OVER (PARTITION BY doc_id ORDER BY u.pos
+                     ROWS UNBOUNDED PRECEDING) AS pid
+  FROM px
+),
+pl AS (
+  SELECT doc_id, tok, pid, COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+  FROM ph WHERE stp = 0
+),
+wa AS (SELECT tok AS word, COUNT(*) AS frq, SUM(plen) AS deg FROM pl GROUP BY 1)
+SELECT word, CAST(frq AS BIGINT) AS frq, CAST(deg AS BIGINT) AS deg,
+  CAST(deg AS DOUBLE) / CAST(frq AS DOUBLE) AS rake_score
+FROM wa WHERE frq >= 20
+"""
+
+
+@query("rake_keyword_scores", oracle=_RAKE_ORACLE)
+def q_rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: tokens are segmented
+    into candidate phrases at stopword boundaries (a running stopword
+    count is the phrase id — the sessionize idiom applied to token
+    streams), then each word scores degree/frequency where degree sums
+    the lengths of every phrase containing it — words that live in long
+    multi-word phrases outrank equally-frequent words that appear
+    alone.  Counts are exact integers; the score is one division.
+
+    Scale shape: posexplode fans tokens out with the scan; the
+    phrase-id and phrase-length windows ride ONE shuffle on doc_id
+    (position-ordered, never NULL); the word rollup map-side combines
+    into vocabulary cardinality.  No all-pairs stage anywhere."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).withColumn(
+        "stp", F.array_contains(stop_arr, F.col("tok")).cast("int")
+    )
+    from pyspark.sql.window import Window as _W
+
+    wp = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    ph = tok.withColumn("pid", F.sum("stp").over(wp)).filter(F.col("stp") == 0)
+    pl = ph.withColumn(
+        "plen", F.count("*").over(_W.partitionBy("doc_id", "pid"))
+    )
+    wa = pl.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").cast("bigint").alias("frq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    return wa.filter(F.col("frq") >= 20).select(
+        "word", "frq", "deg",
+        (F.col("deg").cast("double") / F.col("frq").cast("double")).alias(
+            "rake_score"
+        ),
+    )

@@ -142,6 +142,13 @@ _FAMILIES = [
     "trade_degree_assortativity",
     "t_closeness_audit",
     "event_hourly_autocorrelation",
+    # round-7 batch 7: per-row regex counts on empty/odd text; fertility
+    # rollup over zero docs; RAKE over an empty token stream; typosquat
+    # band join with an empty host census
+    "doc_readability_scores",
+    "lang_token_fertility",
+    "rake_keyword_scores",
+    "ioc_typosquat_candidates",
 ]
 
 

@@ -72,6 +72,13 @@ _REGRESSIONS = [
     "ioc_host_dga_scores",
     "token_cooccurrence_pmi",
     "video_scene_cuts",
+    # round-7 batch 7: vowel-group/sentence regexes stay ASCII-classed on
+    # multi-byte text; fertility length() counts codepoints identically;
+    # RAKE tokens and levenshtein hosts compare codepoint-wise
+    "doc_readability_scores",
+    "lang_token_fertility",
+    "rake_keyword_scores",
+    "ioc_typosquat_candidates",
 ]
 
 
