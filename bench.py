@@ -127,6 +127,17 @@ HEADLINE = [
     "video_scene_cuts",
     "trade_kcore_membership",
     "l_diversity_audit",
+    "hits_hubs_authorities",
+    "trade_degree_assortativity",
+    "t_closeness_audit",
+    "event_hourly_autocorrelation",
+    "doc_readability_scores",
+    "lang_token_fertility",
+    "rake_keyword_scores",
+    "ioc_typosquat_candidates",
+    "benford_price_audit",
+    "events_debounced_counts",
+    "greedy_coverage_docs",
 ]
 
 

@@ -2548,3 +2548,72 @@ def q_event_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFram
         "n_hours",
         (F.col("nk") / F.nullif(F.col("d"), F.lit(0)).cast("double")).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event debouncing — drop same-key repeats inside a tolerance window
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 21_600 * 1_000_000  # 6 h in microseconds
+
+_DEBOUNCE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM e
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {_DEBOUNCE_US}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {_DEBOUNCE_US}
+                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS kept_ratio
+FROM g GROUP BY 1
+"""
+
+
+@query("events_debounced_counts", oracle=_DEBOUNCE_ORACLE)
+def q_events_debounced_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debouncing — per (user, type), an event within 6 h of the
+    previous kept-or-not event is a repeat (retry storms, double
+    clicks, at-least-once replays) and is dropped before counting.
+    This lag-gap form keeps the FIRST event of every burst; gaps are
+    exact integer microseconds (unix_micros / epoch_us — second-grain
+    truncation never enters), and the window order carries event_id as
+    the tiebreak so equal timestamps rank identically in both engines
+    (the NULL/tie ordering lesson, applied to ties).
+
+    Scale shape: one window shuffle on (user_id, event_type) — the
+    same partitioning every per-user feature rides — then a
+    map-side-combined per-type rollup.  Note the simple lag-gap is the
+    distributed-friendly variant: the strict sequential debounce
+    (gap from the last KEPT event) is a running state and lives in
+    streaming as the stateful form."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    kept = F.when(
+        F.col("gap_us").isNull() | (F.col("gap_us") > _DEBOUNCE_US), 1
+    ).otherwise(0)
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        (
+            F.sum(kept).cast("double") / F.count("*").cast("double")
+        ).alias("kept_ratio"),
+    )

@@ -554,9 +554,11 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.coalesce(F.sum("a.ai"), F.lit(0)).alias("raw"))
         )
         hub = _l1_normalize(hraw, "raw", "hi").localCheckpoint(eager=True)
+    # both sides are checkpointed node-cardinality leaves with no stats —
+    # hint the broadcast so the final stitch never plans a sort-merge
     return (
         hub.alias("h")
-        .join(auth.alias("a"), "id")
+        .join(F.broadcast(auth.alias("a")), "id")
         .select(
             F.col("id").cast("bigint").alias("nation_id"),
             (F.col("hi").cast("double") / F.lit(float(_HITS_SCALE))).alias("hub"),

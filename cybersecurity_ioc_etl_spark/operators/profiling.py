@@ -511,3 +511,82 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("k") * F.max("ktot_g") * (F.max("m") - 1)).cast("double")
         ).alias("t_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — fraud/synthetic-data detector on prices
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 10000.0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+c AS (
+  SELECT digit, COUNT(*) AS n_obs, SUM(COUNT(*)) OVER () AS n_total
+  FROM d GROUP BY 1
+)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+  CAST(n_total AS BIGINT) AS n_total,
+  CAST(FLOOR(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e9)
+       AS BIGINT) AS p_exp_q,
+  (CAST(n_obs * 1000000000 - n_total
+        * CAST(FLOOR(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e9)
+               AS BIGINT) AS DOUBLE) / 1e9)
+  * (CAST(n_obs * 1000000000 - n_total
+        * CAST(FLOOR(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e9)
+               AS BIGINT) AS DOUBLE) / 1e9)
+  / (CAST(n_total
+        * CAST(FLOOR(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e9)
+               AS BIGINT) AS DOUBLE) / 1e9) AS chi2_term
+FROM c
+"""
+
+
+@query("benford_price_audit", oracle=_BENFORD_ORACLE)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order prices — the
+    fabricated-data / synthetic-column detector: naturally-occurring
+    amounts follow P(d) = log10(1+1/d), and a digit census that
+    diverges flags generated or tampered values.  The leading digit
+    comes off the exact price mantissa (the 1e4 power-of-ten shift
+    preserves it); expected probabilities are quantized to integer 1e9
+    mantissas through the FLOOR(ln·1e9) discipline (the entropy-sum
+    lesson: never trust raw libm doubles across engines), so the
+    observed-vs-expected deviation is exact-integer arithmetic and each
+    digit's chi-square term is one identical closed-form double chain.
+    No global float sum is emitted — the 9 per-digit terms are the
+    auditable output.
+
+    Scale shape: one map-side-combined 9-cell census plus a window
+    total over 9 rows.  Nothing but the scan touches data size."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(mi(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = (
+        o.select(digit)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+        .withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
+    )
+    p_exp_q = F.floor(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+        / F.log(F.lit(10.0))
+        * F.lit(1e9)
+    ).cast("bigint")
+    dev = (
+        F.col("n_obs") * F.lit(1000000000) - F.col("n_total") * p_exp_q
+    ).cast("double") / F.lit(1e9)
+    return c.select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        p_exp_q.alias("p_exp_q"),
+        (
+            dev * dev / ((F.col("n_total") * p_exp_q).cast("double") / F.lit(1e9))
+        ).alias("chi2_term"),
+    )

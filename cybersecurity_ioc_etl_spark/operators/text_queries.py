@@ -2149,3 +2149,112 @@ def q_rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rake_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy coverage selection — submodular corpus curation, 3 unrolled rounds
+# ---------------------------------------------------------------------------
+
+_COVER_ROUND_SQL = """
+m{r} AS MATERIALIZED (
+  SELECT b.doc_id, COUNT(*) AS g
+  FROM big b
+  LEFT JOIN c{p} c ON b.bg = c.bg
+  WHERE c.bg IS NULL AND b.doc_id NOT IN (SELECT doc_id FROM picked{p})
+  GROUP BY 1
+),
+w{r} AS MATERIALIZED (
+  SELECT doc_id, g FROM m{r} ORDER BY g DESC, doc_id LIMIT 1
+),
+picked{r} AS MATERIALIZED (
+  SELECT doc_id FROM picked{p} UNION ALL SELECT doc_id FROM w{r}
+),
+c{r} AS MATERIALIZED (
+  SELECT bg FROM c{p}
+  UNION
+  SELECT b.bg FROM big b JOIN w{r} w ON b.doc_id = w.doc_id
+)"""
+
+_COVER_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENIZE_SQL} AS t FROM documents),
+big AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+c0 AS MATERIALIZED (SELECT bg FROM big WHERE FALSE),
+picked0 AS MATERIALIZED (SELECT doc_id FROM big WHERE FALSE){"".join(
+    "," + _COVER_ROUND_SQL.format(r=i + 1, p=i) for i in range(3))}
+{" UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS round, w{r}.doc_id,"
+    f" CAST(w{r}.g AS BIGINT) AS marginal_gain,"
+    f" CAST((SELECT COUNT(*) FROM c{r}) AS BIGINT) AS covered_after"
+    f" FROM w{r}" for r in (1, 2, 3))}
+"""
+
+
+@query("greedy_coverage_docs", oracle=_COVER_ORACLE)
+def q_greedy_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage corpus selection (3 unrolled rounds) —
+    the submodular-curation primitive behind coreset picking and
+    diversity-first data selection: each round selects the document
+    adding the most not-yet-covered bigrams (ties → smallest doc_id)
+    and folds its bigrams into the covered set.  The classic greedy
+    carries the (1 − 1/e) approximation guarantee, and the bigram
+    universe keeps the fixture from saturating in one pick (the
+    unigram vocab is 31 tokens).  All gains are exact integers.
+
+    Scale shape: the doc→bigram incidence builds once (distinct,
+    checkpointed); each round is an anti-join against the covered set
+    + a map-side-combined gain census + a 1-row TakeOrdered winner that
+    broadcasts back.  The covered set grows by one document's bigrams
+    per round and lives as a checkpointed key-only frame — at corpus
+    scale this is the BPE-trainer loop shape (census + broadcast
+    winner), never a rescan of text."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+    big = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .select(
+            "doc_id", F.concat_ws(" ", F.col("b.w1"), F.col("b.w2")).alias("bg")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    picked = None
+    out = None
+    for r in (1, 2, 3):
+        cand = big
+        if covered is not None:
+            cand = cand.join(covered, "bg", "left_anti")
+            cand = cand.join(F.broadcast(picked), "doc_id", "left_anti")
+        marg = cand.groupBy("doc_id").agg(F.count("*").alias("g"))
+        winner = (
+            marg.orderBy(F.desc("g"), "doc_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        wdoc = winner.select("doc_id")
+        newly = big.join(F.broadcast(wdoc), "doc_id", "semi").select("bg")
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly).distinct()
+        ).localCheckpoint(eager=True)
+        picked = (
+            wdoc if picked is None else picked.unionByName(wdoc)
+        ).localCheckpoint(eager=True)
+        ctot = covered.agg(F.count("*").cast("bigint").alias("covered_after"))
+        row = winner.crossJoin(F.broadcast(ctot)).select(
+            F.lit(r).cast("bigint").alias("round"),
+            "doc_id",
+            F.col("g").cast("bigint").alias("marginal_gain"),
+            "covered_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

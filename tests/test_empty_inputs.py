@@ -149,6 +149,11 @@ _FAMILIES = [
     "lang_token_fertility",
     "rake_keyword_scores",
     "ioc_typosquat_candidates",
+    # round-7 batch 8: digit census over zero orders; debounce lag over
+    # empty/NULL-key events; greedy coverage with an empty incidence
+    "benford_price_audit",
+    "events_debounced_counts",
+    "greedy_coverage_docs",
 ]
 
 

@@ -962,3 +962,95 @@ def test_l_diversity_census_two_phase(spark, sf_dir):
     p = plan(spark, sf_dir, "l_diversity_audit")
     assert p.count("HashAggregate") >= 2
     assert P.is_all_jvm(p)
+
+
+def test_hits_rounds_broadcast_normalization_totals(spark, sf_dir):
+    """HITS: each half-step's L1 total is a broadcast 1-row scalar
+    (argmax idiom) — the crossJoin never becomes a real cartesian over
+    data; score updates join the checkpointed edge leaf."""
+    p = plan(spark, sf_dir, "hits_hubs_authorities")
+    assert P.has_broadcast_join(p)
+    assert P.is_all_jvm(p)
+
+
+def test_assortativity_broadcasts_degree_tables(spark, sf_dir):
+    """Assortativity: both degree censuses broadcast back onto the edge
+    list (node-cardinality sides); the moment reduction is one 1-row
+    aggregate — no sort, no cartesian."""
+    p = plan(spark, sf_dir, "trade_degree_assortativity")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_t_closeness_broadcasts_category_grid(spark, sf_dir):
+    """t-closeness: the m-row global distribution broadcasts onto the
+    QI grid; the cumulative windows and final rollup ride the QI-key
+    shuffle, cells not rows."""
+    p = plan(spark, sf_dir, "t_closeness_audit")
+    assert P.has_broadcast_join(p)
+    assert P.is_all_jvm(p)
+
+
+def test_acf_windows_share_type_shuffle(spark, sf_dir):
+    """Hourly ACF: the n/S totals and all six lag leads run as Window
+    stages partitioned by event_type — one shuffle, then a
+    map-side-combined moment reduction."""
+    p = plan(spark, sf_dir, "event_hourly_autocorrelation")
+    assert "Window" in p
+    assert P.is_all_jvm(p)
+
+
+def test_readability_is_pure_rowwise_map(spark, sf_dir):
+    """Readability: no shuffle at all — no joins, no aggregates, no
+    window; one codegen'd projection over the scan."""
+    p = plan(spark, sf_dir, "doc_readability_scores")
+    assert "HashJoin" not in p and "SortMergeJoin" not in p
+    assert "Window" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_fertility_rollup_map_side_combines(spark, sf_dir):
+    """Fertility: per-row regex work under the scan fan-out, then a
+    two-phase (partial + final) aggregation on the tiny lang key."""
+    p = plan(spark, sf_dir, "lang_token_fertility")
+    assert p.count("HashAggregate") >= 2
+    assert "HashJoin" not in p and "SortMergeJoin" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_typosquat_distance_work_on_census_not_iocs(spark, sf_dir):
+    """Typosquat: the host census aggregates BEFORE the distance band
+    join, and the allowlist side is broadcast (nested-loop on the tiny
+    dim, never a shuffled cartesian over IOC rows)."""
+    p = plan(spark, sf_dir, "ioc_typosquat_candidates")
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("HashAggregate") >= 2
+    assert P.is_all_jvm(p)
+
+
+def test_benford_census_single_pass(spark, sf_dir):
+    """Benford: one map-side-combined digit census; the total rides a
+    9-row window — no joins, no Python."""
+    p = plan(spark, sf_dir, "benford_price_audit")
+    assert "HashJoin" not in p and "SortMergeJoin" not in p
+    assert "HashAggregate" in p
+    assert P.is_all_jvm(p)
+
+
+def test_debounce_rides_one_user_type_shuffle(spark, sf_dir):
+    """Debounce: the lag window and nothing else shuffles — one
+    (user, type) exchange, then a map-side-combined type rollup."""
+    p = plan(spark, sf_dir, "events_debounced_counts")
+    assert "Window" in p
+    assert "HashJoin" not in p and "SortMergeJoin" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_greedy_coverage_winner_is_topk_and_broadcast(spark, sf_dir):
+    """Greedy coverage: each round's winner is a 1-row TakeOrdered (not
+    a global sort) and joins back by BROADCAST; the incidence frame is
+    a checkpointed leaf (no text rescans)."""
+    p = plan(spark, sf_dir, "greedy_coverage_docs", execute=True)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)

@@ -79,6 +79,8 @@ _REGRESSIONS = [
     "lang_token_fertility",
     "rake_keyword_scores",
     "ioc_typosquat_candidates",
+    # round-7 batch 8: bigram coverage keys on multi-byte tokens
+    "greedy_coverage_docs",
 ]
 
 
