@@ -138,6 +138,9 @@ HEADLINE = [
     "benford_price_audit",
     "events_debounced_counts",
     "greedy_coverage_docs",
+    "events_cusum_alarms",
+    "user_survival_curve",
+    "events_lttb_downsample",
 ]
 
 

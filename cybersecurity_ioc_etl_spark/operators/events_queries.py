@@ -2617,3 +2617,403 @@ def q_events_debounced_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept).cast("double") / F.count("*").cast("double")
         ).alias("kept_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection — exact-integer cumulative-sum alarms
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH base AS (
+  SELECT event_type, ts FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM base GROUP BY 1, 2
+),
+b AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM actual GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+series AS (
+  SELECT s.event_type, s.h, COALESCE(a.n, 0) AS x
+  FROM spine s LEFT JOIN actual a
+    ON a.event_type = s.event_type AND a.h = s.h
+),
+st AS (
+  SELECT event_type, h, x,
+    COUNT(*) OVER (PARTITION BY event_type) AS n,
+    SUM(x) OVER (PARTITION BY event_type) AS s
+  FROM series
+),
+cs AS (
+  SELECT event_type, h, s,
+    SUM(n * x - s) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM st
+),
+cu AS (
+  SELECT event_type, s,
+    c - LEAST(0, MIN(c) OVER (PARTITION BY event_type ORDER BY h
+                              ROWS UNBOUNDED PRECEDING)) AS cusum
+  FROM cs
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_hours,
+  CAST(SUM(CASE WHEN cusum > s THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_hours,
+  CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+  CAST(MAX(cusum) AS DOUBLE) / CAST(MAX(s) AS DOUBLE) AS max_cusum_ratio
+FROM cu GROUP BY 1
+"""
+
+
+@query("events_cusum_alarms", oracle=_CUSUM_ORACLE)
+def q_events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over each type's gapfilled
+    hourly series — the sequential drift detector (Page's test): the
+    recursion S_i = max(0, S_{i-1} + (x_i − mean)) looks stateful but
+    closes over windows as cs_i − min(0, prefix-min(cs)), so the whole
+    detector is two running frames on one shuffle.  Deviations ride the
+    n·x − S cross-multiplication (the ACF discipline) keeping every
+    intermediate an exact integer; the alarm fence cusum > S (one
+    series-total of cumulative excess) is a pure integer predicate.
+
+    Scale shape: identical to the ACF — spine generation, census,
+    and all three windows on the single event_type shuffle; the rollup
+    emits one row per type."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    actual = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = actual.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    series = spine.join(actual, ["event_type", "h"], "left").withColumn(
+        "x", F.coalesce("n", F.lit(0))
+    )
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = series.select(
+        "event_type",
+        "h",
+        "x",
+        F.count("*").over(wt).alias("n"),
+        F.sum("x").over(wt).alias("s"),
+    )
+    cs = st.select(
+        "event_type",
+        "h",
+        "s",
+        F.sum(F.col("n") * F.col("x") - F.col("s")).over(wo).alias("c"),
+    )
+    cu = cs.select(
+        "event_type",
+        "s",
+        (
+            F.col("c") - F.least(F.lit(0).cast("bigint"), F.min("c").over(wo))
+        ).alias("cusum"),
+    )
+    return cu.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum(F.when(F.col("cusum") > F.col("s"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarm_hours"),
+        F.max("cusum").cast("bigint").alias("max_cusum"),
+        (
+            F.max("cusum").cast("double") / F.max("s").cast("double")
+        ).alias("max_cusum_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival — churn curve with right-censoring
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+gmax AS (SELECT MAX(ts) AS gm FROM e),
+u AS (
+  SELECT user_id,
+    date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS d,
+    CASE WHEN MAX(ts) < (SELECT gm FROM gmax) - INTERVAL 7 DAY
+         THEN 1 ELSE 0 END AS observed
+  FROM e GROUP BY 1
+),
+c AS (
+  SELECT d, SUM(observed) AS ev, COUNT(*) AS tot FROM u GROUP BY 1
+),
+r AS (
+  SELECT d, ev,
+    (SELECT COUNT(*) FROM u)
+      - COALESCE(SUM(tot) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM c
+),
+ev_rows AS (
+  SELECT d, ev, n_risk,
+    CASE WHEN n_risk > ev
+         THEN CAST(FLOOR(ln(CAST(n_risk - ev AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+         ELSE NULL END AS term_q
+  FROM r WHERE ev > 0
+),
+km AS (
+  SELECT d, ev, n_risk, term_q,
+    SUM(term_q) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_q
+  FROM ev_rows
+)
+SELECT CAST(d AS BIGINT) AS duration_days,
+  CAST(n_risk AS BIGINT) AS n_at_risk,
+  CAST(ev AS BIGINT) AS n_events,
+  CASE WHEN term_q IS NULL THEN CAST(0.0 AS DOUBLE)
+       ELSE exp(CAST(cum_q AS DOUBLE) / 1e9) END AS survival
+FROM km
+"""
+
+
+@query("user_survival_curve", oracle=_KM_ORACLE)
+def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user retention — the product-
+    limit estimator with right-censoring: a user's lifetime is first→
+    last activity; users still active within 7 days of the dataset edge
+    are CENSORED (they inform the at-risk denominator without counting
+    as churn — the bias naive retention curves carry).  The cumulative
+    product Π(1 − d_t/n_t) is a left-recursive float chain, so it rides
+    the quantized-log discipline: each factor becomes the exact integer
+    FLOOR(ln((n−d)/n)·1e9), the running product an integer prefix sum,
+    and exp() is applied once per emitted row to an identical double.
+    A step where every at-risk user churns sets survival to exactly 0.
+
+    Scale shape: one per-user min/max aggregation (map-side combined),
+    a duration-grain census (output is distinct-durations-sized), and
+    two running windows over that tiny frame; the global max broadcasts
+    as a 1-row scalar."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    gmax = e.agg(F.max("ts").alias("gm"))
+    u = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.datediff(F.col("hi").cast("date"), F.col("lo").cast("date")).alias(
+                "d"
+            ),
+            F.when(
+                F.col("hi") < F.col("gm") - F.expr("INTERVAL 7 DAYS"), 1
+            )
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    c = u.groupBy("d").agg(
+        F.sum("observed").alias("ev"), F.count("*").alias("tot")
+    )
+    n_users = u.agg(F.count("*").alias("n_users"))
+    wprev = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = c.crossJoin(F.broadcast(n_users)).select(
+        "d",
+        "ev",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("tot").over(wprev), F.lit(0).cast("bigint"))
+        ).alias("n_risk"),
+    )
+    ev_rows = r.filter(F.col("ev") > 0).withColumn(
+        "term_q",
+        F.when(
+            F.col("n_risk") > F.col("ev"),
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("ev")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1e9)
+            ).cast("bigint"),
+        ),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    km = ev_rows.withColumn("cum_q", F.sum("term_q").over(wcum))
+    return km.select(
+        F.col("d").cast("bigint").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("ev").cast("bigint").alias("n_events"),
+        F.when(F.col("term_q").isNull(), F.lit(0.0))
+        .otherwise(F.exp(F.col("cum_q").cast("double") / F.lit(1e9)))
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling — largest-triangle-three-buckets, 50 buckets
+# ---------------------------------------------------------------------------
+
+_LTTB_B = 50
+
+_LTTB_ORACLE = f"""
+WITH e AS (
+  SELECT ts, event_id, CAST(ROUND(value * 10000.0) AS BIGINT) AS y
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+    AND value IS NOT NULL AND event_id IS NOT NULL
+),
+m AS (SELECT MIN(epoch_us(ts)) AS mn FROM e),
+p AS (
+  SELECT ts, event_id, y,
+    CAST((epoch_us(ts) - (SELECT mn FROM m)) // 60000000 AS BIGINT) AS x
+  FROM e
+),
+rnn AS (
+  SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
+    COUNT(*) OVER () AS n
+  FROM p
+),
+bk AS (
+  SELECT *, CAST(((rn - 1) * {_LTTB_B}) // n AS BIGINT) AS bucket FROM rnn
+),
+agg AS (
+  SELECT bucket, COUNT(*) AS nb, SUM(x) AS sx, SUM(y) AS sy
+  FROM bk GROUP BY 1
+),
+mm AS (
+  SELECT bucket, CAST(sx // nb AS BIGINT) AS mx,
+    CAST(sy // nb AS BIGINT) AS my
+  FROM agg
+),
+nbr AS (
+  SELECT bucket,
+    lag(mx) OVER w AS mxp, lag(my) OVER w AS myp,
+    lead(mx) OVER w AS mxn, lead(my) OVER w AS myn
+  FROM mm WINDOW w AS (ORDER BY bucket)
+),
+lastb AS (SELECT MAX(bucket) AS lb FROM bk),
+ar AS (
+  SELECT b.bucket, b.ts, b.y, b.rn,
+    CASE WHEN b.bucket > 0 AND b.bucket < (SELECT lb FROM lastb)
+         THEN ABS((v.mxp - v.mxn) * (b.y - v.myp)
+                  - (b.x - v.mxp) * (v.myp - v.myn)) END AS area,
+    CASE WHEN b.bucket = 0 THEN b.rn
+         WHEN b.bucket = (SELECT lb FROM lastb) THEN -b.rn END AS key0
+  FROM bk b JOIN nbr v ON b.bucket = v.bucket
+),
+sel AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket
+    ORDER BY key0 ASC NULLS LAST, area DESC, rn ASC) AS rk
+  FROM ar
+)
+SELECT bucket, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+  CAST(y AS DOUBLE) / 10000.0 AS value_q
+FROM sel WHERE rk = 1
+"""
+
+
+@query("events_lttb_downsample", oracle=_LTTB_ORACLE)
+def q_events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (largest-triangle-three-buckets) downsampling of the
+    purchase-value series to 50 visually-representative points — the
+    standard dashboard decimation: each bucket keeps the point forming
+    the largest triangle with its neighbor buckets, preserving spikes
+    and shape where naive bucket means flatten them.  This is the
+    parallel LTTB variant (neighbors are bucket MEANS, not the
+    sequentially-selected point — the form with no cross-bucket data
+    dependency).  Determinism contract: x is exact minutes from the
+    series start, y the exact 1e4 value mantissa, bucket means are
+    floor-divided integers, so every triangle area is an exact integer
+    cross product; first/last buckets pin their boundary points, and
+    the per-bucket argmax states its ORDER BY with NULLS LAST + rn
+    tiebreak explicitly (Spark defaults NULLS FIRST, DuckDB NULLS
+    LAST).
+
+    Scale shape: one row_number ordering shuffle (at 100 TB: a
+    pre-sorted/bucketed time layout makes it free), a 50-row bucket
+    census whose neighbor means broadcast back, and a per-bucket
+    window on the same bucket key.  Output is O(buckets)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    mn = e.agg(F.min(F.unix_micros("ts")).alias("mn"))
+    p = e.crossJoin(F.broadcast(mn)).select(
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(10000.0)).cast("bigint").alias("y"),
+        F.expr("(unix_micros(ts) - mn) div 60000000").cast("bigint").alias("x"),
+    )
+    wall = Window.partitionBy()
+    worder = Window.orderBy("ts", "event_id")
+    bk = p.select(
+        "*",
+        F.row_number().over(worder).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    ).withColumn("bucket", F.expr(f"((rn - 1) * {_LTTB_B}) div n").cast("bigint"))
+    agg = bk.groupBy("bucket").agg(
+        F.count("*").alias("nb"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    )
+    mm = agg.select(
+        "bucket",
+        F.expr("sx div nb").cast("bigint").alias("mx"),
+        F.expr("sy div nb").cast("bigint").alias("my"),
+    )
+    wb = Window.orderBy("bucket")
+    nbr = mm.select(
+        "bucket",
+        F.lag("mx").over(wb).alias("mxp"),
+        F.lag("my").over(wb).alias("myp"),
+        F.lead("mx").over(wb).alias("mxn"),
+        F.lead("my").over(wb).alias("myn"),
+    )
+    lastb = bk.agg(F.max("bucket").alias("lb"))
+    ar = (
+        bk.join(F.broadcast(nbr), "bucket")
+        .crossJoin(F.broadcast(lastb))
+        .select(
+            "bucket",
+            "ts",
+            "y",
+            "rn",
+            F.when(
+                (F.col("bucket") > 0) & (F.col("bucket") < F.col("lb")),
+                F.abs(
+                    (F.col("mxp") - F.col("mxn")) * (F.col("y") - F.col("myp"))
+                    - (F.col("x") - F.col("mxp"))
+                    * (F.col("myp") - F.col("myn"))
+                ),
+            ).alias("area"),
+            F.when(F.col("bucket") == 0, F.col("rn"))
+            .when(F.col("bucket") == F.col("lb"), -F.col("rn"))
+            .alias("key0"),
+        )
+    )
+    wsel = Window.partitionBy("bucket").orderBy(
+        F.col("key0").asc_nulls_last(), F.col("area").desc(), F.col("rn").asc()
+    )
+    return (
+        ar.withColumn("rk", F.row_number().over(wsel))
+        .filter(F.col("rk") == 1)
+        .select(
+            "bucket",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            (F.col("y").cast("double") / F.lit(10000.0)).alias("value_q"),
+        )
+    )

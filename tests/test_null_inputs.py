@@ -129,6 +129,12 @@ _REGRESSIONS = [
     "benford_price_audit",
     "events_debounced_counts",
     "greedy_coverage_docs",
+    # round-7 batch 9: CUSUM/KM/LTTB windows over empty or NULL-heavy
+    # event series (KM legitimately emits zero event rows when every
+    # user is censored)
+    "events_cusum_alarms",
+    "user_survival_curve",
+    "events_lttb_downsample",
 ]
 
 

@@ -1054,3 +1054,33 @@ def test_greedy_coverage_winner_is_topk_and_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "greedy_coverage_docs", execute=True)
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_cusum_windows_share_type_shuffle(spark, sf_dir):
+    """CUSUM: totals, prefix sum, and prefix min all run as Window
+    stages on the one event_type shuffle — no joins past the spine."""
+    p = plan(spark, sf_dir, "events_cusum_alarms")
+    assert "Window" in p
+    assert P.is_all_jvm(p)
+
+
+def test_survival_censuses_then_tiny_windows(spark, sf_dir):
+    """Kaplan-Meier: per-user min/max map-side combines; the at-risk
+    and cumulative-log windows run on the duration-grain frame with
+    broadcast 1-row scalars (keyless crossJoins plan as
+    BroadcastNestedLoopJoin)."""
+    p = plan(spark, sf_dir, "user_survival_curve")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+    assert P.is_all_jvm(p)
+
+
+def test_lttb_bucket_stats_broadcast_back(spark, sf_dir):
+    """LTTB: the 50-row neighbor-mean frame and the 1-row last-bucket
+    scalar broadcast onto the point stream; selection is a per-bucket
+    window, output O(buckets)."""
+    p = plan(spark, sf_dir, "events_lttb_downsample")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
