@@ -141,6 +141,8 @@ HEADLINE = [
     "events_cusum_alarms",
     "user_survival_curve",
     "events_lttb_downsample",
+    "hll_register_audit",
+    "stream_hll_merge",
 ]
 
 

@@ -701,3 +701,193 @@ def q_revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("top10_i").cast("double") / s1d).alias("top10pct_share"),
         (F.col("top1_i").cast("double") / s1d).alias("top1pct_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers — deterministic, hash-checked, max-mergeable
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (low 6 hash bits)
+_HLL_W = 26  # rank field width: h < 2^32, minus the 6 index bits
+
+# rank = leading zeros of the 26-bit field + 1 = W - bitlen(rest) + 1,
+# with rest = 0 ranking W + 1.  length(bin(x)) is the exact integer
+# bitlen in BOTH engines (no leading zeros) — no pow/log anywhere.
+_HLL_CHAIN_SQL = f"""
+rg AS (
+  SELECT source, CAST(h % {_HLL_M} AS BIGINT) AS idx,
+    MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+        ELSE {_HLL_W} - length(bin(CAST(h // {_HLL_M} AS BIGINT))) + 1
+        END) AS r
+  FROM dh GROUP BY 1, 2
+),
+rr AS (
+  SELECT source, idx, r, MAX(r) OVER (PARTITION BY source) AS rmax FROM rg
+),
+ag AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS m_occupied,
+    CAST(MAX(rmax) AS BIGINT) AS r_max,
+    CAST(SUM(CAST(1 AS BIGINT) << CAST(rmax - r AS INTEGER))
+         + ({_HLL_M} - COUNT(*))
+           * MAX(CAST(1 AS BIGINT) << CAST(rmax AS INTEGER))
+         AS BIGINT) AS s_scaled
+  FROM rr GROUP BY 1
+),
+he AS (
+  SELECT source, m_occupied, r_max, s_scaled,
+    0.7213 / (1.0 + 1.079 / {_HLL_M}.0) * {_HLL_M * _HLL_M}.0
+      * CAST((CAST(1 AS BIGINT) << CAST(r_max AS INTEGER)) AS DOUBLE)
+      / CAST(s_scaled AS DOUBLE) AS est_distinct
+  FROM ag
+)
+"""
+
+
+def _hll_sketch_sql() -> str:
+    """tok + dh CTEs from the KMV chain (same portable hash) + the HLL
+    register/estimate chain."""
+    head = _kmv_sketch_sql().split("rk AS (")[0].rstrip().rstrip(",")
+    return head + "," + _HLL_CHAIN_SQL
+
+
+def hll_batch_registers(docs: DataFrame) -> DataFrame:
+    """(source, idx, r) occupied HLL registers of a document batch —
+    register index is the low 6 bits of the md5-prefix token hash,
+    rank the 1-based leading-zero position in the remaining 26-bit
+    field (exact via length(bin(x)), no pow/log).  Mergeable by MAX."""
+    dh = kmv_token_hashes(docs)
+    rest = F.expr(f"h div {_HLL_M}")
+    rank = F.when(rest == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W) - F.length(F.bin(rest)) + F.lit(1)
+    )
+    return (
+        dh.select(
+            "source",
+            (F.col("h") % _HLL_M).cast("bigint").alias("idx"),
+            rank.cast("bigint").alias("rk"),
+        )
+        .groupBy("source", "idx")
+        .agg(F.max("rk").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(source, m_occupied, r_max, s_scaled, est_distinct) from a
+    register frame: est = α·m²·2^R / Σ_j 2^(R−r_j) with unoccupied
+    registers contributing 2^R each — the harmonic mean cleared to ONE
+    exact integer (s_scaled) and divided once; 2^x is shiftleft, never
+    pow."""
+    w = Window.partitionBy("source")
+    rr = regs.withColumn("rmax", F.max("r").over(w))
+    ag = rr.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("m_occupied"),
+        F.max("rmax").cast("bigint").alias("r_max"),
+        (
+            F.sum(F.expr("shiftleft(1L, CAST(rmax - r AS INT))"))
+            + (F.lit(_HLL_M) - F.count("*"))
+            * F.max(F.expr("shiftleft(1L, CAST(rmax AS INT))"))
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+    return ag.select(
+        "source",
+        "m_occupied",
+        "r_max",
+        "s_scaled",
+        (
+            alpha
+            * F.lit(float(_HLL_M * _HLL_M))
+            * F.expr("shiftleft(1L, CAST(r_max AS INT))").cast("double")
+            / F.col("s_scaled").cast("double")
+        ).alias("est_distinct"),
+    )
+
+
+def _hll_audit_oracle() -> str:
+    return (
+        "WITH "
+        + _hll_sketch_sql()
+        + """,
+ex AS (SELECT source, COUNT(*) AS exact_distinct FROM dh GROUP BY 1)
+SELECT he.source, he.m_occupied, he.r_max, he.s_scaled, he.est_distinct,
+  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+  abs(he.est_distinct - CAST(ex.exact_distinct AS DOUBLE))
+    / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+FROM he JOIN ex USING (source)
+"""
+    )
+
+
+@query("hll_register_audit", oracle=_hll_audit_oracle())
+def q_hll_register_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch of the per-source token
+    vocabulary, audited against the exact count — the fourth
+    deterministic sketch, and like count-min/KMV/Bloom the sketch
+    itself is HASH-CHECKED: registers derive from the md5-prefix hash
+    (index = low 6 bits, rank = leading zeros of the 26-bit remainder
+    via exact bitlen — no pow, no log), so DuckDB rebuilds them
+    bit-identically and the ESTIMATE must match to the last ulp.  The
+    raw-HLL estimator α·m²·2^R/Σ2^(R−r) clears the harmonic mean to
+    one exact integer; no small/large-range correction (documented —
+    the audit's rel_err column shows exactly what raw HLL costs at
+    fixture cardinalities).
+
+    Scale shape: per-source state is m=64 small integers — strictly
+    smaller than KMV's k hashes; the register census is one map-side-
+    combined aggregation over the distinct-hash projection.  HLL wins
+    over KMV when only the cardinality (not a sample) is needed and
+    merges under register-wise MAX — see stream_hll_merge."""
+    from ..sources.readers import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents", fan_out=True)
+    dh = kmv_token_hashes(d)
+    est = hll_estimate(hll_batch_registers(d))
+    ex = dh.groupBy("source").agg(F.count("*").alias("exact_distinct"))
+    return est.join(F.broadcast(ex), "source").select(
+        "source",
+        "m_occupied",
+        "r_max",
+        "s_scaled",
+        "est_distinct",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(
+                F.col("est_distinct") - F.col("exact_distinct").cast("double")
+            )
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+def _hll_stream_oracle() -> str:
+    return (
+        "WITH "
+        + _hll_sketch_sql()
+        + """
+SELECT source, m_occupied, r_max, s_scaled, est_distinct FROM he
+"""
+    )
+
+
+@query("stream_hll_merge", oracle=_hll_stream_oracle())
+def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL — register-wise MAX mergeability exercised for
+    real, completing the mergeable-sketch laws (count-min: +, KMV:
+    set-union re-rank, Bloom: bit OR, HLL: register MAX): each
+    micro-batch writes its own occupied-register partial (bid-keyed
+    overwrite, replay-safe), and the fold MAX-merges the union — which
+    equals the one-pass registers for ANY batching, because max is
+    associative, commutative, and idempotent (the replay-safety comes
+    free from idempotence; the bid-keying guards the partial files
+    themselves).  Same oracle as the batch sketch minus the exact-side
+    audit columns.
+
+    Scale shape: per trigger a batch-vocabulary-bounded distinct
+    projection + a ≤ m-row-per-source census; the fold touches
+    (batches × sources × m) partial rows, never the corpus."""
+    from ..streaming.pipeline import run_stream_hll
+
+    return run_stream_hll(spark, sf_dir)

@@ -1049,6 +1049,56 @@ def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(kmv_bottom_k(parts))
 
 
+def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL registers: per micro-batch the batch's occupied
+    (source, idx, r) registers are written as a bid-keyed overwrite
+    partial (replay-safe, like run_stream_kmv); the fold MAX-merges the
+    union of committed partials — register-wise max is associative,
+    commutative, and idempotent, so the merged registers equal the
+    one-pass build for any batching or replay.  State per (batch,
+    source) is at most m=64 small integers."""
+    from ..operators.analytics import hll_batch_registers, hll_estimate
+    from ..sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    work_dir = tempfile.mkdtemp(prefix="stream_hll_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    d.repartition(4).write.mode("overwrite").parquet(src)
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(hll_batch_registers(batch), out_dir, bid)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            "source string, m_occupied bigint, r_max bigint,"
+            " s_scaled bigint, est_distinct double",
+        )
+    parts = spark.read.parquet(*dirs)
+    merged = parts.groupBy("source", "idx").agg(F.max("r").alias("r"))
+    return hll_estimate(merged)
+
+
 def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC bars — the argmin/argmax partial-merge law
     exercised across micro-batches: each batch compacts its own events

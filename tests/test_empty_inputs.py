@@ -160,6 +160,10 @@ _FAMILIES = [
     "events_cusum_alarms",
     "user_survival_curve",
     "events_lttb_downsample",
+    # round-7 batch 10: HLL registers over empty/NULL/multi-byte token
+    # universes (bitlen rank + shiftleft harmonic mean both engines)
+    "hll_register_audit",
+    "stream_hll_merge",
 ]
 
 

@@ -1084,3 +1084,13 @@ def test_lttb_bucket_stats_broadcast_back(spark, sf_dir):
     assert P.has_broadcast_join(p)
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_hll_register_census_map_side_combines(spark, sf_dir):
+    """HLL: the register census is a two-phase aggregation over the
+    distinct-hash projection; estimation windows run on the ≤ m-per-
+    source register frame.  No Python, no cartesian."""
+    p = plan(spark, sf_dir, "hll_register_audit")
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
