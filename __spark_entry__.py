@@ -168,7 +168,10 @@ _RECONFIRM = [
 ]
 
 # Unchecked queries deliberately deferred past this round's window (none
-# this round: 1 priority + expected r7 additions fit in 50).
+# this round: 1 priority + 45 r7 additions fit in 50 — 46/50 used).
+# ROUND-8 ROTATION NOTE: fold the 50 names the r7 CORRECTNESS gate
+# sampled (head of queries() at gate time) into _DRIVER_CHECKED, clear
+# _PRIORITY unless an oracle changed, and keep head + new <= 50.
 _DEFER: list[str] = []
 
 
