@@ -590,8 +590,8 @@ m AS (
 )
 SELECT n, sx, sy, sxy, sxx, syy,
   CAST(n * sxy - sx * sy AS DOUBLE)
-    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS assortativity
 FROM m
 """
 
@@ -632,9 +632,14 @@ def q_trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "sx", "sy", "sxy", "sxx", "syy",
         (
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (
+            # NULLIF the denominator: a regular graph (all degrees equal —
+            # the sf0.1 quarter graph is complete) has zero degree variance
+            # and the correlation is undefined; both engines emit NULL
+            # (the OLS dd/ed lesson)
+            / F.nullif(
                 F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                F.lit(0.0),
             )
         ).alias("assortativity"),
     )
