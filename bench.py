@@ -143,6 +143,7 @@ HEADLINE = [
     "events_lttb_downsample",
     "hll_register_audit",
     "stream_hll_merge",
+    "cohort_ltv_triangle",
 ]
 
 

@@ -3017,3 +3017,110 @@ def q_events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y").cast("double") / F.lit(10000.0)).alias("value_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle — cumulative revenue per user by acquisition week
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, CAST(ROUND(value * 10000.0) AS BIGINT) AS v_i
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+    AND user_id IS NOT NULL AND value IS NOT NULL
+),
+cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk FROM p GROUP BY 1
+),
+sizes AS (SELECT cohort_wk, COUNT(*) AS n_users FROM cohorts GROUP BY 1),
+cells AS (
+  SELECT c.cohort_wk,
+    CAST(date_diff('day', CAST(c.cohort_wk AS DATE),
+                   CAST(date_trunc('week', p.ts) AS DATE)) // 7
+         AS BIGINT) AS week_offset,
+    SUM(p.v_i) AS rev_i
+  FROM p JOIN cohorts c ON p.user_id = c.user_id
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_wk, week_offset, rev_i,
+    SUM(rev_i) OVER (PARTITION BY cohort_wk ORDER BY week_offset
+                     ROWS UNBOUNDED PRECEDING) AS cum_i
+  FROM cells
+)
+SELECT strftime(cum.cohort_wk, '%Y-%m-%d') AS cohort_week,
+  week_offset,
+  CAST(s.n_users AS BIGINT) AS n_cohort_users,
+  CAST(rev_i AS DOUBLE) / 10000.0 AS revenue,
+  CAST(cum_i AS DOUBLE) / CAST(s.n_users * 10000 AS DOUBLE)
+    AS cum_ltv_per_user
+FROM cum JOIN sizes s ON cum.cohort_wk = s.cohort_wk
+"""
+
+
+@query("cohort_ltv_triangle", oracle=_LTV_ORACLE)
+def q_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the MONEY companion to the retention
+    triangle (user_weekly_retention): users grouped by first-purchase
+    week, purchase revenue summed per (cohort, week-offset) cell, and
+    the running cumulative divided by cohort size = the
+    lifetime-value-per-user curve every payback-period decision reads.
+    Revenue rides 1e4 integer mantissas end-to-end; the cumulative is
+    an exact integer window sum and each emitted double is one
+    division (the denominator folds cohort size and the mantissa scale
+    into a single exact integer).
+
+    Scale shape: purchases collapse to user grain for the cohort map
+    (map-side combined), the cell census is cohortsxweeks-sized, and
+    the cumulative window rides the cohort key; the user→cohort join
+    shuffles user-grain rows, never raw events twice."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    p = e.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * F.lit(10000.0)).cast("bigint").alias("v_i"),
+    )
+    cohorts = p.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    sizes = cohorts.groupBy("cohort_wk").agg(F.count("*").alias("n_users"))
+    cells = (
+        p.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", "ts").cast("date"),
+                        F.col("cohort_wk").cast("date"),
+                    )
+                    / 7
+                )
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("v_i").alias("rev_i"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cum_i", F.sum("rev_i").over(wcum))
+    return cum.join(F.broadcast(sizes), "cohort_wk").select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        F.col("n_users").cast("bigint").alias("n_cohort_users"),
+        (F.col("rev_i").cast("double") / F.lit(10000.0)).alias("revenue"),
+        (
+            F.col("cum_i").cast("double")
+            / (F.col("n_users") * F.lit(10000)).cast("double")
+        ).alias("cum_ltv_per_user"),
+    )

@@ -164,6 +164,8 @@ _FAMILIES = [
     # universes (bitlen rank + shiftleft harmonic mean both engines)
     "hll_register_audit",
     "stream_hll_merge",
+    # round-7 batch 11: LTV triangle over empty/NULL purchase sets
+    "cohort_ltv_triangle",
 ]
 
 

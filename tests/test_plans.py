@@ -1094,3 +1094,13 @@ def test_hll_register_census_map_side_combines(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_ltv_triangle_user_grain_join_and_cohort_window(spark, sf_dir):
+    """LTV triangle: purchases collapse to user grain before the cohort
+    join; the cumulative rides the cohort-key window; cohort sizes
+    broadcast."""
+    p = plan(spark, sf_dir, "cohort_ltv_triangle")
+    assert P.has_broadcast_join(p)
+    assert "Window" in p
+    assert P.is_all_jvm(p)
