@@ -3071,10 +3071,10 @@ def q_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (the denominator folds cohort size and the mantissa scale
     into a single exact integer).
 
-    Scale shape: purchases collapse to user grain for the cohort map
-    (map-side combined), the cell census is cohortsxweeks-sized, and
-    the cumulative window rides the cohort key; the user→cohort join
-    shuffles user-grain rows, never raw events twice."""
+    Scale shape: the cohort week attaches as a window min over the
+    SAME user_id shuffle the purchases already need — no user→cohort
+    join at all; the cell census and cohort sizes are both
+    cohort-grain, and the cumulative window rides the cohort key."""
     e = load_table(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase")
         & F.col("ts").isNotNull()
@@ -3086,12 +3086,18 @@ def q_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * F.lit(10000.0)).cast("bigint").alias("v_i"),
     )
-    cohorts = p.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    wuser = Window.partitionBy("user_id")
+    p = p.withColumn(
+        "cohort_wk", F.date_trunc("week", F.min("ts").over(wuser))
     )
-    sizes = cohorts.groupBy("cohort_wk").agg(F.count("*").alias("n_users"))
+    sizes = (
+        p.select("user_id", "cohort_wk")
+        .distinct()
+        .groupBy("cohort_wk")
+        .agg(F.count("*").alias("n_users"))
+    )
     cells = (
-        p.join(cohorts, "user_id")
+        p
         .groupBy(
             "cohort_wk",
             (
