@@ -425,9 +425,14 @@ def q_user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = e.select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
-    cohorts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    # cohort week attaches as a window min over the SAME user_id
+    # shuffle the distinct already produced — no join back (the LTV
+    # triangle optimization, applied here too)
+    activity = activity.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
     return (
-        activity.join(cohorts, "user_id")
+        activity
         .groupBy(
             F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
             (
