@@ -167,12 +167,18 @@ _RECONFIRM = [
     "cumulative_new_users", "events_value_ztest", "corpus_token_budget",
 ]
 
-# Unchecked queries deliberately deferred past this round's window (none
-# this round: 1 priority + 45 r7 additions fit in 50 — 46/50 used).
+# Unchecked queries deliberately deferred past this round's window
+# (the r7 window filled at 46 priority+unchecked; the last two batch-11
+# additions wait one round, per the rotation contract).
 # ROUND-8 ROTATION NOTE: fold the 50 names the r7 CORRECTNESS gate
 # sampled (head of queries() at gate time) into _DRIVER_CHECKED, clear
 # _PRIORITY unless an oracle changed, and keep head + new <= 50.
-_DEFER: list[str] = []
+_DEFER: list[str] = [
+    # added after the r7 window filled (46 + 4 reconfirm = 50); locally
+    # parity-green at sf0.01 AND sf0.1 — promote into _PRIORITY for r8
+    "market_basket_lift",
+    "funnel_three_step_strict",
+]
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -144,6 +144,8 @@ HEADLINE = [
     "hll_register_audit",
     "stream_hll_merge",
     "cohort_ltv_triangle",
+    "market_basket_lift",
+    "funnel_three_step_strict",
 ]
 
 

@@ -435,3 +435,81 @@ def q_asof_next_purchase_tolerance(
             F.when(gap_raw <= 3600, gap_raw).cast("bigint").alias("gap_secs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift — co-purchased part pairs at order grain
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+sup AS (SELECT p, COUNT(*) AS c FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_both
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+f AS (SELECT * FROM pairs WHERE n_both >= {_BASKET_MIN_SUPPORT})
+SELECT f.part_a, f.part_b, CAST(f.n_both AS BIGINT) AS n_both,
+  CAST(sa.c AS BIGINT) AS n_a, CAST(sb.c AS BIGINT) AS n_b,
+  CAST((SELECT n_orders FROM n) * f.n_both AS DOUBLE)
+    / CAST(sa.c * sb.c AS DOUBLE) AS lift
+FROM f
+JOIN sup sa ON f.part_a = sa.p
+JOIN sup sb ON f.part_b = sb.p
+"""
+
+
+@query("market_basket_lift", oracle=_BASKET_ORACLE)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift over co-purchased part pairs —
+    the retail recommender primitive: lift = N·supp(a,b) /
+    (supp(a)·supp(b)) > 1 means the parts co-occur more than chance.
+    The pair census self-joins the DISTINCT (order, part) projection on
+    the order key, so fan-out is bounded by items-per-order² (≤ 13²
+    here — baskets, not catalogs, set the cost); a minimum pair
+    support prunes before the lift math, and lift is one double
+    division of exact integer counts.
+
+    Scale shape: one shuffle on the order key for the pair generation
+    (map-side combined census after), part-grain support tables
+    broadcast back, the order count a 1-row scalar.  Never all-pairs
+    over the catalog — the basket join IS the blocking."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = li.agg(F.count_distinct("o").alias("n_orders"))
+    sup = li.groupBy("p").agg(F.count("*").alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= _BASKET_MIN_SUPPORT)
+    )
+    sa = sup.select(F.col("p").alias("part_a"), F.col("c").alias("n_a"))
+    sb = sup.select(F.col("p").alias("part_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                (F.col("n_orders") * F.col("n_both")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -3135,3 +3135,112 @@ def q_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_users") * F.lit(10000)).cast("double")
         ).alias("cum_ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Strict 3-step funnel — view -> click -> purchase in temporal order
+# ---------------------------------------------------------------------------
+
+_FUNNEL3_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+w1 AS (
+  SELECT user_id, event_type, ts,
+    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM e
+),
+w2 AS (
+  SELECT user_id, event_type, ts, t1,
+    MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM w1
+),
+w3 AS (
+  SELECT user_id, t1, t2,
+    MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      OVER (PARTITION BY user_id) AS t3
+  FROM w2
+),
+u AS (
+  SELECT user_id,
+    MAX(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+    MAX(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+    MAX(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS r3
+  FROM w3 GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(r1) AS BIGINT) AS n_viewed,
+  CAST(SUM(r2) AS BIGINT) AS n_clicked_after_view,
+  CAST(SUM(r3) AS BIGINT) AS n_purchased_after_click,
+  CAST(SUM(r2) AS DOUBLE) / CAST(NULLIF(SUM(r1), 0) AS DOUBLE)
+    AS view_to_click,
+  CAST(SUM(r3) AS DOUBLE) / CAST(NULLIF(SUM(r2), 0) AS DOUBLE)
+    AS click_to_purchase
+FROM u
+"""
+
+
+@query("funnel_three_step_strict", oracle=_FUNNEL3_ORACLE)
+def q_funnel_three_step_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict temporally-ordered 3-step funnel (view → click →
+    purchase): a click only counts AFTER the user's first view, a
+    purchase only after that first qualifying click — the ordering
+    discipline naive per-type-exists funnels get wrong (they count a
+    purchase that preceded the view).  Three chained conditional-min
+    windows over the SAME user partition resolve the sequence without
+    any self-join; per-user flags then roll up to the funnel row.
+    Conversion ratios are single divisions with NULLIF guards (the
+    degenerate-denominator lesson).
+
+    Scale shape: ONE user_id shuffle carries all three window passes
+    (same partitioning, no re-exchange), then a map-side-combined
+    per-user flag rollup into a single row."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    wu = Window.partitionBy("user_id")
+    w1 = e.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+    )
+    w2 = w1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    w3 = w2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    u = w3.groupBy("user_id").agg(
+        F.max(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("r1"),
+        F.max(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("r2"),
+        F.max(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("r3"),
+    )
+    return u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("r1").cast("bigint").alias("n_viewed"),
+        F.sum("r2").cast("bigint").alias("n_clicked_after_view"),
+        F.sum("r3").cast("bigint").alias("n_purchased_after_click"),
+        (
+            F.sum("r2").cast("double")
+            / F.nullif(F.sum("r1"), F.lit(0)).cast("double")
+        ).alias("view_to_click"),
+        (
+            F.sum("r3").cast("double")
+            / F.nullif(F.sum("r2"), F.lit(0)).cast("double")
+        ).alias("click_to_purchase"),
+    )

@@ -166,6 +166,10 @@ _FAMILIES = [
     "stream_hll_merge",
     # round-7 batch 11: LTV triangle over empty/NULL purchase sets
     "cohort_ltv_triangle",
+    # round-7 batch 11b (deferred to the r8 window): basket pairs over an
+    # empty order set; funnel windows over empty/NULL event streams
+    "market_basket_lift",
+    "funnel_three_step_strict",
 ]
 
 

@@ -1104,3 +1104,22 @@ def test_ltv_triangle_user_grain_join_and_cohort_window(spark, sf_dir):
     assert P.has_broadcast_join(p)
     assert "Window" in p
     assert P.is_all_jvm(p)
+
+
+def test_basket_pairs_join_on_order_key_supports_broadcast(spark, sf_dir):
+    """Basket lift: pair generation joins on the order key (fan-out
+    bounded by basket size), support tables and the 1-row order count
+    broadcast back."""
+    p = plan(spark, sf_dir, "market_basket_lift")
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_funnel3_windows_share_one_user_shuffle(spark, sf_dir):
+    """Strict funnel: all three conditional-min windows ride ONE
+    user_id exchange — no self-joins, single Exchange on user_id."""
+    p = plan(spark, sf_dir, "funnel_three_step_strict")
+    assert "Window" in p
+    assert "HashJoin" not in p and "SortMergeJoin" not in p
+    assert P.is_all_jvm(p)
