@@ -178,6 +178,7 @@ _DEFER: list[str] = [
     # parity-green at sf0.01 AND sf0.1 — promote into _PRIORITY for r8
     "market_basket_lift",
     "funnel_three_step_strict",
+    "session_path_counts",
 ]
 
 

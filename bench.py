@@ -146,6 +146,7 @@ HEADLINE = [
     "cohort_ltv_triangle",
     "market_basket_lift",
     "funnel_three_step_strict",
+    "session_path_counts",
 ]
 
 

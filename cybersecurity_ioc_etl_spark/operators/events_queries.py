@@ -3244,3 +3244,101 @@ def q_funnel_three_step_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("r2"), F.lit(0)).cast("double")
         ).alias("click_to_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining — top session-entry paths (first 3 steps)
+# ---------------------------------------------------------------------------
+
+_PATH_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+    AND event_id IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+    array_to_string(
+      list_slice(list(event_type ORDER BY ts, event_id), 1, 3), '>')
+      AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@query("session_path_counts", oracle=_PATH_ORACLE)
+def q_session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining — the top session-ENTRY paths (first three
+    event types of each 30-minute-gap session): where the transition
+    matrix sees only pairs, this ranks whole opening sequences — the
+    clickstream question "how do sessions actually start?".  Gaps are
+    exact integer microseconds; the session id is the lag+cumsum
+    idiom with the (ts, event_id) total order stated on BOTH window
+    and list aggregation (ties and NULLS never reorder steps); the
+    path string is the sorted-struct slice so both engines assemble
+    identical sequences.
+
+    Scale shape: one user_id shuffle carries the lag, the running
+    sum, and the per-session list aggregation (only the first 3
+    elements survive); the path census map-side combines into path
+    cardinality, and the top-20 is a TakeOrdered, never a global
+    sort."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_lag)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    3,
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

@@ -170,6 +170,8 @@ _FAMILIES = [
     # empty order set; funnel windows over empty/NULL event streams
     "market_basket_lift",
     "funnel_three_step_strict",
+    # session paths over empty/NULL streams (deferred with 11b)
+    "session_path_counts",
 ]
 
 

@@ -1123,3 +1123,12 @@ def test_funnel3_windows_share_one_user_shuffle(spark, sf_dir):
     assert "Window" in p
     assert "HashJoin" not in p and "SortMergeJoin" not in p
     assert P.is_all_jvm(p)
+
+
+def test_session_paths_one_user_shuffle_then_topk(spark, sf_dir):
+    """Session paths: lag, running sum, and the per-session list agg
+    ride one user_id exchange; the top-20 is TakeOrderedAndProject."""
+    p = plan(spark, sf_dir, "session_path_counts")
+    assert "Window" in p
+    assert P.has_take_ordered_topk(p)
+    assert P.is_all_jvm(p)
