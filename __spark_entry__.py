@@ -179,6 +179,7 @@ _DEFER: list[str] = [
     "market_basket_lift",
     "funnel_three_step_strict",
     "session_path_counts",
+    "trade_edge_churn",
 ]
 
 

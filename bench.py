@@ -147,6 +147,7 @@ HEADLINE = [
     "market_basket_lift",
     "funnel_three_step_strict",
     "session_path_counts",
+    "trade_edge_churn",
 ]
 
 

@@ -643,3 +643,91 @@ def q_trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge churn — trade-graph evolution between adjacent quarters
+# ---------------------------------------------------------------------------
+
+_EDGES_Q2_SQL = _EDGES_SQL.replace("1995-01-01", "1995-04-01").replace(
+    "1995-03-31", "1995-06-30"
+)
+
+_CHURN_ORACLE = f"""
+WITH e1 AS ({_EDGES_SQL}),
+e2 AS ({_EDGES_Q2_SQL}),
+u AS (
+  SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.dst, b.dst) AS dst,
+    a.src IS NOT NULL AS in_q1, b.src IS NOT NULL AS in_q2
+  FROM e1 a FULL OUTER JOIN e2 b ON a.src = b.src AND a.dst = b.dst
+)
+SELECT
+  CAST(SUM(CASE WHEN in_q1 AND in_q2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_persisted,
+  CAST(SUM(CASE WHEN in_q1 AND NOT in_q2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(SUM(CASE WHEN in_q2 AND NOT in_q1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_added,
+  CAST(SUM(CASE WHEN in_q1 AND in_q2 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(NULLIF(COUNT(*), 0) AS DOUBLE) AS jaccard_stability
+FROM u
+"""
+
+
+@query("trade_edge_churn", oracle=_CHURN_ORACLE)
+def q_trade_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph evolution between adjacent quarters: the trade edge sets
+    of 1995-Q1 and 1995-Q2 full-outer-joined on the (src, dst) key,
+    classified persisted/removed/added, plus Jaccard stability
+    |E1∩E2|/|E1∪E2| — the drift monitor for any periodically-rebuilt
+    graph (a stability crash means the downstream PageRank/k-core
+    features changed regime).  Counts are exact integers; the ratio is
+    one NULLIF-guarded division (degenerate-input lesson).
+
+    Scale shape: two partition-pruned edge derivations (the date
+    predicates reach the scans) and one key-keyed full outer join at
+    edge cardinality; the classification is a 1-row reduction."""
+    e1 = _trade_edges(spark, sf_dir)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-04-01", "1995-06-30"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e2 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    a = e1.withColumn("in_q1", F.lit(True)).alias("a")
+    b = e2.withColumn("in_q2", F.lit(True)).alias("b")
+    u = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") == F.col("b.dst")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("a.in_q1"), F.lit(False)).alias("in_q1"),
+        F.coalesce(F.col("b.in_q2"), F.lit(False)).alias("in_q2"),
+    )
+    both = F.sum(F.when(F.col("in_q1") & F.col("in_q2"), 1).otherwise(0))
+    return u.agg(
+        both.cast("bigint").alias("n_persisted"),
+        F.sum(F.when(F.col("in_q1") & ~F.col("in_q2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("in_q2") & ~F.col("in_q1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        (
+            both.cast("double")
+            / F.nullif(F.count("*"), F.lit(0)).cast("double")
+        ).alias("jaccard_stability"),
+    )

@@ -172,6 +172,7 @@ _FAMILIES = [
     "funnel_three_step_strict",
     # session paths over empty/NULL streams (deferred with 11b)
     "session_path_counts",
+    "trade_edge_churn",
 ]
 
 

@@ -147,6 +147,7 @@ _REGRESSIONS = [
     "funnel_three_step_strict",
     # session paths over empty/NULL streams (deferred with 11b)
     "session_path_counts",
+    "trade_edge_churn",
 ]
 
 

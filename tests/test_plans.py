@@ -1132,3 +1132,12 @@ def test_session_paths_one_user_shuffle_then_topk(spark, sf_dir):
     assert "Window" in p
     assert P.has_take_ordered_topk(p)
     assert P.is_all_jvm(p)
+
+
+def test_edge_churn_prunes_both_quarters_at_scan(spark, sf_dir):
+    """Edge churn: both quarters' shipdate predicates reach the parquet
+    scans; dims broadcast; the classify step is a 1-row reduction."""
+    p = plan(spark, sf_dir, "trade_edge_churn")
+    assert P.has_pushed_filters(p)
+    assert P.has_broadcast_join(p)
+    assert P.is_all_jvm(p)
