@@ -180,6 +180,7 @@ _DEFER: list[str] = [
     "funnel_three_step_strict",
     "session_path_counts",
     "trade_edge_churn",
+    "sliding_24h_distinct_users",
 ]
 
 

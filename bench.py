@@ -148,6 +148,7 @@ HEADLINE = [
     "funnel_three_step_strict",
     "session_path_counts",
     "trade_edge_churn",
+    "sliding_24h_distinct_users",
 ]
 
 

@@ -3342,3 +3342,73 @@ def q_session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding 24 h distinct users — exact trailing-window cardinality
+# ---------------------------------------------------------------------------
+
+_SLIDE_DISTINCT_ORACLE = """
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS h FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+hu AS (SELECT DISTINCT h, user_id FROM e),
+b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t FROM b
+)
+SELECT strftime(s.t, '%Y-%m-%d %H:%M:%S') AS hour_start,
+  CAST(COUNT(DISTINCT hu.user_id) AS BIGINT) AS n_distinct_users_24h
+FROM spine s
+LEFT JOIN hu ON hu.h BETWEEN s.t - INTERVAL 23 HOUR AND s.t
+GROUP BY s.t
+"""
+
+
+@query("sliding_24h_distinct_users", oracle=_SLIDE_DISTINCT_ORACLE)
+def q_sliding_24h_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour distinct active users per hour — THE dashboard
+    cardinality series, and deliberately the hard case: DISTINCT does
+    not decompose over sliding windows (window functions cannot take
+    DISTINCT aggregates), so the exact form joins the complete hourly
+    spine to the deduplicated (hour, user) pair census over a 24-hour
+    band and counts distinct per target hour.  The pair census — not
+    raw events — pays the 24× band fan-out.
+
+    Scale shape: events collapse to hour×user pairs first (map-side
+    combined); the generated spine broadcasts into the band join (the
+    interval-join pattern of click_error_range_join — at very large
+    spans, bucket both sides by day ±1 first).  When exact cardinality
+    stops being worth the fan-out, the SAME series comes from merging
+    24 hourly HLL register partials per row (hll_register_audit /
+    stream_hll_merge are the calibration and the merge law) — this
+    query is the exact side of that tradeoff."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    hu = e.select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    b = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("t")
+    )
+    joined = F.broadcast(spine).join(
+        hu,
+        F.col("h").between(
+            F.col("t") - F.expr("INTERVAL 23 HOURS"), F.col("t")
+        ),
+        "left",
+    )
+    return joined.groupBy("t").agg(
+        F.count_distinct("user_id").cast("bigint").alias(
+            "n_distinct_users_24h"
+        )
+    ).select(
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n_distinct_users_24h",
+    )

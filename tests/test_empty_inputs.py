@@ -173,6 +173,7 @@ _FAMILIES = [
     # session paths over empty/NULL streams (deferred with 11b)
     "session_path_counts",
     "trade_edge_churn",
+    "sliding_24h_distinct_users",
 ]
 
 

@@ -1141,3 +1141,13 @@ def test_edge_churn_prunes_both_quarters_at_scan(spark, sf_dir):
     assert P.has_pushed_filters(p)
     assert P.has_broadcast_join(p)
     assert P.is_all_jvm(p)
+
+
+def test_sliding_distinct_band_join_broadcasts_spine(spark, sf_dir):
+    """Sliding distinct: the generated hourly spine broadcasts into the
+    band join over the deduplicated pair census; distinct counting is
+    the standard two-round key shuffle."""
+    p = plan(spark, sf_dir, "sliding_24h_distinct_users")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
