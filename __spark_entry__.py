@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 
-# Queries already driver-confirmed green in CORRECTNESS_r01..r06.
+# Queries already driver-confirmed green in CORRECTNESS_r01..r07.
 # The driver's correctness gate samples the FIRST 50 entries of queries()
 # in iteration order, so we rotate: new round-7 queries land in the `mid`
 # slot automatically (unchecked, not listed here), then high-value
@@ -31,6 +31,30 @@ from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 # restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r7 window (CORRECTNESS_r07: 50/50 hash-green — the 46 round-7
+        # additions below; the other 4 sampled rows were re-confirmations
+        # already listed in earlier windows)
+        "event_value_trend_ols", "substring_anchor_scores",
+        "ioc_ip_prefix_rollup", "ioc_host_dga_scores",
+        "ioc_typosquat_candidates", "event_transition_matrix",
+        "events_ewma_half_life", "user_active_intervals",
+        "event_dow_residuals", "event_value_quantile_normalized",
+        "scd2_temporal_join", "linear_attribution_credits",
+        "event_type_stationary_dist", "event_hourly_autocorrelation",
+        "events_debounced_counts", "events_cusum_alarms",
+        "user_survival_curve", "events_lttb_downsample",
+        "cohort_ltv_triangle", "token_cooccurrence_pmi",
+        "doc_readability_scores", "lang_token_fertility",
+        "rake_keyword_scores", "greedy_coverage_docs",
+        "trade_kcore_membership", "hits_hubs_authorities",
+        "trade_degree_assortativity", "jl_projection_audit",
+        "retrieval_dcg_audit", "asof_next_purchase_tolerance",
+        "kmv_distinct_audit", "stream_kmv_merge", "rfm_customer_segments",
+        "revenue_gini_concentration", "hll_register_audit",
+        "stream_hll_merge", "orders_profile_drift", "k_anonymity_audit",
+        "l_diversity_audit", "t_closeness_audit", "benford_price_audit",
+        "zorder_layout_audit", "bloom_semijoin_audit", "stream_bloom_build",
+        "audio_rms_profile", "video_scene_cuts",
         # r6 window (CORRECTNESS_r06: 50/50 hash-green — the 25 round-6
         # additions + the restated approx_value_percentiles; the other
         # 24 sampled rows were re-confirmations already listed below)
@@ -131,24 +155,25 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: queries whose oracle changed or that must be
-# re-sampled first this round (none for r7 — no oracle restatements;
-# the OLS NULLIF hardening is behavior-identical on the current
-# fixtures, but list it first anyway so the driver re-confirms the
-# edited oracle text).  New round-7 queries land in the `mid` slot of
-# _ordered() automatically (unchecked, not listed here); keep
-# head + expected-new <= 50.
+# Head of the rotation: the five r7 late additions the rotation
+# deferred past the r7 window (VERDICT r7 item 1) — all locally
+# parity-green at sf0.01 and sf0.1; promoting them gives every
+# registered query a driver-issued green row (260/260).  New round-8
+# queries land in the `mid` slot of _ordered() automatically
+# (unchecked, not listed here); keep head + expected-new <= 50.
 _PRIORITY = [
-    "event_value_trend_ols",
+    "market_basket_lift",
+    "funnel_three_step_strict",
+    "session_path_counts",
+    "trade_edge_churn",
+    "sliding_24h_distinct_users",
 ]
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-7 queries.  Continues the r6 rotation from where
-# its 50-query window cut off (funnel_click_purchase onward — oldest
+# head + any new round-8 queries.  Continues the r7 rotation from where
+# its 50-query window cut off (minhash_signatures onward — oldest
 # driver-green rows first, one per family).
 _RECONFIRM = [
-    "funnel_click_purchase",
-    "cdc_snapshot_fold", "dedup_exact_groups", "dedup_keep_first",
     "minhash_signatures", "simhash_neardup_pairs", "neardup_jaccard_pairs",
     "dedup_components", "knn_cosine_topk", "ivf_topk", "ivf_multiprobe_topk",
     "ann_bucketed_topk", "embedding_lsh_neardup_pairs", "kmeans_lloyd_step",
@@ -168,20 +193,12 @@ _RECONFIRM = [
 ]
 
 # Unchecked queries deliberately deferred past this round's window
-# (the r7 window filled at 46 priority+unchecked; the last two batch-11
-# additions wait one round, per the rotation contract).
-# ROUND-8 ROTATION NOTE: fold the 50 names the r7 CORRECTNESS gate
+# (none yet for r8 — add here if the window fills past 50).
+# ROUND-9 ROTATION NOTE: fold the 50 names the r8 CORRECTNESS gate
 # sampled (head of queries() at gate time) into _DRIVER_CHECKED, clear
-# _PRIORITY unless an oracle changed, and keep head + new <= 50.
-_DEFER: list[str] = [
-    # added after the r7 window filled (46 + 4 reconfirm = 50); locally
-    # parity-green at sf0.01 AND sf0.1 — promote into _PRIORITY for r8
-    "market_basket_lift",
-    "funnel_three_step_strict",
-    "session_path_counts",
-    "trade_edge_churn",
-    "sliding_24h_distinct_users",
-]
+# _PRIORITY unless an oracle changed, promote any _DEFER entries, and
+# keep head + new <= 50.
+_DEFER: list[str] = []
 
 
 def _ordered(names: list[str]) -> list[str]:
