@@ -2385,6 +2385,59 @@ def q_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
+def compact_ivfpq_segments(
+    spark: SparkSession, segments: list[str], merged_table: str
+) -> str:
+    """Merge several immutable IVF-PQ code segments into ONE
+    cid-bucketed table — the third leg of the Lucene-shaped index
+    lifecycle (build → upsert → compact).  Compaction is a pure
+    bucketed-table rewrite: the stored (cid, vec_id, codes) rows are
+    already routed and PQ-encoded, so no Lloyd round, no codebook, no
+    embedding read happens here — just union the segment scans and
+    write one bucketed segment.  At 100 TB this is the background job
+    that bounds segment count (serve cost grows with segments because
+    each query opens one bucket file PER segment); cost is linear in
+    the compacted bytes and shuffles only the 16-byte-per-vector code
+    rows, never the embeddings."""
+    from functools import reduce as _reduce
+
+    drop_table_and_location(spark, merged_table)
+    merged = _reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.table(t) for t in segments],
+    )
+    write_bucketed(merged, merged_table, key="cid", n_buckets=_KMEANS_K)
+    return merged_table
+
+
+@query("ivfpq_compacted_topk", oracle=_IVFPQ_UPSERT_ORACLE)
+def q_ivfpq_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment COMPACTION receipt — completes the index lifecycle the
+    stored/upsert pair started: build the two-segment upsert layout
+    (train on the base 90%, route+encode the 10% delta), then compact
+    base+delta into ONE cid-bucketed segment via a pure
+    read-union-rewrite, and serve the top-10 from the compacted table
+    alone.  Same oracle as ivfpq_upsert_topk: segment boundaries are
+    physically invisible — the merged segment must rank identically to
+    the two-segment union AND to the oracle's single logical index.
+    The compacted serve plan is again a single bucket-pruned
+    zero-Exchange scan (pinned in tests/test_plans.py::
+    test_ivfpq_segment_compaction_preserves_results), i.e. compaction
+    restores the one-bucket-file-per-query serve cost that upserts
+    erode."""
+    import hashlib
+
+    from ..sinks.bucketed import bucket_filter_pruning
+
+    segments, cent = build_ivfpq_upsert_segments(spark, sf_dir)
+    prefix = "ivfpqc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    merged = compact_ivfpq_segments(spark, segments, f"{prefix}_merged")
+    with bucket_filter_pruning(spark):
+        return serve_ivfpq_stored(
+            spark, sf_dir, merged, cent
+        ).localCheckpoint(eager=True)
+
+
 def build_ivfpq_upsert_segments(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[str], str]:

@@ -76,6 +76,9 @@ _FAMILIES = [
     "approx_value_percentiles",
     "approx_distinct_parts",
     "ivfpq_upsert_topk",
+    # round-8: compaction serves from the merged segment — same
+    # empty-routing guard path as stored/upsert
+    "ivfpq_compacted_topk",
     "countmin_token_audit",
     "bigram_lm_doc_scores",
     "bm25_more_like_this",

@@ -574,49 +574,39 @@ def test_ivfpq_upsert_serves_segments_without_exchange(spark, sf_dir):
 
 def test_ivfpq_segment_compaction_preserves_results(spark, sf_dir):
     """Compaction receipt: merging two immutable segments into one
-    bucketed table (a pure read-union-rewrite, no retraining or
-    re-encoding) must serve the IDENTICAL top-k, and the compacted
-    serve plan is again a single bucket-pruned zero-Exchange scan."""
+    bucketed table via compact_ivfpq_segments (a pure
+    read-union-rewrite, no retraining or re-encoding) must serve the
+    IDENTICAL top-k, and the compacted serve plan is again a single
+    bucket-pruned zero-Exchange scan — the plan shape the registered
+    ivfpq_compacted_topk query ships."""
     import uuid
 
     from cybersecurity_ioc_etl_spark.operators.similarity import (
         _KMEANS_K,
+        build_ivfpq_upsert_segments,
+        compact_ivfpq_segments,
         serve_ivfpq_stored,
     )
-    from cybersecurity_ioc_etl_spark.sinks.bucketed import write_bucketed
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import (
+        bucket_filter_pruning,
+    )
 
-    # build the two-segment layout via the registered upsert query's
-    # tables (rebuild here so the test owns its lifecycle)
-    QUERIES["ivfpq_upsert_topk"](spark, sf_dir).collect()
-    import hashlib
-
-    prefix = "ivfpqu_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    segs, cent = build_ivfpq_upsert_segments(spark, sf_dir)
     compacted = f"compact_{uuid.uuid4().hex[:8]}"
     try:
-        merged = spark.table(f"{prefix}_base").unionByName(
-            spark.table(f"{prefix}_delta")
-        )
-        write_bucketed(merged, compacted, key="cid", n_buckets=_KMEANS_K)
-        from cybersecurity_ioc_etl_spark.sinks.bucketed import (
-            bucket_filter_pruning,
-        )
-
+        compact_ivfpq_segments(spark, segs, compacted)
         with bucket_filter_pruning(spark):
-            before = serve_ivfpq_stored(
-                spark, sf_dir, [f"{prefix}_base", f"{prefix}_delta"],
-                f"{prefix}_cent",
-            ).collect()
-            after_df = serve_ivfpq_stored(
-                spark, sf_dir, compacted, f"{prefix}_cent"
-            )
+            before = serve_ivfpq_stored(spark, sf_dir, segs, cent).collect()
+            after_df = serve_ivfpq_stored(spark, sf_dir, compacted, cent)
             after = after_df.collect()
             p = P.formatted_plan(after_df, execute=True)
         assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+        assert len(after) == 10
         assert "Exchange" not in p
         assert f"SelectedBucketsCount: 1 out of {_KMEANS_K}" in p
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {compacted}")
-        for t in (f"{prefix}_base", f"{prefix}_delta", f"{prefix}_cent"):
+        for t in segs + [cent]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
