@@ -1979,3 +1979,135 @@ def q_substring_anchor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_anchors").cast("double")
         ).alias("share_ratio"),
     )
+
+
+_ANCHOR_AUDIT_BOUND = 500
+_ANCHOR_AUDIT_CHARS = 400
+
+_ANCHOR_RECALL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, substring(text, 1, {_ANCHOR_AUDIT_CHARS}) AS t
+  FROM documents
+  WHERE doc_id < {_ANCHOR_AUDIT_BOUND}
+    AND text IS NOT NULL AND length(text) >= {_ANCHOR_LEN}
+),
+exact AS (
+  SELECT DISTINCT doc_id, md5(substring(t, p, {_ANCHOR_LEN})) AS dg
+  FROM (
+    SELECT doc_id, t,
+      unnest(generate_series(1, length(t) - {_ANCHOR_LEN - 1}, 1)) AS p
+    FROM d
+  )
+),
+truth AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exact a JOIN exact b ON a.dg = b.dg AND a.doc_id < b.doc_id
+),
+an AS (
+  SELECT DISTINCT doc_id, md5(substring(t, p, {_ANCHOR_LEN})) AS dg
+  FROM (
+    SELECT doc_id, t,
+      unnest(generate_series(1, length(t) - {_ANCHOR_LEN - 1},
+                             {_ANCHOR_STRIDE})) AS p
+    FROM d
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM an a JOIN an b ON a.dg = b.dg AND a.doc_id < b.doc_id
+),
+hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+SELECT
+  (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+  (SELECT COUNT(*) FROM cand) AS n_candidates,
+  (SELECT COUNT(*) FROM hits) AS n_hits,
+  CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+       THEN CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+            / (SELECT COUNT(*) FROM truth)
+       END AS recall
+"""
+
+
+@query("anchor_recall_audit", oracle=_ANCHOR_RECALL_ORACLE)
+def q_anchor_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strided-anchor approximation verifying itself (the
+    banding_recall_audit pattern applied to substring_anchor_scores'
+    suffix-array stand-in): on a bounded slice (doc_id < 500, first 400
+    chars) where EXACT duplicated-span ground truth is affordable —
+    every stride-1 40-char window digested — measure what fraction of
+    truly span-sharing doc pairs the stride-10 anchor census recovers.
+
+    The known failure mode this quantifies: two copies of the same span
+    whose start offsets differ mod stride sample DISJOINT residue
+    classes of window positions and share zero anchors however long the
+    span is — so recall < 1 is structural, not sampling noise, and
+    stride is the recall/cost lever (stride 1 = suffix-array-exact at
+    10× the anchors).  Candidates are a subset of truth by construction
+    (strided windows ⊆ all windows on identical text), so the audit is
+    pure recall; precision is 1.
+
+    Scale shape: ground truth is the bounded slice (the knob — at
+    100 TB audit a hash-sampled 0.01% of docs, not the corpus); both
+    censuses shuffle only 16-byte digests; the pair joins are
+    digest-keyed."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < _ANCHOR_AUDIT_BOUND)
+            & F.col("text").isNotNull()
+            & (F.length("text") >= _ANCHOR_LEN)
+        )
+        .select("doc_id", F.col("text").substr(1, _ANCHOR_AUDIT_CHARS).alias("t"))
+    )
+
+    def _windows(stride: int) -> DataFrame:
+        pos = F.sequence(
+            F.lit(1),
+            F.length("t") - F.lit(_ANCHOR_LEN - 1),
+            F.lit(stride),
+        )
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    pos,
+                    lambda p: F.md5(F.col("t").substr(p, F.lit(_ANCHOR_LEN))),
+                )
+            ).alias("dg"),
+        ).distinct()
+
+    def _pairs(w: DataFrame) -> DataFrame:
+        a, b = w.alias("a"), w.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.dg") == F.col("b.dg"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    truth = _pairs(_windows(1))
+    cand = _pairs(_windows(_ANCHOR_STRIDE))
+    hits = cand.intersect(truth)
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hits = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            ).alias("recall"),
+        )
+    )
