@@ -352,6 +352,69 @@ def q_stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_click_error_outer_join",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id AS cid, user_id AS cu, ts AS cts
+  FROM events WHERE event_type = 'click' AND user_id < 40
+),
+errors AS (
+  SELECT event_id AS eid, user_id AS eu, ts AS ets
+  FROM events WHERE event_type = 'error'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(cts) FROM clicks),
+               (SELECT MAX(ets) FROM errors))
+         - INTERVAL 30 MINUTE AS w
+),
+matched AS (
+  SELECT c.cid AS click_id, e.eid AS error_id,
+    epoch_us(e.ets) - epoch_us(c.cts) AS lag_us
+  FROM clicks c JOIN errors e
+    ON c.cu = e.eu AND e.ets > c.cts
+   AND e.ets <= c.cts + INTERVAL 10 MINUTE
+),
+unmatched AS (
+  SELECT c.cid AS click_id, CAST(NULL AS BIGINT) AS error_id,
+    CAST(NULL AS BIGINT) AS lag_us
+  FROM clicks c, wm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM errors e
+    WHERE e.eu = c.cu AND e.ets > c.cts
+      AND e.ets <= c.cts + INTERVAL 10 MINUTE
+  )
+  AND c.cts + INTERVAL 10 MINUTE < wm.w
+)
+SELECT click_id, error_id, lag_us FROM matched
+UNION ALL
+SELECT click_id, error_id, lag_us FROM unmatched
+""",
+)
+def q_stream_click_error_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (the remaining
+    Structured Streaming join mode with real semantics): matches emit
+    as they arrive exactly like the inner form; a click with NO error
+    in its 10-minute horizon emits ONCE with NULL error columns when
+    the global watermark (min of both sides' max event time − 30 min)
+    strictly passes the end of its match window — i.e. when its join
+    state is provably complete and evicted.  The batch oracle states
+    that cutoff explicitly: unmatched clicks qualify only if
+    c_ts + 10 min < final_watermark; later clicks are PENDING at
+    end-of-stream, not unmatched (the truncation every watermarked
+    append sink has — verified empirically against Spark's eviction,
+    and exercised with controlled late data in
+    tests/test_stateful_streaming.py).
+
+    Scale shape identical to the inner form: user_id carries the state
+    partitioning, both watermarks + the range condition bound state to
+    the 40-minute horizon, so the operator runs indefinitely at
+    cluster scale with O(horizon) state."""
+    from ..streaming.pipeline import run_click_error_join_stream
+
+    return run_click_error_join_stream(spark, sf_dir, how="leftOuter")
+
+
+@query(
     "events_hourly_gapfill",
     oracle="""
 WITH bounds AS (

@@ -780,10 +780,12 @@ def run_ioc_stream(
     return spark.table(name)
 
 
-def run_click_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner join with watermarks, run to completion:
-    error events within 10 minutes after a click by the same user —
-    the streaming form of the batch time-range join
+def run_click_error_join_stream(
+    spark: SparkSession, sf_dir: str, how: str = "inner"
+) -> DataFrame:
+    """Stream-stream join with watermarks, run to completion: error
+    events within 10 minutes after a click by the same user — the
+    streaming form of the batch time-range join
     (operators/analytics.py::q_click_error_range_join).
 
     Both sides are real streams (the same file source filtered two
@@ -794,6 +796,17 @@ def run_click_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that keeps the operator alive indefinitely at cluster
     scale.  Inner-join results append as matches arrive; AvailableNow
     drains the fixture and the result equals the batch join exactly.
+
+    ``how="leftOuter"`` adds the unmatched-emit semantics: a click with
+    no error inside its 10-minute horizon emits once with NULL error
+    columns when the global watermark (min of both sides' max event
+    time − 30 min delay) passes the END of its match window
+    (c_ts + 10 min) — i.e. when its join state is provably complete and
+    evicted.  Clicks whose window is still open against the final
+    watermark when AvailableNow drains do NOT emit — they are pending,
+    not unmatched (the same end-of-stream truncation every watermarked
+    append sink has; the batch oracle states the final-watermark cutoff
+    explicitly).
     """
     import os
 
@@ -830,6 +843,7 @@ def run_click_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_user") == F.col("e_user"))
         & (F.col("e_ts") > F.col("c_ts"))
         & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        how,
     ).select(
         "click_id",
         "error_id",

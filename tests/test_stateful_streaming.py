@@ -150,6 +150,110 @@ def test_stream_stream_join_matches_batch_range_join(spark):
     assert streamed == batch == {(100, 200), (101, 201)}
 
 
+def test_stream_stream_outer_join_emits_unmatched_on_watermark(spark):
+    """LEFT OUTER stream-stream join semantics under controlled late
+    data (VERDICT r7 item 6): a matched click emits as in the inner
+    form; an unmatched click emits ONCE with NULL error columns only
+    after the watermark strictly passes the end of its 10-minute match
+    window; an error arriving AFTER that eviction is dropped as late
+    (no retro-match, no duplicate emission); and a click whose window
+    is still open against the final watermark stays PENDING — absent
+    from the drained output."""
+    click_dir = tempfile.mkdtemp(prefix="sso_clicks_")
+    err_dir = tempfile.mkdtemp(prefix="sso_errs_")
+    ckpt = tempfile.mkdtemp(prefix="sso_ckpt_")
+    out = tempfile.mkdtemp(prefix="sso_out_")
+
+    # batch 1: click A (matched by e200), click B (never matched)
+    _write_jsonl(
+        f"{click_dir}/a.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_id": 100},
+            {"ts": "2024-01-01 10:05:00", "user_id": 2, "event_id": 101},
+        ],
+    )
+    _write_jsonl(
+        f"{err_dir}/a.json",
+        [{"ts": "2024-01-01 10:04:00", "user_id": 1, "event_id": 200}],
+    )
+    # batch 2: advances both watermarks to 11:40 (min(11:50,11:55)-10m),
+    # which strictly passes B's window end (10:15) -> B's state evicts
+    # and the NULL row emits.  Click C's window (11:50-12:00) stays open
+    # against the final watermark -> pending, must NOT emit.
+    _write_jsonl(
+        f"{click_dir}/b.json",
+        [{"ts": "2024-01-01 11:50:00", "user_id": 3, "event_id": 102}],
+    )
+    _write_jsonl(
+        f"{err_dir}/b.json",
+        [{"ts": "2024-01-01 11:55:00", "user_id": 9, "event_id": 300}],
+    )
+    # batch 3: benign — runs with watermark 11:40, so B's state (window
+    # end 10:15) evicts at its end and the NULL row emits.  (Input rows
+    # join against state BEFORE eviction runs within a batch, so the
+    # late error must arrive one batch AFTER the evicting batch.)
+    _write_jsonl(
+        f"{err_dir}/c.json",
+        [{"ts": "2024-01-01 11:56:00", "user_id": 9, "event_id": 301}],
+    )
+    # batch 4: a LATE error for B (10:08, far below the watermark, and
+    # B's state already evicted) — must neither retro-match nor revise
+    # or duplicate B's already-emitted null row
+    _write_jsonl(
+        f"{err_dir}/d.json",
+        [{"ts": "2024-01-01 10:08:00", "user_id": 2, "event_id": 201}],
+    )
+    # FileStreamSource orders files by modification time — pin distinct
+    # mtimes so maxFilesPerTrigger=1 really replays a, b, c, d in order
+    # (same-second mtimes would let the late batch jump the queue)
+    import os as _os
+    import time as _time
+
+    t0 = _time.time() - 100
+    for f in [
+        f"{click_dir}/a.json", f"{click_dir}/b.json",
+        f"{err_dir}/a.json", f"{err_dir}/b.json",
+        f"{err_dir}/c.json", f"{err_dir}/d.json",
+    ]:
+        step = {"a": 0, "b": 10, "c": 20, "d": 30}[f.rsplit("/", 1)[1][0]]
+        _os.utime(f, (t0 + step, t0 + step))
+
+    schema = "ts timestamp, user_id long, event_id long"
+    sc = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(click_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    se = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(err_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    joined = sc.alias("c").join(
+        se.alias("e"),
+        (F.col("c.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") > F.col("c.ts"))
+        & (F.col("e.ts") <= F.col("c.ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("e.event_id").alias("error_id"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.click_id, r.error_id) for r in spark.read.parquet(out).collect()}
+    assert rows == {(100, 200), (101, None)}
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Streaming exact dedup: dropDuplicatesWithinWatermark removes
     re-deliveries of the same IOC across micro-batches while the
