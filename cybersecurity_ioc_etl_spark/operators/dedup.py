@@ -1981,6 +1981,132 @@ def q_substring_anchor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS algorithm): positional k-gram hashes, min per sliding window
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window of consecutive k-gram hashes; guarantee: any
+# match of >= w + k - 1 tokens shares at least one fingerprint
+
+_WINNOW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  -- NOTE the outer comprehension variable must NOT be `i`:
+  -- _SHINGLE_INT_SQL expands to an inner `for i in range(1, 9)`
+  -- comprehension whose `i` would capture/shadow the gram index
+  SELECT doc_id,
+    [{_SHINGLE_INT_SQL.format(
+        x="array_to_string(list_slice(toks, gi, gi + 2), chr(1))")}
+     for gi in range(1, len(toks) - 1)] AS h
+  FROM d WHERE len(toks) >= 3
+),
+fp AS (
+  SELECT doc_id, len(h) AS n_grams,
+    list_distinct([list_min(list_slice(h, i, i + {_WINNOW_W - 1}))
+                   for i in range(1, len(h) - {_WINNOW_W - 2})]) AS fps
+  FROM g WHERE len(h) >= {_WINNOW_W}
+),
+ex AS (SELECT doc_id, n_grams, unnest(fps) AS fp FROM fp),
+sh AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) >= 2)
+SELECT e.doc_id, CAST(MAX(e.n_grams) AS BIGINT) AS n_grams,
+  CAST(COUNT(*) AS BIGINT) AS n_fps,
+  CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared,
+  CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS share_ratio
+FROM ex e LEFT JOIN sh s ON e.fp = s.fp
+GROUP BY e.doc_id
+"""
+
+
+@query("winnowing_fingerprint_scores", oracle=_WINNOW_ORACLE)
+def q_winnowing_fingerprint_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust winnowing (the MOSS plagiarism-detector fingerprint,
+    Schleimer et al. 2003): hash every POSITIONAL word-3-gram, slide a
+    window of {w} consecutive hashes, and keep each window's minimum —
+    a locality-sensitive document selection with the guarantee that any
+    shared run of >= w+k-1 tokens contributes at least one common
+    fingerprint, while storing only ~2/(w+1) of the gram hashes.  This
+    sits between the strided-anchor census (fixed sampling, offset-
+    alignment blind spot — see anchor_recall_audit) and full suffix
+    semantics: winnowing's selection is CONTENT-keyed, so two copies of
+    a span select the SAME fingerprints whatever their offsets — the
+    property strided anchors lack.  Per doc: gram count, fingerprint
+    count, fingerprints shared with >= 1 other doc, and the shared
+    ratio (the span-dup decision signal).
+
+    Scale shape: fingerprinting is per-row array arithmetic inside
+    codegen (no explode until the census); only 8-byte selected hashes
+    shuffle (~2/(w+1) of gram count); the shared-set join is
+    digest-keyed so cost tracks duplicated mass.  Tie-breaks don't
+    matter for the VALUE set (min is min), so no winnow-order state is
+    needed — the whole operator is two scans and one small join."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: _shingle_int(
+                F.concat_ws(
+                    "\x01",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = d.select("doc_id", grams.alias("h")).filter(
+        F.size("h") >= _WINNOW_W
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - (_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("h"), i, _WINNOW_W)),
+        )
+    )
+    ex = g.select(
+        "doc_id", F.size("h").cast("bigint").alias("n_grams"),
+        F.explode(fps).alias("fp"),
+    )
+    sh = (
+        ex.groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("is_sh"))
+    )
+    return (
+        ex.join(sh, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_fps"),
+            F.sum(F.coalesce(F.col("is_sh"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fps",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.col("n_fps").cast("double")
+            ).alias("share_ratio"),
+        )
+    )
+
+
 _ANCHOR_AUDIT_BOUND = 500
 _ANCHOR_AUDIT_CHARS = 400
 
