@@ -1960,6 +1960,123 @@ def q_events_ewma_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt's linear trend with power-of-two coefficients — double-exponential
+# smoothing as a bounded exact unroll (the EWMA contract, extended)
+# ---------------------------------------------------------------------------
+
+_HOLT_K = 8
+
+
+def _holt_step_sql(t: int, prev: str) -> str:
+    """One Holt step as a MATERIALIZED CTE (plain CTEs would inline and
+    re-evaluate the whole chain 2^steps times — the viterbi lesson)."""
+    ln = f"(xs[{t}] + l + b) / 2.0"
+    return f"""s{t} AS MATERIALIZED (
+  SELECT event_type, xs, {ln} AS l, (({ln}) - l + b) / 2.0 AS b
+  FROM {prev}
+)"""
+
+
+_HOLT_STEPS_SQL = ",\n".join(
+    _holt_step_sql(t, f"s{t - 1}") for t in range(3, _HOLT_K + 1)
+)
+
+_HOLT_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, ts, event_id,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+recent AS (
+  SELECT event_type, ts, event_id, vi,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC)
+      AS rn
+  FROM ev
+),
+arr AS (
+  SELECT event_type,
+    list_transform(list(vi ORDER BY ts, event_id), x -> CAST(x AS DOUBLE))
+      AS xs
+  FROM recent WHERE rn <= {_HOLT_K} GROUP BY 1
+),
+s2 AS MATERIALIZED (
+  SELECT event_type, xs, xs[2] AS l, xs[2] - xs[1] AS b
+  FROM arr WHERE len(xs) = {_HOLT_K}
+),
+{_HOLT_STEPS_SQL}
+SELECT event_type, CAST({_HOLT_K} AS BIGINT) AS n_used,
+  l / 10000.0 AS level, b / 10000.0 AS trend,
+  (l + b) / 10000.0 AS forecast_next
+FROM s{_HOLT_K}
+"""
+
+
+@query("events_holt_linear", oracle=_HOLT_ORACLE)
+def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the last 8
+    values per type with alpha = beta = 1/2 — level AND trend state,
+    the one-step-ahead forecaster a monitoring pipeline runs per
+    metric.  The recursion l_t = (x_t + l_{{t-1}} + b_{{t-1}})/2,
+    b_t = (l_t − l_{{t-1}} + b_{{t-1}})/2 is hash-checkable for the same
+    reason events_ewma_half_life is: power-of-two smoothing halves
+    exactly in binary doubles, and the unrolled chain over integer
+    mantissas < 2^31 accumulates ≤ 2 fractional bits per step (≤ 12
+    over 6 steps; 43 significand bits < 53), so every intermediate
+    level/trend is exactly representable and both engines compute
+    bit-identical state.  General (alpha, beta) would drift — the
+    coefficient choice IS the determinism contract.  Types with fewer
+    than 8 values are excluded (the init needs x_1, x_2; partial
+    chains would fork the oracle into 7 length variants for no
+    signal).
+
+    Scale shape: one descending row_number window per type (parallel,
+    no global sort), then per-row arithmetic on an 8-element array —
+    state per key is (level, trend), the streaming twin's two doubles.
+    The DuckDB oracle MATERIALIZES each unrolled step: plain CTEs
+    inline and cost 2^steps re-evaluations (the viterbi lesson)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        e.select("event_type", "ts", "event_id", vi.alias("vi"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HOLT_K)
+    )
+    arr = (
+        recent.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "vi"))),
+                lambda s: s.vi.cast("double"),
+            ).alias("xs")
+        )
+        .filter(F.size("xs") == _HOLT_K)
+    )
+    df = arr.withColumn("l", F.element_at("xs", 2)).withColumn(
+        "b", F.element_at("xs", 2) - F.element_at("xs", 1)
+    )
+    for t in range(3, _HOLT_K + 1):
+        l_new = (F.element_at("xs", t) + F.col("l") + F.col("b")) / F.lit(2.0)
+        df = (
+            df.withColumn("l_new", l_new)
+            .withColumn("b", (F.col("l_new") - F.col("l") + F.col("b")) / F.lit(2.0))
+            .withColumn("l", F.col("l_new"))
+            .drop("l_new")
+        )
+    return df.select(
+        "event_type",
+        F.lit(_HOLT_K).cast("bigint").alias("n_used"),
+        (F.col("l") / F.lit(10000.0)).alias("level"),
+        (F.col("b") / F.lit(10000.0)).alias("trend"),
+        ((F.col("l") + F.col("b")) / F.lit(10000.0)).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interval coalescing — gaps-and-islands union coverage per user
 # ---------------------------------------------------------------------------
 
