@@ -1640,6 +1640,100 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RERANK_SHORTLIST = 50
+
+_RERANK_ORACLE = f"""
+WITH {{codes_sql}},
+qsub AS (SELECT m, i, xi AS qx FROM sub WHERE vec_id = 0),
+tbl AS (
+  SELECT c.c, c.m, SUM((q.qx - c.ci) * (q.qx - c.ci)) AS dist_i
+  FROM cent c JOIN qsub q ON c.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT k.vec_id, SUM(t.dist_i) AS adc_i
+  FROM codes k JOIN tbl t ON k.m = t.m AND k.code = t.c
+  WHERE k.vec_id != 0
+  GROUP BY 1
+),
+short AS (
+  SELECT vec_id, adc_i FROM scored ORDER BY adc_i, vec_id
+  LIMIT {_RERANK_SHORTLIST}
+),
+qv AS (SELECT i, xi AS qx FROM comp WHERE vec_id = 0),
+ex AS (
+  SELECT c.vec_id, s.adc_i,
+    SUM((c.xi - q.qx) * (c.xi - q.qx)) AS ex_i
+  FROM comp c
+  JOIN short s ON c.vec_id = s.vec_id
+  JOIN qv q ON c.i = q.i
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+  CAST(adc_i AS DOUBLE) / 100000000000000.0 AS adc_dist,
+  CAST(ex_i AS DOUBLE) / 100000000000000.0 AS exact_dist
+FROM ex
+ORDER BY ex_i, vec_id
+LIMIT 10
+"""
+
+
+@query(
+    "ivfpq_rerank_topk",
+    oracle=_RERANK_ORACLE.format(codes_sql=_PQ_CODES_SQL),
+)
+def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production serve pattern every PQ
+    index actually ships (FAISS refine / Lucene's two-phase rescoring):
+    stage 1 scores the WHOLE corpus by cheap ADC table lookups and
+    keeps a shortlist of {_RERANK_SHORTLIST}; stage 2 re-ranks ONLY the
+    shortlist by exact squared L2 against the original vectors and
+    returns the top-10 by exact distance.  PQ's quantization error
+    means the ADC order and the exact order genuinely disagree inside
+    the shortlist — the refine stage buys back that precision at the
+    cost of reading shortlist × dims raw components instead of the
+    whole corpus.
+
+    Scale shape: stage 1 is the ivfpq_adc_topk plan (broadcast K·M
+    table, map-side-combined per-vector sums, TakeOrdered shortlist);
+    stage 2 broadcasts the 50-row shortlist into a semi-join against
+    the vector components — the corpus-side scan prunes to shortlist
+    members before any arithmetic, so refine cost is O(shortlist),
+    independent of corpus size.  Both distances stay exact int64
+    through their ORDER BYs; doubles appear once in the output."""
+    comp = _kmeans_comp(spark, sf_dir)
+    scored = _pq_adc_scored(spark, sf_dir, comp)
+    short = (
+        scored.orderBy("adc_i", "vec_id")
+        .limit(_RERANK_SHORTLIST)
+        .select(F.col("vec_id").alias("s_vid"), "adc_i")
+    )
+    qv = comp.filter(F.col("vec_id") == 0).select(
+        "i", F.col("xi").alias("qx")
+    )
+    ex = (
+        comp.join(
+            F.broadcast(short), F.col("vec_id") == F.col("s_vid")
+        )
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id", "adc_i")
+        .agg(
+            F.sum(
+                (F.col("xi") - F.col("qx")) * (F.col("xi") - F.col("qx"))
+            ).alias("ex_i")
+        )
+    )
+    return (
+        ex.orderBy("ex_i", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            (F.col("adc_i").cast("double") / F.lit(1e14)).alias("adc_dist"),
+            (F.col("ex_i").cast("double") / F.lit(1e14)).alias("exact_dist"),
+        )
+    )
+
+
 def _pq_adc_scored(
     spark: SparkSession,
     sf_dir: str,

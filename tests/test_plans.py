@@ -631,6 +631,19 @@ def test_ivf_filtered_broadcasts_and_topk(spark, sf_dir):
     assert P.is_all_jvm(p)
 
 
+def test_ivfpq_rerank_refine_is_broadcast_prune(spark, sf_dir):
+    """Two-stage retrieval: the exact-refine stage must broadcast the
+    50-row ADC shortlist into the component scan (no corpus-side
+    shuffle for the semi-prune) and both stage cutoffs must be
+    TakeOrderedAndProject — a sort or a shuffled refine join here
+    would re-pay corpus cost for a 50-row rescoring."""
+    p = plan(spark, sf_dir, "ivfpq_rerank_topk", execute=True)
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
 def test_ohlc_bars_single_aggregation_pass(spark, sf_dir):
     """OHLC compaction is ONE map-side-combined aggregation: exactly
     one shuffle (the final agg exchange), SortAggregate expected (the
