@@ -731,3 +731,112 @@ def q_trade_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.count("*"), F.lit(0)).cast("double")
         ).alias("jaccard_stability"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — Adamic-Adar over the trade graph
+# ---------------------------------------------------------------------------
+
+_ADAMIC_ADAR_ORACLE = f"""
+WITH draw AS ({_EDGES_SQL}),
+uedges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM draw WHERE src != dst
+),
+adj AS (
+  SELECT a AS v, b AS w FROM uedges UNION ALL SELECT b, a FROM uedges
+),
+deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+term AS (  -- quantized 1/ln(deg) per potential common neighbor
+  SELECT v, CAST(FLOOR(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS ti
+  FROM deg WHERE d >= 2
+),
+wedge AS (  -- each unordered neighbor pair of y, once as x < z
+  SELECT a1.w AS x, a2.w AS z, a1.v AS y
+  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.w < a2.w
+),
+cand AS (
+  SELECT w.x, w.z, COUNT(*) AS n_common, SUM(t.ti) AS aa_q
+  FROM wedge w JOIN term t ON w.y = t.v
+  LEFT JOIN uedges e ON w.x = e.a AND w.z = e.b
+  WHERE e.a IS NULL
+  GROUP BY 1, 2
+)
+SELECT x AS node_a, z AS node_b, CAST(n_common AS BIGINT) AS n_common,
+  CAST(aa_q AS DOUBLE) / 1000000000.0 AS adamic_adar
+FROM cand
+ORDER BY aa_q DESC, x, z
+LIMIT 20
+"""
+
+
+@query("trade_adamic_adar_links", oracle=_ADAMIC_ADAR_ORACLE)
+def q_trade_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (Adamic-Adar, the classic common-neighbor score):
+    for every NON-edge pair (x, z) of the undirected quarter trade
+    graph, sum 1/ln(deg(y)) over their common neighbors y — rare
+    neighbors count more — and return the 20 strongest predicted links.
+    A recommender primitive ("who should trade next") and a different
+    composition from triangle counting: the same wedge enumeration, but
+    closed against the COMPLEMENT (anti-join on the edge set) instead
+    of the edge set.
+
+    Determinism: per-node terms are FLOOR(1e9 / ln(d)) integers (the
+    ioc_host_dga_scores log-quantization discipline — quantize each
+    term once, sum exact ints, convert to double once at the end), so
+    the order-dependent float-sum trap never arises; deg >= 2 keeps
+    ln(d) > 0.
+
+    Scale shape: wedge fan-out is sum_y deg(y)^2 — the standard
+    high-degree-hub cost, bounded in production by the same
+    degree-orientation lever as triangle counting; the anti-join is
+    edge-keyed; top-20 is TakeOrderedAndProject.  Terms join by node id
+    (25 rows here — broadcast)."""
+    e = _trade_edges(spark, sf_dir)
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by adj (x2), deg, anti-join
+    )
+    adj = u.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        u.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    term = deg.filter(F.col("d") >= 2).select(
+        "v",
+        F.floor(F.lit(1000000000.0) / F.log(F.col("d").cast("double")))
+        .cast("bigint")
+        .alias("ti"),
+    )
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    wedge = a1.join(
+        a2,
+        (F.col("a1.v") == F.col("a2.v")) & (F.col("a1.w") < F.col("a2.w")),
+    ).select(
+        F.col("a1.w").alias("x"), F.col("a2.w").alias("z"),
+        F.col("a1.v").alias("y"),
+    )
+    cand = (
+        wedge.join(F.broadcast(term), F.col("y") == F.col("v"))
+        .join(
+            u,
+            (F.col("x") == F.col("a")) & (F.col("z") == F.col("b")),
+            "left_anti",
+        )
+        .groupBy("x", "z")
+        .agg(F.count("*").alias("n_common"), F.sum("ti").alias("aa_q"))
+    )
+    return (
+        cand.orderBy(F.col("aa_q").desc(), "x", "z")
+        .limit(20)
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("z").alias("node_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("aa_q").cast("double") / F.lit(1e9)).alias("adamic_adar"),
+        )
+    )
