@@ -2258,3 +2258,104 @@ def q_greedy_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency audit — corpus health check for the token census
+# ---------------------------------------------------------------------------
+
+_ZIPF_HEAD = 100  # OLS over the top-100 ranks (the Zipf head)
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENIZE_SQL}) AS tok FROM documents
+  WHERE text IS NOT NULL
+),
+tf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tf
+),
+head AS (
+  SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS xi,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS yi
+  FROM ranked WHERE r <= {_ZIPF_HEAD}
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy,
+         SUM(xi * yi) AS sxy, SUM(xi * xi) AS sxx
+  FROM head
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+  (CAST(sy AS DOUBLE)
+   - (CAST(n * sxy - sx * sy AS DOUBLE)
+      / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+    / (CAST(n AS DOUBLE) * 1000000.0) AS log_intercept
+FROM s
+"""
+
+
+@query("token_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit: OLS slope of log(frequency) on log(rank) over
+    the top-100 token ranks — natural text sits near slope −1, and a
+    corpus whose head flattens (boilerplate floods) or steepens
+    (near-duplicate spam) shows it here first, which makes this the
+    one-row health gauge a training-data pipeline tracks per snapshot.
+
+    Determinism: each log term is FLOOR(ln(x)·1e6) — quantized ONCE per
+    rank, then the OLS moments are exact int64 sums (head of 100 ranks:
+    every moment < 2^61) and the slope/intercept are closed-form double
+    expressions over those exact sums, identical in both engines (the
+    event_value_trend_ols discipline applied in log space; 1e6 not 1e9
+    because Σxi·yi must stay inside int64).
+
+    Scale shape: the census is one explode + map-side-combined count;
+    ranking the head is a top-100 TakeOrdered (NOT a global sort — only
+    100 rows ever rank); the OLS is a 1-row reduction.  Corpus size
+    enters only through the census shuffle."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # top-100 by (c desc, tok): TakeOrdered, then rank the tiny head
+    # (the global window runs over <= 100 rows, never the census)
+    head = tf.orderBy(F.col("c").desc(), "tok").limit(_ZIPF_HEAD)
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    quant = head.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("xi"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("yi"),
+    )
+    s = quant.agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_ranks"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(1e6))
+        ).alias("log_intercept"),
+    )
