@@ -639,3 +639,85 @@ def q_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.length("p_name").cast("long")).alias("max_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median — order statistic under weights
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = f"""
+WITH r AS (
+  SELECT l_returnflag AS flag,
+    {MI.format(x='l_extendedprice')} AS pi,
+    {MI.format(x='l_quantity')} AS wi,
+    l_orderkey, l_linenumber
+  FROM lineitem
+),
+t AS (SELECT flag, SUM(wi) AS tot FROM r GROUP BY flag),
+c AS (
+  SELECT flag, pi, wi,
+    SUM(wi) OVER (PARTITION BY flag ORDER BY pi, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM r
+),
+sel AS (
+  SELECT c.flag, MIN(c.pi) AS mpi
+  FROM c JOIN t USING (flag)
+  WHERE 2 * c.cum >= t.tot
+  GROUP BY c.flag
+)
+SELECT s.flag AS l_returnflag,
+  CAST(s.mpi AS DOUBLE) / 10000.0 AS weighted_median_price,
+  CAST(t.tot AS DOUBLE) / 10000.0 AS total_qty
+FROM sel s JOIN t USING (flag)
+"""
+
+
+@query("lineitem_weighted_median", oracle=_WMEDIAN_ORACLE)
+def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower) of extended price per return flag,
+    weighted by quantity — the order statistic a spend analysis wants
+    when line items represent different volumes (the plain median
+    over-weights small orders).  Definition: the smallest price p whose
+    cumulative weight reaches half the total (2·cum ≥ tot in exact
+    integers — no float boundary).
+
+    Determinism: price and weight quantize once to integer mantissas;
+    the cumulative sum runs over the fully-deterministic
+    (pi, orderkey, linenumber) ordering, so both engines pick the
+    identical row; the only doubles are the two single-division
+    outputs.
+
+    Scale shape: one shuffle on the group key carries both the total
+    (map-side-combined agg, broadcast back) and the running-sum window
+    — per-group sequential scan, parallel across groups.  At extreme
+    per-group cardinality the exact form gives way to the GK sketch
+    (approx_value_percentiles) — this query is the exact anchor that
+    audits it."""
+    r = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        mi(F.col("l_extendedprice")).alias("pi"),
+        mi(F.col("l_quantity")).alias("wi"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    t = r.groupBy("flag").agg(F.sum("wi").alias("tot"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("pi", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = r.select("flag", "pi", F.sum("wi").over(w).alias("cum"))
+    sel = (
+        c.join(F.broadcast(t), "flag")
+        .filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(F.min("pi").alias("mpi"))
+    )
+    return sel.join(F.broadcast(t), "flag").select(
+        F.col("flag").alias("l_returnflag"),
+        (F.col("mpi").cast("double") / F.lit(10000.0)).alias(
+            "weighted_median_price"
+        ),
+        (F.col("tot").cast("double") / F.lit(10000.0)).alias("total_qty"),
+    )
