@@ -721,3 +721,85 @@ def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("tot").cast("double") / F.lit(10000.0)).alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance — delta-merge receipt for additive aggregates
+# ---------------------------------------------------------------------------
+
+_IVM_CUT = "1997-01-01"
+
+_IVM_ORACLE = f"""
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {ISUM.format(x=MI.format(x='o_totalprice'))} / 10000.0 AS total_price,
+  TRUE AS ivm_consistent
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("incremental_agg_maintenance", oracle=_IVM_ORACLE)
+def q_incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance for additive aggregates — the
+    pattern that keeps a 100 TB dashboard current without nightly full
+    rescans: the BASE partition (orders before {_IVM_CUT}) holds its
+    per-priority (count, price-mantissa-sum) aggregate as the stored
+    view; the DELTA batch (orders on/after the cut) aggregates alone —
+    cost ∝ delta, the whole point — and the refreshed view is a pure
+    agg-state MERGE (outer join on the group key, coalesce-add), never
+    touching base rows.  The query then recomputes the aggregate from
+    scratch and emits ivm_consistent asserting merge == recompute per
+    group — the sketch-audit receipt form (the oracle states TRUE, so
+    any drift in the merge algebra breaks the value hash).
+
+    Determinism: counts are exact ints; price sums stay on the
+    integer-mantissa contract in BOTH the partial and merged states
+    (additivity of exact integers is what makes the merge lossless —
+    the same mergeability law the HLL/KMV/count-min audits exercise,
+    here for the trivial-but-ubiquitous SUM/COUNT case).
+
+    Scale shape: both partial aggs are map-side-combined single
+    shuffles with the date predicate pushed to the scan; the merge is
+    a groups-sized outer join.  In production the recompute leg is the
+    (rare) audit job, not the refresh path."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("d"),
+        mi(F.col("o_totalprice")).alias("pi"),
+    )
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("pi").cast("decimal(38,0)")).alias("s"),
+        )
+
+    base = agg_of(o.filter(F.col("d") < _IVM_CUT)).select(
+        "o_orderpriority", F.col("n").alias("bn"), F.col("s").alias("bs")
+    )
+    delta = agg_of(o.filter(F.col("d") >= _IVM_CUT)).select(
+        "o_orderpriority", F.col("n").alias("dn"), F.col("s").alias("ds")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    merged = base.join(delta, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (
+            F.coalesce(F.col("bn"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("mn"),
+        (F.coalesce(F.col("bs"), zero) + F.coalesce(F.col("ds"), zero)).alias(
+            "ms"
+        ),
+    )
+    full = agg_of(o)
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("mn").cast("bigint").alias("n_orders"),
+        (F.col("ms").cast("double") / F.lit(10000.0)).alias("total_price"),
+        (
+            (F.col("mn") == F.col("n")) & (F.col("ms") == F.col("s"))
+        ).alias("ivm_consistent"),
+    )
