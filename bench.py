@@ -149,6 +149,17 @@ HEADLINE = [
     "session_path_counts",
     "trade_edge_churn",
     "sliding_24h_distinct_users",
+    # round-8 additions
+    "ivfpq_compacted_topk",
+    "ivfpq_rerank_topk",
+    "anchor_recall_audit",
+    "winnowing_fingerprint_scores",
+    "stream_click_error_outer_join",
+    "events_holt_linear",
+    "trade_adamic_adar_links",
+    "token_zipf_slope",
+    "lineitem_weighted_median",
+    "incremental_agg_maintenance",
 ]
 
 

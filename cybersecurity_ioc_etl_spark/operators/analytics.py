@@ -891,3 +891,168 @@ def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_hll
 
     return run_stream_hll(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra — sketch-based intersection estimation between sources
+# ---------------------------------------------------------------------------
+
+_KMV_INTERSECT_SQL = """
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM dh) a
+  JOIN (SELECT DISTINCT source FROM dh) b ON a.source < b.source
+),
+skh AS (SELECT source, h FROM rk WHERE rn <= {k}),
+mem AS (
+  SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.sa, p.sb, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN skh s ON s.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, s.h, 0, 1
+    FROM pairs p JOIN skh s ON s.source = p.sb
+  ) GROUP BY 1, 2, 3
+),
+urk AS (
+  SELECT sa, sb, h, in_a, in_b,
+    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+  FROM mem
+),
+usk AS (
+  SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth,
+    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM urk WHERE rn <= {k} GROUP BY 1, 2
+),
+uest AS (
+  SELECT sa, sb, k_used, n_both,
+    CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+         ELSE {km1}.0 * 4294967296.0 / CAST(kth AS DOUBLE)
+    END AS est_union
+  FROM usk
+),
+exact AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS exact_inter
+  FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT u.sa AS src_a, u.sb AS src_b, u.k_used, u.n_both,
+  CAST(u.n_both AS DOUBLE) * u.est_union / CAST(u.k_used AS DOUBLE)
+    AS est_intersection,
+  CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_intersection
+FROM uest u LEFT JOIN exact e ON u.sa = e.sa AND u.sb = e.sb
+"""
+
+
+def _kmv_intersect_oracle() -> str:
+    return (
+        "WITH "
+        + _kmv_sketch_sql()
+        + ","
+        + _KMV_INTERSECT_SQL.format(k=_KMV_K, km1=_KMV_K - 1)
+    )
+
+
+@query("kmv_intersect_audit", oracle=_kmv_intersect_oracle())
+def q_kmv_intersect_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA — the sketch-intersection estimator that answers
+    "how much vocabulary do two sources share?" without comparing the
+    sets: per source pair, merge the two bottom-k sketches into the
+    union sketch (set-union re-rank, the stream_kmv_merge law), count
+    its members present in BOTH input sketches (n_both), and estimate
+    |A∩B| ≈ (n_both / k) · est(|A∪B|) — the Beyer et al. 2007
+    inclusion-fraction estimator.  Audited against the exact
+    intersection distinct; like every sketch here the estimator is
+    built from deterministic md5-prefix hashes, so the ESTIMATE itself
+    is hash-checked cross-engine (when the union sketch holds the whole
+    union, the algebra degenerates to the exact intersection — the
+    fixture's small sources exercise that branch too).
+
+    Scale shape: per-pair state is 2k integers; the pair enumeration is
+    over SOURCES (tiny), never data; the exact side is the audit's
+    calibration.  This completes the KMV story: distinct estimate
+    (kmv_distinct_audit) + union merge (stream_kmv_merge) +
+    intersection (here) = the full set algebra a contamination or
+    overlap monitor needs at 100 TB."""
+    from ..sources.readers import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents", fan_out=True)
+    dh = kmv_token_hashes(d).localCheckpoint(eager=True)
+    sk = kmv_bottom_k(dh)
+    srcs = dh.select("source").distinct()
+    pairs = (
+        srcs.alias("pa")
+        .join(
+            srcs.alias("pb"),
+            F.col("pa.source") < F.col("pb.source"),
+        )
+        .select(
+            F.col("pa.source").alias("sa"), F.col("pb.source").alias("sb")
+        )
+    )
+    mem = (
+        pairs.join(
+            sk.select(F.col("source").alias("s1"), "h"),
+            F.col("sa") == F.col("s1"),
+        )
+        .select("sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(
+                sk.select(F.col("source").alias("s2"), "h"),
+                F.col("sb") == F.col("s2"),
+            ).select(
+                "sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("sa", "sb").orderBy("h")
+    usk = (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.max("h").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+        )
+    )
+    est_union = F.when(
+        F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(4294967296.0)
+        / F.col("kth").cast("double")
+    )
+    a, b = dh.alias("ea"), dh.alias("eb")
+    exact = (
+        a.join(
+            b,
+            (F.col("ea.h") == F.col("eb.h"))
+            & (F.col("ea.source") < F.col("eb.source")),
+        )
+        .groupBy(
+            F.col("ea.source").alias("xa"), F.col("eb.source").alias("xb")
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        usk.join(
+            F.broadcast(exact),
+            (F.col("sa") == F.col("xa")) & (F.col("sb") == F.col("xb")),
+            "left",
+        )
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            "k_used",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                * est_union
+                / F.col("k_used").cast("double")
+            ).alias("est_intersection"),
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )
