@@ -198,3 +198,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the background maintenance job every
+    100 TB lake needs: streaming sinks and incremental batch appends
+    leave directories of KB-sized parquet files whose per-file open +
+    footer-parse overhead dominates scans long before data volume does
+    (the NameNode/listing pressure is worse still).  Rewrite the
+    directory as ceil(total_bytes / target_file_bytes) files via a
+    round-robin repartition — a pure linear rewrite: one narrow scan,
+    one shuffle of the payload into the target file count, no
+    key-based placement to skew.
+
+    Returns the number of output files requested.  Callers that need a
+    keyed or time-ordered layout compact through write_bucketed /
+    write_range_sorted instead — this is the layout-agnostic fallback
+    for append-only event/log directories.  (Row-preservation and
+    file-count behavior pinned in tests/test_bucketed.py.)"""
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    (
+        spark.read.parquet(src_dir)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return n_files

@@ -166,3 +166,29 @@ def test_zorder_write_gives_two_dimensional_locality(spark, sf_dir, tmp_path):
         assert avg < 0.6 * glob[c], (c, avg, glob[c])
     # and the rewrite is lossless
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_compact_parquet_dir_preserves_rows_and_bounds_files(
+    spark, sf_dir, tmp_path
+):
+    """Small-file compaction (r8): a directory of many tiny parquet
+    files rewrites to the computed target file count with every row
+    preserved — the operational maintenance job for streaming-sink
+    output directories."""
+    import os
+
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import compact_parquet_dir
+
+    src = str(tmp_path / "tiny")
+    out = str(tmp_path / "compacted")
+    # 64 tiny files (one per partition)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df.repartition(64).write.mode("overwrite").parquet(src)
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 64
+    n_req = compact_parquet_dir(spark, src, out, target_file_bytes=1 << 30)
+    n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_req == 1 and n_out == 1  # tiny fixture: one 1-GiB target file
+    assert spark.read.parquet(out).count() == df.count()
+    # schema survives the rewrite
+    assert spark.read.parquet(out).schema == spark.read.parquet(src).schema
