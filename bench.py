@@ -160,6 +160,8 @@ HEADLINE = [
     "token_zipf_slope",
     "lineitem_weighted_median",
     "incremental_agg_maintenance",
+    "kmv_intersect_audit",
+    "events_theil_sen",
 ]
 
 

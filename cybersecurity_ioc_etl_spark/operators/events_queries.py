@@ -3592,3 +3592,117 @@ def q_sliding_24h_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "n_distinct_users_24h",
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend — median of pairwise slopes, exactly
+# ---------------------------------------------------------------------------
+
+_TS_K = 12  # last k points per type; k(k-1)/2 = 66 pairs
+
+_THEIL_SEN_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, ts, event_id,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi,
+    epoch_us(ts) AS tu
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+recent AS (
+  SELECT event_type, vi, tu,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC)
+      AS rn
+  FROM ev
+),
+pts AS (SELECT event_type, vi, tu, rn FROM recent WHERE rn <= {_TS_K}),
+pr AS (
+  SELECT a.event_type, a.rn AS i, b.rn AS j,
+    CAST(b.vi - a.vi AS DOUBLE) / CAST(b.tu - a.tu AS DOUBLE) AS slope
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND a.rn < b.rn AND a.tu != b.tu
+),
+rk AS (
+  SELECT event_type, slope,
+    row_number() OVER (PARTITION BY event_type ORDER BY slope, i, j) AS r,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pr
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+  MAX(CASE WHEN r = (n + 1) // 2 THEN slope END) * 1000000.0 / 10000.0
+    AS theil_sen_per_sec
+FROM rk GROUP BY event_type
+"""
+
+
+@query("events_theil_sen", oracle=_THEIL_SEN_ORACLE)
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per type — the MEDIAN of all pairwise
+    slopes over the last 12 points, the estimator that shrugs off the
+    outliers OLS chases (breakdown point ~29%).  Hash-checkable without
+    quantizing slopes: each slope is ONE double division of two exact
+    int64s (mantissa delta / microsecond delta) — cast and divide are
+    correctly rounded, so both engines produce bit-identical slope
+    values — and the median is an order statistic picked under the
+    fully-deterministic (slope, i, j) ordering (lower median at rank
+    (n+1)//2), not an average of two.  Equal-timestamp pairs are
+    excluded on both sides (dt = 0).  The output rescales
+    mantissa-per-microsecond to value-per-second: ×1e6/1e4, two exact
+    power-of-ten double ops.
+
+    Scale shape: the pair fan-out is k(k-1)/2 = 66 per type — bounded
+    by construction, never corpus-sized; one descending row_number
+    window per type picks the points, everything after is per-type
+    local.  The k lever trades robustness window for cost exactly like
+    events_ewma_half_life's."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pts = (
+        e.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * F.lit(10000.0)).cast("bigint").alias("vi"),
+            F.unix_micros("ts").alias("tu"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TS_K)
+        .select("event_type", "vi", "tu", "rn")
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.rn") < F.col("b.rn"))
+        & (F.col("a.tu") != F.col("b.tu")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.rn").alias("i"),
+        F.col("b.rn").alias("j"),
+        (
+            (F.col("b.vi") - F.col("a.vi")).cast("double")
+            / (F.col("b.tu") - F.col("a.tu")).cast("double")
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "i", "j")
+    wn = Window.partitionBy("event_type")
+    rk = pr.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return rk.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        (
+            F.max(
+                F.when(
+                    F.col("r") == F.expr("(n + 1) div 2"), F.col("slope")
+                )
+            )
+            * F.lit(1000000.0)
+            / F.lit(10000.0)
+        ).alias("theil_sen_per_sec"),
+    )
