@@ -162,6 +162,7 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "kmv_intersect_audit",
     "events_theil_sen",
+    "boolean_and_retrieval",
 ]
 
 

@@ -2359,3 +2359,75 @@ def q_token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.lit(1e6))
         ).alias("log_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean conjunctive retrieval — posting-list intersection
+# ---------------------------------------------------------------------------
+
+_BOOLEAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENIZE_SQL}) AS tok FROM documents
+  WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+census AS (SELECT tok, SUM(c) AS tot FROM tf GROUP BY tok),
+qterms AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY tot DESC, tok) AS r FROM census
+  ) WHERE r BETWEEN 5 AND 7
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+  CAST(SUM(t.c) AS BIGINT) AS total_occurrences
+FROM tf t JOIN qterms q ON t.tok = q.tok
+GROUP BY t.doc_id
+HAVING COUNT(*) = 3
+"""
+
+
+@query("boolean_and_retrieval", oracle=_BOOLEAN_ORACLE)
+def q_boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean conjunctive (AND) retrieval — the posting-list
+    INTERSECTION primitive under every filtered search: documents
+    containing ALL three query terms (here the corpus census ranks 5-7,
+    a deterministic self-contained query), with their total term
+    occurrences.  The group-count-equals-arity idiom IS the distributed
+    posting intersection: join the (doc, term, tf) postings to the
+    broadcast term set and keep docs matching the full arity — no
+    per-term set materialization, no iterative intersect.
+
+    Scale shape: postings aggregate once (map-side combined); the query
+    side is 3 broadcast rows; the intersection is one group-by at doc
+    grain over only the matching postings — cost tracks the SHORTEST
+    posting list's selectivity times arity, the classic rarest-term
+    bound (at 100 TB you'd order the join by ascending df for exactly
+    that reason; with 3 broadcast terms the scan prunes identically).
+    Complements bm25_more_like_this (ranked OR) and
+    inverted_index_postings (the index itself) with the third
+    retrieval mode: exact boolean."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    census = tf.groupBy("tok").agg(F.sum("c").alias("tot"))
+    qterms = (
+        census.orderBy(F.col("tot").desc(), "tok")
+        .limit(7)
+        .orderBy(F.col("tot").asc(), F.col("tok").desc())
+        .limit(3)
+        .select("tok")
+    )
+    return (
+        tf.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.sum("c").cast("bigint").alias("total_occurrences"),
+        )
+        .filter(F.col("n_terms_matched") == 3)
+    )
