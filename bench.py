@@ -163,6 +163,8 @@ HEADLINE = [
     "kmv_intersect_audit",
     "events_theil_sen",
     "boolean_and_retrieval",
+    "events_forecast_backtest",
+    "time_decay_attribution",
 ]
 
 

@@ -3706,3 +3706,217 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("theil_sen_per_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest — seasonal-naive vs naive MAE on the hourly series
+# ---------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM ev GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s.h, COALESCE(ev.n, 0) AS n
+  FROM spine s LEFT JOIN ev ON s.event_type = ev.event_type AND s.h = ev.h
+),
+lagged AS (
+  SELECT event_type, n,
+    lag(n, 1) OVER w AS p_naive,
+    lag(n, 24) OVER w AS p_seasonal
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+scored AS (
+  SELECT event_type,
+    COUNT(*) AS n_hours,
+    SUM(abs(n - p_naive)) AS ae_naive,
+    SUM(abs(n - p_seasonal)) AS ae_seasonal
+  FROM lagged
+  WHERE p_naive IS NOT NULL AND p_seasonal IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+  CAST(ae_naive AS DOUBLE) / n_hours AS mae_naive,
+  CAST(ae_seasonal AS DOUBLE) / n_hours AS mae_seasonal
+FROM scored
+"""
+
+
+@query("events_forecast_backtest", oracle=_BACKTEST_ORACLE)
+def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST — the model-selection loop run as a query:
+    score the two canonical baselines over each type's gapfilled hourly
+    series — naive (predict last hour) vs seasonal-naive (predict the
+    same hour yesterday) — by mean absolute error on every hour where
+    both predictions exist.  Any forecasting pipeline needs this gate
+    BEFORE fitting anything fancier: a model that can't beat
+    seasonal-naive is noise, and the MAE ratio here is the
+    seasonality-strength diagnostic.  Errors are exact integer sums of
+    integer counts (the spine fills missing hours with true zeros, so
+    the error ledger is complete — a plain groupBy would silently skip
+    empty hours and flatter both baselines); each MAE is one final
+    division.
+
+    Scale shape: one hourly census shuffle, a generated per-type spine
+    (O(hours), never event-grain), two lag offsets riding ONE
+    event_type window partitioning."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    filled = spine.join(ev, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = filled.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("p_naive"),
+        F.lag("n", 24).over(w).alias("p_seasonal"),
+    ).filter(
+        F.col("p_naive").isNotNull() & F.col("p_seasonal").isNotNull()
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(F.abs(F.col("n") - F.col("p_naive"))).alias("ae_naive"),
+            F.sum(F.abs(F.col("n") - F.col("p_seasonal"))).alias(
+                "ae_seasonal"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            (F.col("ae_naive").cast("double") / F.col("n_hours")).alias(
+                "mae_naive"
+            ),
+            (F.col("ae_seasonal").cast("double") / F.col("n_hours")).alias(
+                "mae_seasonal"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution — power-of-two recency weights, exactly normalized
+# ---------------------------------------------------------------------------
+
+_DECAY_CAP = 20  # ranks beyond 20 share the 2^-20 tail weight
+
+_DECAY_ATTR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+    epoch_us(ts) // 1000000 AS sec,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+    AND user_id IS NOT NULL AND value IS NOT NULL
+),
+c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) // 1000000 AS sec
+  FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+j AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, p.vi,
+    row_number() OVER (PARTITION BY p.purchase_id
+                       ORDER BY c.sec DESC, c.click_id) AS click_rank
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND c.sec <= p.sec AND p.sec - c.sec <= 3600
+),
+wt AS (
+  SELECT purchase_id, click_id, user_id, vi, click_rank,
+    (1::BIGINT << ({_DECAY_CAP} - LEAST(click_rank, {_DECAY_CAP}))) AS w,
+    SUM(1::BIGINT << ({_DECAY_CAP} - LEAST(click_rank, {_DECAY_CAP})))
+      OVER (PARTITION BY purchase_id) AS norm
+  FROM j
+)
+SELECT purchase_id, click_id, user_id,
+  CAST(click_rank AS BIGINT) AS click_rank,
+  CAST(vi * w AS DOUBLE) / CAST(norm AS DOUBLE) / 10000.0 AS credit
+FROM wt
+"""
+
+
+@query("time_decay_attribution", oracle=_DECAY_ATTR_ORACLE)
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-DECAY attribution — the recency-weighted sibling of
+    linear_attribution_credits: each purchase's value splits across the
+    same user's preceding-hour clicks with weight 2^-rank by recency
+    (most recent click earns half the mass, the next a quarter, ...),
+    ranks beyond {_DECAY_CAP} sharing the tail weight so the arithmetic
+    stays in int64.  Exactness: weights are integer powers of two
+    (1 << (cap - min(rank, cap))), the per-purchase normalizer is their
+    exact integer window sum, and each credit is vi·w — an exact
+    int64 < 2^51 — divided once by the normalizer and once by the
+    mantissa scale: a deterministic three-op double chain, no float
+    accumulation anywhere (the general-lambda exponential decay would
+    drift — the power-of-two choice IS the determinism contract, as in
+    events_ewma_half_life).
+
+    Scale shape: identical to the linear form — keyed time-range join,
+    recency rank and normalizer riding one purchase_id partitioning;
+    output bounded by the tolerance window."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    p = base.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("p_sec"),
+        F.round(F.col("value") * F.lit(10000.0)).cast("bigint").alias("vi"),
+    )
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_timestamp("ts").alias("c_sec"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_sec") <= F.col("p_sec"))
+        & (F.col("p_sec") - F.col("c_sec") <= 3600),
+    ).select("purchase_id", "click_id", "user_id", "vi", "c_sec")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_sec").desc(), "click_id"
+    )
+    wn = Window.partitionBy("purchase_id")
+    ranked = j.withColumn("click_rank", F.row_number().over(wr))
+    w = F.expr(
+        f"shiftleft(cast(1 as bigint),"
+        f" {_DECAY_CAP} - least(click_rank, {_DECAY_CAP}))"
+    )
+    wt = ranked.withColumn("w", w).withColumn(
+        "norm", F.sum("w").over(wn)
+    )
+    return wt.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("click_rank").cast("bigint").alias("click_rank"),
+        (
+            (F.col("vi") * F.col("w")).cast("double")
+            / F.col("norm").cast("double")
+            / F.lit(10000.0)
+        ).alias("credit"),
+    )

@@ -834,8 +834,8 @@ def q_trade_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.orderBy(F.col("aa_q").desc(), "x", "z")
         .limit(20)
         .select(
-            F.col("x").alias("node_a"),
-            F.col("z").alias("node_b"),
+            F.col("x").cast("bigint").alias("node_a"),
+            F.col("z").cast("bigint").alias("node_b"),
             F.col("n_common").cast("bigint").alias("n_common"),
             (F.col("aa_q").cast("double") / F.lit(1e9)).alias("adamic_adar"),
         )
