@@ -644,6 +644,47 @@ def test_ivfpq_rerank_refine_is_broadcast_prune(spark, sf_dir):
     assert P.is_all_jvm(p)
 
 
+def test_winnowing_is_one_doc_shuffle_all_jvm(spark, sf_dir):
+    """Winnowing: gram hashing through ONE posexplode census and a
+    per-doc ROWS window — all JVM, no cartesian; the array-side
+    variant re-evaluated the gram lambda per window element (O(len²)
+    md5 calls, measured 8.0 s vs 1.1 s at sf0.1)."""
+    p = plan(spark, sf_dir, "winnowing_fingerprint_scores", execute=True)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_adamic_adar_broadcast_terms_topk(spark, sf_dir):
+    """Link prediction: per-node 1/ln(deg) terms broadcast into the
+    wedge census, top-20 via TakeOrderedAndProject, anti-join stays
+    equi-keyed (no nested-loop complement scan)."""
+    p = plan(spark, sf_dir, "trade_adamic_adar_links", execute=True)
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_weighted_median_single_group_shuffle(spark, sf_dir):
+    """Weighted median: the total and the running-sum window share the
+    group-key shuffle; totals broadcast back — no second wide
+    exchange of the fact."""
+    p = plan(spark, sf_dir, "lineitem_weighted_median", execute=True)
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_boolean_retrieval_broadcasts_query_terms(spark, sf_dir):
+    """Conjunctive retrieval: the 3 query terms broadcast into the
+    postings aggregate — the big side never shuffles for the query
+    side."""
+    p = plan(spark, sf_dir, "boolean_and_retrieval", execute=True)
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
 def test_ohlc_bars_single_aggregation_pass(spark, sf_dir):
     """OHLC compaction is ONE map-side-combined aggregation: exactly
     one shuffle (the final agg exchange), SortAggregate expected (the
