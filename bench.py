@@ -165,6 +165,7 @@ HEADLINE = [
     "boolean_and_retrieval",
     "events_forecast_backtest",
     "time_decay_attribution",
+    "trade_temporal_reach",
 ]
 
 

@@ -840,3 +840,95 @@ def q_trade_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("aa_q").cast("double") / F.lit(1e9)).alias("adamic_adar"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal reachability — time-respecting paths across quarter snapshots
+# ---------------------------------------------------------------------------
+
+_Q2_EDGES_SQL = """
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_shipdate BETWEEN DATE '1995-04-01' AND DATE '1995-06-30'
+"""
+
+_TEMPORAL_REACH_ORACLE = f"""
+WITH e1 AS ({_EDGES_SQL}),
+e2 AS ({_Q2_EDGES_SQL}),
+direct AS (
+  SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+),
+twohop AS (
+  SELECT a.src, b.dst FROM e1 a JOIN e2 b ON a.dst = b.src
+),
+reach AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM direct UNION ALL SELECT src, dst FROM twohop
+  ) WHERE src != dst
+)
+SELECT CAST(src AS BIGINT) AS nation_id,
+  CAST(COUNT(*) AS BIGINT) AS n_reachable
+FROM reach GROUP BY src
+"""
+
+
+@query("trade_temporal_reach", oracle=_TEMPORAL_REACH_ORACLE)
+def q_trade_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING reachability — paths must traverse edges in
+    chronological order (a Q1 edge may feed a Q2 edge, never the
+    reverse), the semantics static BFS gets wrong on evolving graphs
+    (trade_bfs_distances treats the quarter snapshot as timeless;
+    information/contagion flow cannot ride an edge that existed only
+    BEFORE it arrived at the node).  Per nation: how many distinct
+    others are reachable within the half-year via at most two
+    time-ordered hops — one Q1 or Q2 edge, or a Q1 edge followed by a
+    Q2 edge.
+
+    Scale shape: the hop join is keyed on the mid node (never a
+    cartesian); both edge derivations are date-pruned at the scan
+    (PushedFilters); at T snapshots the pattern chains T keyed joins —
+    the same unrolled-round discipline as BFS, with the snapshot
+    boundary replacing the iteration counter.  Self-targets excluded
+    on both sides."""
+    e1 = _trade_edges(spark, sf_dir)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-04-01", "1995-06-30"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e2 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    direct = e1.unionByName(e2)
+    a, b = e1.alias("h1"), e2.alias("h2")
+    twohop = a.join(b, F.col("h1.dst") == F.col("h2.src")).select(
+        F.col("h1.src").alias("src"), F.col("h2.dst").alias("dst")
+    )
+    reach = (
+        direct.unionByName(twohop)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return reach.groupBy("src").agg(
+        F.count("*").alias("n_reachable")
+    ).select(
+        F.col("src").cast("bigint").alias("nation_id"),
+        F.col("n_reachable").cast("bigint").alias("n_reachable"),
+    )
