@@ -166,6 +166,7 @@ HEADLINE = [
     "events_forecast_backtest",
     "time_decay_attribution",
     "trade_temporal_reach",
+    "embedding_centroid_drift",
 ]
 
 

@@ -3043,3 +3043,97 @@ def q_retrieval_dcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding distribution drift — era-over-era centroid shift per label
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, label, (vec_id % 2) AS era,
+    generate_subscripts(embedding, 1) AS i,
+    {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+sums AS (
+  SELECT label, i,
+    SUM(CASE WHEN era = 0 THEN xi ELSE 0 END) AS sa,
+    SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN era = 1 THEN xi ELSE 0 END) AS sb,
+    SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb
+  FROM comp GROUP BY 1, 2
+),
+terms AS (
+  SELECT label, na, nb,
+    (abs(CAST(sa AS BIGINT) * CAST(nb AS BIGINT)
+         - CAST(sb AS BIGINT) * CAST(na AS BIGINT)) // 100000) AS q
+  FROM sums
+),
+agg AS (
+  SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b, SUM(q * q) AS s
+  FROM terms GROUP BY label
+)
+SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  sqrt(CAST(s AS DOUBLE)) * 100000.0
+    / (CAST(n_a * n_b AS DOUBLE) * 10000000.0) AS centroid_shift
+FROM agg
+"""
+
+
+@query("embedding_centroid_drift", oracle=_DRIFT_ORACLE)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DISTRIBUTION drift — the monitor an embedding-backed
+    pipeline (retrieval index, semdedup, classifier features) runs when
+    the upstream encoder or corpus changes: split each label's vectors
+    into two eras (vec_id parity stands in for the snapshot boundary)
+    and measure the L2 shift between era centroids.  A shift spike per
+    label is the re-train/re-index trigger; the per-label grain
+    localizes WHICH region of the space moved.
+
+    Determinism: the mean difference per dimension is the exact-integer
+    cross product sa·nb − sb·na (never a float mean); its magnitude is
+    quantized ONCE by integer division (identical in both engines on
+    the non-negative abs), squared in int64, summed exactly via the
+    DECIMAL(38,0)/HUGEINT accumulator, and converted to the final
+    double through one sqrt + two scale ops — a fixed closed form.
+
+    Scale shape: one (label, dim) aggregation with map-side combine —
+    state is labels × dims counters however large the corpus; no
+    joins, no per-vector output.  The era split is a free column
+    expression (in production: a snapshot/date predicate pushed to the
+    scan)."""
+    comp = _kmeans_comp(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    c = comp.join(F.broadcast(lab), "vec_id").select(
+        "label",
+        (F.col("vec_id") % 2).alias("era"),
+        "i",
+        "xi",
+    )
+    sums = c.groupBy("label", "i").agg(
+        F.sum(F.when(F.col("era") == 0, F.col("xi")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("era") == 1, F.col("xi")).otherwise(0)).alias("sb"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    q = F.expr("abs(sa * nb - sb * na) div 100000")
+    agg = (
+        sums.select("label", "na", "nb", q.alias("q"))
+        .groupBy("label")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    return agg.select(
+        "label",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (
+            F.sqrt(F.col("s").cast("double"))
+            * F.lit(100000.0)
+            / ((F.col("n_a") * F.col("n_b")).cast("double") * F.lit(1e7))
+        ).alias("centroid_shift"),
+    )
