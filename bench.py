@@ -167,6 +167,7 @@ HEADLINE = [
     "time_decay_attribution",
     "trade_temporal_reach",
     "embedding_centroid_drift",
+    "stream_embedding_drift",
 ]
 
 

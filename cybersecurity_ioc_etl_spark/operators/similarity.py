@@ -3103,19 +3103,39 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, no per-vector output.  The era split is a free column
     expression (in production: a snapshot/date predicate pushed to the
     scan)."""
-    comp = _kmeans_comp(spark, sf_dir)
-    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    c = comp.join(F.broadcast(lab), "vec_id").select(
+    return drift_from_sums(
+        drift_partial_sums(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+def drift_partial_sums(batch: DataFrame) -> DataFrame:
+    """(label, era, i, s, n) moment partials for a batch of embedding
+    rows — the ADDITIVE drift state: partials from any batching of the
+    corpus merge by plain + into the same exact-integer sums, which is
+    what makes the streaming fold (run_stream_embedding_drift)
+    hash-identical to the batch pass."""
+    comp = batch.select(
         "label",
         (F.col("vec_id") % 2).alias("era"),
-        "i",
-        "xi",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    ).select("label", "era", "i", _mi(F.col("x")).alias("xi"))
+    return comp.groupBy("label", "era", "i").agg(
+        F.sum("xi").alias("s"), F.count("*").alias("n")
     )
-    sums = c.groupBy("label", "i").agg(
-        F.sum(F.when(F.col("era") == 0, F.col("xi")).otherwise(0)).alias("sa"),
-        F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("era") == 1, F.col("xi")).otherwise(0)).alias("sb"),
-        F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+
+
+def drift_from_sums(parts: DataFrame) -> DataFrame:
+    """Fold (label, era, i, s, n) partials into the per-label centroid
+    shift — the closed form shared by the batch query and the
+    streaming merge (see q_embedding_centroid_drift for the
+    determinism argument)."""
+    sums = parts.groupBy("label", "i").agg(
+        F.sum(F.when(F.col("era") == 0, F.col("s")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("era") == 0, F.col("n")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("era") == 1, F.col("s")).otherwise(0)).alias("sb"),
+        F.sum(F.when(F.col("era") == 1, F.col("n")).otherwise(0)).alias("nb"),
     )
     q = F.expr("abs(sa * nb - sb * na) div 100000")
     agg = (
@@ -3137,3 +3157,24 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_a") * F.col("n_b")).cast("double") * F.lit(1e7))
         ).alias("centroid_shift"),
     )
+
+
+@query("stream_embedding_drift", oracle=_DRIFT_ORACLE)
+def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitoring — the centroid-shift state maintained
+    incrementally: each micro-batch of embeddings writes its own
+    (label, era, dim) moment partial under its batch id (replay-safe
+    overwrite, the run_stream_countmin discipline), and the fold merges
+    committed partials by plain integer ADDITION before the shared
+    closed form.  Additivity of the exact-integer moments is the merge
+    law (the same property incremental_agg_maintenance receipts for
+    SUM/COUNT), so the streamed shift is hash-identical to the batch
+    pass for ANY batching — same oracle verbatim.
+
+    Scale shape: per-batch state is labels × dims × 2 counter rows —
+    constant in corpus size; the fold touches batches × that, never
+    vectors.  This is how an ingest pipeline watches encoder drift
+    continuously instead of re-scanning the corpus per report."""
+    from ..streaming.pipeline import run_stream_embedding_drift
+
+    return run_stream_embedding_drift(spark, sf_dir)

@@ -1262,3 +1262,57 @@ def run_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         bits = spark.createDataFrame([], "pos bigint")
     return bloom_audit_row(spark, sf_dir, dim, bits)
+
+
+def run_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-drift state: per micro-batch the (label,
+    era, dim) moment partials land as bid-keyed overwrite partials
+    (replay-safe); the fold sums committed partials — exact-integer
+    additivity — and applies the shared closed form.  See
+    operators.similarity.q_stream_embedding_drift."""
+    from ..operators.similarity import drift_from_sums, drift_partial_sums
+    from ..sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    work_dir = tempfile.mkdtemp(prefix="stream_drift_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    e.repartition(4).write.mode("overwrite").parquet(src)
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(drift_partial_sums(batch), out_dir, bid)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            "label string, n_a bigint, n_b bigint, centroid_shift double",
+        )
+    # merge partials by ADDITION at the (label, era, i) grain first —
+    # drift_from_sums then folds eras exactly like the batch pass
+    parts = (
+        spark.read.parquet(*dirs)
+        .groupBy("label", "era", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    return drift_from_sums(parts)
