@@ -168,6 +168,7 @@ HEADLINE = [
     "trade_temporal_reach",
     "embedding_centroid_drift",
     "stream_embedding_drift",
+    "audio_silence_segments",
 ]
 
 

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..operators.registry import query
 from ..sources.readers import load_table
@@ -1154,4 +1155,102 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("delta_i") > _SCENE_CUT_T, 1).otherwise(0)
         ).cast("bigint").alias("n_cuts"),
         F.max("delta_i").cast("bigint").alias("max_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation — gaps-and-islands over decoded frame energies
+# ---------------------------------------------------------------------------
+
+_AU_SILENCE_T = 8000  # frame energy below this is "silent" (VAD gate)
+
+_AUDIO_SILENCE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, rpad(substring(text, 1, {_AU_N}), {_AU_N}, 'x') AS p
+  FROM documents
+  WHERE text IS NOT NULL AND strlen(text) = length(text)
+),
+samp AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+    ord(substring(p, CAST(g.i + 1 AS INTEGER), 1)) AS s
+  FROM px, range(0, {_AU_N}) g(i)
+),
+fr AS (
+  SELECT doc_id, i // {_AU_FRAME} AS frame,
+    SUM((s - 128) * (s - 128)) AS energy_i
+  FROM samp GROUP BY 1, 2
+),
+sil AS (
+  SELECT doc_id, frame,
+    frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS isl
+  FROM fr WHERE energy_i < {_AU_SILENCE_T}
+),
+seg AS (
+  SELECT doc_id, isl, COUNT(*) AS seg_len
+  FROM sil GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, CAST(SUM(seg_len) AS BIGINT) AS n_silent,
+    CAST(COUNT(*) AS BIGINT) AS n_segments,
+    CAST(MAX(seg_len) AS BIGINT) AS longest_run
+  FROM seg GROUP BY 1
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr GROUP BY 1)
+SELECT t.doc_id AS media_id,
+  CAST(t.n_frames AS BIGINT) AS n_frames,
+  COALESCE(p.n_silent, 0) AS n_silent,
+  COALESCE(p.n_segments, 0) AS n_segments,
+  COALESCE(p.longest_run, 0) AS longest_run,
+  CAST(COALESCE(p.n_silent, 0) * 1000000 // t.n_frames AS BIGINT)
+    AS silent_ppm
+FROM tot t LEFT JOIN per p ON t.doc_id = p.doc_id
+"""
+
+
+@query("audio_silence_segments", oracle=_AUDIO_SILENCE_ORACLE)
+def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence SEGMENTATION on top of the decoded frame energies — the
+    VAD (voice-activity) gate an audio curation pipeline runs before
+    keeping a clip: frames below the energy threshold are silent, and
+    consecutive silent frames merge into segments via the classic
+    frame − row_number gaps-and-islands key.  Per clip: silent-frame
+    count, segment count, longest silent run, and the exact
+    silent-ppm — the trim/discard decision signals.  Same decode-path
+    value-hash discipline as audio_rms_profile: every frame energy is
+    re-derived by the oracle from raw character codes, so a decoder or
+    threshold regression breaks the hash.
+
+    Scale shape: the islands window partitions by clip (parallel) over
+    the already-tiny frame rows (12 per clip); everything after the
+    Arrow decode map is JVM aggregation.  Clips with no silent frames
+    keep a row with zero counts (LEFT join to the frame census — the
+    empty-guard discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    fr = frame_energies(synthesize_wav_audio(d))
+    sil = fr.filter(F.col("energy_i") < _AU_SILENCE_T).select(
+        "media_id",
+        "frame",
+        (
+            F.col("frame")
+            - F.row_number().over(
+                Window.partitionBy("media_id").orderBy("frame")
+            )
+        ).alias("isl"),
+    )
+    seg = sil.groupBy("media_id", "isl").agg(F.count("*").alias("seg_len"))
+    per = seg.groupBy("media_id").agg(
+        F.sum("seg_len").cast("bigint").alias("n_silent"),
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.max("seg_len").cast("bigint").alias("longest_run"),
+    )
+    tot = fr.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+    return tot.join(per, "media_id", "left").select(
+        "media_id",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.coalesce(F.col("n_silent"), F.lit(0)).alias("n_silent"),
+        F.coalesce(F.col("n_segments"), F.lit(0)).alias("n_segments"),
+        F.coalesce(F.col("longest_run"), F.lit(0)).alias("longest_run"),
+        F.expr(
+            "CAST(coalesce(n_silent, 0) * 1000000 div n_frames AS BIGINT)"
+        ).alias("silent_ppm"),
     )
