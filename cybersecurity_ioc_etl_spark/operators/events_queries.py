@@ -363,8 +363,16 @@ errors AS (
   FROM events WHERE event_type = 'error'
 ),
 wm AS (
+  -- the global watermark: min over both sides' max event time - delay.
+  -- The error side's max is computed over user_id < 40 errors ONLY:
+  -- Catalyst infers the click side's key predicate onto the error side
+  -- through the equi-join (InferFiltersFromConstraints) and pushes it
+  -- BELOW the error branch's watermark node, so fewer rows feed that
+  -- node's event-time stats — an optimizer rewrite that is output-
+  -- invariant for the join but OBSERVABLE through eviction timing
+  -- (verified against q.recentProgress eventTime.watermark at sf0.1).
   SELECT LEAST((SELECT MAX(cts) FROM clicks),
-               (SELECT MAX(ets) FROM errors))
+               (SELECT MAX(ets) FROM errors WHERE eu < 40))
          - INTERVAL 30 MINUTE AS w
 ),
 matched AS (
