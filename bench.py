@@ -169,6 +169,7 @@ HEADLINE = [
     "embedding_centroid_drift",
     "stream_embedding_drift",
     "audio_silence_segments",
+    "bootstrap_order_means",
 ]
 
 

@@ -508,3 +508,103 @@ def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         served.alias("served_tokens"),
         (F.col("target_tokens") - served).alias("deficit_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — RNG-free uncertainty quantification
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 8  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds at 2^32 scale: floor(P(X<=k) * 2^32)
+# for k = 0..6 (mass beyond 7 is < 1e-7 — capped).  Integer literals so
+# both engines compare the same md5-prefix uniform against the same
+# boundaries.
+_POIS_T = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777,
+]
+
+
+def _pois_case_sql(h: str) -> str:
+    branches = "".join(
+        f" WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE{branches} ELSE 7 END"
+
+
+_BOOT_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey AS k,
+    CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) AS pi
+  FROM orders
+),
+r AS (SELECT k, pi, unnest(range(0, {_BOOT_B})) AS b FROM o),
+u AS (
+  SELECT b, pi,
+    {_SHINGLE_INT_SQL.format(
+        x="concat(CAST(k AS VARCHAR), ':', CAST(b AS VARCHAR))")} AS h
+  FROM r
+),
+w AS (SELECT b, pi, {_pois_case_sql('h')} AS w FROM u)
+SELECT CAST(b AS BIGINT) AS replicate,
+  CAST(SUM(w) AS BIGINT) AS n_eff,
+  CAST(SUM(w * pi) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 10000.0
+    AS boot_mean
+FROM w GROUP BY b
+"""
+
+
+@query("bootstrap_order_means", oracle=_BOOT_ORACLE)
+def q_bootstrap_order_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP — distributed uncertainty quantification
+    without an RNG: each of {_BOOT_B} replicates reweights every order
+    by a Poisson(1) draw derived DETERMINISTICALLY from
+    md5(key:replicate) — the md5-prefix uniform compared against
+    integer inverse-CDF thresholds (the hash-bucket sampling discipline
+    applied to weights).  The spread of the replicate means IS the
+    standard error of the mean order price — the error bar every
+    metric dashboard should carry, computed in one pass with no
+    resampling shuffle (the classic bootstrap's sample-with-replacement
+    is unimplementable at 100 TB; Poisson weights are its standard
+    streaming-safe equivalent, per Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams").
+
+    Determinism: weights are pure functions of (key, replicate); the
+    weighted sums are exact integers; each replicate mean is a two-op
+    double chain.  Re-runs, backfills, and any cluster layout produce
+    identical replicates.
+
+    Scale shape: a narrow map fans each row out ×B (B=8 — the cost
+    knob), then one map-side-combined aggregation to B rows; no join,
+    no corpus shuffle.  At 100 TB the same plan bootstraps any
+    integer-mantissa statistic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * F.lit(10000.0))
+        .cast("bigint")
+        .alias("pi"),
+    )
+    r = o.select(
+        "k", "pi", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    h = _shingle_int(
+        F.concat(
+            F.col("k").cast("string"), F.lit(":"), F.col("b").cast("string")
+        )
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(h < F.lit(_POIS_T[k]), F.lit(k)).otherwise(w)
+    agg = r.select("b", "pi", w.alias("w")).groupBy("b").agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(F.col("w") * F.col("pi")).alias("s"),
+    )
+    return agg.select(
+        F.col("b").cast("bigint").alias("replicate"),
+        F.col("n_eff").cast("bigint").alias("n_eff"),
+        (
+            F.col("s").cast("double")
+            / F.col("n_eff").cast("double")
+            / F.lit(10000.0)
+        ).alias("boot_mean"),
+    )
