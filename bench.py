@@ -170,6 +170,7 @@ HEADLINE = [
     "stream_embedding_drift",
     "audio_silence_segments",
     "bootstrap_order_means",
+    "trade_ktruss_edges",
 ]
 
 

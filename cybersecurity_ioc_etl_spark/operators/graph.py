@@ -932,3 +932,113 @@ def q_trade_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").cast("bigint").alias("nation_id"),
         F.col("n_reachable").cast("bigint").alias("n_reachable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss — edge-grain cohesion peeling (the edge analog of k-core)
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 4  # surviving edges must sit in >= k-2 = 2 triangles
+
+
+def _truss_round_sql(r: int) -> str:
+    return f"""sup{r} AS MATERIALIZED (
+  SELECT e.a, e.b, COUNT(*) AS s
+  FROM e{r} e
+  JOIN ad{r} x ON x.v = e.a
+  JOIN ad{r} y ON y.v = e.b AND y.w = x.w
+  GROUP BY e.a, e.b
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT s.a, s.b FROM sup{r} s WHERE s.s >= {_TRUSS_K - 2}
+),
+ad{r + 1} AS MATERIALIZED (
+  SELECT a AS v, b AS w FROM e{r + 1}
+  UNION ALL SELECT b, a FROM e{r + 1}
+)"""
+
+
+_TRUSS_ORACLE = f"""
+WITH draw AS ({_EDGES_SQL}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM draw WHERE src != dst
+),
+ad0 AS MATERIALIZED (
+  SELECT a AS v, b AS w FROM e0 UNION ALL SELECT b, a FROM e0
+),
+{_truss_round_sql(0)},
+{_truss_round_sql(1)},
+fsup AS (
+  SELECT e.a, e.b, COUNT(*) AS s
+  FROM e2 e
+  JOIN ad2 x ON x.v = e.a
+  JOIN ad2 y ON y.v = e.b AND y.w = x.w
+  GROUP BY e.a, e.b
+)
+SELECT CAST(a AS BIGINT) AS node_a, CAST(b AS BIGINT) AS node_b,
+  CAST(s AS BIGINT) AS support
+FROM fsup
+"""
+
+
+@query("trade_ktruss_edges", oracle=_TRUSS_ORACLE)
+def q_trade_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-TRUSS decomposition (k=4, 2 unrolled peeling rounds) — the
+    EDGE-grain cohesion mining that k-core's node-grain peeling
+    misses: an edge survives only while it closes >= k-2 triangles in
+    the surviving subgraph, so trusses isolate genuinely interlocked
+    communities where cores merely require degree.  Per surviving
+    edge: its triangle support in the final graph.
+
+    Round body: per-edge support = the count of common neighbors of
+    its endpoints — two adjacency equi-joins meeting on the third node
+    (wedge cost, never all-pairs) — then a support filter and an
+    adjacency rebuild; two rounds unrolled with the k-core checkpoint
+    cadence (MATERIALIZED CTEs oracle-side — plain CTEs would inline
+    exponentially, the viterbi lesson).
+
+    Scale shape: each round is edge-keyed joins + one edge-grain
+    count; at web scale the standard degree-orientation bound applies
+    to the wedge join exactly as in trade_triangle_counts, and rounds
+    run until fixpoint (fixed 2 here for the unrolled oracle)."""
+    e = _trade_edges(spark, sf_dir)
+    edges = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def support(ed: DataFrame) -> DataFrame:
+        ad = ed.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+            ed.select(F.col("b").alias("v"), F.col("a").alias("w"))
+        )
+        x, y = ad.alias("x"), ad.alias("y")
+        return (
+            ed.alias("e")
+            .join(x, F.col("x.v") == F.col("e.a"))
+            .join(
+                y,
+                (F.col("y.v") == F.col("e.b"))
+                & (F.col("y.w") == F.col("x.w")),
+            )
+            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .agg(F.count("*").alias("s"))
+        )
+
+    for _ in range(2):
+        edges = (
+            support(edges)
+            .filter(F.col("s") >= _TRUSS_K - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return support(edges).select(
+        F.col("a").cast("bigint").alias("node_a"),
+        F.col("b").cast("bigint").alias("node_b"),
+        F.col("s").cast("bigint").alias("support"),
+    )
