@@ -171,6 +171,7 @@ HEADLINE = [
     "audio_silence_segments",
     "bootstrap_order_means",
     "trade_ktruss_edges",
+    "token_autocomplete_topk",
 ]
 
 

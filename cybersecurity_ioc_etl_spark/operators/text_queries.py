@@ -2431,3 +2431,84 @@ def q_boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_terms_matched") == 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix autocomplete index — top completions per typed prefix
+# ---------------------------------------------------------------------------
+
+_AC_MAX_PREFIX = 4
+_AC_TOPK = 3
+
+_AUTOCOMPLETE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENIZE_SQL}) AS tok FROM documents
+  WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT tok, COUNT(*) AS c FROM toks WHERE length(tok) >= 2 GROUP BY tok
+),
+pre AS (
+  SELECT substring(tok, 1, CAST(p AS INTEGER)) AS prefix, tok, c
+  FROM tf, unnest(range(1, {_AC_MAX_PREFIX + 1})) AS u(p)
+  WHERE length(tok) >= p
+),
+ranked AS (
+  SELECT prefix, tok, c,
+    row_number() OVER (PARTITION BY prefix ORDER BY c DESC, tok) AS r
+  FROM pre
+)
+SELECT prefix, tok AS completion, CAST(c AS BIGINT) AS freq,
+  CAST(r AS BIGINT) AS rank
+FROM ranked WHERE r <= {_AC_TOPK}
+"""
+
+
+@query("token_autocomplete_topk", oracle=_AUTOCOMPLETE_ORACLE)
+def q_token_autocomplete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix AUTOCOMPLETE index — the search-as-you-type artifact: for
+    every 1-4 character prefix, the top-3 completions by corpus
+    frequency (ties by token — deterministic both engines on the ASCII
+    vocabulary).  This is the third retrieval artifact beside the
+    inverted index (exact term lookup) and BM25 (ranked relevance):
+    the suggestion layer, built OFFLINE as a small keyed table a
+    serving node loads whole.
+
+    Scale shape: the term census aggregates once (map-side combined);
+    the prefix fan-out multiplies the VOCABULARY (not the corpus) by at
+    most 4; the per-prefix rank window partitions by prefix —
+    vocabulary-sized state end to end, corpus size enters only through
+    the census.  At 100 TB the census is the only big stage and the
+    index is still megabytes."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pre = tf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("tok"), F.lit(_AC_MAX_PREFIX))),
+                lambda p: F.col("tok").substr(F.lit(1), p),
+            )
+        ).alias("prefix"),
+        "tok",
+        "c",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("prefix").orderBy(F.col("c").desc(), "tok")
+    return (
+        pre.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _AC_TOPK)
+        .select(
+            "prefix",
+            F.col("tok").alias("completion"),
+            F.col("c").cast("bigint").alias("freq"),
+            F.col("r").cast("bigint").alias("rank"),
+        )
+    )
