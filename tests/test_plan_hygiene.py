@@ -35,6 +35,7 @@ _PYTHON_STAGE_OK = {
     "media_dhash_groups",  # native image decode → perceptual hash
     "media_dhash_neardup_pairs",  # same decode stage feeding the LSH join
     "audio_rms_profile",  # native WAV decode → frame energies (one Arrow map)
+    "audio_silence_segments",  # same decode stage feeding the islands window
     "video_scene_cuts",  # native Y4M decode → pair deltas (one Arrow map)
 }
 
