@@ -189,6 +189,17 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, "/root/testdata/sf0.001").count()
 
+    def _drop_checkpoints() -> None:
+        # localCheckpoint blocks from completed queries accumulate in
+        # executor memory across the (now 150+) headline list and turn
+        # late-list measurements into GC noise (the tools/skew_probe.py
+        # lesson at bench scale: graph-family rows measured 2-4x their
+        # floors only when run late in the session).  Each query is
+        # fully materialized before the next starts, so its persisted
+        # RDDs are garbage — drop them between queries.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -197,6 +208,7 @@ def main() -> None:
         # pause (the r3 kmeans/pagerank deltas were exactly that noise)
         best, n = float("inf"), 0
         for _ in range(3):
+            _drop_checkpoints()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
