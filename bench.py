@@ -172,6 +172,8 @@ HEADLINE = [
     "bootstrap_order_means",
     "trade_ktruss_edges",
     "token_autocomplete_topk",
+    "part_cosupply_pairs",
+    "event_burstiness_index",
 ]
 
 

@@ -3928,3 +3928,86 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness — index of dispersion of the hourly arrival process
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM ev GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+filled AS (
+  SELECT s.event_type, COALESCE(ev.n, 0) AS n
+  FROM spine s LEFT JOIN ev ON s.event_type = ev.event_type AND s.h = ev.h
+),
+mo AS (
+  SELECT event_type, COUNT(*) AS k, SUM(n) AS s1, SUM(n * n) AS s2
+  FROM filled GROUP BY 1
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_hours,
+  CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean_rate,
+  CAST(k * s2 - s1 * s1 AS DOUBLE)
+    / CAST(k AS DOUBLE) / CAST(NULLIF(s1, 0) AS DOUBLE) AS fano_factor
+FROM mo
+"""
+
+
+@query("event_burstiness_index", oracle=_BURSTINESS_ORACLE)
+def q_event_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS of the arrival process — the Fano factor
+    (variance-to-mean ratio of hourly counts) per type: 1 for a
+    Poisson process, > 1 for bursty arrivals (retry storms,
+    coordinated traffic), < 1 for throttled/regular ones — the
+    one-number diagnostic that tells an anomaly pipeline whether
+    count-based thresholds are even meaningful for this stream.
+    Computed over the gapfilled spine (empty hours are real zeros —
+    skipping them biases the variance down exactly when bursts are
+    worst).  Var/mean = (k·Σn² − (Σn)²)/k/Σn: exact integer moments,
+    two closed-form divisions, NULLIF guarding the zero-event
+    degenerate (the r7 assortativity lesson).
+
+    Scale shape: one hourly census shuffle + a generated spine
+    (O(hours)); the moment reduction is per-type rows."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    filled = spine.join(ev, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    mo = filled.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    return mo.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_hours"),
+        (F.col("s1").cast("double") / F.col("k").cast("double")).alias(
+            "mean_rate"
+        ),
+        (
+            (F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / F.col("k").cast("double")
+            / F.nullif(F.col("s1"), F.lit(0)).cast("double")
+        ).alias("fano_factor"),
+    )

@@ -562,3 +562,68 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_customer.groupBy("n_orders").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection — part-part co-supply similarity
+# ---------------------------------------------------------------------------
+
+_COSUPPLY_ORACLE = """
+WITH bp AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_shared
+  FROM bp a JOIN bp b ON a.s = b.s AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+  CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs
+WHERE n_shared >= 2
+ORDER BY n_shared DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("part_cosupply_pairs", oracle=_COSUPPLY_ORACLE)
+def q_part_cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIPARTITE PROJECTION — the part-part co-supply graph: two parts
+    are similar when the same suppliers ship both (one quarter's
+    distinct (part, supplier) incidence, supplier-keyed self-join,
+    pairs with >= 2 shared suppliers, top-20).  Projection of a
+    bipartite incidence onto one side is the standard recommender /
+    substitutability construction (users×items → item-item), and a
+    JOIN shape the engine didn't have: the pair fan-out is
+    Σ_s deg(s)² — bounded by the HUB side's degree, so at 100 TB the
+    skew lever is capping or sampling the highest-degree suppliers
+    (the same degree-orientation family as the triangle census), and
+    the n_shared >= 2 filter prunes the long singleton tail before it
+    ever aggregates widely.
+
+    Scale shape: the incidence distinct-projects once (shuffle on the
+    pair); the self-join is supplier-keyed (never all-parts²); top-20
+    is TakeOrderedAndProject."""
+    bp = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-03-31"))
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = bp.alias("a"), bp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return (
+        pairs.orderBy(F.col("n_shared").desc(), "part_a", "part_b")
+        .limit(20)
+        .select(
+            F.col("part_a").cast("bigint").alias("part_a"),
+            F.col("part_b").cast("bigint").alias("part_b"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+        )
+    )
