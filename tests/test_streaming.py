@@ -254,3 +254,46 @@ def test_countmin_stream_crash_replay_resume_identical(spark, sf_dir):
     assert sorted(map(tuple, resumed.collect())) == sorted(
         map(tuple, oneshot.collect())
     )
+
+
+def test_update_mode_emits_only_revised_groups(spark):
+    """UPDATE output mode — the third sink contract beside append and
+    complete: each micro-batch emits ONLY the aggregate rows revised by
+    that batch (append would wait for the watermark; complete re-emits
+    everything).  Two micro-batches update overlapping keys; the sink's
+    last-emit-per-key must equal the batch aggregate, and the second
+    batch must NOT re-emit the untouched key."""
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="upd_src_")
+    ckpt = tempfile.mkdtemp(prefix="upd_ckpt_")
+    with open(f"{src}/a.json", "w") as f:
+        for r in [{"k": "a"}, {"k": "a"}, {"k": "b"}]:
+            f.write(json.dumps(r) + "\n")
+    with open(f"{src}/b.json", "w") as f:
+        for r in [{"k": "a"}]:
+            f.write(json.dumps(r) + "\n")
+    # pin distinct mtimes so maxFilesPerTrigger=1 replays a then b
+    t0 = os.path.getmtime(f"{src}/a.json")
+    os.utime(f"{src}/b.json", (t0 + 10, t0 + 10))
+
+    counts = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .groupBy("k")
+        .count()
+    )
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(r.k, r["count"]) for r in spark.table(name).collect()]
+    # batch 1 emits a=2, b=1; batch 2 revises ONLY a -> a=3
+    assert sorted(rows) == [("a", 2), ("a", 3), ("b", 1)]
