@@ -174,6 +174,7 @@ HEADLINE = [
     "token_autocomplete_topk",
     "part_cosupply_pairs",
     "event_burstiness_index",
+    "events_changepoint_split",
 ]
 
 

@@ -4011,3 +4011,112 @@ def q_event_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("s1"), F.lit(0)).cast("double")
         ).alias("fano_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection — binary segmentation round 1 on hourly rates
+# ---------------------------------------------------------------------------
+
+_CHANGEPOINT_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM ev GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s.h, COALESCE(ev.n, 0) AS n
+  FROM spine s LEFT JOIN ev ON s.event_type = ev.event_type AND s.h = ev.h
+),
+cum AS (
+  SELECT event_type, h, n,
+    SUM(n) OVER w AS si,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+    SUM(n) OVER (PARTITION BY event_type) AS t,
+    COUNT(*) OVER (PARTITION BY event_type) AS k
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dev AS (
+  SELECT event_type, h, i, si, t, k,
+    abs(si * k - t * i) AS d,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(si * k - t * i) DESC, i) AS r
+  FROM cum WHERE i < k
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_hours,
+  CAST(i AS BIGINT) AS cp_index,
+  strftime(h, '%Y-%m-%d %H:%M:%S') AS cp_hour,
+  CAST(si AS DOUBLE) / CAST(i AS DOUBLE) AS left_mean,
+  CAST(t - si AS DOUBLE) / CAST(k - i AS DOUBLE) AS right_mean
+FROM dev WHERE r = 1
+"""
+
+
+@query("events_changepoint_split", oracle=_CHANGEPOINT_ORACLE)
+def q_events_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGEPOINT detection — the first round of binary segmentation
+    on each type's hourly rate: the split hour maximizing the scaled
+    CUSUM deviation |S_i·k − T·i| (the cross-multiplied form of
+    |S_i − T·i/k| — exact integers, no fraction), with the mean rate on
+    each side.  This is the diagnosis step after events_cusum_alarms
+    fires: WHERE did the level shift, and from what to what — and
+    recursing into each side is the full binary-segmentation algorithm
+    (one round here keeps the oracle a single window pass).
+
+    Determinism: deviations are exact int64 (S_i·k ≤ counts·hours²,
+    far under 2^63 at fixture scale); the argmax breaks ties by the
+    earliest hour under a total ordering; the two side means are
+    single divisions.  Gapfilled spine so quiet hours pull the split
+    correctly (the backtest/burstiness discipline).
+
+    Scale shape: one hourly census + per-type windows riding one
+    event_type partitioning; the argmax is a rank-1 filter, not a
+    sort-collect."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    filled = spine.join(ev, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("event_type")
+    cum = filled.select(
+        "event_type",
+        "h",
+        F.sum("n").over(wc).alias("si"),
+        F.row_number().over(wo).alias("i"),
+        F.sum("n").over(wp).alias("t"),
+        F.count("*").over(wp).alias("k"),
+    ).filter(F.col("i") < F.col("k"))
+    d = F.abs(F.col("si") * F.col("k") - F.col("t") * F.col("i"))
+    wr = Window.partitionBy("event_type").orderBy(d.desc(), "i")
+    dev = cum.withColumn("r", F.row_number().over(wr)).filter(F.col("r") == 1)
+    return dev.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_hours"),
+        F.col("i").cast("bigint").alias("cp_index"),
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("cp_hour"),
+        (F.col("si").cast("double") / F.col("i").cast("double")).alias(
+            "left_mean"
+        ),
+        (
+            (F.col("t") - F.col("si")).cast("double")
+            / (F.col("k") - F.col("i")).cast("double")
+        ).alias("right_mean"),
+    )
