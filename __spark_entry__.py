@@ -31,6 +31,24 @@ from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 # restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r8 window (CORRECTNESS_r08: 50/50 hash-green — the 5 r7-deferred
+        # priority rows, the 25 round-8 additions, and 20 oldest-first
+        # re-confirmations already listed in earlier windows)
+        "market_basket_lift", "funnel_three_step_strict",
+        "session_path_counts", "trade_edge_churn",
+        "sliding_24h_distinct_users",
+        "winnowing_fingerprint_scores", "anchor_recall_audit",
+        "lineitem_weighted_median", "incremental_agg_maintenance",
+        "part_cosupply_pairs", "stream_click_error_outer_join",
+        "events_holt_linear", "events_theil_sen", "events_forecast_backtest",
+        "time_decay_attribution", "event_burstiness_index",
+        "events_changepoint_split", "token_zipf_slope",
+        "boolean_and_retrieval", "token_autocomplete_topk",
+        "bootstrap_order_means", "trade_adamic_adar_links",
+        "trade_temporal_reach", "trade_ktruss_edges", "ivfpq_rerank_topk",
+        "ivfpq_compacted_topk", "embedding_centroid_drift",
+        "stream_embedding_drift", "kmv_intersect_audit",
+        "audio_silence_segments",
         # r7 window (CORRECTNESS_r07: 50/50 hash-green — the 46 round-7
         # additions below; the other 4 sampled rows were re-confirmations
         # already listed in earlier windows)
@@ -155,32 +173,19 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: the five r7 late additions the rotation
-# deferred past the r7 window (VERDICT r7 item 1) — all locally
-# parity-green at sf0.01 and sf0.1; promoting them gives every
-# registered query a driver-issued green row (260/260).  New round-8
-# queries land in the `mid` slot of _ordered() automatically
-# (unchecked, not listed here); keep head + expected-new <= 50.
-_PRIORITY = [
-    "market_basket_lift",
-    "funnel_three_step_strict",
-    "session_path_counts",
-    "trade_edge_churn",
-    "sliding_24h_distinct_users",
-]
+# Head of the rotation: empty for r9 — the r8 window carried no
+# deferrals (CORRECTNESS_r08 sampled all 25 late additions) and no
+# oracle changed.  New round-9 queries land in the `mid` slot of
+# _ordered() automatically (unchecked, not listed here); keep
+# head + expected-new <= 50.
+_PRIORITY: list[str] = []
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-8 queries.  Continues the r7 rotation from where
-# its 50-query window cut off (minhash_signatures onward — oldest
-# driver-green rows first, one per family).
+# head + any new round-9 queries.  Continues the r8 rotation from where
+# its 50-query window cut off (stream_dedup_unique_users onward —
+# oldest driver-green rows first), then resumes the r3-window sweep.
 _RECONFIRM = [
-    "minhash_signatures", "simhash_neardup_pairs", "neardup_jaccard_pairs",
-    "dedup_components", "knn_cosine_topk", "ivf_topk", "ivf_multiprobe_topk",
-    "ann_bucketed_topk", "embedding_lsh_neardup_pairs", "kmeans_lloyd_step",
-    "doc_quality", "doc_lang_id", "doc_fingerprint", "doc_token_stats",
-    "tfidf_top_terms_per_doc", "inverted_index_postings",
-    "deterministic_sample", "stratified_sample_k", "train_val_test_split",
-    "stream_hourly_counts", "stream_dedup_unique_users",
+    "stream_dedup_unique_users",
     "media_dedup_groups", "frame_dedup_profile", "pagerank_nations",
     "trade_triangle_counts", "trade_bfs_distances", "dsir_importance_sample",
     "corpus_shard_shuffle", "lang_classifier_confusion",
@@ -190,14 +195,21 @@ _RECONFIRM = [
     "embedding_power_iteration", "semdedup_prune", "doc_novelty_scores",
     "neardup_containment_pairs", "dedup_keep_best_salted",
     "cumulative_new_users", "events_value_ztest", "corpus_token_budget",
+    # r3-window sweep resumes (rows whose only green is still r3)
+    "ann_hyperplane_buckets", "bigram_conditional_probs",
+    "curation_pipeline", "dedup_keep_best", "doc_bpe_token_estimate",
+    "doc_chunking", "doc_lang_stats", "doc_packing_bins", "doc_pii_scrub",
+    "doc_shingle_profile", "doc_tf_map", "embedding_int8_quantize",
+    "embedding_neardup_pairs", "eval_contamination", "events_hourly",
 ]
 
 # Unchecked queries deliberately deferred past this round's window
-# (none yet for r8 — add here if the window fills past 50).
-# ROUND-9 ROTATION NOTE: fold the 50 names the r8 CORRECTNESS gate
+# (none yet for r9 — add here if the window fills past 50).
+# ROUND-10 ROTATION NOTE: fold the 50 names the r9 CORRECTNESS gate
 # sampled (head of queries() at gate time) into _DRIVER_CHECKED, clear
-# _PRIORITY unless an oracle changed, promote any _DEFER entries, and
-# keep head + new <= 50.
+# _PRIORITY unless an oracle changed, promote any _DEFER entries,
+# continue _RECONFIRM oldest-first from where the r9 window cut off,
+# and keep head + new <= 50.
 _DEFER: list[str] = []
 
 
