@@ -164,3 +164,118 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("sh").alias("n_shared_shingles"))
     )
+
+
+@query(
+    "packing_efficiency_audit",
+    oracle="""
+WITH laid_out AS (
+  SELECT source, n_chars,
+    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cb
+  FROM documents
+),
+per_doc AS (
+  SELECT source, n_chars, cb,
+    cb // 5000 AS b0,
+    CASE WHEN n_chars > 0 THEN (cb + n_chars - 1) // 5000
+         ELSE cb // 5000 END AS b1
+  FROM laid_out
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST((SUM(n_chars) + 4999) // 5000 AS BIGINT) AS min_bins,
+  CAST(COUNT(DISTINCT b0) AS BIGINT) AS n_bins_assigned,
+  CAST(SUM(CASE WHEN b1 > b0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+  CAST(SUM(CASE WHEN b1 > b0 THEN cb + n_chars - (b0 + 1) * 5000
+            ELSE 0 END) AS BIGINT) AS spill_chars,
+  CAST(SUM(CASE WHEN b1 > b0 THEN cb + n_chars - (b0 + 1) * 5000
+            ELSE 0 END) * 1000000 AS DOUBLE)
+    / CAST(NULLIF(SUM(n_chars), 0) AS DOUBLE) AS spill_ppm,
+  CAST((SUM(n_chars) + 4999) // 5000 * 5000 - SUM(n_chars) AS BIGINT)
+    AS last_slack_chars
+FROM per_doc GROUP BY source
+""",
+)
+def q_packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit for the budget-slice layout
+    (doc_packing_bins) — the receipt that quantifies what the slice
+    form trades for distributability (VERDICT r8 item 8).  Slice
+    packing is CAPACITY-optimal by construction (min_bins =
+    ceil(total/5000) slices, zero internal padding, slack only in the
+    last slice), but it cuts documents at bin boundaries; the cost of
+    the boundary-repair pass is exactly the straddlers.  Per source:
+    the bin-count lower bound, the bins that actually receive a
+    document start (a giant doc can span bins no other doc starts in),
+    the straddler census, and the SPILL — characters landing past
+    their doc's first bin boundary, i.e. the bytes a repair pass must
+    move (split) or re-pad (bump), as an exact count and as ppm of the
+    corpus.  A greedy whole-doc packer would instead pay bin-internal
+    padding >= spill on the same layout order — the two regimes'
+    waste is directly comparable through this number.
+
+    Determinism: everything is exact integer arithmetic off one
+    cumulative-sum window over the stable (source, doc_id) layout
+    order; the only double is the single ppm division (exact int /
+    exact int — bit-identical, no rounding, the dsir lesson).
+
+    Scale shape: one window shuffle on source (the same single
+    partitioning doc_packing_bins rides), then a map-side-combined
+    agg; no joins, no second scan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_doc = d.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cb"),
+    ).select(
+        "source",
+        "n_chars",
+        "cb",
+        F.expr("cb div 5000").alias("b0"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("(cb + n_chars - 1) div 5000"),
+        )
+        .otherwise(F.expr("cb div 5000"))
+        .alias("b1"),
+    )
+    straddle = F.col("b1") > F.col("b0")
+    spill = F.when(
+        straddle,
+        F.col("cb") + F.col("n_chars") - (F.col("b0") + 1) * F.lit(5000),
+    ).otherwise(F.lit(0))
+    agged = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("b0").cast("bigint").alias("n_bins_assigned"),
+        F.sum(F.when(straddle, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_straddlers"),
+        F.sum(spill).cast("bigint").alias("spill_chars"),
+    )
+    # integer `div` post-agg, never double-divide-then-truncate: the
+    # double quotient of two big ints can round up across the floor
+    # boundary at scale
+    return agged.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.expr("(total_chars + 4999) div 5000").alias("min_bins"),
+        "n_bins_assigned",
+        "n_straddlers",
+        "spill_chars",
+        (
+            (F.col("spill_chars") * F.lit(1000000)).cast("double")
+            / F.nullif(F.col("total_chars"), F.lit(0)).cast("double")
+        ).alias("spill_ppm"),
+        F.expr(
+            "(total_chars + 4999) div 5000 * 5000 - total_chars"
+        ).alias("last_slack_chars"),
+    )

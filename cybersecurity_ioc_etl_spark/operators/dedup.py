@@ -2254,3 +2254,144 @@ def q_anchor_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected-components maintenance — fold a new batch's edges
+# into stored components (the dedup_components analog of
+# incremental_agg_maintenance)
+# ---------------------------------------------------------------------------
+
+_CC_BATCH_CUT = 120  # doc_id >= this is the arriving batch; < is the corpus
+
+
+@query(
+    "incremental_cc_maintenance",
+    oracle=f"""
+WITH RECURSIVE {_COMPONENTS_CTE_SQL}
+SELECT doc_id, component, TRUE AS cc_consistent FROM comp
+""",
+)
+def q_incremental_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of near-dup COMPONENTS under continuous
+    ingest (VERDICT r8 item 8): the stored corpus (doc_id < 120
+    of the doc_id < 150 SimHash universe) keeps its connected-component
+    assignment as state; an arriving batch folds in WITHOUT re-running
+    components over the corpus.  The fold works on STAR EDGES: each
+    stored component collapses to (member → label) spokes — exactly the
+    connectivity the base edges proved, in O(corpus) edges of depth 1 —
+    unioned with the batch-incident candidate edges (batch band-buckets
+    probed against the full band index, the
+    incremental_neardup_new_batch shape: cost ∝ batch × collisions,
+    never corpus × corpus).  Pointer-jumping over (stars ∪ new edges)
+    then converges in O(log batch-diameter) rounds because the corpus
+    side is already depth-1.
+
+    Correctness law (the merge-algebra receipt, same form as
+    incremental_agg_maintenance / the KMV-HLL-countmin merge audits):
+    components(star(components(E_base)) ∪ E_batch) =
+    components(E_base ∪ E_batch), because star edges connect exactly
+    the vertex sets the base edges connect, and min-label canonical
+    ids depend only on the partition.  The query recomputes components
+    from scratch (the audit leg — in production a rare job, not the
+    refresh path) and emits cc_consistent per doc; the oracle states
+    TRUE against the recursive-closure spec, so any drift in the fold
+    algebra breaks the value hash.
+
+    Scale shape: the stored assignment is read state (here recomputed
+    fixture-style, like the corpus index in
+    incremental_neardup_new_batch); the per-batch cost is the batch's
+    band probe + a pointer-jumping run whose frontier is the batch and
+    the components it touches."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sig = simhash_agg(d, "doc_id", "text").localCheckpoint(eager=True)
+    is_batch = F.col("doc_id") >= _CC_BATCH_CUT
+    sig_base = sig.filter(~is_batch)
+
+    hamming_ab = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    base_edges = (
+        simhash_banded_candidates(sig_base)
+        .filter(hamming_ab <= _HAMMING_T - 1)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    stored = connected_components(
+        sig_base.select("doc_id"), base_edges, id_col="doc_id"
+    )
+    stars = stored.filter(F.col("nid") != F.col("component")).select(
+        F.col("component").alias("src"), F.col("nid").alias("dst")
+    )
+
+    # batch-incident candidates: batch band-buckets probe the FULL band
+    # index (base never probes base — the corpus×corpus quadrant is the
+    # stored state, not recomputed)
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+
+    def band_bits(col: Column, k: int) -> Column:
+        return F.shiftright(col, k * width).bitwiseAND(F.lit(mask))
+
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        band_bits(F.col("simhash"), k).alias("bits"),
+                    )
+                    for k in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bits")
+    probe = banded.filter(F.col("doc_id") >= _CC_BATCH_CUT).alias("a")
+    index = banded.alias("b")
+    first_band = F.coalesce(
+        *[
+            F.when(
+                band_bits(F.col("a.simhash"), k)
+                == band_bits(F.col("b.simhash"), k),
+                F.lit(k),
+            )
+            for k in range(_SIMHASH_BANDS)
+        ]
+    )
+    # orientation: batch-batch pairs once via a < b; batch-base pairs
+    # once because only the batch side probes
+    cand = (
+        probe.join(
+            index,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                (F.col("b.doc_id") < _CC_BATCH_CUT)
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+        )
+        .filter(F.col("a.band") == first_band)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("src"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("dst"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hd"),
+        )
+    )
+    new_edges = cand.filter(F.col("hd") <= _HAMMING_T - 1).select("src", "dst")
+
+    folded = connected_components(
+        sig.select("doc_id"),
+        stars.unionByName(new_edges),
+        id_col="doc_id",
+    ).select(F.col("nid").alias("doc_id"), F.col("component").alias("fc"))
+
+    recomputed = neardup_components(spark, sf_dir).select(
+        "doc_id", F.col("component").alias("rc")
+    )
+    return folded.join(recomputed, "doc_id").select(
+        "doc_id",
+        F.col("fc").alias("component"),
+        (F.col("fc") == F.col("rc")).alias("cc_consistent"),
+    )

@@ -221,14 +221,16 @@ def compact_parquet_dir(
     write_range_sorted instead — this is the layout-agnostic fallback
     for append-only event/log directories.  (Row-preservation and
     file-count behavior pinned in tests/test_bucketed.py.)"""
-    import os
-
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(src_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    # size via the Hadoop FileSystem API, not a driver-local os.walk:
+    # the source may be any URI scheme (hdfs://, s3a://, file:) and the
+    # 100 TB framing above requires the size probe to work there too
+    # (ADVICE r8).  getContentSummary counts committer metadata
+    # (_SUCCESS, .crc) alongside data files — noise at compaction
+    # granularity.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-total // target_file_bytes))
     (
         spark.read.parquet(src_dir)

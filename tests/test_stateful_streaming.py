@@ -254,6 +254,122 @@ def test_stream_stream_outer_join_emits_unmatched_on_watermark(spark):
     assert rows == {(100, 200), (101, None)}
 
 
+def test_stream_stream_full_outer_join_emits_both_sides(spark):
+    """FULL OUTER stream-stream join semantics under controlled late
+    data (VERDICT r8 item 6): matches emit as in the inner form; an
+    unmatched CLICK emits once with NULL error columns when the
+    watermark strictly passes its window end (leftOuter behavior); an
+    unmatched ERROR emits once with NULL click columns when the
+    watermark passes its own event time (its match window is
+    (e_ts − 10 min, e_ts), entirely in the past once W ≥ e_ts); rows
+    whose windows are still open at end-of-stream stay pending; and a
+    LATE click below the watermark neither retro-matches an evicted
+    error nor duplicates its emitted null row."""
+    click_dir = tempfile.mkdtemp(prefix="ssfo_clicks_")
+    err_dir = tempfile.mkdtemp(prefix="ssfo_errs_")
+    ckpt = tempfile.mkdtemp(prefix="ssfo_ckpt_")
+    out = tempfile.mkdtemp(prefix="ssfo_out_")
+
+    # batch a: click 100 matched by error 200; click 101 never matched;
+    # error 210 (user 5) never matched by any click
+    _write_jsonl(
+        f"{click_dir}/a.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_id": 100},
+            {"ts": "2024-01-01 10:05:00", "user_id": 2, "event_id": 101},
+        ],
+    )
+    _write_jsonl(
+        f"{err_dir}/a.json",
+        [
+            {"ts": "2024-01-01 10:04:00", "user_id": 1, "event_id": 200},
+            {"ts": "2024-01-01 10:02:00", "user_id": 5, "event_id": 210},
+        ],
+    )
+    # batch b: advances both sides' max event time to 11:50/11:55 → the
+    # watermark becomes 11:40 for batch c.  Click 102's window
+    # (11:50–12:00) and error 300's window (11:45–11:55) stay open
+    # against the final watermark → both pending, neither emits.
+    _write_jsonl(
+        f"{click_dir}/b.json",
+        [{"ts": "2024-01-01 11:50:00", "user_id": 3, "event_id": 102}],
+    )
+    _write_jsonl(
+        f"{err_dir}/b.json",
+        [{"ts": "2024-01-01 11:55:00", "user_id": 9, "event_id": 300}],
+    )
+    # batch c: benign on BOTH sides — runs with watermark 11:40, so
+    # click 101 (window end 10:15) AND error 210 (e_ts 10:02) evict and
+    # their null rows emit.  The click side needs its own benign file
+    # here: with maxFilesPerTrigger=1 PER SOURCE, the next click file
+    # would otherwise ride along in this evicting batch — and inputs
+    # join state BEFORE eviction runs, so the late click would still
+    # retro-match 210 (the CLAUDE.md stream-stream gotcha, reproduced
+    # while building this test).
+    _write_jsonl(
+        f"{click_dir}/c.json",
+        [{"ts": "2024-01-01 11:56:00", "user_id": 8, "event_id": 104}],
+    )
+    _write_jsonl(
+        f"{err_dir}/c.json",
+        [{"ts": "2024-01-01 11:56:00", "user_id": 9, "event_id": 301}],
+    )
+    # batch d: a LATE click that would have matched error 210
+    # (10:01 ∈ (09:52, 10:02)) — far below the watermark, state already
+    # evicted: dropped, no retro-match, no duplicate, and no
+    # (103, NULL) row either
+    _write_jsonl(
+        f"{click_dir}/d.json",
+        [{"ts": "2024-01-01 10:01:00", "user_id": 5, "event_id": 103}],
+    )
+    import os as _os
+    import time as _time
+
+    t0 = _time.time() - 100
+    for f in [
+        f"{click_dir}/a.json", f"{click_dir}/b.json", f"{click_dir}/c.json",
+        f"{click_dir}/d.json",
+        f"{err_dir}/a.json", f"{err_dir}/b.json", f"{err_dir}/c.json",
+    ]:
+        step = {"a": 0, "b": 10, "c": 20, "d": 30}[f.rsplit("/", 1)[1][0]]
+        _os.utime(f, (t0 + step, t0 + step))
+
+    schema = "ts timestamp, user_id long, event_id long"
+    sc = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(click_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    se = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(err_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    joined = sc.alias("c").join(
+        se.alias("e"),
+        (F.col("c.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") > F.col("c.ts"))
+        & (F.col("e.ts") <= F.col("c.ts") + F.expr("INTERVAL 10 MINUTES")),
+        "fullOuter",
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("e.event_id").alias("error_id"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.click_id, r.error_id) for r in spark.read.parquet(out).collect()}
+    assert rows == {(100, 200), (101, None), (None, 210)}
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Streaming exact dedup: dropDuplicatesWithinWatermark removes
     re-deliveries of the same IOC across micro-batches while the
