@@ -175,6 +175,17 @@ HEADLINE = [
     "part_cosupply_pairs",
     "event_burstiness_index",
     "events_changepoint_split",
+    # round-9 additions
+    "events_changepoint_tree",
+    "quantile_summary_merge",
+    "packing_efficiency_audit",
+    "incremental_cc_maintenance",
+    "stream_click_error_full_outer_join",
+    "incremental_join_maintenance",
+    "phrase_retrieval_topk",
+    "stream_session_append",
+    "ams_f2_audit",
+    "supplier_degree_powerlaw",
 ]
 
 

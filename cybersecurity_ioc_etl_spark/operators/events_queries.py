@@ -4610,3 +4610,66 @@ def q_quantile_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (err50 <= bound).alias("within_bound_p50"),
         (err90 <= bound).alias("within_bound_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization, APPEND mode — sessions emit as they close
+# ---------------------------------------------------------------------------
+
+_SESSION_APPEND_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts FROM events WHERE user_id < 10
+),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_last,
+    COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sid
+),
+wm AS (
+  -- Spark's event-time stats are millisecond-floored; the final
+  -- watermark is floor_ms(max event time) - 30 min, and a session
+  -- emits when its window end (last event + 30 min gap) is <= the
+  -- watermark (pinned empirically per the CLAUDE.md discipline)
+  SELECT epoch_ms(MAX(ts)) - 1800000 AS w_ms FROM ev
+)
+SELECT user_id,
+  strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+  CAST(n_events AS BIGINT) AS n_events
+FROM per_session, wm
+WHERE epoch_ms(s_last) + 1800000 <= wm.w_ms
+"""
+
+
+@query("stream_session_append", oracle=_SESSION_APPEND_ORACLE)
+def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization in APPEND mode — the production config
+    (bounded state, sessions emit exactly once as the watermark closes
+    them), complementing stream_session_counts' complete-mode parity
+    run: the drained sink holds exactly the sessions whose window end
+    (last event + 30-minute gap) the final watermark passed; later
+    sessions stay PENDING (the watermarked-append truncation, stated
+    as the oracle's closed-form cutoff at the millisecond grain of
+    Spark's event-time stats).
+
+    Scale shape: session state is O(open sessions per user) in the
+    state store, emission is pure eviction; the batch oracle
+    re-derives sessions via the lag/cumsum form and applies the same
+    cutoff."""
+    from ..streaming.pipeline import run_session_window_stream_append
+
+    return run_session_window_stream_append(spark, sf_dir)

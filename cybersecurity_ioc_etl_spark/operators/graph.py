@@ -1042,3 +1042,95 @@ def q_trade_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").cast("bigint").alias("node_b"),
         F.col("s").cast("bigint").alias("support"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-distribution power-law fit — the graph-health gauge
+# ---------------------------------------------------------------------------
+
+_PL_DMIN = 2
+
+_POWERLAW_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT s.s_suppkey AS src, c.c_custkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+tail AS (
+  SELECT d, CAST(FLOOR(ln(CAST(d AS DOUBLE) / {_PL_DMIN}.0) * 1000000000.0)
+                 AS BIGINT) AS lq
+  FROM deg WHERE d >= {_PL_DMIN}
+)
+SELECT
+  (SELECT COUNT(*) FROM deg) AS n_suppliers,
+  CAST(COUNT(*) AS BIGINT) AS n_tail,
+  CAST({_PL_DMIN} AS BIGINT) AS d_min,
+  CAST(MAX(d) AS BIGINT) AS max_degree,
+  1.0 + CAST(COUNT(*) AS DOUBLE) * 1000000000.0
+      / CAST(NULLIF(SUM(lq), 0) AS DOUBLE) AS alpha_mle
+FROM tail
+"""
+
+
+@query("supplier_degree_powerlaw", oracle=_POWERLAW_ORACLE)
+def q_supplier_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the supplier out-degree distribution
+    (distinct customers reached in the quarter) — the continuous MLE
+    alpha = 1 + n / Σ ln(d/d_min) of Clauset-Shalizi-Newman, the
+    one-number gauge of hub concentration that decides whether
+    degree-orientation / hub-capping levers (trade_triangle_counts,
+    part_cosupply_pairs) are even needed on a graph.  The token-Zipf
+    analog (token_zipf_slope) for graph degrees.
+
+    Determinism: each ln term quantizes to an integer
+    (FLOOR(ln·1e9), the bigram_lm / DGA-score discipline), the sum is
+    exact, and alpha is one closed-form division; NULLIF guards the
+    all-degrees-at-d_min degenerate (the assortativity lesson — only
+    visible at some SFs).
+
+    Scale shape: the edge derivation is the pruned-quarter join with
+    dims broadcast; the degree census and the moment reduction are one
+    map-side-combined shuffle each; output is 1 row."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-03-31"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("s_suppkey").alias("src"), F.col("c_custkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_sup = deg.agg(F.count("*").alias("n_suppliers"))
+    lq = F.floor(
+        F.log(F.col("d").cast("double") / F.lit(float(_PL_DMIN)))
+        * F.lit(1000000000.0)
+    ).cast("bigint")
+    tail = deg.filter(F.col("d") >= _PL_DMIN).select("d", lq.alias("lq"))
+    agg = tail.agg(
+        F.count("*").cast("bigint").alias("n_tail"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.sum("lq").alias("slq"),
+    )
+    return agg.crossJoin(F.broadcast(n_sup)).select(
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        "n_tail",
+        F.lit(_PL_DMIN).cast("bigint").alias("d_min"),
+        "max_degree",
+        (
+            F.lit(1.0)
+            + F.col("n_tail").cast("double")
+            * F.lit(1000000000.0)
+            / F.nullif(F.col("slq"), F.lit(0)).cast("double")
+        ).alias("alpha_mle"),
+    )

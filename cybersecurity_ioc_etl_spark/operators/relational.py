@@ -803,3 +803,108 @@ def q_incremental_agg_maintenance(
             (F.col("mn") == F.col("n")) & (F.col("ms") == F.col("s"))
         ).alias("ivm_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for JOINs — the delta-join algebra
+# ---------------------------------------------------------------------------
+
+_IVJ_O_CUT = "1997-01-01"   # orders delta: o_orderdate >= cut
+_IVJ_L_CUT = "1996-01-01"   # lineitem delta: l_shipdate >= cut
+
+_IVM_JOIN_ORACLE = f"""
+SELECT o.o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {ISUM.format(x=MI.format(x='l.l_extendedprice'))} / 10000.0 AS revenue,
+  TRUE AS ivm_consistent
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("incremental_join_maintenance", oracle=_IVM_JOIN_ORACLE)
+def q_incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta-join
+    algebra that extends incremental_agg_maintenance (single-table
+    deltas) to the two-sided case every materialized join view needs:
+    with A = A0 ∪ ΔA and B = B0 ∪ ΔB disjoint,
+    A ⋈ B = (A0⋈B0) ∪ (ΔA⋈B0) ∪ (A0⋈ΔB) ∪ (ΔA⋈ΔB) — the stored view
+    contributes its aggregate STATE (here the A0⋈B0 leg, recomputed
+    fixture-style; read state in production), and the refresh cost is
+    the three delta legs, each ∝ |Δ| × join selectivity, never the
+    base × base quadrant.  Here A = orders split on
+    o_orderdate >= 1997-01-01, B = lineitem split on
+    l_shipdate >= 1996-01-01, view = revenue per order priority.
+
+    Each leg aggregates to (priority, count, mantissa-sum) partials;
+    the refreshed view is the pure additive merge of the four partials
+    (exact-integer state, the same mergeability law as the IVM-agg /
+    sketch receipts), and ivm_consistent asserts merge == full
+    recompute per group — the oracle states TRUE, so drift in the
+    delta algebra breaks the value hash.
+
+    Scale shape: all four legs are equi-joins on the orderkey and
+    aggregate map-side; the delta predicates push to both scans
+    (partition pruning at 100 TB makes the delta legs read only the
+    new partitions); the merge is a groups-sized aggregation of 4×5
+    partial rows."""
+    # the split must be TOTAL: a NULL-dated row satisfies neither
+    # `>= cut` nor its negation and would silently vanish from every
+    # delta leg while the full recompute keeps it (null_probe caught
+    # exactly this) — NULL dates belong to the base partition
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce(F.col("o_orderdate") >= _IVJ_O_CUT, F.lit(False)).alias(
+            "o_new"
+        ),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        mi(F.col("l_extendedprice")).alias("pi"),
+        F.coalesce(F.col("l_shipdate") >= _IVJ_L_CUT, F.lit(False)).alias(
+            "l_new"
+        ),
+    )
+
+    def leg(o_new: bool, l_new: bool) -> DataFrame:
+        return (
+            o.filter(F.col("o_new") == o_new)
+            .join(
+                li.filter(F.col("l_new") == l_new),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("pi").cast("decimal(38,0)")).alias("s"),
+            )
+        )
+
+    partials = (
+        leg(False, False)
+        .unionByName(leg(True, False))
+        .unionByName(leg(False, True))
+        .unionByName(leg(True, True))
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("mn"), F.sum("s").alias("ms")
+    )
+    full = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("pi").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("mn").cast("bigint").alias("n_items"),
+        (F.col("ms").cast("double") / F.lit(10000.0)).alias("revenue"),
+        ((F.col("mn") == F.col("n")) & (F.col("ms") == F.col("s"))).alias(
+            "ivm_consistent"
+        ),
+    )

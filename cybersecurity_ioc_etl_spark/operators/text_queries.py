@@ -2512,3 +2512,260 @@ def q_token_autocomplete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase retrieval over the positional index — the fourth retrieval mode
+# ---------------------------------------------------------------------------
+
+_PHRASE_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKENIZE_SQL} AS l FROM documents WHERE text IS NOT NULL
+),
+bigrams AS (
+  SELECT d.doc_id, d.l[i] AS t1, d.l[i + 1] AS t2
+  FROM docs d, unnest(range(1, len(d.l))) AS u(i)
+),
+top1 AS (
+  SELECT t1, t2 FROM (
+    SELECT t1, t2,
+      row_number() OVER (ORDER BY COUNT(*) DESC, t1, t2) AS r
+    FROM bigrams GROUP BY t1, t2
+  ) WHERE r = 1
+),
+per_doc AS (
+  SELECT b.doc_id, COUNT(*) AS n_occurrences
+  FROM bigrams b JOIN top1 USING (t1, t2)
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM (
+  SELECT doc_id, n_occurrences,
+    row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS r
+  FROM per_doc
+) WHERE r <= 20
+"""
+
+
+@query("phrase_retrieval_topk", oracle=_PHRASE_ORACLE)
+def q_phrase_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE retrieval over a POSITIONAL inverted index — the fourth
+    retrieval mode (beside ranked-OR BM25, conjunctive boolean AND,
+    and the raw index): top-20 documents by occurrence count of the
+    corpus' most frequent bigram (a deterministic self-contained
+    phrase query, census tie-broken lexicographically).  The phrase
+    match is the positional-join idiom real engines execute against a
+    stored positional index: posting rows (doc, pos) of term 1
+    equi-joined to (doc, pos+1) rows of term 2 — adjacency resolved by
+    KEY, never by re-scanning text, so a k-word phrase is k−1 chained
+    positional joins.
+
+    The phrase is selected by a tail-zip bigram census (an array map,
+    no join); the retrieval leg then touches ONLY the two terms'
+    posting lists (each pruned by a 1-row broadcast), so query cost
+    tracks the shorter posting list — the property that makes phrase
+    queries serveable at 100 TB where a text rescan is not.  Top-20 is
+    TakeOrderedAndProject with a doc_id tiebreak.
+
+    Overlapping occurrences each count (both engines state adjacency
+    at every position i)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    toks = tokens(F.col("text"))
+    # census leg: tail-zip bigram counts (array map, no positional join)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+    )
+    census = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count("*").alias("c"))
+    )
+    top1 = census.orderBy(F.col("c").desc(), "t1", "t2").limit(1).select(
+        "t1", "t2"
+    )
+    # retrieval leg: the positional index, pruned per term by the
+    # broadcast phrase, adjacency via the (doc, pos+1) equi-join
+    pos = d.select(
+        "doc_id", F.posexplode(toks).alias("i", "tok")
+    )
+    p1 = pos.join(
+        F.broadcast(top1.select(F.col("t1").alias("tok"))), "tok"
+    ).select("doc_id", F.col("i").alias("i1"))
+    p2 = pos.join(
+        F.broadcast(top1.select(F.col("t2").alias("tok"))), "tok"
+    ).select(F.col("doc_id").alias("doc_id2"), F.col("i").alias("i2"))
+    hits = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("i2") == F.col("i1") + 1),
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    return per_doc.orderBy(
+        F.col("n_occurrences").desc(), "doc_id"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# AMS / tug-of-war F2 sketch — the second-moment estimator, made exact
+# ---------------------------------------------------------------------------
+
+_AMS_ROWS = 16
+
+_AMS_SIGN_SQL = (
+    "CASE WHEN "
+    + _dedup._SHINGLE_INT_SQL.format(
+        x="concat(CAST({j} AS VARCHAR), ':', {tok})"
+    )
+    + " % 2 = 1 THEN 1 ELSE -1 END"
+)
+
+_AMS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENIZE_SQL}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+s_full AS (
+  SELECT r.j AS j,
+    SUM(({_AMS_SIGN_SQL.format(j='r.j', tok='tf.tok')}) * tf.c) AS s
+  FROM tf CROSS JOIN range({_AMS_ROWS}) r(j)
+  GROUP BY r.j
+),
+tf_half AS (
+  SELECT doc_id % 2 AS h, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+s_half AS (
+  SELECT t.h, r.j AS j,
+    SUM(({_AMS_SIGN_SQL.format(j='r.j', tok='t.tok')}) * t.c) AS s
+  FROM tf_half t CROSS JOIN range({_AMS_ROWS}) r(j)
+  GROUP BY 1, 2
+),
+s_merged AS (SELECT j, SUM(s) AS s FROM s_half GROUP BY j),
+est AS (
+  SELECT f.j, f.s, f.s * f.s AS e, (f.s = m.s) AS merge_consistent
+  FROM s_full f JOIN s_merged m USING (j)
+),
+globals AS (
+  SELECT
+    (SELECT CAST(SUM(c * c) AS BIGINT) FROM tf) AS f2_exact,
+    CAST(SUM(e) AS DOUBLE) / {_AMS_ROWS}.0 AS f2_est_mean,
+    (SELECT CAST(SUM(e) AS DOUBLE) / 2.0 FROM (
+       SELECT e, row_number() OVER (ORDER BY e, j) AS rn FROM est
+     ) WHERE rn IN ({_AMS_ROWS // 2}, {_AMS_ROWS // 2 + 1})) AS f2_est_median
+  FROM est
+)
+SELECT e.j AS sketch_row, CAST(e.s AS BIGINT) AS s,
+  CAST(e.e AS BIGINT) AS s_squared, e.merge_consistent,
+  g.f2_exact, g.f2_est_mean, g.f2_est_median
+FROM est e CROSS JOIN globals g
+"""
+
+
+@query("ams_f2_audit", oracle=_AMS_ORACLE)
+def q_ams_f2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sketch (Alon-Matias-Szegedy '96) of the corpus
+    token-frequency SECOND MOMENT F2 = Σ c² — the join-size /
+    self-join-cardinality estimator and skew gauge — made fully
+    deterministic with md5-parity ±1 signs (the countmin discipline:
+    the sketch VALUES hash cross-engine, not just a bound).  Each of
+    the 16 sketch rows is s_j = Σ_tok sign_j(tok)·c_tok; s_j² is an
+    unbiased F2 estimate, reported per row plus the mean and the exact
+    even-count median (avg of order stats 8 and 9 under a total
+    ordering).
+
+    The MERGE law receipt: the corpus split into two doc_id-parity
+    shards, each sketched from its OWN census, merges by plain vector
+    ADDITION — merge_consistent asserts the merged state equals the
+    whole-corpus sketch per row (linearity is what lets 1000 executors
+    sketch independently; same algebra family as count-min's +, KMV's
+    set-union, HLL's MAX).
+
+    Scale shape: the census is one map-side-combined shuffle; the
+    16-row sign expansion happens at VOCABULARY grain (16 md5s per
+    distinct token, never per occurrence); every downstream state is
+    16 integers."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+
+    def signed(tf: DataFrame, *keys: str) -> DataFrame:
+        js = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.when(
+                        _dedup._shingle_int(
+                            F.concat(F.lit(str(j)), F.lit(":"), F.col("tok"))
+                        )
+                        % 2
+                        == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .alias("sign"),
+                )
+                for j in range(_AMS_ROWS)
+            ]
+        )
+        return (
+            tf.select(*keys, "c", F.explode(js).alias("x"))
+            .groupBy(*keys, F.col("x.j").alias("j"))
+            .agg(F.sum(F.col("x.sign") * F.col("c")).alias("s"))
+        )
+
+    tf_full = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    s_full = signed(tf_full)
+    tf_half = toks.groupBy(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("h"), "tok"
+    ).agg(F.count("*").alias("c"))
+    s_merged = (
+        signed(tf_half, "h")
+        .groupBy("j")
+        .agg(F.sum("s").alias("ms"))
+    )
+    est = s_full.join(s_merged, "j").select(
+        "j",
+        "s",
+        (F.col("s") * F.col("s")).alias("e"),
+        (F.col("s") == F.col("ms")).alias("merge_consistent"),
+    )
+    from pyspark.sql.window import Window
+
+    f2_exact = tf_full.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact")
+    )
+    # 16-row frame: the global window is bounded by construction
+    w = Window.orderBy("e", "j")
+    med = (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").isin(_AMS_ROWS // 2, _AMS_ROWS // 2 + 1))
+        .agg((F.sum("e").cast("double") / F.lit(2.0)).alias("f2_est_median"))
+    )
+    mean = est.agg(
+        (F.sum("e").cast("double") / F.lit(float(_AMS_ROWS))).alias(
+            "f2_est_mean"
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(f2_exact))
+        .crossJoin(F.broadcast(mean))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("j").cast("bigint").alias("sketch_row"),
+            F.col("s").cast("bigint").alias("s"),
+            F.col("e").cast("bigint").alias("s_squared"),
+            "merge_consistent",
+            "f2_exact",
+            "f2_est_mean",
+            "f2_est_median",
+        )
+    )

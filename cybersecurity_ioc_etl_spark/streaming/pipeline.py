@@ -920,6 +920,62 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_session_window_stream_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native session_window() in APPEND mode with a watermark — the
+    PRODUCTION sessionization config (the complete-mode twin above is
+    the parity convenience): session state is bounded by the 30-minute
+    watermark and each session emits EXACTLY ONCE, when the watermark
+    passes its window end (last event + gap).  Drained with
+    AvailableNow, the sink holds precisely the sessions that CLOSED
+    against the final watermark; sessions still open at end-of-stream
+    stay pending — the same truncation contract as the outer-join
+    unmatched rows, stated explicitly in the batch oracle's cutoff
+    (sessions with last_ts + gap ≤ max_ts − delay, both sides at the
+    millisecond grain Spark's event-time stats use — pinned
+    empirically, the CLAUDE.md watermark discipline).
+
+    Scale shape: state is O(open sessions) per user partition; the
+    emission is pure eviction.  user_id < 10 bounds the fixture run;
+    production drops the predicate."""
+    import os
+
+    from ..sources.readers import normalize_event_ts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="stream_sessions_app_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    ).filter(F.col("user_id") < 10)
+    per_session = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    name = f"sessions_app_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sessions_app_")
+    q = (
+        per_session.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _write_partial_bid(df: DataFrame, out_dir: str, bid: int) -> None:
     """Write a micro-batch's partial output keyed BY batch id
     (overwrite of ``b{bid}/``) — foreachBatch is at-least-once, so a

@@ -149,6 +149,17 @@ _REGRESSIONS = [
     "session_path_counts",
     "trade_edge_churn",
     "sliding_24h_distinct_users",
+    # round-9: the delta-join split must be TOTAL — a NULL o_orderdate
+    # satisfied neither `>= cut` nor its negation and vanished from
+    # every delta leg while the full recompute kept it (null_probe
+    # caught the live bug; fixed with coalesce(pred, false))
+    "incremental_join_maintenance",
+    # round-9: NULL ts rows filtered identically upstream of the
+    # changepoint spine / session stream; NULL value rows excluded from
+    # the quantile summaries on both sides
+    "events_changepoint_tree",
+    "quantile_summary_merge",
+    "stream_session_append",
 ]
 
 

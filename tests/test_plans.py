@@ -1195,3 +1195,87 @@ def test_sliding_distinct_band_join_broadcasts_spine(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_changepoint_tree_broadcasts_split_points(spark, sf_dir):
+    """Depth-2 binseg: the 5-row depth-1 split table broadcasts back
+    onto the cumulative spine (segment-local sums derive arithmetically
+    — no second spine window sum); both argmax windows are keyed, no
+    cartesian anywhere, all JVM."""
+    p = plan(spark, sf_dir, "events_changepoint_tree", execute=True)
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_quantile_summary_census_broadcasts_estimates(spark, sf_dir):
+    """Mergeable quantile summaries: the per-type estimate table (5
+    rows) broadcasts into the exact-rank census — the raw rows never
+    shuffle for the audit leg; summary construction and merge are
+    keyed windows, all JVM."""
+    p = plan(spark, sf_dir, "quantile_summary_merge", execute=True)
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_packing_audit_single_window_no_joins(spark, sf_dir):
+    """Packing audit: one cumulative-sum window on the source
+    partitioning plus a map-side-combined agg — NO join of any kind in
+    the plan (the straddle/spill census is pure arithmetic off the
+    window)."""
+    p = plan(spark, sf_dir, "packing_efficiency_audit", execute=True)
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_incremental_cc_batch_probe_is_bucket_keyed(spark, sf_dir):
+    """Incremental CC maintenance: the batch-incident candidate edges
+    must come from the (band, bits) bucket equi-join with only the
+    BATCH side probing — never an all-pairs θ-join against the corpus
+    (the same law test_dedup_component_edges_are_banded_not_all_pairs
+    pins for the full recompute)."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.operators.dedup import (
+        _CC_BATCH_CUT,
+        _HAMMING_T,
+        _SIMHASH_BANDS,
+        _SIMHASH_BITS,
+        simhash_agg,
+    )
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sig = simhash_agg(d, "doc_id", "text")
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("simhash"), k * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for k in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bits")
+    probe = banded.filter(F.col("doc_id") >= _CC_BATCH_CUT).alias("a")
+    cand = probe.join(
+        banded.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bits") == F.col("b.bits"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    p = P.formatted_plan(cand)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
