@@ -186,6 +186,7 @@ HEADLINE = [
     "stream_session_append",
     "ams_f2_audit",
     "supplier_degree_powerlaw",
+    "binary_quant_rerank_topk",
 ]
 
 

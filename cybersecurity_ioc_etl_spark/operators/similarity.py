@@ -3178,3 +3178,133 @@ def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_embedding_drift
 
     return run_stream_embedding_drift(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization serve — 1-bit codes, Hamming shortlist, exact re-rank
+# ---------------------------------------------------------------------------
+
+_BQ_SHORTLIST = 50
+
+_BQ_CODES_SQL = """
+SELECT vec_id,
+  CAST(SUM(CASE WHEN x > 0 AND i <= 32
+                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT)
+    AS lo,
+  CAST(SUM(CASE WHEN x > 0 AND i > 32
+                THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS BIGINT)
+    AS hi
+FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE embedding IS NOT NULL)
+GROUP BY vec_id
+"""
+
+_BQ_ORACLE = f"""
+WITH codes AS ({_BQ_CODES_SQL}),
+q AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+ham AS (
+  SELECT c.vec_id,
+    bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS hamming
+  FROM codes c, q WHERE c.vec_id != 0
+),
+shortlist AS (
+  SELECT vec_id, hamming FROM (
+    SELECT vec_id, hamming,
+      row_number() OVER (ORDER BY hamming, vec_id) AS r
+    FROM ham
+  ) WHERE r <= {_BQ_SHORTLIST}
+),
+dots AS ({_DOT_SQL})
+SELECT s.vec_id, CAST(s.hamming AS BIGINT) AS hamming,
+  round(d.dot_d / (sqrt(d.sq_v) * sqrt(d.sq_q)), 6) AS cosine_sim
+FROM shortlist s JOIN dots d ON s.vec_id = d.vec_id
+ORDER BY cosine_sim DESC, s.vec_id
+LIMIT 10
+"""
+
+
+@query("binary_quant_rerank_topk", oracle=_BQ_ORACLE)
+def q_binary_quant_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-quantization serving — the 1-bit-per-dimension compression
+    every vector store ships as its cheapest tier: each 64-dim vector
+    packs to a 64-bit sign code (two 32-bit halves, avoiding the bit-63
+    sign corner on both engines), candidates shortlist by Hamming
+    distance (two XOR+popcounts per pair — 512× less arithmetic than
+    the float dot), and the top-50 shortlist re-ranks with
+    the EXACT integer-mantissa cosine.  Completes the quantization
+    ladder: float (knn) → int8 (embedding_int8_quantize) → PQ codes
+    (ivfpq family) → 1-bit (this), each with its serve + re-rank
+    receipt (the ivfpq_rerank_topk shape at maximum compression).
+
+    Determinism: sign bits from exact double comparisons (x > 0), the
+    Hamming order tie-broken by vec_id, the re-rank on the established
+    round-6 exact-mantissa cosine.
+
+    Scale shape: code packing is one zero-shuffle fold per vector; the
+    shortlist is TakeOrderedAndProject over 16 bytes/vector (the whole
+    corpus' codes fit where float vectors cannot — at 100 TB of
+    vectors the code table is ~0.4 TB and serves from memory); only
+    50 vectors ever pay the float re-rank, via a broadcast
+    semi-prune."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    # zero-shuffle code packing: an array fold per row (an exploded
+    # groupBy would shuffle dims × vectors rows for no reason)
+    codes = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, least(size(v), 32) - 1),"
+            " CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + IF(i >= 0 AND i < size(v)"
+            "                      AND v[i] > CAST(0 AS DOUBLE),"
+            "                      shiftleft(CAST(1 AS BIGINT), i),"
+            "                      CAST(0 AS BIGINT)))"
+        ).alias("lo"),
+        F.expr(
+            "aggregate(sequence(32, greatest(size(v), 33) - 1),"
+            " CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + IF(i < size(v) AND v[i] > CAST(0 AS DOUBLE),"
+            "                      shiftleft(CAST(1 AS BIGINT), i - 32),"
+            "                      CAST(0 AS BIGINT)))"
+        ).alias("hi"),
+    )
+    q = codes.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = (
+        codes.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            ).alias("hamming"),
+        )
+    )
+    shortlist = ham.orderBy("hamming", "vec_id").limit(_BQ_SHORTLIST)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        _dot_double(F.col("v"), F.col("v")).alias("qsq"),
+    )
+    rer = (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            F.round(
+                _dot_double(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot_double(F.col("v"), F.col("v")))
+                    * F.sqrt(F.col("qsq"))
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return rer.orderBy(F.col("cosine_sim").desc(), "vec_id").limit(10)

@@ -1279,3 +1279,15 @@ def test_incremental_cc_batch_probe_is_bucket_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_binary_quant_shortlist_topk_rerank_broadcast(spark, sf_dir):
+    """1-bit quantization serve: the Hamming shortlist is a distributed
+    top-k (TakeOrderedAndProject over 16-byte codes), the re-rank joins
+    the shortlist back by BROADCAST (only 50 vectors pay the float
+    cosine), no cartesian, all JVM."""
+    p = plan(spark, sf_dir, "binary_quant_rerank_topk", execute=True)
+    assert P.has_take_ordered_topk(p)
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)

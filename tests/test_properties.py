@@ -202,3 +202,55 @@ def test_fingerprint_case_and_whitespace_invariant_for_ascii(spark, values):
     ).collect()
     for r in out:
         assert r["fa"] == r["fb"] == r["fc"] == r["fl"]
+
+
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=400),
+    st.integers(2, 6),
+    st.integers(2, 32),
+)
+@settings(max_examples=200, deadline=None)
+def test_quantile_summary_merge_rank_bound_holds_for_any_input(
+    values, parts, stride
+):
+    """The mergeable-summary LAW behind quantile_summary_merge, pinned
+    model-side for ARBITRARY inputs (the fixture run only proves the
+    bound held once): rank-sample every `stride`-th rank + tail per
+    part, merge by weighted union, estimate the p-quantile as the
+    first value whose cumulative weight reaches ceil(p·N) — then the
+    estimate's true-rank interval deviates from the target by at most
+    parts × stride.  (The Spark/DuckDB pair is hash-checked against
+    each other; this pins the guarantee both encode.)"""
+    import math
+
+    n = len(values)
+    # deterministic round-robin part assignment (the engine uses
+    # event_id % parts; any disjoint cover obeys the law)
+    per_part = [sorted(values[p::parts]) for p in range(parts)]
+    merged = []  # (value, weight)
+    for rows in per_part:
+        prev = 0
+        for rank in range(1, len(rows) + 1):
+            if rank % stride == 0 or rank == len(rows):
+                merged.append((rows[rank - 1], rank - prev))
+                prev = rank
+    merged.sort()
+    total = sum(w for _, w in merged)
+    assert total == n
+    all_sorted = sorted(values)
+    for p_num, p_den in ((1, 2), (9, 10)):
+        target = math.ceil(n * p_num / p_den)
+        cum = 0
+        est = None
+        for v, w in merged:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        assert est is not None
+        lt = sum(1 for v in all_sorted if v < est)
+        le = sum(1 for v in all_sorted if v <= est)
+        # true-rank interval of est is [lt+1, le]; its distance from
+        # the target rank is the merge error
+        err = max(0, target - le, (lt + 1) - target)
+        assert err <= parts * stride, (err, parts, stride, n)
