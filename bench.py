@@ -187,6 +187,7 @@ HEADLINE = [
     "ams_f2_audit",
     "supplier_degree_powerlaw",
     "binary_quant_rerank_topk",
+    "sql_recursive_reach3",
 ]
 
 

@@ -1134,3 +1134,64 @@ def q_supplier_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("slq"), F.lit(0)).cast("double")
         ).alias("alpha_mle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE on the SQL surface — WITH RECURSIVE executed by Catalyst
+# ---------------------------------------------------------------------------
+
+_REACH3_BODY = """
+WITH RECURSIVE paths(src, dst, depth) AS (
+  SELECT src, dst, 1 AS depth FROM reach3_edges
+  UNION ALL
+  SELECT p.src, e.dst, p.depth + 1
+  FROM paths p JOIN reach3_edges e ON p.dst = e.src
+  WHERE p.depth < 3
+)
+SELECT CAST(src AS BIGINT) AS nation_id,
+  COUNT(DISTINCT dst) AS n_reach3
+FROM paths GROUP BY src
+"""
+
+_REACH3_ORACLE = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+paths(src, dst, depth) AS (
+  SELECT src, dst, 1 AS depth FROM edges
+  UNION ALL
+  SELECT p.src, e.dst, p.depth + 1
+  FROM paths p JOIN edges e ON p.dst = e.src
+  WHERE p.depth < 3
+)
+SELECT CAST(src AS BIGINT) AS nation_id,
+  COUNT(DISTINCT dst) AS n_reach3
+FROM paths GROUP BY src
+"""
+
+
+@query("sql_recursive_reach3", oracle=_REACH3_ORACLE)
+def q_sql_recursive_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on the SQL surface (SURVEY §7.1): 3-hop
+    reachability over the quarter nation trade graph, written as ONE
+    recursive CTE and executed by Catalyst's UnionLoop — the same SQL
+    text (modulo the edge-table prelude) runs on both engines, the
+    strongest surface-parity statement the engine can make for
+    iterative queries.  Spark 4 supports UNION ALL recursion only, so
+    the recursion is DEPTH-BOUNDED (p.depth < 3): on a cyclic graph an
+    un-bounded UNION ALL enumerates paths forever, and even on a DAG
+    it enumerates exponentially many paths — the depth guard makes the
+    row bound V·d^3 and termination unconditional.  Fixpoint-style
+    iteration (components, PageRank, k-core) stays on the DataFrame
+    loop path (connected_components), which dedups state per round —
+    this query is the SQL-surface complement, not a replacement.
+
+    Scale shape: each unrolled level is one edges-keyed equi-join; the
+    nation graph is dimension-sized so the whole loop is broadcast
+    territory, and the distinct-count rollup is one small shuffle."""
+    # materialize the edge derivation ONCE: the recursive plan references
+    # the view at every unrolled level, and a lazy view would re-run the
+    # 4-table join per level (2.74 s → 2.37 s at sf0.1; the remaining
+    # cost is the UnionLoop's ~400 K level-3 path rows on the dense
+    # quarter graph — the enumeration inherent to UNION ALL recursion)
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("reach3_edges")
+    return spark.sql(_REACH3_BODY)
