@@ -188,6 +188,9 @@ HEADLINE = [
     "supplier_degree_powerlaw",
     "binary_quant_rerank_topk",
     "sql_recursive_reach3",
+    "hilbert_layout_audit",
+    "priority_sample_merge_audit",
+    "rendezvous_shard_audit",
 ]
 
 

@@ -363,3 +363,209 @@ def q_stream_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_bloom
 
     return run_stream_bloom(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout audit — the locality-preserving alternative to Z
+# --------------------------------------------------------------------------
+
+_H_BITS = 8  # 256x256 grid: 8 unrolled rotation levels
+_H_N = 1 << _H_BITS
+_H_FILES = 16
+# a 1/16-of-domain range probe centred in the normalized [0, 255] space
+_H_PROBE_LO = 128
+_H_PROBE_HI = 143
+
+
+def _hilbert_level_exprs(i: int, xor_call: bool) -> tuple[str, str, str]:
+    """One unrolled level of the standard xy2d walk (s = 2^(bits-1-i)):
+    the (new_hx, new_hy, new_hd) expression strings over the previous
+    level's hx/hy/hd.  ``xor_call`` picks DuckDB's xor(a,b) vs Spark
+    SQL's ^ operator."""
+    s = 1 << (_H_BITS - 1 - i)
+    rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    quad = (
+        f"xor(3 * {rx}, {ry})" if xor_call else f"((3 * {rx}) ^ {ry})"
+    )
+    new_x = (
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {_H_N - 1} - hy ELSE hy END) ELSE hx END"
+    )
+    new_y = (
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {_H_N - 1} - hx ELSE hx END) ELSE hy END"
+    )
+    return new_x, new_y, f"hd + {s * s} * {quad}"
+
+
+def _hilbert_level_sql(i: int) -> str:
+    nx, ny, nd = _hilbert_level_exprs(i, xor_call=True)
+    return (
+        f"SELECT o_orderkey, xn, yn, {nx} AS hx, {ny} AS hy, {nd} AS hd"
+    )
+
+
+_HILBERT_CHAIN_SQL = ",\n".join(
+    f"h{i + 1} AS MATERIALIZED ({_hilbert_level_sql(i)} FROM h{i})"
+    for i in range(_H_BITS)
+)
+
+_Z8_INTERLEAVE_SQL = " + ".join(
+    f"(((xn >> {i}) & 1) << {2 * i}) + (((yn >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_H_BITS)
+)
+
+_HILBERT_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey AS x,
+    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS y
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+),
+b AS (
+  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+  FROM base
+),
+n AS (
+  SELECT o_orderkey,
+    CAST(((x - xmin) * {_H_N - 1}) // GREATEST(xmax - xmin, 1) AS BIGINT) AS xn,
+    CAST(((y - ymin) * {_H_N - 1}) // GREATEST(ymax - ymin, 1) AS BIGINT) AS yn
+  FROM base CROSS JOIN b
+),
+h0 AS (SELECT o_orderkey, xn, yn, xn AS hx, yn AS hy, 0 AS hd FROM n),
+{_HILBERT_CHAIN_SQL},
+assigned AS (
+  SELECT 'hilbert' AS layout, xn, yn,
+    ntile({_H_FILES}) OVER (ORDER BY hd, o_orderkey) AS f
+  FROM h{_H_BITS}
+  UNION ALL
+  SELECT 'zorder8' AS layout, xn, yn,
+    ntile({_H_FILES}) OVER (ORDER BY {_Z8_INTERLEAVE_SQL}, o_orderkey) AS f
+  FROM n
+),
+stats AS (
+  SELECT layout, f, MIN(xn) AS xmn, MAX(xn) AS xmx,
+    MIN(yn) AS ymn, MAX(yn) AS ymx
+  FROM assigned GROUP BY 1, 2
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(xmx - xmn) AS BIGINT) AS sum_x_span,
+  CAST(SUM(ymx - ymn) AS BIGINT) AS sum_y_span,
+  CAST(SUM(CASE WHEN xmn <= {_H_PROBE_HI} AND xmx >= {_H_PROBE_LO}
+           THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_x,
+  CAST(SUM(CASE WHEN ymn <= {_H_PROBE_HI} AND ymx >= {_H_PROBE_LO}
+           THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_y
+FROM stats GROUP BY 1
+"""
+
+
+@query("hilbert_layout_audit", oracle=_HILBERT_ORACLE)
+def q_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve vs Z-order layout audit — the locality comparison
+    behind Delta's liquid clustering and Iceberg's hilbert sort order:
+    the Hilbert walk never makes the long diagonal jumps Morton
+    interleave does, so consecutive file slices cover TIGHTER (x, y)
+    envelopes and a range probe touches fewer files on both dimensions.
+    Same audit shape as zorder_layout_audit, on the same
+    orders(custkey, orderdate) pair normalized to an 8-bit grid:
+    per-layout summed envelope spans + files hit by the centred
+    1/16-domain probe per dimension.
+
+    The Hilbert d-value is the standard xy2d walk (8 unrolled
+    quadrant-digit + reflect/swap rotation levels) — pure integer
+    CASE/mask arithmetic, bit-identical on both engines; the oracle
+    unrolls the same 8 levels as MATERIALIZED CTEs (each level
+    references its predecessor 5×, so plain CTEs would inline 5^8
+    copies — the viterbi lesson at its sharpest).  Spark-side the 8
+    levels chain as column expressions; at 8 bits the collapsed
+    projection stays within codegen limits (16-bit Hilbert would want
+    a mid-chain barrier).
+
+    Scale shape: identical to the z-order audit — a 1-row broadcast of
+    the normalization bounds, one window sort per layout (production
+    swaps ntile for repartitionByRange on hd), map-side envelope
+    stats."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_custkey").isNotNull())
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("x"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).cast("bigint").alias("y"),
+        )
+    )
+    b = base.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    n = base.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        F.expr(
+            f"CAST(((x - xmin) * {_H_N - 1}) div GREATEST(xmax - xmin, 1)"
+            " AS BIGINT)"
+        ).alias("xn"),
+        F.expr(
+            f"CAST(((y - ymin) * {_H_N - 1}) div GREATEST(ymax - ymin, 1)"
+            " AS BIGINT)"
+        ).alias("yn"),
+    )
+    h = n.select(
+        "o_orderkey",
+        "xn",
+        "yn",
+        F.col("xn").alias("hx"),
+        F.col("yn").alias("hy"),
+        F.lit(0).cast("bigint").alias("hd"),
+    )
+    for i in range(_H_BITS):
+        nx, ny, nd = _hilbert_level_exprs(i, xor_call=False)
+        h = h.selectExpr(
+            "o_orderkey",
+            "xn",
+            "yn",
+            f"({nx}) AS hx",
+            f"({ny}) AS hy",
+            f"({nd}) AS hd",
+        )
+    zv8 = F.expr(_Z8_INTERLEAVE_SQL)
+    hf = h.select(
+        F.lit("hilbert").alias("layout"),
+        "xn",
+        "yn",
+        F.ntile(_H_FILES).over(Window.orderBy("hd", "o_orderkey")).alias("f"),
+    )
+    zf = n.select(
+        F.lit("zorder8").alias("layout"),
+        "xn",
+        "yn",
+        F.ntile(_H_FILES).over(Window.orderBy(zv8, "o_orderkey")).alias("f"),
+    )
+    stats = (
+        hf.unionByName(zf)
+        .groupBy("layout", "f")
+        .agg(
+            F.min("xn").alias("xmn"),
+            F.max("xn").alias("xmx"),
+            F.min("yn").alias("ymn"),
+            F.max("yn").alias("ymx"),
+        )
+    )
+    return stats.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.col("xmx") - F.col("xmn")).cast("bigint").alias("sum_x_span"),
+        F.sum(F.col("ymx") - F.col("ymn")).cast("bigint").alias("sum_y_span"),
+        F.sum(
+            F.when(
+                (F.col("xmn") <= _H_PROBE_HI) & (F.col("xmx") >= _H_PROBE_LO), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("files_hit_x"),
+        F.sum(
+            F.when(
+                (F.col("ymn") <= _H_PROBE_HI) & (F.col("ymx") >= _H_PROBE_LO), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("files_hit_y"),
+    )

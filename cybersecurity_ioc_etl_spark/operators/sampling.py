@@ -608,3 +608,224 @@ def q_bootstrap_order_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("boot_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority-sample MERGE law — bottom-k is mergeable by min-union
+# ---------------------------------------------------------------------------
+
+_PSM_K = 50
+_PSM_SHARDS = 4
+
+_PSM_PRIORITY_SQL = (
+    "CAST("
+    + _SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    + " AS DOUBLE) / GREATEST(n_chars, 1)"
+)
+
+_PSM_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars, doc_id % {_PSM_SHARDS} AS shard,
+    {_PSM_PRIORITY_SQL} AS priority
+  FROM documents
+),
+local_k AS (
+  SELECT doc_id, priority FROM (
+    SELECT doc_id, priority,
+      row_number() OVER (PARTITION BY shard
+                         ORDER BY priority, doc_id) AS r
+    FROM scored
+  ) WHERE r <= {_PSM_K}
+),
+merged AS (
+  SELECT doc_id, priority FROM (
+    SELECT doc_id, priority,
+      row_number() OVER (ORDER BY priority, doc_id) AS r
+    FROM local_k
+  ) WHERE r <= {_PSM_K}
+),
+gsel AS (
+  SELECT doc_id, priority FROM (
+    SELECT doc_id, priority,
+      row_number() OVER (ORDER BY priority, doc_id) AS r
+    FROM scored
+  ) WHERE r <= {_PSM_K}
+)
+SELECT g.doc_id, g.priority,
+  (m.doc_id IS NOT NULL) AS merge_consistent
+FROM gsel g LEFT JOIN merged m ON g.doc_id = m.doc_id
+"""
+
+
+@query("priority_sample_merge_audit", oracle=_PSM_ORACLE)
+def q_priority_sample_merge_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MERGE law of priority sampling (Duffield et al.), stated as
+    a receipt: bottom-k by priority is EXACTLY mergeable — each shard
+    keeps its local bottom-k, the union of shard keeps re-ranks, and
+    the merged bottom-k equals the global bottom-k row-for-row (the
+    global winner set is always contained in the shard winners, since
+    a global winner wins its own shard a fortiori).  This is why
+    weighted_priority_sample distributes as per-partition heaps +
+    TakeOrderedAndProject with no global sort — the same min-merge
+    algebra as KMV, applied to sampling.  merge_consistent is computed
+    identically on both engines; any drift in the shard/merge path
+    breaks the hash on the selected rows themselves.
+
+    Scale shape: the shard pass is rank windows over the shard
+    partitioning; the merge re-ranks shards×k ≪ corpus rows; the
+    global leg (the audit) is the one TakeOrdered pass production
+    runs anyway."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    priority = (
+        _shingle_int(F.col("doc_id").cast("string")).cast("double")
+        / F.greatest(F.col("n_chars"), F.lit(1))
+    ).alias("priority")
+    scored = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PSM_SHARDS).alias("shard"),
+        priority,
+    )
+    wl = Window.partitionBy("shard").orderBy("priority", "doc_id")
+    local_k = (
+        scored.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= _PSM_K)
+        .select("doc_id", "priority")
+    )
+    merged = local_k.orderBy("priority", "doc_id").limit(_PSM_K)
+    glob = scored.select("doc_id", "priority").orderBy(
+        "priority", "doc_id"
+    ).limit(_PSM_K)
+    m = merged.select(F.col("doc_id").alias("m_doc_id"))
+    return glob.join(
+        m, F.col("doc_id") == F.col("m_doc_id"), "left"
+    ).select(
+        "doc_id",
+        "priority",
+        F.col("m_doc_id").isNotNull().alias("merge_consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) sharding audit — minimal-disruption resharding
+# ---------------------------------------------------------------------------
+
+_HRW_N = 8  # shards before; resharding adds shard id 8
+
+_HRW_SCORE_SQL = _SHINGLE_INT_SQL.format(
+    x="concat(CAST(doc_id AS VARCHAR), ':', CAST({s} AS VARCHAR))"
+)
+
+_HRW_ORACLE = f"""
+WITH scores AS (
+  SELECT d.doc_id, u.s AS shard,
+    {_HRW_SCORE_SQL.format(s='u.s')} AS h
+  FROM documents d, unnest(range(0, {_HRW_N + 1})) AS u(s)
+),
+pick8 AS (
+  SELECT doc_id, shard AS s8 FROM (
+    SELECT doc_id, shard,
+      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard) AS r
+    FROM scores WHERE shard < {_HRW_N}
+  ) WHERE r = 1
+),
+pick9 AS (
+  SELECT doc_id, shard AS s9 FROM (
+    SELECT doc_id, shard,
+      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard) AS r
+    FROM scores
+  ) WHERE r = 1
+)
+SELECT CAST(p8.s8 AS BIGINT) AS shard,
+  COUNT(*) AS n_keys,
+  CAST(SUM(CASE WHEN p9.s9 = p8.s8 THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+  CAST(SUM(CASE WHEN p9.s9 = {_HRW_N} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moved_to_new,
+  SUM(CASE WHEN p9.s9 != p8.s8 AND p9.s9 != {_HRW_N} THEN 1 ELSE 0 END) = 0
+    AS minimal_disruption,
+  CAST(SUM(CASE WHEN p9.s9 = {_HRW_N} THEN 1 ELSE 0 END) * 1000000 AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS moved_ppm
+FROM pick8 p8 JOIN pick9 p9 ON p8.doc_id = p9.doc_id
+GROUP BY p8.s8
+"""
+
+
+@query("rendezvous_shard_audit", oracle=_HRW_ORACLE)
+def q_rendezvous_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    '98 — the consistent-hashing family every distributed corpus store
+    routes with), audited for its defining law: each key lives on the
+    shard whose md5(key:shard) score is highest, and growing the fleet
+    from 8 to 9 shards relocates ONLY the keys the new shard wins
+    (≈ 1/9 of each old shard, uniformly) — no key ever moves BETWEEN
+    old shards, because adding a candidate cannot change the relative
+    order of the old scores.  Per old shard: key count, stayed count,
+    keys ceded to the new shard, the minimal_disruption boolean (both
+    engines compute it; the algebra makes it necessarily TRUE), and
+    the moved fraction in ppm.
+
+    mod-N sharding under the same audit would relocate ~8/9 of all
+    keys — the operational difference between a rebalance that streams
+    1/9 of the corpus and one that streams all of it.
+
+    Scale shape: the score fan-out is keys × (N+1) tiny rows (at a
+    real fleet size the argmax folds as a map-side struct-max, no
+    window needed); both picks ride ONE doc_id partitioning; output is
+    N rows."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    scores = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(_HRW_N + 1)])
+        ).alias("shard"),
+    ).select(
+        "doc_id",
+        "shard",
+        _shingle_int(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("shard").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "shard")
+    pick8 = (
+        scores.filter(F.col("shard") < _HRW_N)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("shard").alias("s8"))
+    )
+    pick9 = (
+        scores.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col("doc_id").alias("doc_id9"), F.col("shard").alias("s9"))
+    )
+    j = pick8.join(pick9, F.col("doc_id") == F.col("doc_id9"))
+    moved_new = F.when(F.col("s9") == _HRW_N, 1).otherwise(0)
+    return j.groupBy(F.col("s8").cast("bigint").alias("shard")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("s9") == F.col("s8"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stayed"),
+        F.sum(moved_new).cast("bigint").alias("n_moved_to_new"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("s9") != F.col("s8"))
+                    & (F.col("s9") != _HRW_N),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("minimal_disruption"),
+        (
+            (F.sum(moved_new) * F.lit(1000000)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("moved_ppm"),
+    )
