@@ -1291,3 +1291,35 @@ def test_binary_quant_shortlist_topk_rerank_broadcast(spark, sf_dir):
     assert P.has_broadcast_join(p)
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_phrase_retrieval_prunes_postings_by_broadcast(spark, sf_dir):
+    """Phrase retrieval: both posting lists prune through 1-row
+    broadcast joins before the positional (doc, pos+1) equi-join;
+    top-20 is a distributed top-k; no cartesian, all JVM."""
+    p = plan(spark, sf_dir, "phrase_retrieval_topk", execute=True)
+    assert P.has_broadcast_join(p)
+    assert P.has_take_ordered_topk(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_hilbert_audit_stays_jvm_with_linear_projection_chain(spark, sf_dir):
+    """Hilbert audit: the 8 unrolled xy2d levels must stay whole-JVM
+    integer expressions (no Python eval), the normalization bounds a
+    1-row broadcast; CollapseProject keeps the multi-referenced level
+    expressions from exploding into one giant tree."""
+    p = plan(spark, sf_dir, "hilbert_layout_audit", execute=True)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+    cols = P.read_schema_columns(p)
+    assert "o_totalprice" not in cols and "o_orderpriority" not in cols
+
+
+def test_rendezvous_audit_single_doc_partitioning(spark, sf_dir):
+    """Rendezvous audit: both shard picks (8-shard and 9-shard argmax)
+    ride ONE doc_id window partitioning over the keys x9 fan-out; the
+    pick join is keyed, all JVM."""
+    p = plan(spark, sf_dir, "rendezvous_shard_audit", execute=True)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
