@@ -191,6 +191,7 @@ HEADLINE = [
     "hilbert_layout_audit",
     "priority_sample_merge_audit",
     "rendezvous_shard_audit",
+    "embedding_dbscan_clusters",
 ]
 
 

@@ -3308,3 +3308,183 @@ def q_binary_quant_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rer.orderBy(F.col("cosine_sim").desc(), "vec_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN-lite density clustering — core/border/noise over the cosine graph
+# ---------------------------------------------------------------------------
+
+_DB_SLICE = 300   # bounded slice (the all-pairs oracle's affordability bound)
+_DB_EPS = 0.30    # eps-neighbor: rounded cosine >= this
+_DB_MINPTS = 3    # core iff >= this many eps-neighbors (excluding self)
+
+_DB_COS_SQL = f"""
+comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 10000000.0) AS BIGINT)
+      AS xi
+  FROM embeddings WHERE vec_id < {_DB_SLICE} AND embedding IS NOT NULL
+),
+sq AS (SELECT vec_id, SUM(xi * xi) AS sq FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.xi * b.xi) AS d
+  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT va, vb
+  FROM dots JOIN sq sa ON va = sa.vec_id JOIN sq sb ON vb = sb.vec_id
+  WHERE round(CAST(d AS DOUBLE)
+        / (sqrt(CAST(sa.sq AS DOUBLE)) * sqrt(CAST(sb.sq AS DOUBLE))),
+        6) >= {_DB_EPS}
+),
+sym AS (SELECT va AS v, vb AS w FROM edges UNION ALL SELECT vb, va FROM edges),
+deg AS (SELECT v, COUNT(*) AS n FROM sym GROUP BY v),
+core AS (SELECT v FROM deg WHERE n >= {_DB_MINPTS})
+"""
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE {_DB_COS_SQL},
+ce AS (
+  SELECT s.v, s.w FROM sym s
+  JOIN core c1 ON s.v = c1.v JOIN core c2 ON s.w = c2.v
+),
+reach(a, b) AS (
+  SELECT v, v FROM core
+  UNION
+  SELECT r.a, e.w FROM reach r JOIN ce e ON r.b = e.v
+),
+clusters AS (SELECT a AS v, MIN(b) AS cid FROM reach GROUP BY a),
+border AS (
+  SELECT s.v, MIN(cl.cid) AS cid
+  FROM sym s JOIN clusters cl ON s.w = cl.v
+  WHERE s.v NOT IN (SELECT v FROM core)
+  GROUP BY s.v
+),
+universe AS (
+  SELECT DISTINCT vec_id AS v FROM comp
+)
+SELECT u.v AS vec_id,
+  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_neighbors,
+  CASE WHEN cl.cid IS NOT NULL THEN 'core'
+       WHEN b.cid IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  CAST(COALESCE(cl.cid, b.cid) AS BIGINT) AS cluster_id
+FROM universe u
+LEFT JOIN deg d ON u.v = d.v
+LEFT JOIN clusters cl ON u.v = cl.v
+LEFT JOIN border b ON u.v = b.v
+"""
+
+
+@query("embedding_dbscan_clusters", oracle=_DBSCAN_ORACLE)
+def q_embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-lite density clustering over the embedding cosine graph —
+    the density-based alternative to k-means that needs no k and leaves
+    genuine outliers UNCLUSTERED: eps-neighbors are pairs with rounded
+    cosine >= 0.30, a CORE point has >= 3 neighbors, clusters
+    are connected components of the core-core subgraph (min-core-id
+    labels via the engine's pointer-jumping loop), BORDER points attach
+    to the minimum cluster id among their core neighbors (the
+    deterministic resolution of classic DBSCAN's arbitrary border
+    assignment), everything else is NOISE.  Composes three existing
+    primitives — the exact pair-cosine census, degree thresholding, and
+    connected_components — into the corpus-curation clustering step.
+
+    Bounded to vec_id < 300 exactly like embedding_neardup_pairs:
+    the all-pairs neighbor census is the ORACLE'S affordability bound;
+    at 100 TB candidate pairs come from the hyperplane LSH buckets
+    (embedding_lsh_neardup_pairs) or IVF cells, with the same
+    downstream core/border/components algebra unchanged (density
+    clustering inherits LSH's recall knob — banding_recall_audit's
+    honesty applies).
+
+    Oracle: the recursive-closure form over the core-core edges (the
+    dedup_components pattern), border resolution as a grouped MIN."""
+    from .dedup import connected_components
+
+    comp = (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .filter((F.col("vec_id") < _DB_SLICE) & F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            ),
+        )
+        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
+    )
+    sq = comp.groupBy("vec_id").agg(F.sum(F.col("xi") * F.col("xi")).alias("sq"))
+    a, b = comp.alias("a"), comp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .agg(F.sum(F.col("a.xi") * F.col("b.xi")).alias("d"))
+    )
+    sqa = sq.select(F.col("vec_id").alias("va"), F.col("sq").alias("sa"))
+    sqb = sq.select(F.col("vec_id").alias("vb"), F.col("sq").alias("sb"))
+    cos = F.round(
+        F.col("d").cast("double")
+        / (
+            F.sqrt(F.col("sa").cast("double"))
+            * F.sqrt(F.col("sb").cast("double"))
+        ),
+        6,
+    )
+    edges = (
+        dots.join(F.broadcast(sqa), "va")
+        .join(F.broadcast(sqb), "vb")
+        .filter(cos >= _DB_EPS)
+        .select("va", "vb")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    ).select(F.col("va").alias("v"), F.col("vb").alias("w"))
+    deg = sym.groupBy("v").agg(F.count("*").alias("n"))
+    core = deg.filter(F.col("n") >= _DB_MINPTS).select("v")
+    ce = (
+        sym.join(core.select(F.col("v").alias("cv")), F.col("v") == F.col("cv"))
+        .join(core.select(F.col("v").alias("cw")), F.col("w") == F.col("cw"))
+        .select(F.col("v").alias("src"), F.col("w").alias("dst"))
+    )
+    comps = connected_components(
+        core.select(F.col("v").alias("vid")), ce, id_col="vid"
+    ).select(F.col("nid").alias("v"), F.col("component").alias("cid"))
+    border = (
+        sym.join(comps.select(F.col("v").alias("w2"), "cid"), F.col("w") == F.col("w2"))
+        .join(comps.select(F.col("v").alias("not_core")), F.col("v") == F.col("not_core"), "left_anti")
+        .groupBy("v")
+        .agg(F.min("cid").alias("bcid"))
+    )
+    universe = comp.select("vec_id").distinct()
+    out = (
+        universe.join(
+            deg.select(F.col("v").alias("vec_id"), "n"), "vec_id", "left"
+        )
+        .join(
+            comps.select(F.col("v").alias("vec_id"), "cid"), "vec_id", "left"
+        )
+        .join(
+            border.select(F.col("v").alias("vec_id"), "bcid"),
+            "vec_id",
+            "left",
+        )
+    )
+    return out.select(
+        "vec_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_neighbors"),
+        F.when(F.col("cid").isNotNull(), F.lit("core"))
+        .when(F.col("bcid").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        F.coalesce(F.col("cid"), F.col("bcid")).cast("bigint").alias(
+            "cluster_id"
+        ),
+    )
