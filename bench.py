@@ -192,6 +192,7 @@ HEADLINE = [
     "priority_sample_merge_audit",
     "rendezvous_shard_audit",
     "embedding_dbscan_clusters",
+    "personalized_pagerank_nations",
 ]
 
 

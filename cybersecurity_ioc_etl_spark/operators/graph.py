@@ -1195,3 +1195,110 @@ def q_sql_recursive_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     edges.createOrReplaceTempView("reach3_edges")
     return spark.sql(_REACH3_BODY)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank — teleport mass pinned to a seed set
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_BOUND = 3   # seed set: nation_id < 3
+_PPR_SEED_INIT = 3333333   # round(1e7 / 3), half-away like the PR init
+_PPR_TELEPORT = 500000     # 0.15 * 1e7 / |seeds|
+
+
+def _ppr_iter_sql(nxt: int, cur: int) -> str:
+    return f"""p{nxt} AS MATERIALIZED (
+  SELECT n.id,
+    CAST((CASE WHEN n.id < {_PPR_SEED_BOUND} THEN {_PPR_TELEPORT} ELSE 0 END)
+         + (85 * COALESCE(SUM(r.ri // d.d), 0)) // 100 AS BIGINT) AS ri
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN p{cur} r ON r.id = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.id
+)"""
+
+
+_PPR_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+p0 AS (
+  SELECT id,
+    CAST(CASE WHEN id < {_PPR_SEED_BOUND} THEN {_PPR_SEED_INIT} ELSE 0 END
+         AS BIGINT) AS ri
+  FROM nodes
+),
+{",".join(_ppr_iter_sql(i + 1, i) for i in range(_N_ITER))}
+SELECT id AS nation_id,
+  CAST(ri AS DOUBLE) / 10000000.0 AS ppr,
+  id < {_PPR_SEED_BOUND} AS is_seed
+FROM p{_N_ITER}
+"""
+
+
+@query("personalized_pagerank_nations", oracle=_PPR_ORACLE)
+def q_personalized_pagerank_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSONALIZED PageRank over the nation trade graph — the
+    recommendation / relevance-propagation variant where the 15%
+    teleport mass returns to a SEED set (nations 0-2) instead of
+    spreading uniformly, so scores measure proximity TO THE SEEDS
+    through trade flows (who do the seeds' supply chains reach) rather
+    than global centrality.  3 exact-integer rounds on the pagerank
+    loop economics: per round one edges⋈ranks shuffle + a map-side
+    combined sum; teleport and damping are integer constants
+    (0.15·1e7/|S| per seed, 85·csum div 100), so every round's vector
+    is bit-identical to the oracle's unrolled MATERIALIZED CTEs at any
+    partitioning.  Like the uniform form, dangling/absent mass sheds
+    rather than redistributes (the simplification both engines state
+    identically).
+
+    Scale shape: identical to pagerank_nations — the loop is
+    edge-keyed joins with checkpoint cadence; personalization changes
+    only the teleport column, which is why PPR serves per-user
+    recommendations at scale by swapping the seed vector, not the
+    plan."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    seed = F.col("id") < _PPR_SEED_BOUND
+    ranks = nodes.select(
+        "id",
+        F.when(seed, F.lit(_PPR_SEED_INIT))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ri"),
+    )
+    for it in range(_N_ITER):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(deg, "src")
+            .select("dst", F.expr("ri div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["id"] == contrib["dst"], "left"
+        ).select(
+            "id",
+            (
+                F.when(seed, F.lit(_PPR_TELEPORT)).otherwise(F.lit(0)).cast(
+                    "bigint"
+                )
+                + F.expr("85 * coalesce(csum, 0) div 100")
+            ).alias("ri"),
+        )
+        if it % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("id").alias("nation_id"),
+        (F.col("ri").cast("double") / F.lit(1e7)).alias("ppr"),
+        seed.alias("is_seed"),
+    )
