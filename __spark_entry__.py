@@ -31,6 +31,22 @@ from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 # restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r9 window (CORRECTNESS_r09: 50/50 hash-green — the 17 round-9
+        # additions + 33 oldest-first re-confirmations)
+        "incremental_cc_maintenance", "incremental_join_maintenance",
+        "stream_click_error_full_outer_join", "events_changepoint_tree",
+        "quantile_summary_merge", "stream_session_append",
+        "phrase_retrieval_topk", "ams_f2_audit",
+        "priority_sample_merge_audit", "rendezvous_shard_audit",
+        "supplier_degree_powerlaw", "sql_recursive_reach3",
+        "personalized_pagerank_nations", "packing_efficiency_audit",
+        "binary_quant_rerank_topk", "embedding_dbscan_clusters",
+        "hilbert_layout_audit", "stream_dedup_unique_users",
+        "media_dedup_groups", "frame_dedup_profile", "pagerank_nations",
+        "minhash_band_pairs", "doc_bpe_token_estimate",
+        "ann_hyperplane_buckets", "bigram_conditional_probs",
+        "curation_pipeline", "dedup_keep_best", "doc_chunking",
+        "doc_lang_stats", "doc_packing_bins", "eval_contamination",
         # r8 window (CORRECTNESS_r08: 50/50 hash-green — the 5 r7-deferred
         # priority rows, the 25 round-8 additions, and 20 oldest-first
         # re-confirmations already listed in earlier windows)
@@ -173,43 +189,52 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: empty for r9 — the r8 window carried no
-# deferrals (CORRECTNESS_r08 sampled all 25 late additions) and no
-# oracle changed.  New round-9 queries land in the `mid` slot of
+# Head of the rotation: empty for r10 — the r9 window carried no
+# deferrals (CORRECTNESS_r09 sampled all 17 late additions) and no
+# oracle changed.  New round-10 queries land in the `mid` slot of
 # _ordered() automatically (unchecked, not listed here); keep
 # head + expected-new <= 50.
 _PRIORITY: list[str] = []
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-9 queries.  Continues the r8 rotation from where
-# its 50-query window cut off (stream_dedup_unique_users onward —
-# oldest driver-green rows first), then resumes the r3-window sweep.
+# head + any new round-10 queries.  Continues the r9 rotation from
+# where its 50-query window cut off (doc_pii_scrub onward — the last
+# r3-only rows), then begins the r1/r2-window sweep (rows whose only
+# driver green is still round 1 or 2, oldest-first).
 _RECONFIRM = [
-    "stream_dedup_unique_users",
-    "media_dedup_groups", "frame_dedup_profile", "pagerank_nations",
-    "trade_triangle_counts", "trade_bfs_distances", "dsir_importance_sample",
-    "corpus_shard_shuffle", "lang_classifier_confusion",
-    "ioc_ip_block_enrichment", "banding_recall_audit", "user_value_scd2",
-    "bpe_n_merges", "stream_mixture_sample", "stream_ioc_aging",
-    "event_value_percentiles", "value_equidepth_histogram",
-    "embedding_power_iteration", "semdedup_prune", "doc_novelty_scores",
-    "neardup_containment_pairs", "dedup_keep_best_salted",
-    "cumulative_new_users", "events_value_ztest", "corpus_token_budget",
-    # r3-window sweep resumes (rows whose only green is still r3)
-    "ann_hyperplane_buckets", "bigram_conditional_probs",
-    "curation_pipeline", "dedup_keep_best", "doc_bpe_token_estimate",
-    "doc_chunking", "doc_lang_stats", "doc_packing_bins", "doc_pii_scrub",
-    "doc_shingle_profile", "doc_tf_map", "embedding_int8_quantize",
-    "embedding_neardup_pairs", "eval_contamination", "events_hourly",
+    # r3-window residual (only green is still r3)
+    "doc_pii_scrub", "doc_shingle_profile", "doc_tf_map",
+    "embedding_int8_quantize", "embedding_neardup_pairs", "events_hourly",
+    "label_centroid_norms", "media_byte_profile",
+    "minhash_jaccard_estimate", "simhash_signatures",
+    "source_mixture_sample", "top_terms", "vector_norms",
+    "weighted_priority_sample",
+    # r1/r2-window sweep begins (only green is r1/r2)
+    "ioc_type_counts", "ioc_per_source_daily", "ioc_url_hosts",
+    "ioc_allowlist_filtered", "ioc_validation_counts",
+    "filter_project_revenue", "segment_sales", "brand_quantity",
+    "customers_with_open_orders", "customers_without_orders",
+    "top_order_per_customer", "customer_running_spend",
+    "monthly_order_stats", "cube_status_priority",
+    "distinct_suppliers_per_flag", "open_not_finished_customers",
+    "both_status_customers", "big_brands", "parts_above_brand_avg",
+    "priority_return_counts", "promo_revenue_share", "part_name_tokens",
+    "large_volume_customers", "customer_order_leftjoin",
+    "nation_presence_fulljoin", "order_fulfillment_lag",
 ]
 
 # Unchecked queries deliberately deferred past this round's window
-# (none yet for r9 — add here if the window fills past 50).
-# ROUND-10 ROTATION NOTE: fold the 50 names the r9 CORRECTNESS gate
+# (none yet for r10 — add here if the window fills past 50).
+# ROUND-11 ROTATION NOTE: fold the 50 names the r10 CORRECTNESS gate
 # sampled (head of queries() at gate time) into _DRIVER_CHECKED, clear
 # _PRIORITY unless an oracle changed, promote any _DEFER entries,
-# continue _RECONFIRM oldest-first from where the r9 window cut off,
-# and keep head + new <= 50.
+# continue _RECONFIRM oldest-first from where the r10 window cut off
+# (the r1/r2 sweep continues: first_last_order_price,
+# part_measure_unpivot, nation_trade_flows, returned_item_customers,
+# disjunctive_promo_revenue, customer_order_distribution,
+# market_share_by_year, late_shipment_priority_counts,
+# top_revenue_supplier, supplier_count_by_part_attrs, then the
+# r4/r5-latest rows), and keep head + new <= 50.
 _DEFER: list[str] = []
 
 

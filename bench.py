@@ -252,7 +252,16 @@ def main() -> None:
     # truncating mid-JSON and BENCH_r{7,8} recorded "parsed": null —
     # stdout gets one COMPACT summary line instead (VERDICT r8 item 3).
     print(json.dumps(full), file=sys.stderr)
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # sf-suffixed path for non-default scale factors: a debugging run at
+    # sf0.01 must not clobber the committed sf0.1 per-query record
+    # (ADVICE r9 — the vs_floor guard below protects only the stdout
+    # summary, not the file).
+    full_name = (
+        "BENCH_FULL.json"
+        if abs(float(sf) - 0.1) < 1e-9
+        else f"BENCH_FULL_sf{sf}.json"
+    )
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")

@@ -26,6 +26,8 @@ The fixture graph is small, but the loop body is the 100 TB plan.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1142,10 +1144,10 @@ def q_supplier_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REACH3_BODY = """
 WITH RECURSIVE paths(src, dst, depth) AS (
-  SELECT src, dst, 1 AS depth FROM reach3_edges
+  SELECT src, dst, 1 AS depth FROM {view}
   UNION ALL
   SELECT p.src, e.dst, p.depth + 1
-  FROM paths p JOIN reach3_edges e ON p.dst = e.src
+  FROM paths p JOIN {view} e ON p.dst = e.src
   WHERE p.depth < 3
 )
 SELECT CAST(src AS BIGINT) AS nation_id,
@@ -1193,8 +1195,16 @@ def q_sql_recursive_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost is the UnionLoop's ~400 K level-3 path rows on the dense
     # quarter graph — the enumeration inherent to UNION ALL recursion)
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("reach3_edges")
-    return spark.sql(_REACH3_BODY)
+    # uuid-suffixed view: a fixed name would persist in the session
+    # catalog and collide under concurrent execution (ADVICE r9); the
+    # plan captures the relation at spark.sql() time, so dropping the
+    # view immediately after building the DataFrame is safe.
+    view = f"reach3_edges_{uuid.uuid4().hex}"
+    edges.createOrReplaceTempView(view)
+    try:
+        return spark.sql(_REACH3_BODY.format(view=view))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # ---------------------------------------------------------------------------

@@ -224,13 +224,21 @@ def compact_parquet_dir(
     # size via the Hadoop FileSystem API, not a driver-local os.walk:
     # the source may be any URI scheme (hdfs://, s3a://, file:) and the
     # 100 TB framing above requires the size probe to work there too
-    # (ADVICE r8).  getContentSummary counts committer metadata
-    # (_SUCCESS, .crc) alongside data files — noise at compaction
-    # granularity.
+    # (ADVICE r8).  listStatus filtered to visible *.parquet, not
+    # getContentSummary: the summary counts committer metadata
+    # (_SUCCESS, .crc) and anything else that lands under src_dir,
+    # which can bump n_files across a target_file_bytes boundary
+    # (ADVICE r9).
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(src_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = fs.getContentSummary(jpath).getLength()
+    total = sum(
+        st.getLen()
+        for st in fs.listStatus(jpath)
+        if st.isFile()
+        and st.getPath().getName().endswith(".parquet")
+        and not st.getPath().getName().startswith(("_", "."))
+    )
     n_files = max(1, -(-total // target_file_bytes))
     (
         spark.read.parquet(src_dir)
