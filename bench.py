@@ -193,6 +193,8 @@ HEADLINE = [
     "rendezvous_shard_audit",
     "embedding_dbscan_clusters",
     "personalized_pagerank_nations",
+    # round-10 additions
+    "substring_dedup_spans",
 ]
 
 

@@ -2257,6 +2257,160 @@ def q_anchor_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact substring-grain dedup spans — suffix-array semantics (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better")
+# restated as a positional k-gram census + interval union
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5  # token-grain: verbatim runs of >= K tokens count as duplicated
+
+_SPAN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM d
+      WHERE len(toks) >= {_SPAN_K}),
+g AS (
+  -- outer comprehension variable must not be `i` (_SHINGLE_INT_SQL
+  -- expands an inner `for i in range(1, 9)` — the winnowing gotcha)
+  SELECT doc_id, n_tokens,
+    [{_SHINGLE_INT_SQL.format(
+        x=f"array_to_string(list_slice(toks, gi, gi + {_SPAN_K - 1}), chr(1))")}
+     for gi in range(1, len(toks) - {_SPAN_K - 2})] AS hs
+  FROM t
+),
+occ AS (
+  SELECT doc_id, u.i - 1 AS p, hs[u.i] AS h
+  FROM g, unnest(range(1, len(g.hs) + 1)) AS u(i)
+),
+sh AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ)
+  GROUP BY h HAVING COUNT(*) >= 2
+),
+dup AS (SELECT o.doc_id, o.p FROM occ o JOIN sh s ON o.h = s.h),
+w AS (
+  SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+  FROM dup
+),
+isl AS (
+  SELECT doc_id,
+    COUNT(*) AS n_dup_grams,
+    SUM(CASE WHEN lp IS NULL THEN {_SPAN_K}
+             ELSE LEAST({_SPAN_K}, p - lp) END) AS covered,
+    SUM(CASE WHEN lp IS NULL OR p - lp > {_SPAN_K} THEN 1 ELSE 0 END)
+      AS n_spans
+  FROM w GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(i.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+  CAST(COALESCE(i.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(i.covered, 0) AS BIGINT) AS covered_tokens,
+  CAST(t.n_tokens - COALESCE(i.covered, 0) AS BIGINT) AS residual_tokens,
+  CAST(COALESCE(i.covered, 0) AS DOUBLE) / t.n_tokens AS dup_fraction
+FROM t LEFT JOIN isl i ON t.doc_id = i.doc_id
+"""
+
+
+@query("substring_dedup_spans", oracle=_SPAN_ORACLE)
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring dedup at token grain — the
+    suffix-array operator of Lee et al. 2022 restated distributably:
+    every positional word-{k}-gram is digested once; a gram seen in
+    >= 2 distinct documents is a duplicated gram; a duplicated span is
+    the interval union of its grams' [p, p+k-1] token extents (a run of
+    L >= k verbatim-shared tokens is exactly the union of its L-k+1
+    duplicated k-grams, so the census reproduces suffix-array span
+    semantics with no sampling — unlike the strided-anchor and
+    winnowing approximations beside it, this one is EXACT at the
+    k-token grain).  Per doc: duplicated-gram count, maximal-span count
+    (gaps-and-islands over sorted starts), covered token count, the
+    dedup-safe residual length, and the duplicated fraction — the
+    decision columns a span-level corpus scrub consumes.
+
+    Scale shape: one posexplode census (each gram digested exactly
+    once), only 8-byte gram hashes shuffle keyed (text never shuffles:
+    no fan_out — measured 0.59 s vs 0.81 s at sf0.1, the gram digest is
+    not CPU-bound enough to buy the repartition); the shared-gram set
+    is bounded by duplicated mass, so the occurrence join broadcasts
+    it; the interval union is a per-doc ROWS lag window — one shingle
+    shuffle + one doc_id shuffle total.  At 100 TB, k is the grain/cost
+    lever and the census is incrementally maintainable exactly like
+    incremental_dedup_new_docs (new docs only probe the stored gram
+    census)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tk = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+    ).filter(F.size("tk") >= _SPAN_K)
+    base = tk.select(
+        "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
+    )
+    toks = F.col("tk")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _SPAN_K),
+        lambda gi: F.concat_ws(
+            "\x01",
+            *[F.element_at(toks, gi + j + 1) for j in range(_SPAN_K)],
+        ),
+    )
+    occ = tk.select(
+        "doc_id", F.posexplode(grams).alias("p", "gram")
+    ).select("doc_id", "p", _shingle_int(F.col("gram")).alias("h"))
+    sh = (
+        occ.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = occ.join(F.broadcast(sh), "h").select("doc_id", "p")
+    lagw = Window.partitionBy("doc_id").orderBy("p")
+    w = dup.withColumn("lp", F.lag("p").over(lagw))
+    isl = w.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_dup_grams"),
+        F.sum(
+            F.when(F.col("lp").isNull(), F.lit(_SPAN_K)).otherwise(
+                F.least(F.lit(_SPAN_K), F.col("p") - F.col("lp"))
+            )
+        )
+        .cast("bigint")
+        .alias("covered"),
+        F.sum(
+            F.when(
+                F.col("lp").isNull()
+                | (F.col("p") - F.col("lp") > _SPAN_K),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    return (
+        base.join(isl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("covered", F.lit(0)).alias("covered_tokens"),
+            (F.col("n_tokens") - F.coalesce("covered", F.lit(0))).alias(
+                "residual_tokens"
+            ),
+            (
+                F.coalesce("covered", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental connected-components maintenance — fold a new batch's edges
 # into stored components (the dedup_components analog of
 # incremental_agg_maintenance)

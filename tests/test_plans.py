@@ -1323,3 +1323,15 @@ def test_rendezvous_audit_single_doc_partitioning(spark, sf_dir):
     p = plan(spark, sf_dir, "rendezvous_shard_audit", execute=True)
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_substring_spans_census_broadcasts_shared_grams(spark, sf_dir):
+    """Exact substring-span dedup: the occurrence->shared-gram probe is
+    a BROADCAST join (the shared set is bounded by duplicated mass, so
+    only 8-byte gram hashes travel — document text never shuffles
+    keyed), the interval union rides a doc_id window, no cartesian,
+    all JVM."""
+    p = plan(spark, sf_dir, "substring_dedup_spans", execute=True)
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
