@@ -195,6 +195,8 @@ HEADLINE = [
     "personalized_pagerank_nations",
     # round-10 additions
     "substring_dedup_spans",
+    "heavy_hitters_merge_audit",
+    "trade_label_communities",
 ]
 
 
@@ -295,6 +297,54 @@ def main() -> None:
                 "n_over_2x": sum(1 for r, _ in ratios if r > 2.0),
                 "worst5": {n: r for r, n in ratios[-5:]},
             }
+    # Lifecycle-row leg split (VERDICT r9 item 8): the two expensive
+    # rows bundle an index/state BUILD with a cheap SERVE/REFRESH — one
+    # stderr line each records the legs separately so a regression in
+    # the production path isn't masked by the build leg.
+    _drop_checkpoints()
+    try:
+        from cybersecurity_ioc_etl_spark.operators.dedup import (
+            incremental_cc_fold,
+        )
+        from cybersecurity_ioc_etl_spark.operators.similarity import (
+            build_ivfpq_upsert_segments,
+            compact_ivfpq_segments,
+            serve_ivfpq_stored,
+        )
+        from cybersecurity_ioc_etl_spark.sinks.bucketed import (
+            bucket_filter_pruning,
+        )
+
+        t0 = time.perf_counter()
+        incremental_cc_fold(spark, sf_dir).count()
+        fold_s = time.perf_counter() - t0
+        full_s = timings.get("incremental_cc_maintenance")
+        print(
+            f"# leg incremental_cc_maintenance: fold={fold_s:.3f}s"
+            f" full_with_audit={full_s}s",
+            file=sys.stderr,
+        )
+        _drop_checkpoints()
+        import hashlib
+
+        t0 = time.perf_counter()
+        segments, cent = build_ivfpq_upsert_segments(spark, sf_dir)
+        prefix = "ivfpqc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        merged = compact_ivfpq_segments(spark, segments, f"{prefix}_merged")
+        build_s = time.perf_counter() - t0
+        serve_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with bucket_filter_pruning(spark):
+                serve_ivfpq_stored(spark, sf_dir, merged, cent).count()
+            serve_s = min(serve_s, time.perf_counter() - t0)
+        print(
+            f"# leg ivfpq_compacted_topk: build_compact={build_s:.3f}s"
+            f" serve={serve_s:.3f}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # leg probes must never fail the bench
+        print(f"# leg split skipped: {exc!r}", file=sys.stderr)
     print(json.dumps(summary))
     spark.stop()
 

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .dedup import _SHINGLE_INT_SQL as _SHINGLE_INT_SQL_REF
+from .dedup import _shingle_int
 from .registry import query
 
 _N_ITER = 3
@@ -1311,4 +1313,123 @@ def q_personalized_pagerank_nations(
         F.col("id").alias("nation_id"),
         (F.col("ri").cast("double") / F.lit(1e7)).alias("ppr"),
         seed.alias("is_seed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection — semi-synchronous, hashed labels,
+# deterministic tie-break (the graph family's clustering operator)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+_LPA_INIT_SQL = _SHINGLE_INT_SQL_REF.format(x="CAST(id AS VARCHAR)")
+
+
+def _lpa_half_sql(t: int, p: int) -> str:
+    """One semi-synchronous half-step: nodes of parity p adopt the most
+    frequent neighbor label (tie -> smallest label); others keep."""
+    return f"""c{t} AS (
+  SELECT u.a AS id, l.lbl, COUNT(*) AS c
+  FROM ue u JOIN l{t} l ON l.id = u.b
+  WHERE u.a % 2 = {p}
+  GROUP BY 1, 2
+),
+p{t} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+    FROM c{t})
+  WHERE rn = 1
+),
+l{t + 1} AS MATERIALIZED (
+  SELECT l.id, COALESCE(p.lbl, l.lbl) AS lbl
+  FROM l{t} l LEFT JOIN p{t} p ON l.id = p.id
+)"""
+
+
+_LPA_ORACLE = f"""
+WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
+ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0 WHERE src != dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src != dst
+),
+l0 AS MATERIALIZED (
+  SELECT id, {_LPA_INIT_SQL} AS lbl
+  FROM (SELECT DISTINCT a AS id FROM ue)
+),
+{",".join(_lpa_half_sql(t, t % 2) for t in range(2 * _LPA_ROUNDS))}
+SELECT CAST(id AS BIGINT) AS nation_id,
+  CAST(lbl AS BIGINT) AS community,
+  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l{2 * _LPA_ROUNDS}
+"""
+
+
+@query("trade_label_communities", oracle=_LPA_ORACLE)
+def q_trade_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the undirected quarter trade graph — the clustering operator
+    beside pagerank/k-core/k-truss/CC.  Deterministic restatement:
+    initial labels are md5-prefix hashes of the node id (content-keyed,
+    the engine's portable-hash discipline), updates are
+    SEMI-SYNCHRONOUS by node parity — each round updates even nodes
+    from current labels, then odd nodes from the half-updated state —
+    which kills the oscillation synchronous LPA suffers on bipartite
+    structure while staying order-independent (a half-step's updates
+    are a pure function of the previous state, so any execution order
+    agrees); ties break to the smallest label.  3 rounds (6 half-steps)
+    unrolled; per node: final community label and community size.
+
+    Scale shape: each half-step is one neighbor-keyed equi-join +
+    map-side-combined label count + a per-node rank-1 window — the
+    connected_components loop economics with a label-frequency argmax
+    instead of a min fold.  Labels are 8-byte ints (never payloads);
+    lineage truncates on checkpoint cadence.  The oracle unrolls the
+    same half-steps as MATERIALIZED CTEs (each state referenced twice —
+    the viterbi inlining lesson)."""
+    from pyspark.sql import Window
+
+    e0 = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    ue = (
+        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = ue.select(F.col("a").alias("id")).distinct().select(
+        "id", _shingle_int(F.col("id").cast("string")).alias("lbl")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("nl"))
+    )
+    for t in range(2 * _LPA_ROUNDS):
+        cnt = (
+            ue.alias("u")
+            .join(lbl.alias("l"), F.col("u.b") == F.col("l.id"))
+            .filter(F.col("u.a") % 2 == t % 2)
+            .groupBy(
+                F.col("u.a").alias("id"), F.col("l.lbl").alias("nl")
+            )
+            .agg(F.count("*").alias("c"))
+        )
+        pick = cnt.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            "id", "nl"
+        )
+        lbl = (
+            lbl.alias("cur")
+            .join(pick.alias("pk"), F.col("cur.id") == F.col("pk.id"), "left")
+            .select(
+                F.col("cur.id").alias("id"),
+                F.coalesce(F.col("pk.nl"), F.col("cur.lbl")).alias("lbl"),
+            )
+        )
+        if t % 2 == 1:
+            lbl = lbl.localCheckpoint(eager=True)
+    sizew = Window.partitionBy("lbl")
+    return lbl.select(
+        F.col("id").cast("bigint").alias("nation_id"),
+        F.col("lbl").cast("bigint").alias("community"),
+        F.count("*").over(sizew).cast("bigint").alias("community_size"),
     )

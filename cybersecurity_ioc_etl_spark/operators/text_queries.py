@@ -927,6 +927,173 @@ def q_countmin_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the mergeable frequent-items summary,
+# order-independent canonical form (completes the sketch-merge family:
+# KMV ∪, HLL MAX, count-min +, AMS +, quantile-summary weighted union)
+# ---------------------------------------------------------------------------
+
+_MG_M = 16  # summary capacity (counters kept per summary)
+
+_MG_SHARD_SQL = (
+    _dedup._SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)") + " % 2"
+)
+_MG_TIE_SQL = _dedup._SHINGLE_INT_SQL.format(x="tok")
+
+_MG_ORACLE = f"""
+WITH tok AS (
+  SELECT {_MG_SHARD_SQL} AS shard,
+    unnest(str_split_regex(
+      {_dedup._ASCII_FOLD_SQL.format(x='trim(text)')}, '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+exact AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+sc AS (SELECT shard, tok, COUNT(*) AS f FROM tok GROUP BY 1, 2),
+dd AS (
+  SELECT shard, f AS d FROM (
+    SELECT shard, f, row_number() OVER (
+      PARTITION BY shard ORDER BY f DESC, {_MG_TIE_SQL}) AS rn
+    FROM sc)
+  WHERE rn = {_MG_M + 1}
+),
+summ AS (
+  SELECT s.tok, s.f - COALESCE(d.d, 0) AS c
+  FROM sc s LEFT JOIN dd d ON s.shard = d.shard
+  WHERE s.f > COALESCE(d.d, 0)
+),
+merged0 AS (SELECT tok, SUM(c) AS g FROM summ GROUP BY tok),
+d3 AS (
+  SELECT g AS d FROM (
+    SELECT g, row_number() OVER (ORDER BY g DESC, {_MG_TIE_SQL}) AS rn
+    FROM merged0)
+  WHERE rn = {_MG_M + 1}
+),
+errb AS (
+  SELECT (SELECT COALESCE(SUM(d), 0) FROM dd)
+       + COALESCE((SELECT d FROM d3), 0) AS err_bound
+),
+hh AS (
+  SELECT tok, g - COALESCE((SELECT d FROM d3), 0) AS est
+  FROM merged0 WHERE g > COALESCE((SELECT d FROM d3), 0)
+),
+missed AS (
+  SELECT COUNT(*) AS n_missed_heavy
+  FROM exact e, errb b
+  WHERE e.f > b.err_bound AND e.tok NOT IN (SELECT tok FROM hh)
+)
+SELECT h.tok AS token,
+  CAST(h.est AS BIGINT) AS est_count,
+  CAST(e.f AS BIGINT) AS exact_count,
+  CAST(b.err_bound AS BIGINT) AS err_bound,
+  (h.est <= e.f AND e.f <= h.est + b.err_bound) AS bound_ok,
+  CAST(m.n_missed_heavy AS BIGINT) AS n_missed_heavy
+FROM hh h JOIN exact e ON h.tok = e.tok, errb b, missed m
+"""
+
+
+@query("heavy_hitters_merge_audit", oracle=_MG_ORACLE)
+def q_heavy_hitters_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items summary with the SHARD-MERGE law of
+    Agarwal et al. 2013 ("Mergeable Summaries") — the one standard
+    mergeable sketch the suite still lacked (count-min answers point
+    queries for KNOWN keys; MG returns the top-k SET with a
+    deterministic error bound).  Order-independent canonical form: an
+    MG summary of capacity m computed from exact shard counts is
+    c_x = f_x − d where d is the (m+1)-th largest count (zero when the
+    shard has ≤ m distinct keys) — every sequential decrement order
+    converges to this.  Two doc-sharded summaries merge by summing
+    counters and re-truncating at the merged (m+1)-th largest; the
+    guarantee carried through the merge is
+    est ≤ exact ≤ est + (d1 + d2 + d3), and every token with
+    exact > d1+d2+d3 MUST survive — both receipts are audited against
+    exact global counts and the oracle asserts them (bound_ok per row,
+    n_missed_heavy = 0 globally).  Deterministic md5 tie-break at the
+    rank-(m+1) probe makes the summary hash-checkable.
+
+    Scale shape: per-shard counts are one map-side-combined groupBy;
+    the rank-(m+1) probe is a top-k-sized window per shard (at 100 TB
+    this runs as a per-shard TakeOrdered over the count table — the
+    probe reads ranks, never materializes a global sort); summaries
+    are ≤ m rows each, so the merge, re-truncation, and audit joins
+    are all broadcast-sized.  The exact side is the audit's
+    calibration, not the production path — a real pipeline merges
+    per-partition summaries only."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = d.select(
+        (
+            _dedup._shingle_int(F.col("doc_id").cast("string")) % 2
+        ).alias("shard"),
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    exact = tok.groupBy("tok").agg(F.count("*").alias("f"))
+    sc = tok.groupBy("shard", "tok").agg(F.count("*").alias("f"))
+    tie = _dedup._shingle_int(F.col("tok"))
+    rn_shard = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.col("f").desc(), tie)
+    )
+    dd = (
+        sc.withColumn("rn", rn_shard)
+        .filter(F.col("rn") == _MG_M + 1)
+        .select("shard", F.col("f").alias("d"))
+    )
+    summ = (
+        sc.join(F.broadcast(dd), "shard", "left")
+        .withColumn("d0", F.coalesce("d", F.lit(0)))
+        .filter(F.col("f") > F.col("d0"))
+        .select("tok", (F.col("f") - F.col("d0")).alias("c"))
+    )
+    merged0 = summ.groupBy("tok").agg(F.sum("c").alias("g"))
+    rn_glob = F.row_number().over(
+        # merged0 is ≤ 2m rows (two ≤ m summaries) — the global window
+        # is a constant-size frame, not a vocab sort
+        Window.orderBy(F.col("g").desc(), tie)
+    )
+    d3 = (
+        merged0.withColumn("rn", rn_glob)
+        .filter(F.col("rn") == _MG_M + 1)
+        .select(F.col("g").alias("d3"))
+    )
+    d3s = d3.agg(F.coalesce(F.max("d3"), F.lit(0)).alias("d3"))
+    errb = (
+        dd.agg(F.coalesce(F.sum("d"), F.lit(0)).alias("d12"))
+        .crossJoin(F.broadcast(d3s))
+        .select((F.col("d12") + F.col("d3")).alias("err_bound"))
+    )
+    hh = (
+        merged0.crossJoin(F.broadcast(d3s))
+        .filter(F.col("g") > F.col("d3"))
+        .select("tok", (F.col("g") - F.col("d3")).alias("est"))
+    )
+    missed = (
+        exact.crossJoin(F.broadcast(errb))
+        .filter(F.col("f") > F.col("err_bound"))
+        .join(hh.select("tok"), "tok", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_missed_heavy"))
+    )
+    return (
+        hh.join(exact, "tok")
+        .crossJoin(F.broadcast(errb))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("est").cast("bigint").alias("est_count"),
+            F.col("f").cast("bigint").alias("exact_count"),
+            F.col("err_bound").cast("bigint").alias("err_bound"),
+            (
+                (F.col("est") <= F.col("f"))
+                & (F.col("f") <= F.col("est") + F.col("err_bound"))
+            ).alias("bound_ok"),
+            "n_missed_heavy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM quality scoring — the CCNet-style perplexity filter, restated
 # on the exact-integer contract
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -231,6 +232,112 @@ def run_dedup_stream(
     out = spark.table(name)
     # pin the drained rows before the tmp source dir can go away
     return out.localCheckpoint(eager=True)
+
+
+def run_dedup_evicting_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "6 hours",
+    n_batches: int = 4,
+    user_bound: int = 50,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Streaming dedup with REAL state eviction — the state-bounded
+    production config of ``run_dedup_stream`` (whose 3650-day delay
+    deliberately disables eviction so the sink equals batch DISTINCT).
+    Here the watermark delay is TIGHT, so a key's state expires at
+    first-seen event time + delay once the global watermark passes it,
+    and a LATER event by the same key RE-EMITS — one row per key per
+    eviction epoch, which is the semantics a crawler dedup actually
+    runs (dedup against the recent horizon, not all history).
+
+    Determinism staging: the fixture's events (user_id < user_bound)
+    are split into ``n_batches`` files by EVENT-TIME RANGE — batch b =
+    (n·(eus−mn)) div (mx−mn+1) over epoch-microseconds — reduced to
+    the FIRST row per (user, batch) (min ts, then min event_id), and
+    mtime-staggered so maxFilesPerTrigger=1 replays them in time
+    order.  Consequences the oracle relies on: (1) file ranges are
+    disjoint and ordered, so no input row is ever late against the
+    watermark; (2) each micro-batch holds at most ONE row per key, so
+    the emitted row and the state expiry it sets are unique — no
+    intra-batch arrival-order nondeterminism; (3) the watermark after
+    batch k is max staged ts of batch k (ms-floored) − delay, a closed
+    form both engines state.
+
+    Pass ``progress_out`` (a list) to capture each micro-batch's
+    eventTime stats — the empirical-pinning hook the stream-join
+    queries use."""
+    import os
+    import shutil
+
+    from ..sources.readers import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") < user_bound) & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id")
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    staged = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "b",
+            F.expr(
+                f"({n_batches} * (unix_micros(ts) - mn)) div (mx - mn + 1)"
+            ),
+        )
+        .groupBy("user_id", "b")
+        .agg(F.min(F.struct("ts", "event_id")).alias("first"))
+        .select("user_id", "b", "first.ts", "first.event_id")
+        .localCheckpoint(eager=True)
+    )
+    src_dir = tempfile.mkdtemp(prefix="stream_dedup_evict_")
+    t0 = time.time() - 3600
+    for k in range(n_batches):
+        tmp = os.path.join(src_dir, f"_tmp{k}")
+        staged.filter(F.col("b") == k).drop("b").coalesce(1).write.parquet(
+            tmp
+        )
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        target = os.path.join(src_dir, f"{k:02d}.parquet")
+        shutil.move(os.path.join(tmp, part[0]), target)
+        shutil.rmtree(tmp)
+        os.utime(target, (t0 + 60 * k, t0 + 60 * k))
+    schema = staged.drop("b").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    name = f"stream_dedup_evict_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_evict_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(
+            {
+                "batchId": p.batchId,
+                "eventTime": dict(p.eventTime),
+                "numRows": p.stateOperators[0].numRowsTotal
+                if p.stateOperators
+                else None,
+            }
+            for p in q.recentProgress
+        )
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 def run_neardup_stream(

@@ -1335,3 +1335,23 @@ def test_substring_spans_census_broadcasts_shared_grams(spark, sf_dir):
     assert P.has_broadcast_join(p)
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_heavy_hitters_summary_joins_are_broadcast(spark, sf_dir):
+    """Misra-Gries audit: summaries are <= m rows, so the shard-offset
+    probe, merge re-truncation, and audit joins all BROADCAST; the only
+    full-width work is the two map-side-combined count aggregations;
+    no cartesian beyond the broadcast-singleton scalars, all JVM."""
+    p = plan(spark, sf_dir, "heavy_hitters_merge_audit", execute=True)
+    assert P.has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_label_communities_rounds_stay_jvm(spark, sf_dir):
+    """Label propagation: each half-step is a neighbor-keyed equi-join
+    + map-side label count + rank-1 window — no cartesian, no Python
+    eval across all 6 unrolled half-steps."""
+    p = plan(spark, sf_dir, "trade_label_communities", execute=True)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
