@@ -197,6 +197,7 @@ HEADLINE = [
     "substring_dedup_spans",
     "heavy_hitters_merge_audit",
     "trade_label_communities",
+    "stream_dedup_evicting",
 ]
 
 

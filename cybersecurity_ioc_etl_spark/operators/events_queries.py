@@ -83,6 +83,136 @@ def q_stream_dedup_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming dedup WITH state eviction — dropDuplicatesWithinWatermark under
+# a tight delay, the eviction boundary pinned empirically
+# ---------------------------------------------------------------------------
+
+_EVICT_N = 6  # staged micro-batches (event-time-range file split)
+_EVICT_D_US = 43_200_000_000  # 12-hour watermark delay, microseconds
+
+
+def _evict_oracle() -> str:
+    """Unrolled per-user dedup-state chain over the N staged batches.
+
+    Empirically pinned semantics (probed via recentProgress + state
+    numRowsTotal, the CLAUDE.md watermark discipline):
+    - eviction at the END of batch k uses the watermark IN EFFECT
+      DURING batch k (wm_{k-1}, from batch k-1's max event time) — the
+      new wm_k only takes effect in batch k+1, so state from an
+      emission at batch j survives INTO batch k iff exp_j > wm_{k-2}
+      (one batch later than the naive model; observed as state
+      numRows 50→50→0 under a 1-day delay where the naive model
+      predicts eviction a batch earlier);
+    - a duplicate probing EXPIRED-but-unevicted state still DROPS
+      (key-existence check, no expiry re-check at probe time);
+    - expiry anchors at the FIRST (emitted) event: ts + delay, NOT
+      extended by dropped duplicates (under a 1-day delay all 50 users
+      re-emitted at batch 3 — the extension model predicts most drop);
+    - watermark arithmetic is at Spark's millisecond event-time-stats
+      grain: wm_k = floor_ms(max staged ts of batches <= k) - delay.
+    """
+    n, d = _EVICT_N, _EVICT_D_US
+    cols = ",\n    ".join(
+        f"MAX(CASE WHEN b={k} THEN epoch_us(ts) END) AS t{k}"
+        for k in range(n)
+    )
+    wms = ",\n    ".join(
+        f"(SELECT MAX(tb) FROM bm WHERE b<={k}) * 1000 - {d} AS w{k}"
+        for k in range(n - 2)
+    )
+    steps = ""
+    for k in range(1, n):
+        if k == 1:
+            # wm in effect through batch 1's eviction is the initial
+            # epoch-0 watermark: any batch-0 state is still live
+            cond = "t1 IS NOT NULL AND le0 IS NULL"
+        else:
+            cond = (
+                f"t{k} IS NOT NULL"
+                f" AND NOT COALESCE(le{k - 1} > w{k - 2}, FALSE)"
+            )
+        steps += f""",
+s{k} AS (SELECT *, {cond} AS e{k},
+  CASE WHEN {cond} THEN t{k} + {d} ELSE le{k - 1} END AS le{k}
+  FROM s{k - 1})"""
+    nsum = " + ".join(
+        f"CASE WHEN e{k} THEN 1 ELSE 0 END" for k in range(n)
+    )
+    firstc = ", ".join(f"CASE WHEN e{k} THEN t{k} END" for k in range(n))
+    lastc = ", ".join(
+        f"CASE WHEN e{k} THEN t{k} END" for k in reversed(range(n))
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE user_id < 50 AND ts IS NOT NULL
+),
+m AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM ev),
+eb AS (
+  SELECT user_id, ts, event_id,
+    ({n} * (epoch_us(ts) - m.mn)) // (m.mx - m.mn + 1) AS b
+  FROM ev, m
+),
+fb AS (
+  SELECT user_id, b, ts FROM (
+    SELECT user_id, b, ts,
+      row_number() OVER (PARTITION BY user_id, b ORDER BY ts, event_id)
+        AS rn
+    FROM eb) WHERE rn = 1
+),
+bm AS (SELECT b, MAX(epoch_ms(ts)) AS tb FROM fb GROUP BY b),
+wm AS (SELECT {wms}),
+ch AS (SELECT user_id, {cols} FROM fb GROUP BY user_id),
+s0 AS (SELECT ch.*, wm.*, t0 IS NOT NULL AS e0,
+  CASE WHEN t0 IS NOT NULL THEN t0 + {d} END AS le0 FROM ch, wm){steps}
+SELECT user_id, CAST(({nsum}) AS BIGINT) AS n_emitted,
+  strftime(make_timestamp(COALESCE({firstc})), '%Y-%m-%d %H:%M:%S')
+    AS first_emit,
+  strftime(make_timestamp(COALESCE({lastc})), '%Y-%m-%d %H:%M:%S')
+    AS last_emit
+FROM s{n - 1}
+"""
+
+
+@query("stream_dedup_evicting", oracle=_evict_oracle())
+def q_stream_dedup_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with REAL state eviction — the state-bounded
+    production config of stream_dedup_unique_users (whose 3650-day
+    delay disables eviction by design): a tight 12-hour watermark
+    delay evicts each key at first-seen ts + delay, so a later event
+    by the same user RE-EMITS — one row per key per eviction epoch,
+    the crawler-dedup horizon semantics.  The fixture is staged into
+    6 event-time-range micro-batches reduced to the first row per
+    (user, batch) — see streaming/pipeline.py::
+    run_dedup_evicting_stream for why that makes the run
+    deterministic — and the oracle replays the per-user state chain
+    under the EMPIRICALLY PINNED eviction timing (one-batch lag,
+    probe-before-evict, first-event expiry anchor; the _evict_oracle
+    docstring records the probes).  Per user: emission count and
+    first/last emitted event time.
+
+    Scale shape: dedup state holds one (key, expiry) entry per key
+    seen within the watermark horizon — O(horizon keys), not O(stream
+    length), which is the entire point of the WithinWatermark variant;
+    emission and eviction are both state-local, no shuffle beyond the
+    key partitioning."""
+    from ..streaming.pipeline import run_dedup_evicting_stream
+
+    deduped = run_dedup_evicting_stream(
+        spark, sf_dir, delay="12 hours", n_batches=_EVICT_N
+    )
+    return deduped.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_emitted"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_emit"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_emit"
+        ),
+    )
+
+
 @query(
     "stream_static_category_counts",
     oracle="""

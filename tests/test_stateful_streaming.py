@@ -413,6 +413,99 @@ def test_streaming_dedup_within_watermark(spark):
     assert iocs == ["1.2.3.4", "8.8.8.8", "9.9.9.9"]  # each exactly once
 
 
+def test_streaming_dedup_evicts_and_readmits(spark):
+    """The EVICTION lifecycle of dropDuplicatesWithinWatermark under a
+    tight (10-minute) delay — the three behaviors the
+    stream_dedup_evicting oracle encodes, pinned on hand-placed rows:
+
+    1. a duplicate within the delay DROPS (A@10:05 vs state from
+       A@10:00);
+    2. a duplicate probing EXPIRED-but-unevicted state still DROPS:
+       eviction at the end of batch k uses the watermark in effect
+       DURING k (one-batch lag), so B@11:30 in batch c — whose state
+       (exp 10:10:30) is far below the in-effect watermark 10:50 but
+       was not evicted at the end of batch b (that eviction used the
+       earlier 09:51 watermark) — must NOT re-emit;
+    3. once the lagged eviction fires (end of batch c, watermark
+       10:50), the key re-admits: B@12:30 and A@12:40 in batch d
+       RE-EMIT — one row per key per eviction epoch."""
+    src = tempfile.mkdtemp(prefix="dde_src_")
+    ckpt = tempfile.mkdtemp(prefix="dde_ckpt_")
+    out = tempfile.mkdtemp(prefix="dde_out_")
+    _write_jsonl(
+        f"{src}/a.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "ioc": "A"},
+            {"ts": "2024-01-01 10:00:30", "ioc": "B"},
+            {"ts": "2024-01-01 10:01:00", "ioc": "P1"},  # wm pad
+        ],
+    )
+    _write_jsonl(
+        f"{src}/b.json",
+        [
+            # dup within delay of A@10:00 -> drop (behavior 1)
+            {"ts": "2024-01-01 10:05:00", "ioc": "A"},
+            # pad pushes the watermark to 10:50 for batch c
+            {"ts": "2024-01-01 11:00:00", "ioc": "P2"},
+        ],
+    )
+    _write_jsonl(
+        f"{src}/c.json",
+        [
+            # B's state expired (10:10:30 < in-effect wm 10:50) but
+            # NOT yet evicted (batch b's eviction used wm 09:51) ->
+            # still drops (behavior 2)
+            {"ts": "2024-01-01 11:30:00", "ioc": "B"},
+            {"ts": "2024-01-01 12:00:00", "ioc": "P3"},  # wm pad
+        ],
+    )
+    _write_jsonl(
+        f"{src}/d.json",
+        [
+            # batch c's eviction ran with wm 10:50 -> A and B evicted
+            # -> both re-admit (behavior 3)
+            {"ts": "2024-01-01 12:30:00", "ioc": "B"},
+            {"ts": "2024-01-01 12:40:00", "ioc": "A"},
+        ],
+    )
+    import os as _os
+    import time as _time
+
+    t0 = _time.time() - 100
+    for f in ["a.json", "b.json", "c.json", "d.json"]:
+        step = {"a": 0, "b": 10, "c": 20, "d": 30}[f[0]]
+        _os.utime(f"{src}/{f}", (t0 + step, t0 + step))
+    rows = (
+        spark.readStream.schema("ts timestamp, ioc string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["ioc"])
+    )
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.ioc, r.ts.strftime("%H:%M:%S"))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("A", "10:00:00"),
+        ("A", "12:40:00"),
+        ("B", "10:00:30"),
+        ("B", "12:30:00"),
+        ("P1", "10:01:00"),
+        ("P2", "11:00:00"),
+        ("P3", "12:00:00"),
+    ]
+
+
 def test_tws_user_counts_gated_or_correct(spark, sf_dir):
     """transformWithStateInPandas (Spark 4 arbitrary-state API): where
     google.protobuf exists the streamed per-user totals must equal the

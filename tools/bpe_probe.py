@@ -7,8 +7,10 @@ The laws to pin:
 - the winning pair's count is (weakly) DECREASING round over round —
   each merge consumes the most frequent adjacency, so the trainer
   converges toward singleton pairs rather than oscillating;
-- the symbol vocabulary grows by EXACTLY ONE new multi-char symbol per
-  merge (the merged symbol), so a 30k-merge production vocabulary is
+- the symbol vocabulary changes by AT MOST +1 net per merge: the
+  merged symbol is the only addition, and a constituent symbol can
+  vanish when every occurrence was consumed (measured growth set
+  {-1, 0, +1} at sf0.1) — so a 30k-merge production vocabulary is
   30k loop iterations, not a bigger per-round plan;
 - per-round wall stays ~FLAT as rounds deepen (each round is the same
   pair census -> LIMIT-1 winner broadcast -> literal replace over the
@@ -34,16 +36,22 @@ from cybersecurity_ioc_etl_spark.operators.bpe import (
     merge_top_pair,
     pair_counts,
 )
-from cybersecurity_ioc_etl_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def run_probe(n_merges: int = 32, sf_dir: str = SF_DIR) -> list[dict]:
+def run_probe(
+    n_merges: int = 32, sf_dir: str = SF_DIR, spark=None
+) -> list[dict]:
     """Train n_merges rounds; return per-round receipts
-    {round, merged_pair, pair_count, vocab_symbols, wall_s}."""
-    spark = get_spark("bpe-probe")
-    spark.sparkContext.setLogLevel("ERROR")
+    {round, merged_pair, pair_count, vocab_symbols, wall_s}.
+    Creates (and stops) its own session unless one is passed in."""
+    own_session = spark is None
+    if own_session:
+        from cybersecurity_ioc_etl_spark.session import get_spark
+
+        spark = get_spark("bpe-probe")
+        spark.sparkContext.setLogLevel("ERROR")
     seqs = (
         _word_freq(spark, sf_dir)
         .select(_to_seq(F.col("w")).alias("seq"), "f")
@@ -85,7 +93,8 @@ def run_probe(n_merges: int = 32, sf_dir: str = SF_DIR) -> list[dict]:
                 "wall_s": round(wall, 3),
             }
         )
-    spark.stop()
+    if own_session:
+        spark.stop()
     return receipts
 
 
