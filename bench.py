@@ -198,6 +198,9 @@ HEADLINE = [
     "heavy_hitters_merge_audit",
     "trade_label_communities",
     "stream_dedup_evicting",
+    "trade_modularity_score",
+    "orders_psi_drift",
+    "stream_heavy_hitters_merge",
 ]
 
 

@@ -1391,6 +1391,23 @@ def q_trade_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the viterbi inlining lesson)."""
     from pyspark.sql import Window
 
+    ue, lbl = _lpa_labels(spark, sf_dir)
+    sizew = Window.partitionBy("lbl")
+    return lbl.select(
+        F.col("id").cast("bigint").alias("nation_id"),
+        F.col("lbl").cast("bigint").alias("community"),
+        F.count("*").over(sizew).cast("bigint").alias("community_size"),
+    )
+
+
+def _lpa_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(undirected edges, final (id, lbl) labels) after the
+    semi-synchronous LPA rounds — shared by the community query and
+    the modularity receipt."""
+    from pyspark.sql import Window
+
     e0 = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     ue = (
         e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -1427,9 +1444,114 @@ def q_trade_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if t % 2 == 1:
             lbl = lbl.localCheckpoint(eager=True)
-    sizew = Window.partitionBy("lbl")
-    return lbl.select(
-        F.col("id").cast("bigint").alias("nation_id"),
-        F.col("lbl").cast("bigint").alias("community"),
-        F.count("*").over(sizew).cast("bigint").alias("community_size"),
+    return ue, lbl
+
+
+# ---------------------------------------------------------------------------
+# Modularity receipt for the LPA communities — exact-integer Newman Q
+# ---------------------------------------------------------------------------
+
+_LPA_STEPS_SQL = ",".join(
+    _lpa_half_sql(t, t % 2) for t in range(2 * _LPA_ROUNDS)
+)
+
+_MODULARITY_ORACLE = f"""
+WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
+ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0 WHERE src != dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src != dst
+),
+l0 AS MATERIALIZED (
+  SELECT id, {_LPA_INIT_SQL} AS lbl
+  FROM (SELECT DISTINCT a AS id FROM ue)
+),
+{_LPA_STEPS_SQL},
+lab AS (SELECT id, lbl FROM l{2 * _LPA_ROUNDS}),
+m2 AS (SELECT COUNT(*) AS two_m FROM ue),  -- directed pairs = 2m
+intra AS (  -- directed intra-community pairs = 2*L_c summed
+  SELECT COUNT(*) AS intra2
+  FROM ue u JOIN lab la ON u.a = la.id JOIN lab lb ON u.b = lb.id
+  WHERE la.lbl = lb.lbl
+),
+degs AS (
+  SELECT la.lbl, SUM(d.deg) AS d_c
+  FROM (SELECT a AS id, COUNT(*) AS deg FROM ue GROUP BY a) d
+  JOIN lab la ON d.id = la.id
+  GROUP BY la.lbl
+),
+num AS (  -- Q * (2m)^2 = intra2 * 2m - sum(d_c^2), exact integers
+  SELECT (SELECT intra2 FROM intra) * (SELECT two_m FROM m2)
+         - SUM(d_c * d_c) AS qnum,
+    COUNT(*) AS n_communities
+  FROM degs
+)
+SELECT CAST(n_communities AS BIGINT) AS n_communities,
+  CAST((SELECT two_m FROM m2) // 2 AS BIGINT) AS m_edges,
+  CAST((SELECT intra2 FROM intra) // 2 AS BIGINT) AS intra_edges,
+  CAST(qnum AS BIGINT) AS q_num,
+  CAST(qnum AS DOUBLE)
+    / (CAST((SELECT two_m FROM m2) AS DOUBLE)
+       * CAST((SELECT two_m FROM m2) AS DOUBLE)) AS modularity
+FROM num
+"""
+
+
+@query("trade_modularity_score", oracle=_MODULARITY_ORACLE)
+def q_trade_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality receipt
+    for trade_label_communities (the banding_recall_audit discipline
+    applied to clustering): Q = Σ_c [L_c/m − (d_c/2m)²] computed on
+    the EXACT-INTEGER contract as Q·(2m)² = 2L·2m − Σ d_c², one
+    integer numerator both engines derive identically, converted to
+    double by one final division — so the score, not just the labels,
+    is hash-checked.  Emits the community count, edge counts, the
+    integer numerator, and Q.
+
+    Scale shape: reuses the LPA loop (labels are read state in a
+    production pipeline), then one edge-keyed join against the label
+    table for the intra census and one degree rollup — both map-side
+    combined; the final fold is three scalar aggregates crossed by
+    broadcast."""
+    ue, lbl = _lpa_labels(spark, sf_dir)
+    lab = lbl.localCheckpoint(eager=True)
+    two_m = ue.agg(F.count("*").alias("two_m"))
+    intra = (
+        ue.alias("u")
+        .join(lab.alias("la"), F.col("u.a") == F.col("la.id"))
+        .join(lab.alias("lb"), F.col("u.b") == F.col("lb.id"))
+        .filter(F.col("la.lbl") == F.col("lb.lbl"))
+        .agg(F.count("*").alias("intra2"))
+    )
+    degs = (
+        ue.groupBy(F.col("a").alias("id"))
+        .agg(F.count("*").alias("deg"))
+        .join(lab, "id")
+        .groupBy("lbl")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    num = degs.agg(
+        F.sum(F.col("d_c") * F.col("d_c")).alias("sum_d2"),
+        F.count("*").alias("n_communities"),
+    )
+    return (
+        num.crossJoin(F.broadcast(two_m))
+        .crossJoin(F.broadcast(intra))
+        .select(
+            F.col("n_communities").cast("bigint").alias("n_communities"),
+            F.expr("two_m div 2").cast("bigint").alias("m_edges"),
+            F.expr("intra2 div 2").cast("bigint").alias("intra_edges"),
+            (F.col("intra2") * F.col("two_m") - F.col("sum_d2"))
+            .cast("bigint")
+            .alias("q_num"),
+            (
+                (F.col("intra2") * F.col("two_m") - F.col("sum_d2")).cast(
+                    "double"
+                )
+                / (
+                    F.col("two_m").cast("double")
+                    * F.col("two_m").cast("double")
+                )
+            ).alias("modularity"),
+        )
     )

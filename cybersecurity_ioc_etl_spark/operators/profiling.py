@@ -590,3 +590,191 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             dev * dev / ((F.col("n_total") * p_exp_q).cast("double") / F.lit(1e9))
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — reference-decile distribution drift
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1995-06-01"
+_PSI_BINS = 10
+_PSI_LQ = "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000000.0) AS BIGINT)"
+
+_PSI_ORACLE = f"""
+WITH o AS (
+  SELECT {MI.format(x='o_totalprice')} AS pi,
+    o_orderdate < TIMESTAMP '{_PSI_SPLIT}' AS in_a
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+na AS (SELECT COUNT(*) AS n_a FROM o WHERE in_a),
+nb AS (SELECT COUNT(*) AS n_b FROM o WHERE NOT in_a),
+va AS (
+  SELECT pi, SUM(c) OVER (ORDER BY pi) AS cum FROM (
+    SELECT pi, COUNT(*) AS c FROM o WHERE in_a GROUP BY pi)
+),
+edges AS (
+  SELECT {", ".join(
+      f"MIN(CASE WHEN cum >= ({k} * (SELECT n_a FROM na) + 9) // 10"
+      f" THEN pi END) AS e{k}" for k in range(1, _PSI_BINS))}
+  FROM va
+),
+binned AS (
+  SELECT in_a,
+    1 {" ".join(f"+ CASE WHEN pi > e{k} THEN 1 ELSE 0 END"
+                for k in range(1, _PSI_BINS))} AS bin
+  FROM o, edges
+),
+cells AS (
+  SELECT bin,
+    COUNT(*) FILTER (WHERE in_a) AS c_a,
+    COUNT(*) FILTER (WHERE NOT in_a) AS c_b
+  FROM binned GROUP BY bin
+),
+terms AS (
+  SELECT bin, c_a, c_b,
+    (c_b + 1) * ((SELECT n_a FROM na) + {_PSI_BINS})
+      - (c_a + 1) * ((SELECT n_b FROM nb) + {_PSI_BINS}) AS dq,
+    {_PSI_LQ.format(
+        x=f"(c_b + 1) * ((SELECT n_a FROM na) + {_PSI_BINS})")}
+      - {_PSI_LQ.format(
+        x=f"(c_a + 1) * ((SELECT n_b FROM nb) + {_PSI_BINS})")} AS lrq
+  FROM cells
+),
+denom AS (
+  SELECT CAST((SELECT n_a FROM na) + {_PSI_BINS} AS DOUBLE)
+       * CAST((SELECT n_b FROM nb) + {_PSI_BINS} AS DOUBLE)
+       * 1000000000.0 AS dd
+),
+tot AS (
+  SELECT CAST(SUM(CAST(dq AS HUGEINT) * lrq) AS DOUBLE)
+         / (SELECT dd FROM denom) AS psi_total
+  FROM terms
+)
+SELECT CAST(t.bin AS BIGINT) AS bin,
+  CAST(t.c_a AS BIGINT) AS n_a,
+  CAST(t.c_b AS BIGINT) AS n_b,
+  CAST(t.dq AS DOUBLE) * CAST(t.lrq AS DOUBLE) / (SELECT dd FROM denom)
+    AS psi_term,
+  (SELECT psi_total FROM tot) AS psi_total,
+  (SELECT psi_total FROM tot) > 0.1 AS drift_flag
+FROM terms t
+"""
+
+
+@query("orders_psi_drift", oracle=_PSI_ORACLE)
+def q_orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index on order prices between two eras —
+    the standard score-drift monitor (banking model governance; here
+    the data-quality complement of orders_profile_drift): bin edges
+    are era-A price DECILES selected by exact cumulative rank on the
+    integer price mantissa, both eras are binned against them, and
+    PSI = Σ (p_B − p_A)·ln(p_B/p_A) with Laplace-smoothed shares
+    (+1 per bin — PSI is undefined on empty cells).  Float discipline:
+    each bin's log-ratio quantizes to an integer (FLOOR(ln·1e9) of
+    exact-integer products, the DGA-score discipline), the share diff
+    is an exact integer cross-product, the total folds their products
+    in 128-bit exact arithmetic (decimal(38,0) / HUGEINT) and converts
+    ONCE — so psi_term, psi_total, and the 0.1 alert flag all
+    hash-match.
+
+    Scale shape: one pass bins both eras (era is a predicate, never a
+    second scan); the decile probe is a value-grain cumsum (distinct
+    mantissas, range-sort territory at 100 TB — a stats job, not a
+    serving path) whose 9 edges broadcast into the binning; cells are
+    {bins} rows, everything downstream is scalar."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            mi(F.col("o_totalprice")).alias("pi"),
+            (
+                F.col("o_orderdate")
+                < F.lit(_PSI_SPLIT).cast("timestamp")
+            ).alias("in_a"),
+        )
+    )
+    na = o.filter("in_a").agg(F.count("*").alias("n_a"))
+    nb = o.filter("NOT in_a").agg(F.count("*").alias("n_b"))
+    va = (
+        o.filter("in_a")
+        .groupBy("pi")
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(Window.orderBy("pi")))
+    )
+    edges = va.crossJoin(F.broadcast(na)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({k} * n_a + 9) div 10"),
+                    F.col("pi"),
+                )
+            ).alias(f"e{k}")
+            for k in range(1, _PSI_BINS)
+        ]
+    )
+    binv = sum(
+        [
+            F.when(F.col("pi") > F.col(f"e{k}"), 1).otherwise(0)
+            for k in range(1, _PSI_BINS)
+        ],
+        F.lit(1),
+    )
+    cells = (
+        o.crossJoin(F.broadcast(edges))
+        .select("in_a", binv.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("in_a"), 1)).alias("c_a"),
+            F.count(F.when(~F.col("in_a"), 1)).alias("c_b"),
+        )
+    )
+    lq = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1e9)
+    ).cast("bigint")
+    terms = (
+        cells.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bin",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_b") + 1) * (F.col("n_a") + _PSI_BINS)
+                - (F.col("c_a") + 1) * (F.col("n_b") + _PSI_BINS)
+            ).alias("dq"),
+            (
+                lq((F.col("c_b") + 1) * (F.col("n_a") + _PSI_BINS))
+                - lq((F.col("c_a") + 1) * (F.col("n_b") + _PSI_BINS))
+            ).alias("lrq"),
+            (
+                (F.col("n_a") + _PSI_BINS).cast("double")
+                * (F.col("n_b") + _PSI_BINS).cast("double")
+                * F.lit(1e9)
+            ).alias("dd"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = terms.agg(
+        (
+            F.sum(
+                F.col("dq").cast("decimal(38,0)")
+                * F.col("lrq").cast("decimal(38,0)")
+            ).cast("double")
+            / F.max("dd")
+        ).alias("psi_total")
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("c_a").cast("bigint").alias("n_a"),
+        F.col("c_b").cast("bigint").alias("n_b"),
+        (
+            F.col("dq").cast("double")
+            * F.col("lrq").cast("double")
+            / F.col("dd")
+        ).alias("psi_term"),
+        "psi_total",
+        (F.col("psi_total") > 0.1).alias("drift_flag"),
+    )

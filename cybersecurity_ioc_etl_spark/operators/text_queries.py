@@ -934,14 +934,24 @@ def q_countmin_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MG_M = 16  # summary capacity (counters kept per summary)
 
-_MG_SHARD_SQL = (
-    _dedup._SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)") + " % 2"
-)
 _MG_TIE_SQL = _dedup._SHINGLE_INT_SQL.format(x="tok")
 
-_MG_ORACLE = f"""
+
+def _mg_shard_sql(n_shards: int) -> str:
+    return (
+        _dedup._SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")
+        + f" % {n_shards}"
+    )
+
+
+def _mg_oracle_sql(n_shards: int) -> str:
+    """The canonical-MG shard-merge oracle, parameterized by shard
+    count — 2 for the batch audit, 4 for the streaming merge (the
+    one-shot symmetric merge's error law Σ d_shard + d_final holds for
+    any fan-in, Agarwal et al. 2013 §3)."""
+    return f"""
 WITH tok AS (
-  SELECT {_MG_SHARD_SQL} AS shard,
+  SELECT {_mg_shard_sql(n_shards)} AS shard,
     unnest(str_split_regex(
       {_dedup._ASCII_FOLD_SQL.format(x='trim(text)')}, '\\s+')) AS tok
   FROM documents WHERE text IS NOT NULL
@@ -988,6 +998,45 @@ SELECT h.tok AS token,
   CAST(m.n_missed_heavy AS BIGINT) AS n_missed_heavy
 FROM hh h JOIN exact e ON h.tok = e.tok, errb b, missed m
 """
+
+
+_MG_ORACLE = _mg_oracle_sql(2)
+
+
+def mg_tokens(docs: DataFrame) -> DataFrame:
+    """The MG token stream of a document frame — ascii-folded
+    whitespace tokens (the countmin/KMV tokenizer discipline)."""
+    return docs.filter(F.col("text").isNotNull()).select(
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+
+
+def mg_partial(tok: DataFrame, m: int = _MG_M) -> DataFrame:
+    """Canonical Misra-Gries summary of ONE token frame: exact counts,
+    truncation offset d = the (m+1)-th largest count (md5 tie-break,
+    0 when distinct keys <= m), counters c = f − d for f > d.  Emits
+    (tok, c, d) with the offset repeated per row so a partial is
+    self-describing for the merge law."""
+    from pyspark.sql import Window
+
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("f"))
+    rn = F.row_number().over(
+        Window.orderBy(
+            F.col("f").desc(), _dedup._shingle_int(F.col("tok"))
+        )
+    )
+    dv = (
+        cnt.withColumn("rn", rn)
+        .filter(F.col("rn") == m + 1)
+        .agg(F.coalesce(F.max("f"), F.lit(0)).alias("d"))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(dv))
+        .filter(F.col("f") > F.col("d"))
+        .select("tok", (F.col("f") - F.col("d")).alias("c"), "d")
+    )
 
 
 @query("heavy_hitters_merge_audit", oracle=_MG_ORACLE)
@@ -1091,6 +1140,31 @@ def q_heavy_hitters_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missed_heavy",
         )
     )
+
+
+@query("stream_heavy_hitters_merge", oracle=_mg_oracle_sql(4))
+def q_stream_heavy_hitters_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Misra-Gries — the stream twin the sketch-merge family
+    gives every summary (stream_kmv_merge ∪, stream_hll_merge MAX,
+    stream_countmin_merge +): per micro-batch a canonical MG summary
+    lands as a replay-safe bid-keyed partial, and the fold sums
+    counters + re-truncates, carrying the additive error law
+    Σ d_batch + d_final through the merge.  MG partials are NOT
+    batching-invariant, so the stream stages deterministic
+    md5(doc_id)%4 batches and the oracle recomputes the same four
+    summaries — the merge itself stays symmetric, so arrival order is
+    free.  Audit columns identical to heavy_hitters_merge_audit; the
+    oracle asserts bound_ok and n_missed_heavy = 0.
+
+    Scale shape: per-trigger state is ≤ m counters + one offset; the
+    fold touches (batches × m) partial rows, never the corpus — the
+    production path for a top-k dashboard over an unbounded token
+    stream."""
+    from ..streaming.pipeline import run_stream_heavy_hitters
+
+    return run_stream_heavy_hitters(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -1226,6 +1226,129 @@ def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(kmv_bottom_k(parts))
 
 
+def run_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: per micro-batch the
+    batch's canonical MG summary (capacity m, counts minus the batch's
+    (m+1)-th-largest offset) is written as a bid-keyed overwrite
+    partial (replay-safe, like run_stream_kmv); the fold SUMS counters
+    across committed partials and re-truncates at the merged
+    (m+1)-th largest — the Agarwal et al. one-shot symmetric merge,
+    whose error law Σ d_batch + d_final the serving query audits
+    against exact counts.  Unlike KMV/HLL/count-min, an MG summary is
+    NOT batching-invariant (each batch's offset depends on its
+    content), so the fixture stages DETERMINISTIC batches — four files
+    split by md5(doc_id) % 4 — and the oracle recomputes the same four
+    summaries; the FOLD itself is symmetric over the partial set, so
+    file arrival order still doesn't matter.  State per batch is
+    ≤ m counter rows + one offset."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _shingle_int
+    from ..operators.text_queries import _MG_M, mg_partial, mg_tokens
+    from ..sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    work_dir = tempfile.mkdtemp(prefix="stream_mg_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(src, exist_ok=True)
+    staged = d.withColumn(
+        "b", _shingle_int(F.col("doc_id").cast("string")) % 4
+    ).localCheckpoint(eager=True)
+    import shutil
+
+    for k in range(4):
+        tmp = os.path.join(work_dir, f"_tmp{k}")
+        staged.filter(F.col("b") == k).drop("b").coalesce(1).write.parquet(
+            tmp
+        )
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        shutil.move(
+            os.path.join(tmp, part[0]),
+            os.path.join(src, f"{k:02d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(
+            mg_partial(mg_tokens(batch)).withColumn("bid", F.lit(bid)),
+            out_dir,
+            bid,
+        )
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            "token string, est_count bigint, exact_count bigint,"
+            " err_bound bigint, bound_ok boolean, n_missed_heavy bigint",
+        )
+    parts = spark.read.parquet(*dirs)
+    d_sum = (
+        parts.select("bid", "d")
+        .distinct()
+        .agg(F.coalesce(F.sum("d"), F.lit(0)).alias("d12"))
+    )
+    merged0 = parts.groupBy("tok").agg(F.sum("c").alias("g"))
+    rn = F.row_number().over(
+        Window.orderBy(F.col("g").desc(), _shingle_int(F.col("tok")))
+    )
+    d3s = (
+        merged0.withColumn("rn", rn)
+        .filter(F.col("rn") == _MG_M + 1)
+        .agg(F.coalesce(F.max("g"), F.lit(0)).alias("d3"))
+    )
+    errb = d_sum.crossJoin(F.broadcast(d3s)).select(
+        (F.col("d12") + F.col("d3")).alias("err_bound")
+    )
+    hh = (
+        merged0.crossJoin(F.broadcast(d3s))
+        .filter(F.col("g") > F.col("d3"))
+        .select("tok", (F.col("g") - F.col("d3")).alias("est"))
+    )
+    exact = mg_tokens(d).groupBy("tok").agg(F.count("*").alias("f"))
+    missed = (
+        exact.crossJoin(F.broadcast(errb))
+        .filter(F.col("f") > F.col("err_bound"))
+        .join(hh.select("tok"), "tok", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_missed_heavy"))
+    )
+    return (
+        hh.join(exact, "tok")
+        .crossJoin(F.broadcast(errb))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("est").cast("bigint").alias("est_count"),
+            F.col("f").cast("bigint").alias("exact_count"),
+            F.col("err_bound").cast("bigint").alias("err_bound"),
+            (
+                (F.col("est") <= F.col("f"))
+                & (F.col("f") <= F.col("est") + F.col("err_bound"))
+            ).alias("bound_ok"),
+            "n_missed_heavy",
+        )
+    )
+
+
 def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL registers: per micro-batch the batch's occupied
     (source, idx, r) registers are written as a bid-keyed overwrite

@@ -1355,3 +1355,69 @@ def test_label_communities_rounds_stay_jvm(spark, sf_dir):
     p = plan(spark, sf_dir, "trade_label_communities", execute=True)
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_modularity_label_joins_broadcast_and_scalar_fold(spark, sf_dir):
+    """Modularity receipt: the intra-community census joins the edge
+    table against the (broadcastable) label table; the final fold is
+    scalar aggregates crossed by broadcast — all JVM, no cartesian
+    beyond the broadcast-singleton scalars."""
+    p = plan(spark, sf_dir, "trade_modularity_score", execute=True)
+    assert P.has_broadcast_join(p)
+    assert P.is_all_jvm(p)
+
+
+def test_psi_single_pass_bins_with_broadcast_edges(spark, sf_dir):
+    """PSI drift: the nine decile edges broadcast into the one binning
+    pass (era is a predicate, never a second scan), cells are 10 rows,
+    all JVM.  The scan pushdown and edge broadcast sit BELOW the terms
+    localCheckpoint, so they're pinned on the pre-checkpoint binning
+    plan; the served plan (from the checkpoint) must stay scalar —
+    no CartesianProduct, all JVM."""
+    from cybersecurity_ioc_etl_spark.operators.profiling import (
+        _PSI_BINS,
+        _PSI_SPLIT,
+    )
+    from cybersecurity_ioc_etl_spark.operators.relational import mi
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            mi(F.col("o_totalprice")).alias("pi"),
+            (
+                F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp")
+            ).alias("in_a"),
+        )
+    )
+    na = o.filter("in_a").agg(F.count("*").alias("n_a"))
+    va = (
+        o.filter("in_a")
+        .groupBy("pi")
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(Window.orderBy("pi")))
+    )
+    edges = va.crossJoin(F.broadcast(na)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({k} * n_a + 9) div 10"),
+                    F.col("pi"),
+                )
+            ).alias(f"e{k}")
+            for k in range(1, _PSI_BINS)
+        ]
+    )
+    binned = o.crossJoin(F.broadcast(edges))
+    pre = P.formatted_plan(binned, execute=True)
+    assert P.has_pushed_filters(pre)
+    assert "BroadcastNestedLoopJoin" in pre or P.has_broadcast_join(pre)
+    p = plan(spark, sf_dir, "orders_psi_drift", execute=True)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
