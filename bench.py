@@ -201,6 +201,7 @@ HEADLINE = [
     "trade_modularity_score",
     "orders_psi_drift",
     "stream_heavy_hitters_merge",
+    "eval_contamination_spans",
 ]
 
 

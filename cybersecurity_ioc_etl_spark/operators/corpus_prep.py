@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
-from .dedup import _SHINGLES_SQL, _word_shingles
+from .dedup import _SHINGLE_INT_SQL, _SHINGLES_SQL, _shingle_int, _word_shingles
 from .registry import query
 
 _CHUNK = 200  # chars per chunk
@@ -163,6 +163,137 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(ev), "sh")
         .groupBy("doc_id")
         .agg(F.countDistinct("sh").alias("n_shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-grain decontamination — contaminated token fraction per training doc
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 5  # token grain; matches substring_dedup_spans
+
+_CONTAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM d
+      WHERE len(toks) >= {_CONTAM_K}),
+g AS (
+  SELECT doc_id, n_tokens,
+    [{_SHINGLE_INT_SQL.format(
+        x=f"array_to_string(list_slice(toks, gi, gi + {_CONTAM_K - 1}),"
+          " chr(1))")}
+     for gi in range(1, len(toks) - {_CONTAM_K - 2})] AS hs
+  FROM t
+),
+occ AS (
+  SELECT doc_id, u.i - 1 AS p, hs[u.i] AS h
+  FROM g, unnest(range(1, len(g.hs) + 1)) AS u(i)
+),
+ev AS (SELECT DISTINCT h FROM occ WHERE doc_id < 10),
+hit AS (
+  SELECT o.doc_id, o.p FROM occ o JOIN ev e ON o.h = e.h
+  WHERE o.doc_id >= 10
+),
+w AS (
+  SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+  FROM hit
+),
+isl AS (
+  SELECT doc_id,
+    COUNT(*) AS n_eval_grams,
+    SUM(CASE WHEN lp IS NULL THEN {_CONTAM_K}
+             ELSE LEAST({_CONTAM_K}, p - lp) END) AS covered,
+    SUM(CASE WHEN lp IS NULL OR p - lp > {_CONTAM_K} THEN 1 ELSE 0 END)
+      AS n_spans
+  FROM w GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  CAST(i.n_eval_grams AS BIGINT) AS n_eval_grams,
+  CAST(i.n_spans AS BIGINT) AS n_spans,
+  CAST(i.covered AS BIGINT) AS covered_tokens,
+  CAST(i.covered AS DOUBLE) / t.n_tokens AS contaminated_fraction
+FROM t JOIN isl i ON t.doc_id = i.doc_id
+WHERE t.doc_id >= 10
+"""
+
+
+@query("eval_contamination_spans", oracle=_CONTAM_ORACLE)
+def q_eval_contamination_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination at SPAN grain — the substring_dedup_spans
+    machinery pointed at the eval set: a training doc's token position
+    is contaminated when covered by a verbatim {k}-token run that also
+    appears in the held-out eval docs (doc_id < 10), and the emitted
+    covered-token fraction is the DECISION signal span-level
+    decontamination needs (eval_contamination counts shared shingles —
+    good for flagging; the span fraction says how much of the doc to
+    cut, the Lee et al. scrub grain).  Only contaminated docs emit.
+
+    Scale shape: eval grams collapse to a distinct 8-byte-hash set and
+    BROADCAST (eval sets are tiny); training docs pay one posexplode
+    census + the broadcast probe + a per-doc lag window — one doc_id
+    shuffle; corpus text never shuffles."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tk = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+    ).filter(F.size("tk") >= _CONTAM_K)
+    toks = F.col("tk")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _CONTAM_K),
+        lambda gi: F.concat_ws(
+            "\x01",
+            *[F.element_at(toks, gi + j + 1) for j in range(_CONTAM_K)],
+        ),
+    )
+    occ = tk.select(
+        "doc_id", F.posexplode(grams).alias("p", "gram")
+    ).select("doc_id", "p", _shingle_int(F.col("gram")).alias("h"))
+    ev = occ.filter(F.col("doc_id") < 10).select("h").distinct()
+    hit = (
+        occ.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(ev), "h")
+        .select("doc_id", "p")
+    )
+    lagw = Window.partitionBy("doc_id").orderBy("p")
+    w = hit.withColumn("lp", F.lag("p").over(lagw))
+    isl = w.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_eval_grams"),
+        F.sum(
+            F.when(F.col("lp").isNull(), F.lit(_CONTAM_K)).otherwise(
+                F.least(F.lit(_CONTAM_K), F.col("p") - F.col("lp"))
+            )
+        )
+        .cast("bigint")
+        .alias("covered_tokens"),
+        F.sum(
+            F.when(
+                F.col("lp").isNull()
+                | (F.col("p") - F.col("lp") > _CONTAM_K),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    base = tk.filter(F.col("doc_id") >= 10).select(
+        "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
+    )
+    return base.join(isl, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_eval_grams",
+        "n_spans",
+        "covered_tokens",
+        (
+            F.col("covered_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("contaminated_fraction"),
     )
 
 
