@@ -202,6 +202,8 @@ HEADLINE = [
     "orders_psi_drift",
     "stream_heavy_hitters_merge",
     "eval_contamination_spans",
+    "stream_scd2_enrich",
+    "ivfpq_delete_compact_topk",
 ]
 
 

@@ -2667,6 +2667,21 @@ def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_scd2_enrich", oracle=_SCD2_JOIN_ORACLE)
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_temporal_join run as a STREAM-STATIC join: purchase facts
+    stream in micro-batches and enrich against the broadcast SCD2
+    dimension per trigger — stateless (static side, inner join), so
+    the drained sink equals the batch temporal join for any
+    micro-batching; same oracle.  The serving shape for
+    slowly-changing lookups: the dimension refreshes out-of-band, the
+    fact stream never blocks on it.  See streaming/pipeline.py::
+    run_stream_scd2_enrich."""
+    from ..streaming.pipeline import run_stream_scd2_enrich
+
+    return run_stream_scd2_enrich(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Linear attribution — purchase value split equally over the click window
 # ---------------------------------------------------------------------------

