@@ -204,6 +204,7 @@ HEADLINE = [
     "eval_contamination_spans",
     "stream_scd2_enrich",
     "ivfpq_delete_compact_topk",
+    "mmr_diversified_topk",
 ]
 
 

@@ -3549,3 +3549,163 @@ def q_embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank — greedy relevance-vs-redundancy selection
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 20  # candidate shortlist (top-N by relevance)
+_MMR_PICKS = 4  # greedy picks (1 seed + 3 unrolled MMR rounds)
+
+
+def _mmr_pick_sql(r: int) -> str:
+    """One unrolled MMR round: score remaining candidates by
+    rel − max-dot-to-selected (λ=1/2 ordering), pick the argmax."""
+    return f""",
+pen{r} AS (
+  SELECT pd.a AS vec_id, MAX(pd.d) AS pen
+  FROM pdots pd JOIN sel{r - 1} s ON pd.b = s.vec_id
+  WHERE pd.a NOT IN (SELECT vec_id FROM sel{r - 1})
+  GROUP BY pd.a
+),
+pick{r} AS (
+  SELECT c.vec_id, c.rel, p.pen, {r + 1} AS rank
+  FROM cand c JOIN pen{r} p ON c.vec_id = p.vec_id
+  ORDER BY c.rel - p.pen DESC, c.vec_id
+  LIMIT 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT vec_id, rel, pen, rank FROM sel{r - 1}
+  UNION ALL SELECT vec_id, rel, pen, rank FROM pick{r}
+)"""
+
+
+_MMR_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+qv AS (SELECT i, xi AS qx FROM comp WHERE vec_id = 0),
+rels AS (
+  SELECT c.vec_id, SUM(c.xi * q.qx) AS rel
+  FROM comp c JOIN qv q ON c.i = q.i
+  WHERE c.vec_id != 0
+  GROUP BY c.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, rel FROM rels ORDER BY rel DESC, vec_id
+  LIMIT {_MMR_CAND}
+),
+pdots AS MATERIALIZED (
+  SELECT ca.vec_id AS a, cb.vec_id AS b, SUM(x.xi * y.xi) AS d
+  FROM cand ca JOIN cand cb ON ca.vec_id != cb.vec_id
+  JOIN comp x ON x.vec_id = ca.vec_id
+  JOIN comp y ON y.vec_id = cb.vec_id AND y.i = x.i
+  GROUP BY 1, 2
+),
+sel0 AS MATERIALIZED (
+  SELECT vec_id, rel, CAST(0 AS HUGEINT) AS pen, 1 AS rank
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+){"".join(_mmr_pick_sql(r) for r in range(1, _MMR_PICKS))}
+SELECT CAST(rank AS BIGINT) AS rank,
+  CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(rel AS DOUBLE) / 100000000000000.0 AS relevance,
+  CAST(pen AS DOUBLE) / 100000000000000.0 AS max_sim_selected,
+  (CAST(rel AS DOUBLE) - CAST(pen AS DOUBLE)) / 2.0
+    / 100000000000000.0 AS mmr_score
+FROM sel{_MMR_PICKS - 1}
+"""
+
+
+@query("mmr_diversified_topk", oracle=_MMR_ORACLE)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    — the diversification pass a retrieval pipeline runs AFTER the ANN
+    shortlist: greedily pick documents maximizing
+    λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 1/2, so each pick
+    trades relevance against redundancy with what's already selected.
+    Similarity is the INNER PRODUCT on the integer-mantissa contract
+    (exact ints end-to-end; the cosine-normalized variant divides by
+    norms and loses exactness — documented trade, same greedy
+    structure), so every argmax comparison is integer-exact and the
+    pick SEQUENCE hash-matches, not just the set.  Ties break to the
+    smallest vec_id.
+
+    Scale shape: relevance is one broadcast-query dot pass + a top-{n}
+    TakeOrdered; the candidate-candidate dot matrix is {n}×{n} over
+    the SHORTLIST only (never the corpus); each of the {k} unrolled
+    picks is a tiny broadcast anti-join + argmax — MMR cost is
+    O(shortlist²·dims), independent of corpus size, which is why the
+    production pipeline runs it per query after IVF/LSH."""
+    comp = _kmeans_comp(spark, sf_dir)
+    qv = comp.filter(F.col("vec_id") == 0).select(
+        "i", F.col("xi").alias("qx")
+    )
+    rels = (
+        comp.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xi") * F.col("qx")).alias("rel"))
+    )
+    cand = (
+        rels.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    cc = comp.join(
+        F.broadcast(cand.select("vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
+    x, y = cc.alias("x"), cc.alias("y")
+    pdots = (
+        x.join(
+            y,
+            (F.col("x.i") == F.col("y.i"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .groupBy(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+        )
+        .agg(F.sum(F.col("x.xi") * F.col("y.xi")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            F.lit(0).cast("long").alias("pen"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    for r in range(1, _MMR_PICKS):
+        pen = (
+            pdots.join(
+                F.broadcast(sel.select(F.col("vec_id").alias("b"))), "b"
+            )
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("d").alias("pen"))
+            .join(sel.select("vec_id"), "vec_id", "left_anti")
+        )
+        pick = (
+            cand.join(pen, "vec_id")
+            .orderBy((F.col("rel") - F.col("pen")).desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", "pen", F.lit(r + 1).alias("rank"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        (F.col("rel").cast("double") / F.lit(1e14)).alias("relevance"),
+        (F.col("pen").cast("double") / F.lit(1e14)).alias(
+            "max_sim_selected"
+        ),
+        (
+            (F.col("rel").cast("double") - F.col("pen").cast("double"))
+            / F.lit(2.0)
+            / F.lit(1e14)
+        ).alias("mmr_score"),
+    )

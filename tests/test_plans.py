@@ -1481,3 +1481,36 @@ def test_ivfpq_delete_compaction_removes_tombstoned_rows(spark, sf_dir):
         )
 
         drop_table_and_location(spark, compacted)
+
+
+def test_mmr_shortlist_work_is_broadcast_and_topk(spark, sf_dir):
+    """MMR re-rank: relevance is a broadcast-query dot pass with a
+    distributed top-N shortlist (TakeOrderedAndProject) — pinned on the
+    pre-checkpoint shortlist plan, since the greedy picks checkpoint
+    per round and the served plan is a scan of the final checkpoint
+    (which must stay JVM, no cartesian)."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.operators.similarity import (
+        _MMR_CAND,
+        _kmeans_comp,
+    )
+
+    comp = _kmeans_comp(spark, sf_dir)
+    qv = comp.filter(F.col("vec_id") == 0).select(
+        "i", F.col("xi").alias("qx")
+    )
+    cand = (
+        comp.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xi") * F.col("qx")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_CAND)
+    )
+    pre = P.formatted_plan(cand, execute=True)
+    assert P.has_broadcast_join(pre)
+    assert P.has_take_ordered_topk(pre)
+    p = plan(spark, sf_dir, "mmr_diversified_topk", execute=True)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
