@@ -205,6 +205,7 @@ HEADLINE = [
     "stream_scd2_enrich",
     "ivfpq_delete_compact_topk",
     "mmr_diversified_topk",
+    "retractable_agg_maintenance",
 ]
 
 

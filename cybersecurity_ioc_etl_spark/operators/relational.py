@@ -806,6 +806,106 @@ def q_incremental_agg_maintenance(
 
 
 # ---------------------------------------------------------------------------
+# Retractable view maintenance — CDC deletes folded as signed deltas
+# ---------------------------------------------------------------------------
+
+_RETRACT_MOD = 3  # deleted base rows: o_orderkey % 10 == 3
+
+_RETRACT_ORACLE = f"""
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {ISUM.format(x=MI.format(x='o_totalprice'))} / 10000.0 AS total_price,
+  TRUE AS retract_consistent
+FROM orders
+WHERE (o_orderdate < TIMESTAMP '{_IVM_CUT}' AND o_orderkey % 10 != {_RETRACT_MOD})
+   OR o_orderdate >= TIMESTAMP '{_IVM_CUT}'
+GROUP BY o_orderpriority
+"""
+
+
+@query("retractable_agg_maintenance", oracle=_RETRACT_ORACLE)
+def q_retractable_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETRACTABLE view maintenance — incremental_agg_maintenance
+    extended to CDC batches that carry DELETES: the stored view (base
+    orders before {cut}) folds a mixed batch of inserts (orders on/
+    after the cut, +1/+price) and deletes (base orders with
+    o_orderkey % 10 == {mod}, −1/−price) as SIGNED deltas — one
+    delta-side aggregation, cost ∝ batch, the base rows untouched.
+    COUNT and the mantissa SUM form a group under retraction (signed
+    integers), which is exactly why production IVM engines (Flink
+    retract streams, Materialize) maintain them incrementally while
+    MIN/MAX need a full re-read of the group on delete — the
+    non-retractability boundary this receipt documents.  The query
+    recomputes from scratch on (base − deletes) ∪ inserts and emits
+    retract_consistent per group; the oracle states TRUE.
+
+    Scale shape: both delta legs are map-side-combined single shuffles
+    with the date predicate pushed to the scan; the merge is a
+    groups-sized outer join.  The recompute is the rare audit leg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        mi(F.col("o_totalprice")).alias("pi"),
+    )
+    is_base = F.col("d") < _IVM_CUT
+    is_del = is_base & (F.col("k") % 10 == _RETRACT_MOD)
+
+    def agg_signed(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.lit(sign) * F.count("*")).alias("n"),
+            (
+                F.lit(sign)
+                * F.sum(F.col("pi").cast("decimal(38,0)"))
+            ).alias("s"),
+        )
+
+    base = agg_signed(o.filter(is_base), 1)
+    ins = agg_signed(o.filter(~is_base), 1)
+    dels = agg_signed(o.filter(is_del), -1)
+    delta = (
+        ins.unionByName(dels)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    b = base.select(
+        "o_orderpriority", F.col("n").alias("bn"), F.col("s").alias("bs")
+    )
+    dd = delta.select(
+        "o_orderpriority", F.col("n").alias("dn"), F.col("s").alias("ds")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    merged = b.join(dd, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (
+            F.coalesce(F.col("bn"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("mn"),
+        (
+            F.coalesce(F.col("bs"), zero) + F.coalesce(F.col("ds"), zero)
+        ).alias("ms"),
+    )
+    full = (
+        o.filter(~is_del)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("pi").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("mn").cast("bigint").alias("n_orders"),
+        (F.col("ms").cast("double") / F.lit(10000.0)).alias("total_price"),
+        (
+            (F.col("mn") == F.col("n")) & (F.col("ms") == F.col("s"))
+        ).alias("retract_consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental view maintenance for JOINs — the delta-join algebra
 # ---------------------------------------------------------------------------
 
