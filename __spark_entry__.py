@@ -226,10 +226,12 @@ _RECONFIRM = [
 # Unchecked queries deliberately deferred past this round's window
 # (none yet for r10 — add here if the window fills past 50).
 # ROUND-11 ROTATION NOTE: fold the 50 names the r10 CORRECTNESS gate
-# sampled (head of queries() at gate time) into _DRIVER_CHECKED, clear
+# sampled (head of queries() at gate time: the 12 round-10 additions +
+# the first 38 _RECONFIRM entries) into _DRIVER_CHECKED, clear
 # _PRIORITY unless an oracle changed, promote any _DEFER entries,
 # continue _RECONFIRM oldest-first from where the r10 window cut off
-# (the r1/r2 sweep continues: first_last_order_price,
+# (expected cut: nation_presence_fulljoin, order_fulfillment_lag slip
+# to r11; then the r1/r2 sweep continues: first_last_order_price,
 # part_measure_unpivot, nation_trade_flows, returned_item_customers,
 # disjunctive_promo_revenue, customer_order_distribution,
 # market_share_by_year, late_shipment_priority_counts,
