@@ -31,6 +31,15 @@ from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 # restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r10 window (CORRECTNESS_r10: 50/50 hash-green — the 12 round-10
+        # additions + 38 oldest-first re-confirmations already listed in
+        # earlier windows)
+        "substring_dedup_spans", "retractable_agg_maintenance",
+        "stream_dedup_evicting", "stream_scd2_enrich",
+        "heavy_hitters_merge_audit", "stream_heavy_hitters_merge",
+        "trade_label_communities", "trade_modularity_score",
+        "eval_contamination_spans", "ivfpq_delete_compact_topk",
+        "mmr_diversified_topk", "orders_psi_drift",
         # r9 window (CORRECTNESS_r09: 50/50 hash-green — the 17 round-9
         # additions + 33 oldest-first re-confirmations)
         "incremental_cc_maintenance", "incremental_join_maintenance",
@@ -197,46 +206,57 @@ _DRIVER_CHECKED = frozenset(
 _PRIORITY: list[str] = []
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-10 queries.  Continues the r9 rotation from
-# where its 50-query window cut off (doc_pii_scrub onward — the last
-# r3-only rows), then begins the r1/r2-window sweep (rows whose only
-# driver green is still round 1 or 2, oldest-first).
+# head + any new round-11 queries.  Continues the r10 rotation from
+# where its 50-query window cut off (nation_presence_fulljoin onward —
+# the last r2-latest rows), then begins the r4-latest sweep
+# (oldest-first; CORRECTNESS round recency computed from the r1-r10
+# JSONs: 11 rows' latest green is r2, 35 rows' is r4, 19 rows' is r5).
 _RECONFIRM = [
-    # r3-window residual (only green is still r3)
-    "doc_pii_scrub", "doc_shingle_profile", "doc_tf_map",
-    "embedding_int8_quantize", "embedding_neardup_pairs", "events_hourly",
-    "label_centroid_norms", "media_byte_profile",
-    "minhash_jaccard_estimate", "simhash_signatures",
-    "source_mixture_sample", "top_terms", "vector_norms",
-    "weighted_priority_sample",
-    # r1/r2-window sweep begins (only green is r1/r2)
-    "ioc_type_counts", "ioc_per_source_daily", "ioc_url_hosts",
-    "ioc_allowlist_filtered", "ioc_validation_counts",
-    "filter_project_revenue", "segment_sales", "brand_quantity",
-    "customers_with_open_orders", "customers_without_orders",
-    "top_order_per_customer", "customer_running_spend",
-    "monthly_order_stats", "cube_status_priority",
-    "distinct_suppliers_per_flag", "open_not_finished_customers",
-    "both_status_customers", "big_brands", "parts_above_brand_avg",
-    "priority_return_counts", "promo_revenue_share", "part_name_tokens",
-    "large_volume_customers", "customer_order_leftjoin",
+    # r2-latest residual (the full remaining tranche — clears the
+    # "older than r4" debt VERDICT r10 item 3 tracks)
     "nation_presence_fulljoin", "order_fulfillment_lag",
+    "first_last_order_price", "part_measure_unpivot",
+    "nation_trade_flows", "returned_item_customers",
+    "disjunctive_promo_revenue", "customer_order_distribution",
+    "late_shipment_priority_counts", "top_revenue_supplier",
+    "supplier_count_by_part_attrs",
+    # r4-latest sweep begins (window cut expected partway through;
+    # the remainder + the r5 tranche roll to r12)
+    "best_offer_per_part", "nation_profit_by_year",
+    "dominant_part_suppliers", "forecast_revenue_change",
+    "important_stock_shape", "quantity_tier_counts",
+    "returnflag_linestatus_pivot", "order_price_quartiles",
+    "similar_part_names", "part_token_profile",
+    "lineitem_stats_by_flag", "salted_source_profile",
+    "rolling_30d_spend", "order_gap_days", "orders_column_profile",
+    "lineitem_integrity_audit", "events_json_props", "events_type_pivot",
+    "events_dow_hour_profile", "events_sliding_counts",
+    "events_hourly_interpolated", "user_value_locf",
+    "user_weekly_retention", "event_value_outliers",
+    "doc_length_histogram", "stream_static_category_counts",
+    "stream_session_counts", "stream_click_error_join",
+    "stream_neardup_signature_groups", "neardup_keep_canonical",
+    "corpus_segment_dedup", "events_variant_stats",
+    "doc_repetition_scores", "bpe_pair_counts", "bpe_merge_step",
+    "bpe_two_merges", "kmeans_two_rounds", "stream_ann_topk",
+    "events_native_sessions",
 ]
 
 # Unchecked queries deliberately deferred past this round's window
-# (none yet for r10 — add here if the window fills past 50).
-# ROUND-11 ROTATION NOTE: fold the 50 names the r10 CORRECTNESS gate
-# sampled (head of queries() at gate time: the 12 round-10 additions +
-# the first 38 _RECONFIRM entries) into _DRIVER_CHECKED, clear
+# (none yet for r11 — add here if the window fills past 50).
+# ROUND-12 ROTATION NOTE: fold the 50 names the r11 CORRECTNESS gate
+# sampled (head of queries() at gate time: the new round-11 additions +
+# the leading _RECONFIRM entries) into _DRIVER_CHECKED, clear
 # _PRIORITY unless an oracle changed, promote any _DEFER entries,
-# continue _RECONFIRM oldest-first from where the r10 window cut off
-# (expected cut: nation_presence_fulljoin, order_fulfillment_lag slip
-# to r11; then the r1/r2 sweep continues: first_last_order_price,
-# part_measure_unpivot, nation_trade_flows, returned_item_customers,
-# disjunctive_promo_revenue, customer_order_distribution,
-# market_share_by_year, late_shipment_priority_counts,
-# top_revenue_supplier, supplier_count_by_part_attrs, then the
-# r4/r5-latest rows), and keep head + new <= 50.
+# continue _RECONFIRM oldest-first from where the r11 window cut off
+# (the r4-latest remainder, then the 19 r5-latest rows:
+# ann_recall_audit, bpe_encode_stats, embedding_abtt_residuals,
+# eval_contamination, event_value_winsorized, incremental_dedup_new_docs,
+# ioc_first_last_seen, ivf_trained_topk, ivfpq_adc_topk,
+# ivfpq_trained_topk, minhash_band_pairs, mrl_truncation_audit,
+# pq_codes, source_overlap_matrix, stream_classify_confusion,
+# stream_value_outliers, tfidf_doc_similarity_pairs, and the rest),
+# and keep head + new <= 50.
 _DEFER: list[str] = []
 
 
