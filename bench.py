@@ -328,9 +328,12 @@ def main() -> None:
         incremental_cc_fold(spark, sf_dir).count()
         fold_s = time.perf_counter() - t0
         full_s = timings.get("incremental_cc_maintenance")
+        # full_s can be None (query skipped/renamed) — print n/a, not
+        # "Nones" (ADVICE r10).
+        full_txt = f"{full_s:.3f}s" if full_s is not None else "n/a"
         print(
             f"# leg incremental_cc_maintenance: fold={fold_s:.3f}s"
-            f" full_with_audit={full_s}s",
+            f" full_with_audit={full_txt}",
             file=sys.stderr,
         )
         _drop_checkpoints()

@@ -1013,12 +1013,22 @@ def mg_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def mg_partial(tok: DataFrame, m: int = _MG_M) -> DataFrame:
+def mg_partial(
+    tok: DataFrame, m: int = _MG_M, sentinel: bool = False
+) -> DataFrame:
     """Canonical Misra-Gries summary of ONE token frame: exact counts,
     truncation offset d = the (m+1)-th largest count (md5 tie-break,
     0 when distinct keys <= m), counters c = f − d for f > d.  Emits
     (tok, c, d) with the offset repeated per row so a partial is
-    self-describing for the merge law."""
+    self-describing for the merge law.
+
+    sentinel=True (ADVICE r10): a degenerate frame whose top m+1 counts
+    all tie has NO row with f > d, so the partial would be empty and its
+    offset d lost to any downstream d-sum.  With sentinel=True one extra
+    (tok=NULL, c=0, d) row is always emitted so the offset survives even
+    when the counter set is empty; mergers must exclude NULL tok from
+    the counter fold (c=0 makes it harmless there anyway) and take d
+    from the distinct (bid, d) projection as usual."""
     from pyspark.sql import Window
 
     cnt = tok.groupBy("tok").agg(F.count("*").alias("f"))
@@ -1032,11 +1042,19 @@ def mg_partial(tok: DataFrame, m: int = _MG_M) -> DataFrame:
         .filter(F.col("rn") == m + 1)
         .agg(F.coalesce(F.max("f"), F.lit(0)).alias("d"))
     )
-    return (
+    part = (
         cnt.crossJoin(F.broadcast(dv))
         .filter(F.col("f") > F.col("d"))
         .select("tok", (F.col("f") - F.col("d")).alias("c"), "d")
     )
+    if not sentinel:
+        return part
+    marker = dv.select(
+        F.lit(None).cast("string").alias("tok"),
+        F.lit(0).cast("bigint").alias("c"),
+        "d",
+    )
+    return part.unionByName(marker)
 
 
 @query("heavy_hitters_merge_audit", oracle=_MG_ORACLE)

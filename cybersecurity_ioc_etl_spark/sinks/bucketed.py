@@ -224,21 +224,32 @@ def compact_parquet_dir(
     # size via the Hadoop FileSystem API, not a driver-local os.walk:
     # the source may be any URI scheme (hdfs://, s3a://, file:) and the
     # 100 TB framing above requires the size probe to work there too
-    # (ADVICE r8).  listStatus filtered to visible *.parquet, not
-    # getContentSummary: the summary counts committer metadata
-    # (_SUCCESS, .crc) and anything else that lands under src_dir,
-    # which can bump n_files across a target_file_bytes boundary
-    # (ADVICE r9).
+    # (ADVICE r8).  RECURSIVE listFiles filtered to visible *.parquet:
+    # not getContentSummary (counts committer metadata — _SUCCESS,
+    # .crc — which can bump n_files across a target_file_bytes
+    # boundary, ADVICE r9), and not top-level listStatus (blind to
+    # nested/partitioned layouts, where total would be 0 and the whole
+    # directory silently compacted to ONE file regardless of size,
+    # ADVICE r10).  Hidden-dir descendants (_tmp/..., .staging/...)
+    # are excluded by checking every path segment under src_dir.
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(src_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = sum(
-        st.getLen()
-        for st in fs.listStatus(jpath)
-        if st.isFile()
-        and st.getPath().getName().endswith(".parquet")
-        and not st.getPath().getName().startswith(("_", "."))
-    )
+    base = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
+
+    def _visible(p) -> bool:
+        rel = p.toUri().getPath()[len(base) :].lstrip("/")
+        return not any(
+            seg.startswith(("_", ".")) for seg in rel.split("/")
+        )
+
+    total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and _visible(st.getPath()):
+            total += st.getLen()
     n_files = max(1, -(-total // target_file_bytes))
     (
         spark.read.parquet(src_dir)

@@ -1353,8 +1353,15 @@ def run_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
             return
+        # sentinel=True (ADVICE r10): a degenerate batch whose top m+1
+        # token counts all tie yields an EMPTY counter set (no f > d);
+        # without the sentinel row that batch's truncation offset d
+        # would vanish from d_sum while the oracle's dd CTE still
+        # counts every shard — err_bound and the hash would diverge.
         _write_partial_bid(
-            mg_partial(mg_tokens(batch)).withColumn("bid", F.lit(bid)),
+            mg_partial(mg_tokens(batch), sentinel=True).withColumn(
+                "bid", F.lit(bid)
+            ),
             out_dir,
             bid,
         )
@@ -1384,7 +1391,13 @@ def run_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.coalesce(F.sum("d"), F.lit(0)).alias("d12"))
     )
-    merged0 = parts.groupBy("tok").agg(F.sum("c").alias("g"))
+    # NULL tok rows are the per-bid offset sentinels — offset-only
+    # carriers (c=0), excluded from the counter fold.
+    merged0 = (
+        parts.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("c").alias("g"))
+    )
     rn = F.row_number().over(
         Window.orderBy(F.col("g").desc(), _shingle_int(F.col("tok")))
     )

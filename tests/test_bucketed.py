@@ -192,3 +192,34 @@ def test_compact_parquet_dir_preserves_rows_and_bounds_files(
     assert spark.read.parquet(out).count() == df.count()
     # schema survives the rewrite
     assert spark.read.parquet(out).schema == spark.read.parquet(src).schema
+
+
+def test_compact_parquet_dir_sizes_nested_layouts(spark, sf_dir, tmp_path):
+    """ADVICE r10: the size probe must be RECURSIVE — for a
+    hive-partitioned source the data files live in subdirectories, and
+    a top-level-only listing sees total=0, silently compacting any
+    directory to ONE file regardless of actual size.  With a tiny
+    target_file_bytes the nested fixture must request >1 output file;
+    committer metadata (_SUCCESS) stays excluded (ADVICE r9)."""
+    import os
+
+    from cybersecurity_ioc_etl_spark.sinks.bucketed import compact_parquet_dir
+
+    src = str(tmp_path / "nested")
+    out = str(tmp_path / "nested_compacted")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df.write.mode("overwrite").partitionBy("event_type").parquet(src)
+    # no top-level *.parquet — only partition subdirs + _SUCCESS
+    assert not any(f.endswith(".parquet") for f in os.listdir(src))
+    nested_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert nested_bytes > 0
+    n_req = compact_parquet_dir(
+        spark, src, out, target_file_bytes=max(1, nested_bytes // 4)
+    )
+    assert n_req >= 2, "nested layout must not size to total=0 -> 1 file"
+    assert spark.read.parquet(out).count() == df.count()

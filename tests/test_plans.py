@@ -1348,6 +1348,34 @@ def test_heavy_hitters_summary_joins_are_broadcast(spark, sf_dir):
     assert P.is_all_jvm(p)
 
 
+def test_mg_partial_sentinel_preserves_offset_on_degenerate_batch(spark):
+    """ADVICE r10: when the top m+1 counts all tie (here: m+1 distinct
+    tokens, each count 1 → d=1, no f > d) the MG counter set is EMPTY
+    and a plain partial carries no row — the batch's truncation offset
+    d would vanish from the streaming fold's d_sum while the oracle's
+    dd CTE still counts every shard.  sentinel=True must emit exactly
+    one (tok=NULL, c=0, d) row so the offset survives."""
+    from cybersecurity_ioc_etl_spark.operators.text_queries import (
+        _MG_M,
+        mg_partial,
+    )
+
+    tok = spark.createDataFrame(
+        [(f"t{i:02d}",) for i in range(_MG_M + 1)], "tok string"
+    )
+    assert mg_partial(tok).count() == 0  # degenerate: no f > d
+    rows = mg_partial(tok, sentinel=True).collect()
+    assert len(rows) == 1
+    assert rows[0].tok is None and rows[0].c == 0 and rows[0].d == 1
+    # non-degenerate frame: sentinel adds exactly one NULL row and
+    # leaves the counter rows untouched
+    tok2 = tok.union(spark.createDataFrame([("t00",)] * 3, "tok string"))
+    plain = {(r.tok, r.c, r.d) for r in mg_partial(tok2).collect()}
+    with_s = {(r.tok, r.c, r.d) for r in mg_partial(tok2, sentinel=True).collect()}
+    assert with_s - plain == {(None, 0, 1)}
+    assert plain <= with_s
+
+
 def test_label_communities_rounds_stay_jvm(spark, sf_dir):
     """Label propagation: each half-step is a neighbor-keyed equi-join
     + map-side label count + rank-1 window — no cartesian, no Python
@@ -1465,14 +1493,22 @@ def test_ivfpq_delete_compaction_removes_tombstoned_rows(spark, sf_dir):
             after_df = serve_ivfpq_stored(spark, sf_dir, compacted, cent)
             after = after_df.collect()
             p = P.formatted_plan(after_df, execute=True)
+        # no tombstoned id may appear in the served result — a separate
+        # assertion, never an or-fallback that could mask a ranking
+        # regression (ADVICE r10)
+        assert all(r.vec_id % 10 != _IVFPQ_DELETE_MOD for r in after)
+        # survivors must rank EXACTLY: deleting rows frees top-k slots,
+        # so after = full's surviving rows in their original order,
+        # followed by new entrants from beyond full's cutoff — the
+        # ordered prefix must match element-wise
         survivors = [
             tuple(r)
             for r in full
             if r.vec_id % 10 != _IVFPQ_DELETE_MOD
-        ][: len(after)]
-        assert sorted(map(tuple, after)) == sorted(survivors) or all(
-            r.vec_id % 10 != _IVFPQ_DELETE_MOD for r in after
-        )
+        ]
+        n = min(len(survivors), len(after))
+        assert n > 0
+        assert [tuple(r) for r in after[:n]] == survivors[:n]
         assert "SelectedBucketsCount" in p
         assert "Exchange" not in p
     finally:
