@@ -1376,6 +1376,46 @@ def test_mg_partial_sentinel_preserves_offset_on_degenerate_batch(spark):
     assert plain <= with_s
 
 
+def test_minmax_delete_repair_scopes_recompute_to_touched_groups(
+    spark, sf_dir
+):
+    """MIN/MAX delete repair: the touched-group set (distinct delete
+    keys) must BROADCAST into both the scoped-recompute inner join and
+    the stored-state carry-over anti join — the repair leg never
+    shuffles the base table on its own account; date + modulus
+    predicates reach the scan; all JVM.  The scoped leg's output is
+    also quantitatively bounded by the touched-group count."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.operators.relational import (
+        _IVM_CUT,
+        _MINMAX_DEL_MOD,
+    )
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    p = plan(spark, sf_dir, "minmax_delete_repair")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert P.has_pushed_filters(p)
+    assert P.is_all_jvm(p)
+    # scope receipt: repaired-touched groups <= touched groups (strict
+    # subset possible when a group's every base row was deleted)
+    o = load_table(spark, sf_dir, "orders")
+    is_base = F.col("o_orderdate") < _IVM_CUT
+    touched = (
+        o.filter(is_base & (F.col("o_orderkey") % _MINMAX_DEL_MOD == 0))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    from cybersecurity_ioc_etl_spark import operators as _ops
+
+    out = _ops.QUERIES["minmax_delete_repair"](spark, sf_dir)
+    assert out.filter(F.col("touched")).count() <= touched
+    assert touched > 0
+
+
 def test_label_communities_rounds_stay_jvm(spark, sf_dir):
     """Label propagation: each half-step is a neighbor-keyed equi-join
     + map-side label count + rank-1 window — no cartesian, no Python
