@@ -2313,32 +2313,55 @@ FROM t LEFT JOIN isl i ON t.doc_id = i.doc_id
 """
 
 
-@query("substring_dedup_spans", oracle=_SPAN_ORACLE)
-def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document EXACT substring dedup at token grain — the
-    suffix-array operator of Lee et al. 2022 restated distributably:
-    every positional word-{k}-gram is digested once; a gram seen in
-    >= 2 distinct documents is a duplicated gram; a duplicated span is
-    the interval union of its grams' [p, p+k-1] token extents (a run of
-    L >= k verbatim-shared tokens is exactly the union of its L-k+1
-    duplicated k-grams, so the census reproduces suffix-array span
-    semantics with no sampling — unlike the strided-anchor and
-    winnowing approximations beside it, this one is EXACT at the
-    k-token grain).  Per doc: duplicated-gram count, maximal-span count
-    (gaps-and-islands over sorted starts), covered token count, the
-    dedup-safe residual length, and the duplicated fraction — the
-    decision columns a span-level corpus scrub consumes.
+def span_positional_census(
+    tk: DataFrame, broadcast_shared: bool = True
+) -> DataFrame:
+    """Positional k-gram census core: (doc_id, tk token array) →
+    (doc_id, p) duplicated-gram positions.  broadcast_shared selects
+    how the occurrence stream meets the shared-gram set:
 
-    Scale shape: one posexplode census (each gram digested exactly
-    once), only 8-byte gram hashes shuffle keyed (text never shuffles:
-    no fan_out — measured 0.59 s vs 0.81 s at sf0.1, the gram digest is
-    not CPU-bound enough to buy the repartition); the shared-gram set
-    is bounded by duplicated mass, so the occurrence join broadcasts
-    it; the interval union is a per-doc ROWS lag window — one shingle
-    shuffle + one doc_id shuffle total.  At 100 TB, k is the grain/cost
-    lever and the census is incrementally maintainable exactly like
-    incremental_dedup_new_docs (new docs only probe the stored gram
-    census)."""
+    - True (default): the shared-gram set is BROADCAST into the probe —
+      right while duplicated mass stays vocabulary-bounded
+      (tools/span_probe.py shows it saturating at the distinct-gram
+      vocabulary under corpus cloning);
+    - False: the gram-space PARTITIONED fallback for when duplicated
+      mass outgrows the broadcast ceiling (boilerplate-heavy corpora at
+      100 TB): occurrences and the census shuffle on the gram hash and
+      meet in a ShuffledHashJoin — the shuffle_hash hint pins the
+      fallback shape even where AQE would re-broadcast the fixture-
+      sized set.  Same results by construction (pinned in
+      tests/test_plans.py), cost = one extra gram-keyed shuffle of
+      8-byte (h, p) pairs, never text.
+    """
+    occ = tk.select(
+        "doc_id", F.posexplode(_span_grams(F.col("tk"))).alias("p", "gram")
+    ).select("doc_id", "p", _shingle_int(F.col("gram")).alias("h"))
+    sh = (
+        occ.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    probe = F.broadcast(sh) if broadcast_shared else sh.hint("shuffle_hash")
+    return occ.join(probe, "h").select("doc_id", "p")
+
+
+def _span_grams(toks):
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _SPAN_K),
+        lambda gi: F.concat_ws(
+            "\x01",
+            *[F.element_at(toks, gi + j + 1) for j in range(_SPAN_K)],
+        ),
+    )
+
+
+def span_dedup_frame(
+    spark: SparkSession, sf_dir: str, broadcast_shared: bool = True
+) -> DataFrame:
+    """Full span-dedup frame; see q_substring_dedup_spans."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -2350,26 +2373,7 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tk.select(
         "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
     )
-    toks = F.col("tk")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - _SPAN_K),
-        lambda gi: F.concat_ws(
-            "\x01",
-            *[F.element_at(toks, gi + j + 1) for j in range(_SPAN_K)],
-        ),
-    )
-    occ = tk.select(
-        "doc_id", F.posexplode(grams).alias("p", "gram")
-    ).select("doc_id", "p", _shingle_int(F.col("gram")).alias("h"))
-    sh = (
-        occ.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dup = occ.join(F.broadcast(sh), "h").select("doc_id", "p")
+    dup = span_positional_census(tk, broadcast_shared)
     lagw = Window.partitionBy("doc_id").orderBy("p")
     w = dup.withColumn("lp", F.lag("p").over(lagw))
     isl = w.groupBy("doc_id").agg(
@@ -2408,6 +2412,39 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@query("substring_dedup_spans", oracle=_SPAN_ORACLE)
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring dedup at token grain — the
+    suffix-array operator of Lee et al. 2022 restated distributably:
+    every positional word-{k}-gram is digested once; a gram seen in
+    >= 2 distinct documents is a duplicated gram; a duplicated span is
+    the interval union of its grams' [p, p+k-1] token extents (a run of
+    L >= k verbatim-shared tokens is exactly the union of its L-k+1
+    duplicated k-grams, so the census reproduces suffix-array span
+    semantics with no sampling — unlike the strided-anchor and
+    winnowing approximations beside it, this one is EXACT at the
+    k-token grain).  Per doc: duplicated-gram count, maximal-span count
+    (gaps-and-islands over sorted starts), covered token count, the
+    dedup-safe residual length, and the duplicated fraction — the
+    decision columns a span-level corpus scrub consumes.
+
+    Scale shape: one posexplode census (each gram digested exactly
+    once), only 8-byte gram hashes shuffle keyed (text never shuffles:
+    no fan_out — measured 0.59 s vs 0.81 s at sf0.1, the gram digest is
+    not CPU-bound enough to buy the repartition); the shared-gram set
+    is bounded by duplicated mass, so the occurrence join broadcasts
+    it by default; when duplicated mass outgrows the broadcast ceiling
+    (boilerplate-heavy corpora) span_positional_census(broadcast_shared
+    =False) switches the probe to a gram-keyed ShuffledHashJoin —
+    same results, pinned in tests/test_plans.py, crossover measured in
+    tools/span_probe.py.  The interval union is a per-doc ROWS lag
+    window — one shingle shuffle + one doc_id shuffle total.  At
+    100 TB, k is the grain/cost lever and the census is incrementally
+    maintainable exactly like incremental_dedup_new_docs (new docs only
+    probe the stored gram census)."""
+    return span_dedup_frame(spark, sf_dir, broadcast_shared=True)
 
 
 # ---------------------------------------------------------------------------

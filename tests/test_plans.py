@@ -1337,6 +1337,29 @@ def test_substring_spans_census_broadcasts_shared_grams(spark, sf_dir):
     assert P.is_all_jvm(p)
 
 
+def test_substring_spans_gram_partitioned_fallback(spark, sf_dir):
+    """VERDICT r10 item 4: when duplicated mass outgrows the broadcast
+    ceiling, span_dedup_frame(broadcast_shared=False) probes the
+    shared-gram census through a gram-keyed SHUFFLED hash join instead
+    — the plan must show ShuffledHashJoin with NO broadcast on the
+    probe edge (the shuffle_hash hint holds even where AQE would
+    re-broadcast the fixture-sized set), and the results must be
+    IDENTICAL to the broadcast path."""
+    from cybersecurity_ioc_etl_spark.operators.dedup import (
+        span_dedup_frame,
+    )
+
+    bc = span_dedup_frame(spark, sf_dir, broadcast_shared=True)
+    sh = span_dedup_frame(spark, sf_dir, broadcast_shared=False)
+    p = P.formatted_plan(sh, execute=True)
+    assert "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+    assert sorted(map(tuple, sh.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, bc.collect()), key=lambda t: t[0]
+    )
+
+
 def test_heavy_hitters_summary_joins_are_broadcast(spark, sf_dir):
     """Misra-Gries audit: summaries are <= m rows, so the shard-offset
     probe, merge re-truncation, and audit joins all BROADCAST; the only

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Substring-span dedup scaling probe: run the substring_dedup_spans
 census (positional 5-gram digests → shared-gram set → per-doc interval
-union) on 1x/5x/10x id-shifted unions of the sf0.1 `documents` fixture.
+union) on 1x/5x/10x id-shifted unions of the sf0.1 `documents` fixture,
+in BOTH probe modes — broadcast shared-gram set vs the gram-space
+partitioned (ShuffledHashJoin) fallback.
 
 Cloning the corpus k× makes EVERY doc an exact duplicate of its k−1
 siblings, so the shared-gram set saturates to (almost) the entire gram
@@ -14,7 +16,15 @@ measure:
   (identical at every k — cloning adds no new grams), so the broadcast
   side does NOT grow with corpus size;
 - per-doc interval-union work rides the doc_id partitioning (k× docs,
-  same per-doc cost).
+  same per-doc cost);
+- CROSSOVER (VERDICT r10 item 4): at fixture scale the broadcast probe
+  should win (the shared set is vocabulary-bounded and small); the
+  shuffle fallback pays one extra gram-keyed exchange of 8-byte (h, p)
+  pairs.  The fallback exists for when duplicated mass outgrows the
+  broadcast ceiling (boilerplate-heavy corpora at 100 TB, where the
+  vocabulary itself is tens of GB); this probe records the fixture-side
+  cost of that insurance so SCALE.md states a MEASURED delta, not a
+  guess.
 
 Unlike the pair-generating near-dup plans (tools/dedup_probe.py, where
 output grows ~k²), span scoring emits ONE row per doc — output grows
@@ -29,7 +39,7 @@ import time
 
 sys.path.insert(0, ".")
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from cybersecurity_ioc_etl_spark.session import get_spark
 from cybersecurity_ioc_etl_spark.sources.readers import load_table
@@ -40,10 +50,29 @@ SF_DIR = "/root/testdata/sf0.1"
 def main() -> None:
     spark = get_spark("span-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    from cybersecurity_ioc_etl_spark.operators.dedup import (
+        _SPAN_K,
+        span_positional_census,
+    )
+
     d0 = load_table(spark, SF_DIR, "documents").filter(
         F.col("text").isNotNull()
     )
     shift = (d0.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+
+    def run(dd, broadcast_shared: bool):
+        tk = dd.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+        ).filter(F.size("tk") >= _SPAN_K)
+        base = tk.select("doc_id", F.size("tk").alias("n_tokens"))
+        dup = span_positional_census(tk, broadcast_shared)
+        lagw = Window.partitionBy("doc_id").orderBy("p")
+        isl = (
+            dup.withColumn("lp", F.lag("p").over(lagw))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("g"))
+        )
+        return base.join(isl, "doc_id", "left")
 
     for k in (1, 5, 10):
         d = d0
@@ -52,61 +81,31 @@ def main() -> None:
                 d0.withColumn("doc_id", F.col("doc_id") + i * shift)
             )
         d = d.localCheckpoint(eager=True)
-        # inline the census (the query body over an arbitrary frame)
-        from pyspark.sql import Window
-
-        from cybersecurity_ioc_etl_spark.operators.dedup import (
-            _SPAN_K,
-            _shingle_int,
+        walls = {}
+        n = None
+        for mode, bc in (("broadcast", True), ("shuffle", False)):
+            out = run(d, bc)
+            out.count()  # warm
+            best = 9e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = out.count()
+                best = min(best, time.perf_counter() - t0)
+            walls[mode] = best
+        tk = d.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+        ).filter(F.size("tk") >= _SPAN_K)
+        nsh = (
+            span_positional_census(tk, True)
+            .select("doc_id")  # any column; census row count proxy below
+            .count()
         )
-
-        def run(dd):
-            tk = dd.select(
-                "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
-            ).filter(F.size("tk") >= _SPAN_K)
-            base = tk.select("doc_id", F.size("tk").alias("n_tokens"))
-            toks = F.col("tk")
-            grams = F.transform(
-                F.sequence(F.lit(0), F.size(toks) - _SPAN_K),
-                lambda gi: F.concat_ws(
-                    "\x01",
-                    *[
-                        F.element_at(toks, gi + j + 1)
-                        for j in range(_SPAN_K)
-                    ],
-                ),
-            )
-            occ = tk.select(
-                "doc_id", F.posexplode(grams).alias("p", "gram")
-            ).select("doc_id", "p", _shingle_int(F.col("gram")).alias("h"))
-            sh = (
-                occ.select("doc_id", "h")
-                .distinct()
-                .groupBy("h")
-                .agg(F.count("*").alias("nd"))
-                .filter(F.col("nd") >= 2)
-                .select("h")
-            )
-            dup = occ.join(F.broadcast(sh), "h").select("doc_id", "p")
-            lagw = Window.partitionBy("doc_id").orderBy("p")
-            isl = (
-                dup.withColumn("lp", F.lag("p").over(lagw))
-                .groupBy("doc_id")
-                .agg(F.count("*").alias("g"))
-            )
-            return base.join(isl, "doc_id", "left"), sh
-
-        out, sh = run(d)
-        out.count()  # warm
-        best = 9e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = out.count()
-            best = min(best, time.perf_counter() - t0)
-        nsh = sh.count()
         print(
             f"k={k}: docs={d.count():,} out_rows={n:,}"
-            f" shared_grams={nsh:,} wall={best:.2f}s"
+            f" dup_positions={nsh:,}"
+            f" wall_broadcast={walls['broadcast']:.2f}s"
+            f" wall_shuffle={walls['shuffle']:.2f}s"
+            f" shuffle/broadcast={walls['shuffle'] / walls['broadcast']:.2f}x"
         )
         d.unpersist(True)  # the skew_probe lesson: drop before next k
     spark.stop()
