@@ -1555,3 +1555,294 @@ def q_trade_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Louvain-style greedy modularity move pass — quality-OPTIMIZING round on
+# top of the LPA labels (VERDICT r10 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _louvain_half_sql(src: str, dst: str, p: int) -> str:
+    """One semi-synchronous greedy half-step in DuckDB: nodes of parity
+    p adopt the neighbor community with the largest exact-integer
+    ΔQ·(2m)² gain (ties → smallest community label), if positive."""
+    return f"""s_{dst} AS MATERIALIZED (
+  SELECT la.lbl, SUM(d.k) AS d_c
+  FROM deg d JOIN {src} la ON d.id = la.id GROUP BY la.lbl
+),
+kc_{dst} AS MATERIALIZED (
+  SELECT u.a AS id, lb.lbl AS c, COUNT(*) AS kic
+  FROM ue u JOIN {src} lb ON u.b = lb.id
+  GROUP BY 1, 2
+),
+own_{dst} AS (
+  SELECT d.id, la.lbl AS cur, d.k,
+         COALESCE(kc.kic, 0) AS kicur, s.d_c AS dcur
+  FROM deg d
+  JOIN {src} la ON d.id = la.id
+  JOIN s_{dst} s ON la.lbl = s.lbl
+  LEFT JOIN kc_{dst} kc ON kc.id = d.id AND kc.c = la.lbl
+),
+gain_{dst} AS (
+  SELECT o.id, k.c,
+    2 * (SELECT two_m FROM m2) * (k.kic - o.kicur)
+      - 2 * o.k * (s.d_c - o.dcur + o.k) AS g
+  FROM own_{dst} o
+  JOIN kc_{dst} k ON k.id = o.id AND k.c != o.cur
+  JOIN s_{dst} s ON k.c = s.lbl
+  WHERE o.id % 2 = {p}
+),
+mv_{dst} AS (
+  SELECT id, c FROM (
+    SELECT id, c, g,
+      row_number() OVER (PARTITION BY id ORDER BY g DESC, c) AS rn
+    FROM gain_{dst})
+  WHERE rn = 1 AND g > 0
+),
+{dst} AS MATERIALIZED (
+  SELECT l.id, COALESCE(m.c, l.lbl) AS lbl
+  FROM {src} l LEFT JOIN mv_{dst} m ON l.id = m.id
+)"""
+
+
+def _qnum_sql(lab: str) -> str:
+    """Q·(2m)² for a label CTE, as one exact-integer scalar subquery."""
+    return f"""(
+  (SELECT COUNT(*) FROM ue u
+     JOIN {lab} la ON u.a = la.id JOIN {lab} lb ON u.b = lb.id
+   WHERE la.lbl = lb.lbl) * (SELECT two_m FROM m2)
+  - (SELECT SUM(d_c * d_c) FROM (
+       SELECT la.lbl, SUM(d.k) AS d_c
+       FROM deg d JOIN {lab} la ON d.id = la.id GROUP BY la.lbl))
+)"""
+
+
+_LOUVAIN_ORACLE = f"""
+WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
+ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0 WHERE src != dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src != dst
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id, a AS lbl FROM ue
+),
+deg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS k FROM ue GROUP BY a),
+m2 AS MATERIALIZED (SELECT COUNT(*) AS two_m FROM ue),
+{_louvain_half_sql("lab0", "lab1", 0)},
+{_louvain_half_sql("lab1", "lab2", 1)},
+q AS (
+  SELECT {_qnum_sql("lab0")} AS qb, {_qnum_sql("lab2")} AS qa,
+    (SELECT COUNT(DISTINCT lbl) FROM lab0) AS ncb,
+    (SELECT COUNT(DISTINCT lbl) FROM lab2) AS nca,
+    (SELECT COUNT(*) FROM mv_lab1) + (SELECT COUNT(*) FROM mv_lab2)
+      AS n_moved,
+    (SELECT two_m FROM m2) AS two_m
+)
+SELECT CAST(ncb AS BIGINT) AS n_communities_before,
+  CAST(nca AS BIGINT) AS n_communities_after,
+  CAST(n_moved AS BIGINT) AS n_moved,
+  CAST(qb AS BIGINT) AS q_num_before,
+  CAST(qa AS BIGINT) AS q_num_after,
+  CAST(qb AS DOUBLE) / (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE))
+    AS q_before,
+  CAST(qa AS DOUBLE) / (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE))
+    AS q_after,
+  qa >= qb AS improved
+FROM q
+"""
+
+
+def _louvain_half(
+    ue: DataFrame,
+    deg: DataFrame,
+    two_m: DataFrame,
+    lab: DataFrame,
+    p: int,
+) -> tuple[DataFrame, DataFrame]:
+    """One semi-synchronous greedy move half-step (Spark side of
+    _louvain_half_sql).  Returns (new labels, moves)."""
+    from pyspark.sql import Window
+
+    s = (
+        deg.join(lab, "id")
+        .groupBy("lbl")
+        .agg(F.sum("k").alias("d_c"))
+    )
+    kc = (
+        ue.alias("u")
+        .join(lab.alias("lb"), F.col("u.b") == F.col("lb.id"))
+        .groupBy(F.col("u.a").alias("id"), F.col("lb.lbl").alias("c"))
+        .agg(F.count("*").alias("kic"))
+    )
+    own = (
+        deg.join(lab, "id")
+        .join(s.withColumnRenamed("d_c", "dcur"), "lbl")
+        .alias("o")
+        .join(
+            kc.alias("ko"),
+            (F.col("o.id") == F.col("ko.id"))
+            & (F.col("o.lbl") == F.col("ko.c")),
+            "left",
+        )
+        .select(
+            F.col("o.id").alias("id"),
+            F.col("o.lbl").alias("cur"),
+            F.col("o.k").alias("k"),
+            F.coalesce(F.col("ko.kic"), F.lit(0)).alias("kicur"),
+            F.col("o.dcur").alias("dcur"),
+        )
+    )
+    gain = (
+        own.alias("ow")
+        .join(
+            kc.alias("kt"),
+            (F.col("ow.id") == F.col("kt.id"))
+            & (F.col("kt.c") != F.col("ow.cur")),
+        )
+        .join(F.broadcast(s.alias("st")), F.col("kt.c") == F.col("st.lbl"))
+        .crossJoin(F.broadcast(two_m))
+        .filter(F.col("ow.id") % 2 == p)
+        .select(
+            F.col("ow.id").alias("id"),
+            F.col("kt.c").alias("c"),
+            (
+                F.lit(2)
+                * F.col("two_m")
+                * (F.col("kt.kic") - F.col("ow.kicur"))
+                - F.lit(2)
+                * F.col("ow.k")
+                * (F.col("st.d_c") - F.col("ow.dcur") + F.col("ow.k"))
+            ).alias("g"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("g").desc(), F.col("c"))
+    )
+    mv = (
+        gain.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("g") > 0))
+        .select("id", "c")
+    )
+    new_lab = (
+        lab.alias("cur")
+        .join(mv.alias("m"), F.col("cur.id") == F.col("m.id"), "left")
+        .select(
+            F.col("cur.id").alias("id"),
+            F.coalesce(F.col("m.c"), F.col("cur.lbl")).alias("lbl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return new_lab, mv
+
+
+def _qnum(ue: DataFrame, deg: DataFrame, lab: DataFrame) -> DataFrame:
+    """Single-row (qnum, ncomm) frame: Q·(2m)² numerator WITHOUT the
+    two_m factor applied — emits (intra2, sum_d2, ncomm) so the caller
+    multiplies by its broadcast two_m scalar (exact integers)."""
+    intra2 = (
+        ue.alias("u")
+        .join(lab.alias("la"), F.col("u.a") == F.col("la.id"))
+        .join(lab.alias("lb"), F.col("u.b") == F.col("lb.id"))
+        .filter(F.col("la.lbl") == F.col("lb.lbl"))
+        .agg(F.count("*").alias("intra2"))
+    )
+    d2 = (
+        deg.join(lab, "id")
+        .groupBy("lbl")
+        .agg(F.sum("k").alias("d_c"))
+        .agg(
+            F.sum(F.col("d_c") * F.col("d_c")).alias("sum_d2"),
+            F.count("*").alias("ncomm"),
+        )
+    )
+    return d2.crossJoin(F.broadcast(intra2))
+
+
+@query("trade_louvain_move", oracle=_LOUVAIN_ORACLE)
+def q_trade_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style GREEDY modularity round — the quality-OPTIMIZING
+    community operator (Blondel et al. 2008 phase-1 local moves, one
+    deterministic pass) from the canonical SINGLETON seed (each node
+    its own community — seeding from trade_label_communities would be
+    vacuous here: LPA already collapses the fixture's dense nation
+    graph to ONE community, zero moves; the singleton seed exercises
+    real moves and a real Q climb, and is exactly how Louvain's first
+    phase starts): each node evaluates moving to each NEIGHBOR
+    community and adopts the one with the largest exact-integer gain
+    ΔQ·(2m)² = 2·2m·(k_{{i,c}} − k_{{i,cur}})
+    − 2·k_i·(Σtot_c − Σtot_{{cur\\i}} + k_i), ties to the smallest
+    community label, only if the gain is strictly positive.  Moves are
+    SEMI-SYNCHRONOUS by node parity (even nodes move against the seed
+    state, community stats recompute, then odd nodes) — the same
+    oscillation-killing discipline as trade_label_communities.  Emits
+    community counts before/after, the move count, both exact-integer
+    Q numerators, both Q doubles (single int→double division), and
+    improved = q_after >= q_before COMPUTED identically on both
+    engines.  Sequential Louvain guarantees monotone Q; the parity-
+    parallel pass does not in theory (simultaneous movers into one
+    community interact through the Σtot² cross-term), so improvement is
+    asserted empirically per fixture in tests/test_graph_quality.py
+    rather than stated TRUE in the oracle — on both test SFs the pass
+    strictly improves Q with real moves.
+
+    Scale shape: per half-step, one neighbor-keyed equi-join census
+    (kc), one degree rollup (s, community-count-sized and broadcast
+    into the gain join), a per-node rank-1 window, and a labels-sized
+    left join — the LPA half-step economics plus one broadcast; gains
+    are exact 8-byte ints; lineage truncates per half-step
+    (localCheckpoint).  The move evaluation never materializes
+    non-neighbor candidates, so cost rides the edge count, not
+    nodes × communities."""
+    e0 = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    ue = (
+        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab0 = (
+        ue.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    deg = ue.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("k"))
+    deg = deg.localCheckpoint(eager=True)
+    two_m = ue.agg(F.count("*").alias("two_m"))
+    lab1, mv1 = _louvain_half(ue, deg, two_m, lab0, 0)
+    lab2, mv2 = _louvain_half(ue, deg, two_m, lab1, 1)
+    n_moved = (
+        mv1.agg(F.count("*").alias("nm1"))
+        .crossJoin(F.broadcast(mv2.agg(F.count("*").alias("nm2"))))
+        .select((F.col("nm1") + F.col("nm2")).alias("n_moved"))
+    )
+    qb = _qnum(ue, deg, lab0).select(
+        F.col("intra2").alias("b_intra2"),
+        F.col("sum_d2").alias("b_sum_d2"),
+        F.col("ncomm").alias("ncb"),
+    )
+    qa = _qnum(ue, deg, lab2).select(
+        F.col("intra2").alias("a_intra2"),
+        F.col("sum_d2").alias("a_sum_d2"),
+        F.col("ncomm").alias("nca"),
+    )
+    qbn = F.col("b_intra2") * F.col("two_m") - F.col("b_sum_d2")
+    qan = F.col("a_intra2") * F.col("two_m") - F.col("a_sum_d2")
+    den = F.col("two_m").cast("double") * F.col("two_m").cast("double")
+    return (
+        qb.crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(two_m))
+        .crossJoin(F.broadcast(n_moved))
+        .select(
+            F.col("ncb").cast("bigint").alias("n_communities_before"),
+            F.col("nca").cast("bigint").alias("n_communities_after"),
+            F.col("n_moved").cast("bigint").alias("n_moved"),
+            qbn.cast("bigint").alias("q_num_before"),
+            qan.cast("bigint").alias("q_num_after"),
+            (qbn.cast("double") / den).alias("q_before"),
+            (qan.cast("double") / den).alias("q_after"),
+            (qan >= qbn).alias("improved"),
+        )
+    )

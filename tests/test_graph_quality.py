@@ -1,0 +1,55 @@
+"""Quality receipts for the community operators.
+
+trade_louvain_move's `improved` flag is COMPUTED on both engines (not
+stated TRUE in the oracle) because the parity-parallel move pass lacks
+sequential Louvain's monotonicity guarantee in theory — simultaneous
+movers into one community interact through the Σtot² cross-term.  These
+tests pin that on BOTH fixture SFs the pass actually optimizes: real
+moves happen and Q strictly improves from the singleton seed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cybersecurity_ioc_etl_spark import operators as _ops
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_louvain_move_strictly_improves_modularity(spark, sf_dir):
+    row = _ops.QUERIES["trade_louvain_move"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_moved > 0, "the greedy pass must exercise real moves"
+    assert r.q_num_after > r.q_num_before, "Q must strictly improve"
+    assert r.improved
+    assert r.n_communities_after < r.n_communities_before
+    # exact-integer numerators and the double scores agree in sign/order
+    assert (r.q_after > r.q_before) == (r.q_num_after > r.q_num_before)
+
+
+def test_louvain_gain_formula_zero_for_staying_put(spark):
+    """The ΔQ·(2m)² gain of 'moving' to one's own community must be
+    exactly zero — the algebraic identity that anchors the formula
+    (4m·(k_ic − k_icur) − 2k_i·(d_c − d_cur + k_i) with c = cur and
+    d_c = d_cur − k_i collapses to 0)."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark.operators.graph import _louvain_half
+
+    # triangle + pendant: 0-1, 1-2, 2-0, 2-3; all in one community
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    ue = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "a bigint, b bigint",
+    )
+    lab = spark.createDataFrame(
+        [(i, 99) for i in range(4)], "id bigint, lbl bigint"
+    )
+    deg = ue.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("k"))
+    two_m = ue.agg(F.count("*").alias("two_m"))
+    # single community: no candidate c != cur exists, so no moves
+    _, mv = _louvain_half(ue, deg, two_m, lab, 0)
+    assert mv.count() == 0
