@@ -2358,25 +2358,22 @@ def _span_grams(toks):
     )
 
 
-def span_dedup_frame(
-    spark: SparkSession, sf_dir: str, broadcast_shared: bool = True
-) -> DataFrame:
-    """Full span-dedup frame; see q_substring_dedup_spans."""
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    tk = d.select(
+def _span_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, tk token array) for span-census input docs."""
+    return d.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
     ).filter(F.size("tk") >= _SPAN_K)
-    base = tk.select(
-        "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
-    )
-    dup = span_positional_census(tk, broadcast_shared)
+
+
+def _span_islands(dup: DataFrame) -> DataFrame:
+    """Per-doc interval union over duplicated-gram positions (doc_id, p)
+    → (doc_id, n_dup_grams, covered, n_spans) — the gaps-and-islands lag
+    window shared by the full census and the incremental fold."""
+    from pyspark.sql import Window
+
     lagw = Window.partitionBy("doc_id").orderBy("p")
     w = dup.withColumn("lp", F.lag("p").over(lagw))
-    isl = w.groupBy("doc_id").agg(
+    return w.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_dup_grams"),
         F.sum(
             F.when(F.col("lp").isNull(), F.lit(_SPAN_K)).otherwise(
@@ -2395,6 +2392,21 @@ def span_dedup_frame(
         .cast("bigint")
         .alias("n_spans"),
     )
+
+
+def span_dedup_frame(
+    spark: SparkSession, sf_dir: str, broadcast_shared: bool = True
+) -> DataFrame:
+    """Full span-dedup frame; see q_substring_dedup_spans."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tk = _span_tokens(d)
+    base = tk.select(
+        "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
+    )
+    dup = span_positional_census(tk, broadcast_shared)
+    isl = _span_islands(dup)
     return (
         base.join(isl, "doc_id", "left")
         .select(
@@ -2445,6 +2457,163 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintainable exactly like incremental_dedup_new_docs (new docs only
     probe the stored gram census)."""
     return span_dedup_frame(spark, sf_dir, broadcast_shared=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental substring-span maintenance — new docs probe the stored
+# positional-gram census (VERDICT r10 item 7)
+# ---------------------------------------------------------------------------
+
+_SPAN_INC_CUT = 250  # doc_id < cut is the stored corpus; >= cut the batch
+
+_SPAN_INC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM d
+      WHERE len(toks) >= {_SPAN_K}),
+g AS (
+  SELECT doc_id, n_tokens,
+    [{_SHINGLE_INT_SQL.format(
+        x=f"array_to_string(list_slice(toks, gi, gi + {_SPAN_K - 1}), chr(1))")}
+     for gi in range(1, len(toks) - {_SPAN_K - 2})] AS hs
+  FROM t
+),
+occ AS (
+  SELECT doc_id, u.i - 1 AS p, hs[u.i] AS h
+  FROM g, unnest(range(1, len(g.hs) + 1)) AS u(i)
+),
+sh AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ)
+  GROUP BY h HAVING COUNT(*) >= 2
+),
+dup AS (SELECT o.doc_id, o.p FROM occ o JOIN sh s ON o.h = s.h
+        WHERE o.doc_id >= {_SPAN_INC_CUT}),
+w AS (
+  SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+  FROM dup
+),
+isl AS (
+  SELECT doc_id,
+    COUNT(*) AS n_dup_grams,
+    SUM(CASE WHEN lp IS NULL THEN {_SPAN_K}
+             ELSE LEAST({_SPAN_K}, p - lp) END) AS covered,
+    SUM(CASE WHEN lp IS NULL OR p - lp > {_SPAN_K} THEN 1 ELSE 0 END)
+      AS n_spans
+  FROM w GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(i.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+  CAST(COALESCE(i.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(i.covered, 0) AS BIGINT) AS covered_tokens,
+  CAST(COALESCE(i.covered, 0) AS DOUBLE) / t.n_tokens AS dup_fraction,
+  TRUE AS incr_consistent
+FROM t LEFT JOIN isl i ON t.doc_id = i.doc_id
+WHERE t.doc_id >= {_SPAN_INC_CUT}
+"""
+
+
+@query("incremental_span_maintenance", oracle=_SPAN_INC_ORACLE)
+def q_incremental_span_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL substring-span maintenance — the daily-ingest leg
+    the span census docstring promises (incremental_dedup_new_docs at
+    token-span grain): a new batch (doc_id >= {cut}) scores its
+    duplicated spans WITHOUT re-censusing the stored corpus.  The
+    identity that makes the fold exact: a batch occurrence of gram h is
+    duplicated in the COMBINED corpus iff the stored census contains h
+    at all (any corpus doc + this batch doc >= 2 distinct docs) OR h
+    appears in >= 2 distinct batch docs — so the fold is (a) the
+    batch's distinct gram set broadcast against the stored census
+    (collisions out), (b) a batch-internal >= 2-doc census, union,
+    then the shared interval-union island rollup.  Cost ∝ batch +
+    collisions, never the corpus.
+
+    The query ALSO recomputes the batch docs' spans from the full
+    combined census (the audit leg, incremental_cc discipline) and
+    emits incr_consistent per doc asserting fold == recompute on all
+    three counters — the oracle computes the full-census ground truth
+    and states TRUE, so either a fold/recompute divergence or a wrong
+    fold breaks the hash.
+
+    Scale shape: batch grams and both probe sets broadcast (bounded by
+    batch size and collision mass); the stored census at 100 TB is a
+    bucketed-on-h table so the collision probe is a bucket-pruned scan
+    (serve_ivfpq_stored discipline); islands ride the batch's doc_id
+    partitioning.  The audit leg is the rare receipt job, not the
+    refresh path."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tk_all = _span_tokens(d)
+    tk_corpus = tk_all.filter(F.col("doc_id") < _SPAN_INC_CUT)
+    tk_batch = tk_all.filter(F.col("doc_id") >= _SPAN_INC_CUT)
+    base = tk_batch.select(
+        "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
+    )
+
+    def occ_of(tk: DataFrame) -> DataFrame:
+        return tk.select(
+            "doc_id",
+            F.posexplode(_span_grams(F.col("tk"))).alias("p", "gram"),
+        ).select("doc_id", "p", _shingle_int(F.col("gram")).alias("h"))
+
+    occ_b = occ_of(tk_batch)
+    # stored state: the corpus's distinct gram set (fixture-built; a
+    # bucketed-on-h table in production)
+    census = occ_of(tk_corpus).select("h").distinct()
+    bg = occ_b.select("h").distinct()
+    # (a) collision probe: batch gram set broadcast into the census scan
+    hits = census.join(F.broadcast(bg), "h")
+    # (b) batch-internal >= 2-distinct-doc grams
+    bsh = (
+        occ_b.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_fold = (
+        occ_b.join(F.broadcast(hits.unionByName(bsh).distinct()), "h")
+        .select("doc_id", "p")
+        .distinct()
+    )
+    isl_fold = _span_islands(dup_fold)
+    # audit leg: full combined census restricted to the batch
+    dup_full = span_positional_census(tk_all).filter(
+        F.col("doc_id") >= _SPAN_INC_CUT
+    )
+    isl_full = _span_islands(dup_full).select(
+        "doc_id",
+        F.col("n_dup_grams").alias("f_ndg"),
+        F.col("covered").alias("f_cov"),
+        F.col("n_spans").alias("f_nsp"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        base.join(isl_fold, "doc_id", "left")
+        .join(isl_full, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", z).alias("n_dup_grams"),
+            F.coalesce("n_spans", z).alias("n_spans"),
+            F.coalesce("covered", z).alias("covered_tokens"),
+            (
+                F.coalesce("covered", z).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+            (
+                (F.coalesce("n_dup_grams", z) == F.coalesce("f_ndg", z))
+                & (F.coalesce("covered", z) == F.coalesce("f_cov", z))
+                & (F.coalesce("n_spans", z) == F.coalesce("f_nsp", z))
+            ).alias("incr_consistent"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
