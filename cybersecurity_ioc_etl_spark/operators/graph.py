@@ -1509,12 +1509,21 @@ def q_trade_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer numerator, and Q.
 
     Scale shape: reuses the LPA loop (labels are read state in a
-    production pipeline), then one edge-keyed join against the label
-    table for the intra census and one degree rollup — both map-side
-    combined; the final fold is three scalar aggregates crossed by
-    broadcast."""
+    production pipeline — build_lpa_label_table persists them bucketed
+    and modularity_from_stored_labels serves this same census from the
+    stored table; bench.py leg-splits build vs serve), then one
+    edge-keyed join against the label table for the intra census and
+    one degree rollup — both map-side combined; the final fold is
+    three scalar aggregates crossed by broadcast."""
     ue, lbl = _lpa_labels(spark, sf_dir)
     lab = lbl.localCheckpoint(eager=True)
+    return _modularity_census(ue, lab)
+
+
+def _modularity_census(ue: DataFrame, lab: DataFrame) -> DataFrame:
+    """The production census: Q of a given labeling over given
+    undirected edges — one edge⋈label join + degree rollup + scalar
+    fold.  Shared by the receipt query and the stored-labels serve."""
     two_m = ue.agg(F.count("*").alias("two_m"))
     intra = (
         ue.alias("u")
@@ -1846,3 +1855,36 @@ def q_trade_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             (qan >= qbn).alias("improved"),
         )
     )
+
+
+def build_lpa_label_table(
+    spark: SparkSession, sf_dir: str, table: str
+) -> None:
+    """Persist the LPA community labels as a bucketed catalog table —
+    the stored-model pattern (stored_model_confusion, ivfpq_stored):
+    the label propagation loop is TRAINING, run rarely; serving reads
+    the stored labels.  Bucketed on id so label joins against
+    same-bucketed node-keyed tables can co-locate."""
+    from ..sinks.bucketed import drop_table_and_location, write_bucketed
+
+    _, lbl = _lpa_labels(spark, sf_dir)
+    drop_table_and_location(spark, table)
+    write_bucketed(lbl, table, key="id", n_buckets=4)
+
+
+def modularity_from_stored_labels(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """Serve the modularity census from STORED labels — the production
+    leg of trade_modularity_score (the query re-runs the LPA loop
+    because labels are read state; this is what reading that state
+    costs): derive the quarter's undirected edges, join them to the
+    stored label table, census + scalar fold.  bench.py leg-splits
+    this against the label build."""
+    e0 = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    ue = (
+        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    return _modularity_census(ue, spark.table(table))

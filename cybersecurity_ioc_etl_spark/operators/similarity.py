@@ -2594,12 +2594,16 @@ def q_ivfpq_delete_compact_topk(
 
 
 def build_ivfpq_upsert_segments(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, leg_out: dict | None = None
 ) -> tuple[list[str], str]:
     """Build the two-segment upsert layout (train on base, route+encode
     the delta against stored artifacts) and return
-    ([base_table, delta_table], centroid_table) for serving."""
+    ([base_table, delta_table], centroid_table) for serving.  Pass
+    ``leg_out`` (a dict) to receive {"build_s", "upsert_s"} — the rare
+    train+write leg vs the per-batch upsert leg (bench.py leg-splits
+    the ivfpq_upsert_topk row with it)."""
     import hashlib
+    import time as _time
 
     prefix = "ivfpqu_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tables = (f"{prefix}_base", f"{prefix}_delta", f"{prefix}_cent")
@@ -2608,6 +2612,7 @@ def build_ivfpq_upsert_segments(
     comp_all = _kmeans_comp(spark, sf_dir)
     base = comp_all.filter(F.col("vec_id") % 10 != 7)
     # ---- build: train on base, write segment 1 + the centroid table
+    _t_build = _time.time()
     cent3 = _trained_centroids(base).localCheckpoint(eager=True)
     assign_b, _, _ = _lloyd_round(base, cent3)
     codes_b = _pq_codes_frame(spark, sf_dir, comp=base)
@@ -2615,6 +2620,9 @@ def build_ivfpq_upsert_segments(
     cent3.write.mode("overwrite").format("parquet").saveAsTable(
         f"{prefix}_cent"
     )
+    _t_upsert = _time.time()
+    if leg_out is not None:
+        leg_out["build_s"] = _t_upsert - _t_build
     # ---- upsert: route + encode the delta batch against STORED artifacts
     delta = comp_all.filter(F.col("vec_id") % 10 == 7)
     assign_d, _, _ = _lloyd_round(delta, spark.table(f"{prefix}_cent"))
@@ -2623,6 +2631,8 @@ def build_ivfpq_upsert_segments(
         spark, sf_dir, comp=delta.unionByName(seeds)
     ).filter(F.col("vec_id") % 10 == 7)
     _write_ivfpq_segment(spark, assign_d, codes_d, f"{prefix}_delta")
+    if leg_out is not None:
+        leg_out["upsert_s"] = _time.time() - _t_upsert
     return [f"{prefix}_base", f"{prefix}_delta"], f"{prefix}_cent"
 
 
@@ -3708,4 +3718,189 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(2.0)
             / F.lit(1e14)
         ).alias("mmr_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NN-descent round — distributed kNN-graph construction (Dong et al. 2011),
+# the graph-index build family (HNSW/NSG's batch cousin)
+# ---------------------------------------------------------------------------
+
+_NND_K = 4  # neighbors kept per node
+
+_NND_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+ids AS (SELECT DISTINCT vec_id FROM comp),
+nn AS (SELECT COUNT(*) AS n FROM ids),
+rk AS (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY
+      {_SHINGLE_INT_SQL_REF.format(x="CAST(vec_id AS VARCHAR)")},
+      vec_id) AS r
+  FROM ids
+),
+nb0 AS MATERIALIZED (
+  SELECT a.vec_id AS v, b.vec_id AS u
+  FROM rk a
+  CROSS JOIN unnest(range(1, {_NND_K + 1})) AS o(j)
+  JOIN rk b ON b.r = ((a.r - 1 + o.j) % (SELECT n FROM nn)) + 1
+),
+und AS MATERIALIZED (
+  SELECT v, u FROM nb0 UNION SELECT u, v FROM nb0
+),
+cand AS (
+  SELECT a.v AS v, b.u AS u
+  FROM und a JOIN und b ON a.u = b.v
+  WHERE b.u != a.v
+),
+allc AS (
+  SELECT DISTINCT v, u FROM (
+    SELECT v, u FROM nb0 UNION ALL SELECT v, u FROM cand)
+),
+scored AS MATERIALIZED (
+  SELECT c.v, c.u,
+    SUM((pv.xi - pu.xi) * (pv.xi - pu.xi)) AS d2
+  FROM allc c
+  JOIN comp pv ON pv.vec_id = c.v
+  JOIN comp pu ON pu.vec_id = c.u AND pu.i = pv.i
+  GROUP BY c.v, c.u
+),
+ranked AS (
+  SELECT v, u, d2,
+    row_number() OVER (PARTITION BY v ORDER BY d2, u) AS rn
+  FROM scored
+)
+SELECT r.v AS vec_id,
+  CAST(r.rn AS BIGINT) AS rnk,
+  r.u AS neighbor_id,
+  CAST(r.d2 AS DOUBLE) / 100000000000000.0 AS d2_dist,
+  TRUE AS improved
+FROM ranked r
+WHERE r.rn <= {_NND_K}
+"""
+
+
+@query("nn_descent_round", oracle=_NND_ORACLE)
+def q_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-DESCENT round (Dong et al. 2011) — distributed
+    kNN-GRAPH construction, the batch-parallel cousin of the
+    HNSW/NSG graph indexes and the missing *graph-build* member of
+    the ANN family (IVF/PQ quantize; LSH buckets; this one builds the
+    neighborhood graph that graph-based search serves from):
+
+    1. INIT: a deterministic k-regular ring — nodes ordered by
+       md5-prefix hash (content-keyed, no RNG), each node's initial
+       neighbors are its {_NND_K} hash-ring successors;
+    2. LOCAL JOIN: candidates(v) = neighbors ∪ neighbors-of-neighbors
+       through the UNDIRECTED neighbor graph (general + reverse
+       neighbors — the core NN-descent observation that a neighbor of
+       a neighbor is likely a neighbor);
+    3. SCORE + SELECT: every candidate pair scored by exact-integer
+       squared L2 over the mantissa components (64-dim sums ≤ 8.6e15,
+       exact in int64/hugeint, one int→double division at the end);
+       keep the {_NND_K} smallest per node (tie → smallest id).
+
+    The kept set is chosen from candidates ∪ current neighbors — a
+    SUPERSET of the current neighbors — so per-node top-k distance
+    sums improve monotonically BY CONSTRUCTION; the oracle states
+    improved=TRUE while Spark computes it, so a fold that breaks the
+    superset property breaks the hash (tests/test_plans.py also pins
+    the quantitative receipt).  Iterating the round to convergence is
+    the full NN-descent build; one round is the unit the oracle can
+    unroll (the kmeans_two_rounds precedent).
+
+    Scale shape: the ring init is a node-DIRECTORY window (node ids
+    only, metadata-sized); candidate generation is two equi-joins on
+    node ids bounded by k² + 2k pairs per node — NEVER all-pairs; the
+    distance census joins candidate pairs to components keyed on
+    (vec_id, i) and aggregates map-side; selection is a per-node
+    rank-1..k window on the candidate partitioning.  At 100 TB the
+    candidate count per round stays O(n·k²) and the component join is
+    the only wide stage — the properties that made NN-descent the
+    standard distributed kNN-graph recipe."""
+    comp = _kmeans_comp(spark, sf_dir)
+    ids = comp.select("vec_id").distinct()
+    n_nodes = ids.count()  # node-directory scalar (routing state, not data)
+    from .dedup import _shingle_int
+
+    rk = ids.select(
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                _shingle_int(F.col("vec_id").cast("string")), "vec_id"
+            )
+        )
+        .alias("r"),
+    )
+    offs = F.explode(F.sequence(F.lit(1), F.lit(_NND_K))).alias("j")
+    nb0 = (
+        rk.select("vec_id", "r", offs)
+        .alias("a")
+        .join(
+            rk.alias("b"),
+            F.col("b.r")
+            == ((F.col("a.r") - 1 + F.col("j")) % F.lit(n_nodes)) + 1,
+        )
+        .select(
+            F.col("a.vec_id").alias("v"), F.col("b.vec_id").alias("u")
+        )
+        .localCheckpoint(eager=True)
+    )
+    und = nb0.union(
+        nb0.select(F.col("u").alias("v"), F.col("v").alias("u"))
+    ).distinct()
+    cand = (
+        und.alias("x")
+        .join(und.alias("y"), F.col("x.u") == F.col("y.v"))
+        .filter(F.col("y.u") != F.col("x.v"))
+        .select(F.col("x.v").alias("v"), F.col("y.u").alias("u"))
+    )
+    allc = nb0.unionByName(cand).distinct()
+    scored = (
+        allc.alias("c")
+        .join(comp.alias("pv"), F.col("pv.vec_id") == F.col("c.v"))
+        .join(
+            comp.alias("pu"),
+            (F.col("pu.vec_id") == F.col("c.u"))
+            & (F.col("pu.i") == F.col("pv.i")),
+        )
+        .groupBy("c.v", "c.u")
+        .agg(
+            F.sum(
+                (F.col("pv.xi") - F.col("pu.xi"))
+                * (F.col("pv.xi") - F.col("pu.xi"))
+            ).alias("d2")
+        )
+        .select(F.col("v"), F.col("u"), F.col("d2"))
+        .localCheckpoint(eager=True)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("v").orderBy("d2", "u")
+    )
+    topk = scored.withColumn("rn", rn).filter(F.col("rn") <= _NND_K)
+    old_s = (
+        nb0.alias("n0")
+        .join(
+            scored.alias("s"),
+            (F.col("s.v") == F.col("n0.v"))
+            & (F.col("s.u") == F.col("n0.u")),
+        )
+        .groupBy(F.col("n0.v").alias("v"))
+        .agg(F.sum("d2").alias("os"))
+    )
+    new_s = topk.groupBy("v").agg(F.sum("d2").alias("ns"))
+    imp = old_s.join(new_s, "v").select(
+        "v", (F.col("ns") <= F.col("os")).alias("improved")
+    )
+    return topk.join(imp, "v").select(
+        F.col("v").alias("vec_id"),
+        F.col("rn").cast("bigint").alias("rnk"),
+        F.col("u").alias("neighbor_id"),
+        (F.col("d2").cast("double") / F.lit(1e14)).alias("d2_dist"),
+        "improved",
     )

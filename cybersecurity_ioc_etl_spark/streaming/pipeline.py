@@ -241,6 +241,7 @@ def run_dedup_evicting_stream(
     n_batches: int = 4,
     user_bound: int = 50,
     progress_out: list | None = None,
+    leg_out: dict | None = None,
 ) -> DataFrame:
     """Streaming dedup with REAL state eviction — the state-bounded
     production config of ``run_dedup_stream`` (whose 3650-day delay
@@ -266,12 +267,17 @@ def run_dedup_evicting_stream(
 
     Pass ``progress_out`` (a list) to capture each micro-batch's
     eventTime stats — the empirical-pinning hook the stream-join
-    queries use."""
+    queries use.  Pass ``leg_out`` (a dict) to receive
+    {"staging_s", "drain_s"} — the fixture-staging wall (batch
+    splitting + file writes, pure test scaffolding) vs the actual
+    stream drain (bench.py leg-splits the stream_dedup_evicting row
+    with it)."""
     import os
     import shutil
 
     from ..sources.readers import load_table
 
+    _t_stage = time.time()
     ev = (
         load_table(spark, sf_dir, "events")
         .filter((F.col("user_id") < user_bound) & F.col("ts").isNotNull())
@@ -306,6 +312,9 @@ def run_dedup_evicting_stream(
         shutil.move(os.path.join(tmp, part[0]), target)
         shutil.rmtree(tmp)
         os.utime(target, (t0 + 60 * k, t0 + 60 * k))
+    _t_drain = time.time()
+    if leg_out is not None:
+        leg_out["staging_s"] = _t_drain - _t_stage
     schema = staged.drop("b").schema
     stream = (
         spark.readStream.schema(schema)
@@ -326,6 +335,8 @@ def run_dedup_evicting_stream(
         .start()
     )
     q.awaitTermination()
+    if leg_out is not None:
+        leg_out["drain_s"] = time.time() - _t_drain
     if progress_out is not None:
         progress_out.extend(
             {

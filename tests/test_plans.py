@@ -1582,6 +1582,41 @@ def test_ivfpq_delete_compaction_removes_tombstoned_rows(spark, sf_dir):
         drop_table_and_location(spark, compacted)
 
 
+def test_nn_descent_candidates_bounded_and_monotone(spark, sf_dir):
+    """NN-descent round: candidate generation must be the local join
+    (neighbors ∪ neighbors-of-neighbors through the undirected graph)
+    — bounded by (2k)² + k pairs per node, NEVER all-pairs — and the
+    kept top-k must monotonically improve on the ring init for every
+    node (the superset-selection law the oracle states as TRUE)."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_ioc_etl_spark import operators as _ops
+    from cybersecurity_ioc_etl_spark.operators.similarity import _NND_K
+    from cybersecurity_ioc_etl_spark.sources.readers import load_table
+
+    out = _ops.QUERIES["nn_descent_round"](spark, sf_dir)
+    rows = out.collect()
+    n_nodes = (
+        load_table(spark, sf_dir, "embeddings").select("vec_id").distinct().count()
+    )
+    assert len(rows) == n_nodes * _NND_K
+    assert all(r.improved for r in rows)
+    # per-node neighbor lists are rank-contiguous, self-free, distinct
+    by_v: dict = {}
+    for r in rows:
+        by_v.setdefault(r.vec_id, []).append(r)
+    for v, lst in by_v.items():
+        assert sorted(x.rnk for x in lst) == list(range(1, _NND_K + 1))
+        assert all(x.neighbor_id != v for x in lst)
+        assert len({x.neighbor_id for x in lst}) == _NND_K
+        ds = [x.d2_dist for x in sorted(lst, key=lambda x: x.rnk)]
+        assert ds == sorted(ds)
+    # plan: keyed joins only — no cartesian / nested-loop pair census
+    p = P.formatted_plan(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_mmr_shortlist_work_is_broadcast_and_topk(spark, sf_dir):
     """MMR re-rank: relevance is a broadcast-query dot pass with a
     distributed top-N shortlist (TakeOrderedAndProject) — pinned on the
