@@ -210,6 +210,7 @@ HEADLINE = [
     "minmax_delete_repair",
     "trade_louvain_move",
     "incremental_span_maintenance",
+    "nn_descent_round",
 ]
 
 
