@@ -211,6 +211,7 @@ HEADLINE = [
     "trade_louvain_move",
     "incremental_span_maintenance",
     "nn_descent_round",
+    "trade_louvain_contract",
 ]
 
 

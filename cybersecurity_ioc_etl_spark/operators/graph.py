@@ -1888,3 +1888,156 @@ def modularity_from_stored_labels(
         .distinct()
     )
     return _modularity_census(ue, spark.table(table))
+
+
+# ---------------------------------------------------------------------------
+# Louvain phase-2 contraction — community graph + modularity invariance
+# ---------------------------------------------------------------------------
+
+_CONTRACT_ORACLE = f"""
+WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
+ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0 WHERE src != dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src != dst
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id, a AS lbl FROM ue
+),
+deg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS k FROM ue GROUP BY a),
+m2 AS MATERIALIZED (SELECT COUNT(*) AS two_m FROM ue),
+{_louvain_half_sql("lab0", "lab1", 0)},
+{_louvain_half_sql("lab1", "lab2", 1)},
+super_e AS MATERIALIZED (
+  SELECT la.lbl AS src_comm, lb.lbl AS dst_comm,
+    COUNT(*) AS weight
+  FROM ue u
+  JOIN lab2 la ON u.a = la.id
+  JOIN lab2 lb ON u.b = lb.id
+  GROUP BY 1, 2
+),
+q_orig AS (
+  SELECT {_qnum_sql("lab2")} AS qn
+),
+-- Q of the CONTRACTED weighted graph under the identity labeling:
+-- sigma_in(c) = self-loop weight, sigma_tot(c) = weighted degree
+-- (self-loops count fully in the directed-pair convention)
+strength AS (
+  SELECT src_comm AS c, SUM(weight) AS s FROM super_e GROUP BY 1
+),
+q_contr AS (
+  SELECT
+    (SELECT COALESCE(SUM(weight), 0) FROM super_e
+     WHERE src_comm = dst_comm) * (SELECT two_m FROM m2)
+    - (SELECT SUM(s * s) FROM strength) AS qn
+),
+w_sum AS (SELECT SUM(weight) AS tw FROM super_e)
+SELECT se.src_comm, se.dst_comm,
+  CAST(se.weight AS BIGINT) AS weight,
+  CAST((SELECT qn FROM q_orig) AS BIGINT) AS q_num_labeling,
+  CAST((SELECT qn FROM q_contr) AS BIGINT) AS q_num_contracted,
+  TRUE AS q_conserved,
+  TRUE AS weight_conserved
+FROM super_e se
+"""
+
+
+@query("trade_louvain_contract", oracle=_CONTRACT_ORACLE)
+def q_trade_louvain_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Louvain PHASE-2 contraction — the community graph that feeds the
+    next level of the hierarchy (Blondel et al. 2008): after the
+    phase-1 greedy moves (trade_louvain_move's labels), communities
+    collapse to super-nodes and edge multiplicities to weights
+    (intra-community pairs become self-loops).  Emits the contracted
+    weighted graph plus two EXACT-INTEGER conservation receipts the
+    contraction must satisfy or it is wrong:
+
+    - q_conserved: Q·(2m)² of the original labeling equals Q·(2m)² of
+      the contracted weighted graph under the identity labeling
+      (σ_in(c) = self-loop weight, σ_tot(c) = weighted super-node
+      degree with self-loops counted fully) — the invariance that
+      makes multi-level Louvain correct;
+    - weight_conserved: super-edge weights sum to 2m (every directed
+      pair lands in exactly one community pair).
+
+    Both receipts are computed on the Spark side and STATED true by
+    the oracle — mathematically guaranteed identities, so any
+    aggregation drift breaks the value hash (the sketch-audit form).
+
+    Scale shape: contraction is ONE edge⋈label⋈label join +
+    community-pair rollup (map-side combined; labels broadcast at
+    community-table size); both Q numerators are scalar folds over
+    community-sized frames.  At 100 TB the contracted graph is
+    communities², usually orders of magnitude smaller than the input —
+    the whole point of the multi-level scheme."""
+    e0 = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    ue = (
+        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab0 = (
+        ue.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    deg = ue.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("k"))
+    deg = deg.localCheckpoint(eager=True)
+    two_m = ue.agg(F.count("*").alias("two_m"))
+    lab1, _ = _louvain_half(ue, deg, two_m, lab0, 0)
+    lab2, _ = _louvain_half(ue, deg, two_m, lab1, 1)
+    super_e = (
+        ue.alias("u")
+        .join(
+            F.broadcast(lab2.alias("la")), F.col("u.a") == F.col("la.id")
+        )
+        .join(
+            F.broadcast(lab2.alias("lb")), F.col("u.b") == F.col("lb.id")
+        )
+        .groupBy(
+            F.col("la.lbl").alias("src_comm"),
+            F.col("lb.lbl").alias("dst_comm"),
+        )
+        .agg(F.count("*").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    # Q of the labeling on the ORIGINAL graph (exact ints)
+    qo = _qnum(ue, deg, lab2).crossJoin(F.broadcast(two_m)).select(
+        (F.col("intra2") * F.col("two_m") - F.col("sum_d2")).alias("q_orig")
+    )
+    # Q of the contracted weighted graph under identity labeling
+    self_w = super_e.filter(
+        F.col("src_comm") == F.col("dst_comm")
+    ).agg(F.coalesce(F.sum("weight"), F.lit(0)).alias("sw"))
+    strength = super_e.groupBy("src_comm").agg(F.sum("weight").alias("s"))
+    s2 = strength.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    qc = (
+        self_w.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(two_m))
+        .select((F.col("sw") * F.col("two_m") - F.col("s2")).alias("q_contr"))
+    )
+    tw = super_e.agg(F.sum("weight").alias("tw"))
+    scalars = (
+        qo.crossJoin(F.broadcast(qc))
+        .crossJoin(F.broadcast(tw))
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            F.col("q_orig").cast("bigint").alias("q_num_labeling"),
+            F.col("q_contr").cast("bigint").alias("q_num_contracted"),
+            (F.col("q_orig") == F.col("q_contr")).alias("q_conserved"),
+            (F.col("tw") == F.col("two_m")).alias("weight_conserved"),
+        )
+    )
+    return super_e.crossJoin(F.broadcast(scalars)).select(
+        "src_comm",
+        "dst_comm",
+        F.col("weight").cast("bigint").alias("weight"),
+        "q_num_labeling",
+        "q_num_contracted",
+        "q_conserved",
+        "weight_conserved",
+    )
