@@ -212,6 +212,7 @@ HEADLINE = [
     "incremental_span_maintenance",
     "nn_descent_round",
     "trade_louvain_contract",
+    "rq_encode_audit",
 ]
 
 

@@ -3904,3 +3904,193 @@ def q_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d2").cast("double") / F.lit(1e14)).alias("d2_dist"),
         "improved",
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual quantization — the ADDITIVE quantizer family (RQ/LSQ), the
+# complement of PQ's subspace split
+# ---------------------------------------------------------------------------
+
+_RQ_K1 = 4  # stage-1 codebook: seed vectors vec_id < K1
+_RQ_K2 = 4  # stage-2 codebook: residuals of vec_ids K1..K1+K2-1, + zero word
+
+_RQ_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+cent1 AS (
+  SELECT vec_id AS c, i, xi AS ci FROM comp WHERE vec_id < {_RQ_K1}
+),
+sq1 AS (SELECT c, SUM(ci * ci) AS sq_c FROM cent1 GROUP BY c),
+d1 AS (
+  SELECT v.vec_id, c1.c,
+    (SELECT sq_c FROM sq1 WHERE sq1.c = c1.c) - 2 * SUM(v.xi * c1.ci) AS dd
+  FROM comp v JOIN cent1 c1 ON v.i = c1.i
+  GROUP BY v.vec_id, c1.c
+),
+a1 AS (
+  SELECT vec_id, c AS c1 FROM (
+    SELECT vec_id, c, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dd, c) AS rn
+    FROM d1) WHERE rn = 1
+),
+resid AS MATERIALIZED (
+  SELECT v.vec_id, v.i, v.xi - c1.ci AS ri
+  FROM comp v
+  JOIN a1 ON a1.vec_id = v.vec_id
+  JOIN cent1 c1 ON c1.c = a1.c1 AND c1.i = v.i
+),
+cw2 AS MATERIALIZED (
+  SELECT vec_id - {_RQ_K1 - 1} AS w, i, ri AS wi
+  FROM resid WHERE vec_id >= {_RQ_K1} AND vec_id < {_RQ_K1 + _RQ_K2}
+  UNION ALL
+  SELECT 0 AS w, i, 0 AS wi FROM (SELECT DISTINCT i FROM comp)
+),
+sq2 AS (SELECT w, SUM(wi * wi) AS sq_w FROM cw2 GROUP BY w),
+sqr AS (SELECT vec_id, SUM(ri * ri) AS sq_r FROM resid GROUP BY vec_id),
+d2 AS (
+  SELECT r.vec_id, c2.w,
+    (SELECT sq_w FROM sq2 WHERE sq2.w = c2.w) - 2 * SUM(r.ri * c2.wi) AS dd
+  FROM resid r JOIN cw2 c2 ON r.i = c2.i
+  GROUP BY r.vec_id, c2.w
+),
+a2 AS (
+  SELECT vec_id, w AS c2, dd AS dd2 FROM (
+    SELECT vec_id, w, dd, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dd, w) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT a1.vec_id,
+  CAST(a1.c1 AS BIGINT) AS c1,
+  CAST(a2.c2 AS BIGINT) AS c2,
+  CAST(sqr.sq_r AS DOUBLE) / 100000000000000.0 AS err_stage1,
+  CAST(sqr.sq_r + a2.dd2 AS DOUBLE) / 100000000000000.0 AS err_stage2,
+  TRUE AS improved
+FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+JOIN sqr ON sqr.vec_id = a1.vec_id
+"""
+
+
+@query("rq_encode_audit", oracle=_RQ_ORACLE)
+def q_rq_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL quantization encode — the additive-quantizer family
+    (RQ/LSQ; FAISS ResidualQuantizer) beside PQ's subspace split:
+    stage 1 assigns each vector to its nearest full-dim codeword
+    (exact-integer argmin, min-index ties); stage 2 quantizes the
+    RESIDUAL x − c1 against a second codebook built from the residuals
+    of held-out seed vectors PLUS AN EXPLICIT ZERO CODEWORD (code 0)
+    — the zero word makes per-vector error decrease monotone BY
+    CONSTRUCTION (choosing 0 reproduces the stage-1 error exactly, so
+    the argmin can only match or beat it), which the oracle states as
+    improved=TRUE while Spark computes it.  Emits per vector both
+    stage codes and both reconstruction errors (exact-integer sums,
+    one int→double division each).
+
+    Where PQ splits dimensions and quantizes subspaces independently,
+    RQ refines the SAME full-dim space in stages — better for
+    anisotropic data, and additive codebooks compose with ADC serving
+    the same way (LUT per stage, sums of integer table entries).
+
+    Scale shape: both codebooks are K·dims rows — broadcast; encoding
+    is two (vector-component ⋈ broadcast codebook) partial-dot passes
+    + per-vector struct-min argmins, all map-side combined; residuals
+    are one join back to the chosen codeword rows.  No all-pairs
+    anywhere; cost is 2·K·n component rows per stage."""
+    comp = _kmeans_comp(spark, sf_dir)
+    cent1 = comp.filter(F.col("vec_id") < _RQ_K1).select(
+        F.col("vec_id").alias("c"), "i", F.col("xi").alias("ci")
+    )
+    sq1 = cent1.groupBy("c").agg(F.sum(F.col("ci") * F.col("ci")).alias("sq_c"))
+    d1 = (
+        comp.join(F.broadcast(cent1), "i")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("xi") * F.col("ci")).alias("dot1"))
+        .join(F.broadcast(sq1), "c")
+        .select(
+            "vec_id",
+            "c",
+            (F.col("sq_c") - F.lit(2) * F.col("dot1")).alias("dd"),
+        )
+    )
+    a1 = (
+        d1.groupBy("vec_id")
+        .agg(F.min(F.struct("dd", "c")).alias("best"))
+        .select("vec_id", F.col("best.c").alias("c1"))
+    )
+    # alias both sides: a1 and cent1 both derive from comp, so unqualified
+    # i/vec_id hit AMBIGUOUS_SELF_JOIN (the viterbi_segment lesson)
+    resid = (
+        comp.alias("v")
+        .join(a1.alias("asg"), F.col("v.vec_id") == F.col("asg.vec_id"))
+        .join(
+            F.broadcast(cent1.alias("cb")),
+            (F.col("asg.c1") == F.col("cb.c"))
+            & (F.col("v.i") == F.col("cb.i")),
+        )
+        .select(
+            F.col("v.vec_id").alias("vec_id"),
+            F.col("v.i").alias("i"),
+            (F.col("v.xi") - F.col("cb.ci")).alias("ri"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cw2 = (
+        resid.filter(
+            (F.col("vec_id") >= _RQ_K1)
+            & (F.col("vec_id") < _RQ_K1 + _RQ_K2)
+        )
+        .select(
+            (F.col("vec_id") - F.lit(_RQ_K1 - 1)).alias("w"),
+            "i",
+            F.col("ri").alias("wi"),
+        )
+        .unionByName(
+            comp.select("i")
+            .distinct()
+            .select(
+                F.lit(0).cast("long").alias("w"),
+                "i",
+                F.lit(0).cast("bigint").alias("wi"),
+            )
+        )
+    )
+    sq2 = cw2.groupBy("w").agg(F.sum(F.col("wi") * F.col("wi")).alias("sq_w"))
+    sqr = resid.groupBy("vec_id").agg(
+        F.sum(F.col("ri") * F.col("ri")).alias("sq_r")
+    )
+    d2 = (
+        resid.join(F.broadcast(cw2), "i")
+        .groupBy("vec_id", "w")
+        .agg(F.sum(F.col("ri") * F.col("wi")).alias("dot2"))
+        .join(F.broadcast(sq2), "w")
+        .select(
+            "vec_id",
+            "w",
+            (F.col("sq_w") - F.lit(2) * F.col("dot2")).alias("dd"),
+        )
+    )
+    a2 = (
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("dd", "w")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.w").alias("c2"),
+            F.col("best.dd").alias("dd2"),
+        )
+    )
+    return (
+        a1.join(a2, "vec_id")
+        .join(sqr, "vec_id")
+        .select(
+            "vec_id",
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            (F.col("sq_r").cast("double") / F.lit(1e14)).alias("err_stage1"),
+            (
+                (F.col("sq_r") + F.col("dd2")).cast("double") / F.lit(1e14)
+            ).alias("err_stage2"),
+            (F.col("dd2") <= 0).alias("improved"),
+        )
+    )
