@@ -3728,11 +3728,15 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NND_K = 4  # neighbors kept per node
 
-_NND_ORACLE = f"""
-WITH comp AS (
+
+def _nnd_core_sql(comp_where: str = "TRUE") -> str:
+    """The NND build CTE chain (comp … ranked) over embeddings rows
+    satisfying ``comp_where`` — shared by the build-round oracle and
+    the graph-serve oracle."""
+    return f"""comp AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
-  FROM embeddings
+  FROM embeddings WHERE {comp_where}
 ),
 ids AS (SELECT DISTINCT vec_id FROM comp),
 nn AS (SELECT COUNT(*) AS n FROM ids),
@@ -3773,7 +3777,11 @@ ranked AS (
   SELECT v, u, d2,
     row_number() OVER (PARTITION BY v ORDER BY d2, u) AS rn
   FROM scored
-)
+)"""
+
+
+_NND_ORACLE = f"""
+WITH {_nnd_core_sql()}
 SELECT r.v AS vec_id,
   CAST(r.rn AS BIGINT) AS rnk,
   r.u AS neighbor_id,
@@ -3823,6 +3831,36 @@ def q_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only wide stage — the properties that made NN-descent the
     standard distributed kNN-graph recipe."""
     comp = _kmeans_comp(spark, sf_dir)
+    nb0, scored, topk = _nnd_round_frames(comp)
+    old_s = (
+        nb0.alias("n0")
+        .join(
+            scored.alias("s"),
+            (F.col("s.v") == F.col("n0.v"))
+            & (F.col("s.u") == F.col("n0.u")),
+        )
+        .groupBy(F.col("n0.v").alias("v"))
+        .agg(F.sum("d2").alias("os"))
+    )
+    new_s = topk.groupBy("v").agg(F.sum("d2").alias("ns"))
+    imp = old_s.join(new_s, "v").select(
+        "v", (F.col("ns") <= F.col("os")).alias("improved")
+    )
+    return topk.join(imp, "v").select(
+        F.col("v").alias("vec_id"),
+        F.col("rn").cast("bigint").alias("rnk"),
+        F.col("u").alias("neighbor_id"),
+        (F.col("d2").cast("double") / F.lit(1e14)).alias("d2_dist"),
+        "improved",
+    )
+
+
+def _nnd_round_frames(
+    comp: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The NND build over a component frame: (ring init nb0,
+    candidate scores, per-node top-k edges) — shared by the build
+    round and the graph-serve query."""
     ids = comp.select("vec_id").distinct()
     n_nodes = ids.count()  # node-directory scalar (routing state, not data)
     from .dedup import _shingle_int
@@ -3883,27 +3921,7 @@ def q_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("v").orderBy("d2", "u")
     )
     topk = scored.withColumn("rn", rn).filter(F.col("rn") <= _NND_K)
-    old_s = (
-        nb0.alias("n0")
-        .join(
-            scored.alias("s"),
-            (F.col("s.v") == F.col("n0.v"))
-            & (F.col("s.u") == F.col("n0.u")),
-        )
-        .groupBy(F.col("n0.v").alias("v"))
-        .agg(F.sum("d2").alias("os"))
-    )
-    new_s = topk.groupBy("v").agg(F.sum("d2").alias("ns"))
-    imp = old_s.join(new_s, "v").select(
-        "v", (F.col("ns") <= F.col("os")).alias("improved")
-    )
-    return topk.join(imp, "v").select(
-        F.col("v").alias("vec_id"),
-        F.col("rn").cast("bigint").alias("rnk"),
-        F.col("u").alias("neighbor_id"),
-        (F.col("d2").cast("double") / F.lit(1e14)).alias("d2_dist"),
-        "improved",
-    )
+    return nb0, scored, topk
 
 
 # ---------------------------------------------------------------------------
@@ -4094,3 +4112,4 @@ def q_rq_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dd2") <= 0).alias("improved"),
         )
     )
+
