@@ -213,6 +213,7 @@ HEADLINE = [
     "nn_descent_round",
     "trade_louvain_contract",
     "rq_encode_audit",
+    "stream_span_maintenance",
 ]
 
 

@@ -2365,6 +2365,37 @@ def _span_tokens(d: DataFrame) -> DataFrame:
     ).filter(F.size("tk") >= _SPAN_K)
 
 
+def _span_occ(tk: DataFrame) -> DataFrame:
+    """(doc_id, p, h) positional gram occurrences of a token frame."""
+    return tk.select(
+        "doc_id",
+        F.posexplode(_span_grams(F.col("tk"))).alias("p", "gram"),
+    ).select("doc_id", "p", _shingle_int(F.col("gram")).alias("h"))
+
+
+def span_incremental_fold(occ_b: DataFrame, census: DataFrame) -> DataFrame:
+    """Duplicated positions of a NEW batch against a stored gram
+    census: (a) collision probe — the batch's distinct gram set
+    broadcast into the census scan; (b) batch-internal grams in >= 2
+    distinct docs; union back over the occurrences.  Shared by
+    incremental_span_maintenance and its streaming twin."""
+    bg = occ_b.select("h").distinct()
+    hits = census.join(F.broadcast(bg), "h")
+    bsh = (
+        occ_b.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        occ_b.join(F.broadcast(hits.unionByName(bsh).distinct()), "h")
+        .select("doc_id", "p")
+        .distinct()
+    )
+
+
 def _span_islands(dup: DataFrame) -> DataFrame:
     """Per-doc interval union over duplicated-gram positions (doc_id, p)
     → (doc_id, n_dup_grams, covered, n_spans) — the gaps-and-islands lag
@@ -2555,34 +2586,11 @@ def q_incremental_span_maintenance(
         "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
     )
 
-    def occ_of(tk: DataFrame) -> DataFrame:
-        return tk.select(
-            "doc_id",
-            F.posexplode(_span_grams(F.col("tk"))).alias("p", "gram"),
-        ).select("doc_id", "p", _shingle_int(F.col("gram")).alias("h"))
-
-    occ_b = occ_of(tk_batch)
+    occ_b = _span_occ(tk_batch)
     # stored state: the corpus's distinct gram set (fixture-built; a
     # bucketed-on-h table in production)
-    census = occ_of(tk_corpus).select("h").distinct()
-    bg = occ_b.select("h").distinct()
-    # (a) collision probe: batch gram set broadcast into the census scan
-    hits = census.join(F.broadcast(bg), "h")
-    # (b) batch-internal >= 2-distinct-doc grams
-    bsh = (
-        occ_b.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dup_fold = (
-        occ_b.join(F.broadcast(hits.unionByName(bsh).distinct()), "h")
-        .select("doc_id", "p")
-        .distinct()
-    )
-    isl_fold = _span_islands(dup_fold)
+    census = _span_occ(tk_corpus).select("h").distinct()
+    isl_fold = _span_islands(span_incremental_fold(occ_b, census))
     # audit leg: full combined census restricted to the batch
     dup_full = span_positional_census(tk_all).filter(
         F.col("doc_id") >= _SPAN_INC_CUT
@@ -2612,6 +2620,81 @@ def q_incremental_span_maintenance(
                 & (F.coalesce("covered", z) == F.coalesce("f_cov", z))
                 & (F.coalesce("n_spans", z) == F.coalesce("f_nsp", z))
             ).alias("incr_consistent"),
+        )
+    )
+
+
+_STREAM_SPAN_ORACLE = _SPAN_INC_ORACLE.replace(
+    "TRUE AS incr_consistent", "TRUE AS stream_consistent"
+)
+
+
+@query("stream_span_maintenance", oracle=_STREAM_SPAN_ORACLE)
+def q_stream_span_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of incremental_span_maintenance — the span
+    census maintained under continuous ingest: the new batch's docs
+    arrive as real micro-batches (availableNow over staged files);
+    each trigger extracts its positional-gram occurrences and writes
+    them as replay-safe bid-keyed partials (streaming/pipeline.py::
+    run_stream_span_occurrences); the fold — stored-census collision
+    probe + batch-internal >= 2-doc census + interval-union islands —
+    runs once on the merged occurrences.  Occurrence extraction is a
+    pure per-doc map, so the merged union equals the batch extraction
+    for ANY batching or replay, and the emitted per-doc span columns
+    are hash-identical to the batch operator's; the oracle is the
+    same full-census ground truth.  stream_consistent asserts the
+    streamed fold matches a direct recompute of the fold from the
+    batch-extracted occurrences (batching-invariance made a value).
+
+    Scale shape: per trigger a narrow projection (16-byte gram rows,
+    text never persisted); fold cost ∝ batch + collisions exactly as
+    the batch twin; completes the streaming-twin family (count-min /
+    KMV / HLL / Misra-Gries / mixture / spans)."""
+    from ..streaming.pipeline import run_stream_span_occurrences
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tk_all = _span_tokens(d)
+    tk_corpus = tk_all.filter(F.col("doc_id") < _SPAN_INC_CUT)
+    tk_batch = tk_all.filter(F.col("doc_id") >= _SPAN_INC_CUT)
+    base = tk_batch.select(
+        "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
+    )
+    census = _span_occ(tk_corpus).select("h").distinct()
+    occ_stream = run_stream_span_occurrences(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    isl_stream = _span_islands(span_incremental_fold(occ_stream, census))
+    # batching-invariance receipt: the same fold from batch-extracted
+    # occurrences must agree row-for-row
+    isl_direct = _span_islands(
+        span_incremental_fold(_span_occ(tk_batch), census)
+    ).select(
+        "doc_id",
+        F.col("n_dup_grams").alias("d_ndg"),
+        F.col("covered").alias("d_cov"),
+        F.col("n_spans").alias("d_nsp"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        base.join(isl_stream, "doc_id", "left")
+        .join(isl_direct, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", z).alias("n_dup_grams"),
+            F.coalesce("n_spans", z).alias("n_spans"),
+            F.coalesce("covered", z).alias("covered_tokens"),
+            (
+                F.coalesce("covered", z).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+            (
+                (F.coalesce("n_dup_grams", z) == F.coalesce("d_ndg", z))
+                & (F.coalesce("covered", z) == F.coalesce("d_cov", z))
+                & (F.coalesce("n_spans", z) == F.coalesce("d_nsp", z))
+            ).alias("stream_consistent"),
         )
     )
 

@@ -1185,6 +1185,64 @@ def run_stream_countmin(
     return parts.groupBy("i", "b").agg(F.sum("c").cast("bigint").alias("c"))
 
 
+def run_stream_span_occurrences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming leg of incremental span maintenance: the NEW batch's
+    documents arrive as micro-batches; each trigger extracts its docs'
+    positional-gram OCCURRENCES (doc_id, p, h) and writes them as a
+    bid-keyed overwrite partial (replay-safe — an at-least-once
+    re-fire overwrites ``b{bid}`` instead of duplicating occurrences).
+    Occurrence extraction is a pure per-doc map, so the union of
+    committed partials equals the batch extraction for ANY batching —
+    the fold downstream (probe stored census + batch-internal census +
+    islands) runs once at end of stream on the merged occurrences.
+
+    Scale shape: per trigger one narrow projection of the batch's
+    docs; partials are 16-byte (p, h) rows per gram, text never lands
+    in the partial store."""
+    from ..operators.dedup import _SPAN_INC_CUT, _span_occ, _span_tokens
+    from ..sources.readers import load_table
+
+    work_dir = tempfile.mkdtemp(prefix="stream_span_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") >= _SPAN_INC_CUT)
+        )
+        .select("doc_id", "text")
+    )
+    d.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(_span_occ(_span_tokens(batch)), out_dir, bid)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame([], "doc_id bigint, p int, h bigint")
+    return spark.read.parquet(*dirs).select("doc_id", "p", "h")
+
+
 def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV distinct sketch: per micro-batch the per-source
     bottom-k of the batch's distinct token hashes is written as a
