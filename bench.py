@@ -214,6 +214,7 @@ HEADLINE = [
     "trade_louvain_contract",
     "rq_encode_audit",
     "stream_span_maintenance",
+    "stream_retractable_agg",
 ]
 
 

@@ -905,6 +905,81 @@ def q_retractable_agg_maintenance(
     )
 
 
+_STREAM_RETRACT_ORACLE = _RETRACT_ORACLE.replace(
+    "TRUE AS retract_consistent", "TRUE AS stream_consistent"
+)
+
+
+@query("stream_retractable_agg", oracle=_STREAM_RETRACT_ORACLE)
+def q_stream_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of retractable_agg_maintenance — the CDC change
+    stream (inserts AND deletes) folded as it arrives: micro-batches
+    aggregate signed per-group partials (+1/+price for I, −1/−price
+    for D), written bid-keyed and replay-safe
+    (streaming/pipeline.py::run_stream_cdc_retraction); the summed
+    delta state merges with the stored base view at end of stream.
+    COUNT and the mantissa SUM form a GROUP under retraction, so the
+    signed partials fold by pure addition — the result is
+    batch-identical for any batching, ordering, or at-least-once
+    replay of the change stream, which is exactly the Flink
+    retract-stream / Materialize guarantee restated on Structured
+    Streaming.  stream_consistent asserts the streamed fold equals
+    the from-scratch recompute on (base − deletes) ∪ inserts; the
+    oracle states the ground truth.
+
+    Scale shape: per trigger one map-side-combined signed aggregate
+    bounded by the group count; merge is a groups-sized outer join;
+    the recompute is the rare audit leg."""
+    from ..streaming.pipeline import run_stream_cdc_retraction
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        mi(F.col("o_totalprice")).alias("pi"),
+    )
+    is_base = F.col("d") < _IVM_CUT
+    is_del = is_base & (F.col("k") % 10 == _RETRACT_MOD)
+    base = (
+        o.filter(is_base)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("bn"),
+            F.sum(F.col("pi").cast("decimal(38,0)")).alias("bs"),
+        )
+    )
+    delta = run_stream_cdc_retraction(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    merged = base.join(delta, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (
+            F.coalesce(F.col("bn"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("mn"),
+        (
+            F.coalesce(F.col("bs"), zero) + F.coalesce(F.col("ds"), zero)
+        ).alias("ms"),
+    )
+    full = (
+        o.filter(~is_del)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("pi").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("mn").cast("bigint").alias("n_orders"),
+        (F.col("ms").cast("double") / F.lit(10000.0)).alias("total_price"),
+        (
+            (F.col("mn") == F.col("n")) & (F.col("ms") == F.col("s"))
+        ).alias("stream_consistent"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MIN/MAX delete repair — scoped recompute for non-retractable aggregates
 # ---------------------------------------------------------------------------

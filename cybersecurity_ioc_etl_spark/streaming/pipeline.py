@@ -1185,6 +1185,92 @@ def run_stream_countmin(
     return parts.groupBy("i", "b").agg(F.sum("c").cast("bigint").alias("c"))
 
 
+def run_stream_cdc_retraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC fold with DELETES: the change stream (inserts =
+    orders on/after the IVM cut, deletes = base orders picked by the
+    retraction modulus) arrives as micro-batches; each trigger
+    aggregates its rows into a SIGNED per-group partial (+1/+price for
+    I, −1/−price for D — COUNT and the mantissa SUM form a group under
+    retraction, so partials fold by addition) written bid-keyed and
+    replay-safe.  Returns the summed delta state (o_orderpriority, dn,
+    ds) for the caller to merge with stored base state — the Flink
+    retract-stream shape on Structured Streaming.
+
+    Scale shape: per trigger one map-side-combined signed aggregate
+    bounded by the group count; the end-of-stream fold touches
+    (batches × groups) partial rows, never the base table."""
+    from ..operators.relational import _IVM_CUT, _RETRACT_MOD, mi
+    from ..sources.readers import load_table
+
+    work_dir = tempfile.mkdtemp(prefix="stream_cdc_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("d"),
+        mi(F.col("o_totalprice")).alias("pi"),
+    )
+    is_base = F.col("d") < _IVM_CUT
+    ins = o.filter(~F.coalesce(is_base, F.lit(False))).select(
+        "o_orderpriority", "pi", F.lit("I").alias("op")
+    )
+    dels = o.filter(
+        F.coalesce(is_base, F.lit(False))
+        & (F.col("o_orderkey") % 10 == _RETRACT_MOD)
+    ).select("o_orderpriority", "pi", F.lit("D").alias("op"))
+    ins.unionByName(dels).repartition(4).write.mode("overwrite").parquet(
+        src
+    )
+    schema = spark.read.parquet(src).schema
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
+        _write_partial_bid(
+            batch.groupBy("o_orderpriority").agg(
+                F.sum(sign).alias("n"),
+                F.sum(
+                    sign.cast("decimal(38,0)")
+                    * F.col("pi").cast("decimal(38,0)")
+                ).alias("s"),
+            ),
+            out_dir,
+            bid,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, dn bigint, ds decimal(38,0)"
+        )
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("dn"),
+            F.sum("s").cast("decimal(38,0)").alias("ds"),
+        )
+    )
+
+
 def run_stream_span_occurrences(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
