@@ -215,6 +215,7 @@ HEADLINE = [
     "rq_encode_audit",
     "stream_span_maintenance",
     "stream_retractable_agg",
+    "wordpiece_merge_step",
 ]
 
 

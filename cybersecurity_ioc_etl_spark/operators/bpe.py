@@ -412,3 +412,137 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece merge objective — likelihood gain instead of raw frequency
+# ---------------------------------------------------------------------------
+
+_WP_ORACLE = f"""
+WITH {_WF_SQL},{_pairs_sql("", "seqs")},
+sc AS (
+  SELECT sym, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+    SELECT f, unnest(s) AS sym FROM syms) GROUP BY sym
+),
+g AS (
+  SELECT p.left_sym, p.right_sym, p.pair_count,
+    CAST(FLOOR(1e9 * (ln(p.pair_count) - ln(ca.cnt) - ln(cb.cnt)))
+         AS BIGINT) AS gain_i
+  FROM pc p
+  JOIN sc ca ON p.left_sym = ca.sym
+  JOIN sc cb ON p.right_sym = cb.sym
+),
+topw AS (
+  SELECT left_sym, right_sym, gain_i FROM g
+  ORDER BY gain_i DESC, left_sym, right_sym LIMIT 1
+),
+seqs1 AS (
+  SELECT replace(seq,
+                 t.left_sym || chr(31) || t.right_sym || chr(31),
+                 t.left_sym || t.right_sym || chr(31)) AS seq, f
+  FROM seqs, topw t
+),{_pairs_sql("1", "seqs1")}
+SELECT (SELECT left_sym || '+' || right_sym FROM topw) AS merged_pair,
+       (SELECT gain_i FROM topw) AS gain_i,
+       left_sym, right_sym, pair_count
+FROM pc1 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 10
+"""
+
+
+@query("wordpiece_merge_step", oracle=_WP_ORACLE)
+def q_wordpiece_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE WordPiece training round — the LIKELIHOOD merge objective
+    (Schuster & Nakajima 2012; the BERT tokenizer) beside BPE's raw
+    frequency: the pair merged is the one maximizing
+    score(a,b) = count(ab) / (count(a)·count(b)) — the unigram-LM
+    likelihood gain of fusing the pair — which prefers pairs whose
+    parts rarely occur APART (BPE's raw count would merge frequent
+    symbols that also thrive independently).  The argmax rides the
+    quantized log form FLOOR(1e9·(ln c_ab − ln c_a − ln c_b)): one
+    identical closed-form double expression per pair on both engines
+    (the ioc_host_dga_scores discipline), compared as exact ints with
+    lexicographic tie-break.  Emits the winner, its integer gain, and
+    the top-10 pair counts of the post-merge vocabulary — pinning
+    WHICH merge the objective picked, not just the resulting census.
+
+    Completes the tokenizer-trainer objective trio: BPE (frequency,
+    bpe_merge_step), unigram-LM (Viterbi inference,
+    viterbi_segment_stats), WordPiece (likelihood, this).
+
+    Scale shape: symbol and pair censuses are vocabulary-grain
+    map-side-combined sums off the one corpus-wide word-count shuffle;
+    the gain join keys pairs to two symbol-count rows (vocab-sized,
+    broadcast); the winner is a 1-row broadcast into the literal
+    replace — identical economics to bpe_merge_step."""
+    seqs = _word_freq(spark, sf_dir).select(
+        _to_seq(F.col("w")).alias("seq"), "f"
+    )
+    s_full = F.split(F.col("seq"), _SEP)
+    s = F.slice(s_full, 1, F.size(s_full) - 1)
+    sc = (
+        seqs.select("f", F.explode(s).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+    )
+    pc = pair_counts(seqs)
+    gain = (
+        F.floor(
+            F.lit(1e9)
+            * (
+                F.log(F.col("pair_count"))
+                - F.log(F.col("ca"))
+                - F.log(F.col("cb"))
+            )
+        )
+    ).cast("bigint")
+    g = (
+        pc.join(
+            F.broadcast(
+                sc.select(
+                    F.col("sym").alias("left_sym"), F.col("cnt").alias("ca")
+                )
+            ),
+            "left_sym",
+        )
+        .join(
+            F.broadcast(
+                sc.select(
+                    F.col("sym").alias("right_sym"), F.col("cnt").alias("cb")
+                )
+            ),
+            "right_sym",
+        )
+        .select("left_sym", "right_sym", "pair_count", gain.alias("gain_i"))
+    )
+    topw = (
+        g.orderBy(F.col("gain_i").desc(), "left_sym", "right_sym")
+        .limit(1)
+        .select(
+            F.col("left_sym").alias("ml"),
+            F.col("right_sym").alias("mr"),
+            F.col("gain_i").alias("wg"),
+        )
+    )
+    merged = (
+        seqs.crossJoin(F.broadcast(topw))
+        .select(
+            F.expr(
+                "replace(seq, concat(ml, chr(31), mr, chr(31)),"
+                " concat(ml, mr, chr(31)))"
+            ).alias("seq"),
+            "f",
+            F.concat_ws("+", "ml", "mr").alias("merged_pair"),
+            F.col("wg").alias("gain_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    info = merged.select("merged_pair", "gain_i").limit(1)
+    return (
+        pair_counts(merged.select("seq", "f"))
+        .crossJoin(F.broadcast(info))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(10)
+        .select(
+            "merged_pair", "gain_i", "left_sym", "right_sym", "pair_count"
+        )
+    )
