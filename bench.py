@@ -216,6 +216,7 @@ HEADLINE = [
     "stream_span_maintenance",
     "stream_retractable_agg",
     "wordpiece_merge_step",
+    "temperature_mixture_plan",
 ]
 
 

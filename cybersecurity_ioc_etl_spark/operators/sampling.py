@@ -829,3 +829,156 @@ def q_rendezvous_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("moved_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture — UniMax-style T=2 upweighting with exact
+# largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+_TEMP_M = 200  # total docs the mixture plan apportions
+
+_TEMP_MIX_ORACLE = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n,
+    CAST(FLOOR(1e9 * sqrt(n)) AS BIGINT) AS wq
+  FROM c
+),
+tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
+base AS (
+  SELECT source, n, wq,
+    CAST(({_TEMP_M} * wq) // (SELECT tw FROM tot) AS BIGINT) AS b,
+    CAST(({_TEMP_M} * wq) % (SELECT tw FROM tot) AS BIGINT) AS r
+  FROM w
+),
+lr AS (
+  SELECT source, n, b, r,
+    row_number() OVER (ORDER BY r DESC, source) AS rk
+  FROM base
+),
+quota AS (
+  SELECT source, n,
+    CAST(b + CASE WHEN rk <= {_TEMP_M} - (SELECT SUM(b) FROM base)
+                  THEN 1 ELSE 0 END AS BIGINT) AS m
+  FROM lr
+),
+ranked AS (
+  SELECT source, doc_id,
+    {_SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS hid,
+    row_number() OVER (PARTITION BY source ORDER BY
+      {_SHINGLE_INT_SQL.format(x="CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents
+),
+samp AS (
+  SELECT r.source, r.hid
+  FROM ranked r JOIN quota q ON r.source = q.source
+  WHERE r.rn <= q.m
+)
+SELECT q.source,
+  CAST(q.n AS BIGINT) AS n_docs,
+  q.m AS quota,
+  CAST(COUNT(s.hid) AS BIGINT) AS n_sampled,
+  CAST(q.m - COUNT(s.hid) AS BIGINT) AS shortfall,
+  CAST(COALESCE(SUM(s.hid), 0) AS BIGINT) AS sample_checksum,
+  TRUE AS quota_total_ok
+FROM quota q LEFT JOIN samp s ON s.source = q.source
+GROUP BY q.source, q.n, q.m
+"""
+
+
+@query("temperature_mixture_plan", oracle=_TEMP_MIX_ORACLE)
+def q_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture (the UniMax / multilingual-LM
+    upweighting family, T=2): per-source sampling mass ∝ share^(1/T) =
+    sqrt(n_s) — big sources are DOWN-weighted relative to proportional
+    sampling so small sources aren't drowned, the standard fix for
+    head-language dominance.  The plan apportions a {m}-doc budget
+    EXACTLY by largest-remainder (Hamilton) rounding over quantized
+    weights FLOOR(1e9·√n_s) — exact integers end to end (sqrt of an
+    integer is one identical IEEE double both engines; everything
+    after is int arithmetic), so Σ quota == {m} by construction: the
+    oracle states quota_total_ok=TRUE while Spark computes it.  Each
+    source then materializes its quota as the docs with the smallest
+    md5 ids (deterministic 'random' sample, rank window), emitting the
+    per-source ledger: census, quota, sampled count, shortfall (a
+    source smaller than its quota under-fills — upweighting's boundary
+    case), and an exact integer checksum of the sampled ids so the
+    SAMPLE ITSELF is value-hashed, not just its size.
+
+    Scale shape: the census and the weight/apportionment table are
+    source-cardinality-sized (driver-free scalar folds + one tiny
+    window); the sample selection is one per-source rank window over
+    the hash — the same partitioned top-k every stratified sampler
+    here uses.  Beside source_mixture_sample (fixed keep rates) and
+    mixture_epoch_plan (token budgets), this adds the
+    temperature-objective member of the mixture family."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("n"))
+    w = c.select(
+        "source",
+        "n",
+        F.floor(F.lit(1e9) * F.sqrt(F.col("n"))).cast("bigint").alias("wq"),
+    )
+    tot = w.agg(F.sum("wq").cast("bigint").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"({_TEMP_M} * wq) div tw").cast("bigint").alias("b"),
+        F.expr(f"({_TEMP_M} * wq) % tw").cast("bigint").alias("r"),
+    )
+    bsum = base.agg(F.sum("b").cast("bigint").alias("sb"))
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(Window.orderBy(F.col("r").desc(), "source"))
+    quota = (
+        base.withColumn("rk", rk)
+        .crossJoin(F.broadcast(bsum))
+        .select(
+            "source",
+            "n",
+            (
+                F.col("b")
+                + F.when(
+                    F.col("rk") <= F.lit(_TEMP_M) - F.col("sb"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hid = _shingle_int(F.col("doc_id").cast("string"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("hid", "doc_id")
+    )
+    ranked = d.select("source", "doc_id", hid.alias("hid")).withColumn(
+        "rn", rn
+    )
+    samp = ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rn") <= F.col("m")
+    )
+    ledger = samp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("hid").cast("bigint").alias("sample_checksum"),
+    )
+    qsum = quota.agg(F.sum("m").cast("bigint").alias("mt"))
+    return (
+        quota.join(ledger, "source", "left")
+        .crossJoin(F.broadcast(qsum))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("m").alias("quota"),
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias(
+                "n_sampled"
+            ),
+            (F.col("m") - F.coalesce("n_sampled", F.lit(0)))
+            .cast("bigint")
+            .alias("shortfall"),
+            F.coalesce("sample_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("sample_checksum"),
+            (F.col("mt") == F.lit(_TEMP_M)).alias("quota_total_ok"),
+        )
+    )
