@@ -217,6 +217,7 @@ HEADLINE = [
     "stream_retractable_agg",
     "wordpiece_merge_step",
     "temperature_mixture_plan",
+    "conformal_value_coverage",
 ]
 
 

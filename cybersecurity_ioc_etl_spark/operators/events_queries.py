@@ -4818,3 +4818,191 @@ def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_session_window_stream_append
 
     return run_session_window_stream_append(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration — distribution-free prediction intervals
+# (Mondrian / class-conditional form), the modern uncertainty primitive
+# ---------------------------------------------------------------------------
+
+from .dedup import _SHINGLE_INT_SQL as _SHND_SQL  # noqa: E402
+from .dedup import _shingle_int as _shnd  # noqa: E402
+
+_CONF_BUCKET = _SHND_SQL.format(x="CAST(event_id AS VARCHAR)") + " % 100"
+
+_CONFORMAL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type,
+    CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    {_CONF_BUCKET} AS b
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, vi AS med_i FROM (
+    SELECT event_type, vi,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vi, event_id)
+        AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM e WHERE b < 50)
+  WHERE rn = (n + 1) // 2
+),
+ntr AS (
+  SELECT event_type, COUNT(*) AS n_train FROM e WHERE b < 50 GROUP BY 1
+),
+cal AS (
+  SELECT c.event_type, abs(c.vi - m.med_i) AS s, c.event_id
+  FROM e c JOIN med m ON c.event_type = m.event_type
+  WHERE c.b >= 50 AND c.b < 75
+),
+calc AS (SELECT event_type, COUNT(*) AS n_cal FROM cal GROUP BY 1),
+kq AS (
+  SELECT event_type, s AS q_i FROM (
+    SELECT event_type, s, event_id,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s, event_id)
+        AS rn,
+      ((COUNT(*) OVER (PARTITION BY event_type) + 1) * 9 + 9) // 10 AS k
+    FROM cal)
+  WHERE rn = k
+),
+tst AS (
+  SELECT t.event_type, abs(t.vi - m.med_i) AS s
+  FROM e t JOIN med m ON t.event_type = m.event_type
+  WHERE t.b >= 75
+),
+cov AS (
+  SELECT t.event_type, COUNT(*) AS n_test,
+    SUM(CASE WHEN k.q_i IS NULL OR t.s <= k.q_i THEN 1 ELSE 0 END)
+      AS n_covered
+  FROM tst t LEFT JOIN kq k ON t.event_type = k.event_type
+  GROUP BY 1
+)
+SELECT c.event_type,
+  CAST(nt.n_train AS BIGINT) AS n_train,
+  CAST(cc.n_cal AS BIGINT) AS n_cal,
+  CAST(((cc.n_cal + 1) * 9 + 9) // 10 AS BIGINT) AS q_rank,
+  CAST(k.q_i AS DOUBLE) / 100.0 AS q_value,
+  CAST(c.n_test AS BIGINT) AS n_test,
+  CAST(c.n_covered AS BIGINT) AS n_covered,
+  CAST(c.n_covered AS DOUBLE) / c.n_test AS coverage
+FROM cov c
+JOIN ntr nt ON c.event_type = nt.event_type
+JOIN calc cc ON c.event_type = cc.event_type
+LEFT JOIN kq k ON c.event_type = k.event_type
+"""
+
+
+@query("conformal_value_coverage", oracle=_CONFORMAL_ORACLE)
+def q_conformal_value_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-CONFORMAL calibration (Vovk; Lei et al. 2018), Mondrian /
+    class-conditional form — the distribution-free uncertainty
+    primitive every model-serving pipeline bolts on after training:
+    a leak-proof md5 split carves events into train (b<50) /
+    calibration (50≤b<75) / test (b≥75); the per-type predictor is
+    the exact train lower median (rank (n+1) div 2 — no
+    interpolation, stays integer); nonconformity is |value − median|
+    on the mantissa; the per-type conformal threshold is the
+    k = ceil(0.9·(n_cal+1))-th smallest calibration score — the exact
+    finite-sample rank, computed as ((n_cal+1)·9+9) div 10 (the
+    integer-division idiom; Spark `/` would drift the rank at ties) —
+    and held-out coverage counts test scores ≤ threshold (all covered
+    when k > n_cal: the threshold is +∞ by convention, expressed as
+    the absent-rank LEFT JOIN both engines share).  The ≥ 90%
+    guarantee holds in EXPECTATION over splits, so the oracle checks
+    the COMPUTED coverage (identical integers), never asserts the
+    bound.
+
+    Scale shape: one hash-bucket scan split; medians and thresholds
+    are per-type rank windows (type-partitioned, map-side combinable
+    censuses); coverage is one broadcast threshold join + conditional
+    count.  Everything is type-grain after the first pass — the
+    Mondrian grouping is exactly a groupBy key at 100 TB."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("vi"),
+            (_shnd(F.col("event_id").cast("string")) % 100).alias("b"),
+        )
+    )
+    tr = e.filter(F.col("b") < 50)
+    w_med = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    med = (
+        tr.select(
+            "event_type",
+            "vi",
+            F.row_number().over(w_med).alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("vi").alias("med_i"))
+    )
+    ntr = tr.groupBy("event_type").agg(F.count("*").alias("n_train"))
+    cal = (
+        e.filter((F.col("b") >= 50) & (F.col("b") < 75))
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("vi") - F.col("med_i")).alias("s"),
+            "event_id",
+        )
+    )
+    calc = cal.groupBy("event_type").agg(F.count("*").alias("n_cal"))
+    w_cal = Window.partitionBy("event_type").orderBy("s", "event_id")
+    kq = (
+        cal.select(
+            "event_type",
+            "s",
+            F.row_number().over(w_cal).alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .alias("nc"),
+        )
+        .filter(F.col("rn") == F.expr("((nc + 1) * 9 + 9) div 10"))
+        .select("event_type", F.col("s").alias("q_i"))
+    )
+    tst = (
+        e.filter(F.col("b") >= 75)
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("vi") - F.col("med_i")).alias("s")
+        )
+    )
+    cov = (
+        tst.join(F.broadcast(kq), "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("q_i").isNull() | (F.col("s") <= F.col("q_i")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        cov.join(ntr, "event_type")
+        .join(calc, "event_type")
+        .join(kq, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.expr("((n_cal + 1) * 9 + 9) div 10")
+            .cast("bigint")
+            .alias("q_rank"),
+            (F.col("q_i").cast("double") / F.lit(100.0)).alias("q_value"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.col("n_covered").cast("bigint").alias("n_covered"),
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )
