@@ -218,6 +218,7 @@ HEADLINE = [
     "wordpiece_merge_step",
     "temperature_mixture_plan",
     "conformal_value_coverage",
+    "session_incident_overlap",
 ]
 
 

@@ -5006,3 +5006,197 @@ def q_conformal_value_coverage(
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join with Allen-relation census — sessions × incident
+# windows, the temporal-warehouse join shape
+# ---------------------------------------------------------------------------
+
+_INC_MIN_ERRORS = 6  # an hour with >= this many 'error' events is an incident
+
+_ALLEN_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+    epoch_us(ts) // 1000000 AS es
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, es,
+    CASE WHEN es - LAG(es) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) > 1800
+           OR LAG(es) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sess AS (
+  SELECT user_id, sid, MIN(es) AS a0, MAX(es) AS a1 FROM (
+    SELECT user_id, es,
+      SUM(new_session) OVER (PARTITION BY user_id ORDER BY es
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged)
+  GROUP BY user_id, sid
+),
+inc AS (
+  SELECT (epoch_us(date_trunc('hour', ts)) // 1000000) AS b0,
+         (epoch_us(date_trunc('hour', ts)) // 1000000) + 3599 AS b1
+  FROM events WHERE ts IS NOT NULL AND event_type = 'error'
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_INC_MIN_ERRORS}
+),
+hrs AS (
+  SELECT s.user_id, s.sid, s.a0, s.a1, u.h
+  FROM sess s, unnest(range(s.a0 // 3600, s.a1 // 3600 + 1)) AS u(h)
+),
+pairs AS (
+  SELECT DISTINCT h.user_id, h.sid, h.a0, h.a1, i.b0, i.b1
+  FROM hrs h JOIN inc i ON i.b0 // 3600 = h.h
+  WHERE h.a0 <= i.b1 AND i.b0 <= h.a1
+),
+rel AS (
+  SELECT CASE
+      WHEN a0 = b0 AND a1 = b1 THEN 'equal'
+      WHEN a0 >= b0 AND a1 <= b1 THEN 'during'
+      WHEN a0 <= b0 AND a1 >= b1 THEN 'contains'
+      WHEN a0 < b0 THEN 'overlaps_left'
+      ELSE 'overlaps_right' END AS relation,
+    user_id, sid,
+    LEAST(a1, b1) - GREATEST(a0, b0) + 1 AS ov
+  FROM pairs
+)
+SELECT relation,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT user_id * 1000000 + sid) AS BIGINT) AS n_sessions,
+  CAST(SUM(ov) AS BIGINT) AS total_overlap_secs
+FROM rel GROUP BY relation
+"""
+
+
+@query("session_incident_overlap", oracle=_ALLEN_ORACLE)
+def q_session_incident_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERVAL-OVERLAP join with an Allen-relation census — the
+    temporal-warehouse join shape (which sessions touched which
+    incident windows, and HOW): user sessions (30-min-gap
+    sessionization, the events_sessionize fold, as inclusive
+    epoch-second intervals) joined to incident windows (hours with
+    >= {n} 'error' events) on interval overlap, each pair classified
+    by its Allen-algebra bucket (equal / during / contains /
+    overlaps_left / overlaps_right — the inverse relations fold into
+    the left/right pair since the census is direction-agnostic), with
+    exact inclusive overlap seconds summed per bucket.
+
+    Scale shape: the overlap join is NOT an inequality θ-join — each
+    session explodes into its covered HOUR KEYS (sequence over integer
+    hour indexes, bounded by session length) and equi-joins the
+    incident hours on the key, with the exact overlap predicate as a
+    residual — the standard interval-bucketing rewrite that keeps the
+    join keyed at 100 TB (click_error_range_join's discipline applied
+    to two-sided intervals).  Incident hours are a broadcast-sized
+    dim; second-grain epochs via truncating unix_timestamp, paired
+    with the oracle's epoch_us // 1000000 (the events_twap pairing).
+    DISTINCT de-dups multi-hour pairs before classification, so each
+    (session, window) pair counts once."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("es"),
+        )
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "es",
+        F.when(
+            (F.col("es") - F.lag("es").over(w_lag) > 1800)
+            | F.lag("es").over(w_lag).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        flagged.select(
+            "user_id",
+            "es",
+            F.sum("new_session").over(w_run).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("es").alias("a0"), F.max("es").alias("a1"))
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+            .alias("b0")
+        )
+        .groupBy("b0")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _INC_MIN_ERRORS)
+        .select("b0", (F.col("b0") + 3599).alias("b1"))
+    )
+    hrs = sess.select(
+        "user_id",
+        "sid",
+        "a0",
+        "a1",
+        F.explode(
+            F.sequence(
+                F.expr("a0 div 3600"), F.expr("a1 div 3600")
+            )
+        ).alias("h"),
+    )
+    pairs = (
+        hrs.join(
+            F.broadcast(inc), F.expr("b0 div 3600") == F.col("h")
+        )
+        .filter((F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
+        .select("user_id", "sid", "a0", "a1", "b0", "b1")
+        .distinct()
+    )
+    relation = (
+        F.when(
+            (F.col("a0") == F.col("b0")) & (F.col("a1") == F.col("b1")),
+            "equal",
+        )
+        .when(
+            (F.col("a0") >= F.col("b0")) & (F.col("a1") <= F.col("b1")),
+            "during",
+        )
+        .when(
+            (F.col("a0") <= F.col("b0")) & (F.col("a1") >= F.col("b1")),
+            "contains",
+        )
+        .when(F.col("a0") < F.col("b0"), "overlaps_left")
+        .otherwise("overlaps_right")
+    )
+    ov = F.least("a1", "b1") - F.greatest("a0", "b0") + 1
+    return (
+        pairs.select(
+            relation.alias("relation"),
+            "user_id",
+            "sid",
+            ov.alias("ov"),
+        )
+        .groupBy("relation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct(
+                F.col("user_id") * 1000000 + F.col("sid")
+            )
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.sum("ov").cast("bigint").alias("total_overlap_secs"),
+        )
+    )
