@@ -31,6 +31,15 @@ from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 # restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r11 window (CORRECTNESS_r11: 50/50 hash-green — the 12 round-11
+        # additions + 38 oldest-first re-confirmations already listed in
+        # earlier windows)
+        "incremental_span_maintenance", "stream_span_maintenance",
+        "stream_retractable_agg", "minmax_delete_repair",
+        "conformal_value_coverage", "session_incident_overlap",
+        "wordpiece_merge_step", "temperature_mixture_plan",
+        "trade_louvain_move", "trade_louvain_contract",
+        "nn_descent_round", "rq_encode_audit",
         # r10 window (CORRECTNESS_r10: 50/50 hash-green — the 12 round-10
         # additions + 38 oldest-first re-confirmations already listed in
         # earlier windows)
@@ -198,65 +207,52 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: empty for r10 — the r9 window carried no
-# deferrals (CORRECTNESS_r09 sampled all 17 late additions) and no
-# oracle changed.  New round-10 queries land in the `mid` slot of
-# _ordered() automatically (unchecked, not listed here); keep
-# head + expected-new <= 50.
-_PRIORITY: list[str] = []
+# Head of the rotation: session_incident_overlap's oracle changed this
+# round (ADVICE r11 high: deterministic (ts, event_id) session ordering
+# on both sides) — it must be re-adjudicated under the new hash.
+_PRIORITY: list[str] = ["session_incident_overlap"]
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-11 queries.  Continues the r10 rotation from
-# where its 50-query window cut off (nation_presence_fulljoin onward —
-# the last r2-latest rows), then begins the r4-latest sweep
-# (oldest-first; CORRECTNESS round recency computed from the r1-r10
-# JSONs: 11 rows' latest green is r2, 35 rows' is r4, 19 rows' is r5).
+# head + any new round-12 queries.  Recency recomputed from the r1-r11
+# CORRECTNESS JSONs at r12 open: 10 rows' latest green is r4, 19 rows'
+# is r5, 47 rows' is r6.  This window clears ALL r4+r5 debt (29 rows)
+# and begins the r6 sweep alphabetically.
 _RECONFIRM = [
-    # r2-latest residual (the full remaining tranche — clears the
-    # "older than r4" debt VERDICT r10 item 3 tracks)
-    "nation_presence_fulljoin", "order_fulfillment_lag",
-    "first_last_order_price", "part_measure_unpivot",
-    "nation_trade_flows", "returned_item_customers",
-    "disjunctive_promo_revenue", "customer_order_distribution",
-    "late_shipment_priority_counts", "top_revenue_supplier",
-    "supplier_count_by_part_attrs",
-    # r4-latest sweep begins (window cut expected partway through;
-    # the remainder + the r5 tranche roll to r12)
-    "best_offer_per_part", "nation_profit_by_year",
-    "dominant_part_suppliers", "forecast_revenue_change",
-    "important_stock_shape", "quantity_tier_counts",
-    "returnflag_linestatus_pivot", "order_price_quartiles",
-    "similar_part_names", "part_token_profile",
-    "lineitem_stats_by_flag", "salted_source_profile",
-    "rolling_30d_spend", "order_gap_days", "orders_column_profile",
-    "lineitem_integrity_audit", "events_json_props", "events_type_pivot",
-    "events_dow_hour_profile", "events_sliding_counts",
-    "events_hourly_interpolated", "user_value_locf",
-    "user_weekly_retention", "event_value_outliers",
-    "doc_length_histogram", "stream_static_category_counts",
-    "stream_session_counts", "stream_click_error_join",
-    "stream_neardup_signature_groups", "neardup_keep_canonical",
+    # r4-latest remainder (the full tranche)
+    "stream_click_error_join", "stream_neardup_signature_groups",
     "corpus_segment_dedup", "events_variant_stats",
     "doc_repetition_scores", "bpe_pair_counts", "bpe_merge_step",
-    "bpe_two_merges", "kmeans_two_rounds", "stream_ann_topk",
-    "events_native_sessions",
+    "bpe_two_merges", "stream_ann_topk", "events_native_sessions",
+    # r5-latest tranche (all 19)
+    "ann_recall_audit", "bpe_encode_stats", "embedding_abtt_residuals",
+    "eval_contamination", "event_value_winsorized",
+    "incremental_dedup_new_docs", "ioc_first_last_seen",
+    "ivf_trained_topk", "ivfpq_adc_topk", "ivfpq_trained_topk",
+    "kmeans_two_rounds", "minhash_band_pairs", "mrl_truncation_audit",
+    "neardup_keep_canonical", "pq_codes", "source_overlap_matrix",
+    "stream_classify_confusion", "stream_value_outliers",
+    "tfidf_doc_similarity_pairs",
+    # r6 sweep begins (alphabetical; window cut expected partway —
+    # remainder rolls to r13)
+    "approx_distinct_parts", "approx_value_percentiles",
+    "asof_click_before_purchase", "bigram_lm_doc_scores",
+    "bm25_more_like_this", "boilerplate_segment_scrub",
+    "classifier_margin_reliability", "click_error_range_join",
+    "cluster_safe_split", "countmin_token_audit",
 ]
 
 # Unchecked queries deliberately deferred past this round's window
-# (none yet for r11 — add here if the window fills past 50).
-# ROUND-12 ROTATION NOTE: fold the 50 names the r11 CORRECTNESS gate
-# sampled (head of queries() at gate time: the new round-11 additions +
-# the leading _RECONFIRM entries) into _DRIVER_CHECKED, clear
-# _PRIORITY unless an oracle changed, promote any _DEFER entries,
-# continue _RECONFIRM oldest-first from where the r11 window cut off
-# (the r4-latest remainder, then the 19 r5-latest rows:
-# ann_recall_audit, bpe_encode_stats, embedding_abtt_residuals,
-# eval_contamination, event_value_winsorized, incremental_dedup_new_docs,
-# ioc_first_last_seen, ivf_trained_topk, ivfpq_adc_topk,
-# ivfpq_trained_topk, minhash_band_pairs, mrl_truncation_audit,
-# pq_codes, source_overlap_matrix, stream_classify_confusion,
-# stream_value_outliers, tfidf_doc_similarity_pairs, and the rest),
-# and keep head + new <= 50.
+# (none yet for r12 — add here if the window fills past 50).
+# ROUND-13 ROTATION NOTE: fold the 50 names the r12 CORRECTNESS gate
+# sampled (head of queries() at gate time: _PRIORITY, the new round-12
+# additions, then the leading _RECONFIRM entries) into _DRIVER_CHECKED,
+# clear _PRIORITY unless an oracle changed, promote any _DEFER entries,
+# continue _RECONFIRM oldest-first from where the r12 window cut off
+# (the r6-latest alphabetical sweep: customer_order_timeline,
+# customer_spend_rank, enrichment_scraped_iocs, event_value_mad_outliers,
+# events_hourly_gapfill, events_ohlc_bars, events_sessionize,
+# events_twap, grouping_sets_revenue, hybrid_rrf_retrieval, and the
+# rest of the 47-row r6 tranche), and keep head + new <= 50.
 _DEFER: list[str] = []
 
 

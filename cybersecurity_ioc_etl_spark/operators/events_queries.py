@@ -5022,7 +5022,7 @@ WITH ev AS (
   FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
-  SELECT user_id, es,
+  SELECT user_id, es, ts, event_id,
     CASE WHEN es - LAG(es) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) > 1800
            OR LAG(es) OVER (PARTITION BY user_id
@@ -5033,7 +5033,7 @@ flagged AS (
 sess AS (
   SELECT user_id, sid, MIN(es) AS a0, MAX(es) AS a1 FROM (
     SELECT user_id, es,
-      SUM(new_session) OVER (PARTITION BY user_id ORDER BY es
+      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
     FROM flagged)
   GROUP BY user_id, sid
@@ -5113,6 +5113,8 @@ def q_session_incident_overlap(
     flagged = ev.select(
         "user_id",
         "es",
+        "ts",
+        "event_id",
         F.when(
             (F.col("es") - F.lag("es").over(w_lag) > 1800)
             | F.lag("es").over(w_lag).isNull(),
@@ -5121,9 +5123,14 @@ def q_session_incident_overlap(
         .otherwise(0)
         .alias("new_session"),
     )
+    # Cumulative-sum window MUST use the same fully-deterministic
+    # (ts, event_id) ordering as the lag window: same-second rows at a
+    # session boundary (bare `es` ties) otherwise get engine- and
+    # run-dependent session ids (ADVICE r11 — live at sf0.1 where user
+    # 1061 has two events in the same second at a boundary).
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("es")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = (

@@ -844,11 +844,20 @@ def q_retractable_agg_maintenance(
     Scale shape: both delta legs are map-side-combined single shuffles
     with the date predicate pushed to the scan; the merge is a
     groups-sized outer join.  The recompute is the rare audit leg."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.col("o_orderdate").alias("d"),
-        F.col("o_orderkey").alias("k"),
-        mi(F.col("o_totalprice")).alias("pi"),
+    # d IS NOT NULL stated explicitly so NULL-date rows are excluded
+    # identically on every leg (base, ins/dels split, recompute, and
+    # the oracle's WHERE, where three-valued logic drops them) —
+    # ADVICE r11: the stream split previously coalesced NULL into the
+    # insert class while the recompute dropped it.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderpriority",
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            mi(F.col("o_totalprice")).alias("pi"),
+        )
     )
     is_base = F.col("d") < _IVM_CUT
     is_del = is_base & (F.col("k") % 10 == _RETRACT_MOD)
@@ -932,11 +941,20 @@ def q_stream_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recompute is the rare audit leg."""
     from ..streaming.pipeline import run_stream_cdc_retraction
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.col("o_orderdate").alias("d"),
-        F.col("o_orderkey").alias("k"),
-        mi(F.col("o_totalprice")).alias("pi"),
+    # d IS NOT NULL stated explicitly so NULL-date rows are excluded
+    # identically on every leg (base, ins/dels split, recompute, and
+    # the oracle's WHERE, where three-valued logic drops them) —
+    # ADVICE r11: the stream split previously coalesced NULL into the
+    # insert class while the recompute dropped it.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderpriority",
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            mi(F.col("o_totalprice")).alias("pi"),
+        )
     )
     is_base = F.col("d") < _IVM_CUT
     is_del = is_base & (F.col("k") % 10 == _RETRACT_MOD)

@@ -1209,19 +1209,27 @@ def run_stream_cdc_retraction(
     out_dir = os.path.join(work_dir, "partials")
     ckpt = os.path.join(work_dir, "ckpt")
     os.makedirs(out_dir, exist_ok=True)
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.col("o_orderdate").alias("d"),
-        mi(F.col("o_totalprice")).alias("pi"),
+    # NULL-date rows are excluded from the change stream entirely: the
+    # audit recompute (relational.py q_stream_retractable_agg `full`)
+    # and the oracle's WHERE both drop them via three-valued logic, so
+    # classifying them as inserts here would break the fold==recompute
+    # receipt the moment a NULL date appears (ADVICE r11 low).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").alias("d"),
+            mi(F.col("o_totalprice")).alias("pi"),
+        )
     )
     is_base = F.col("d") < _IVM_CUT
-    ins = o.filter(~F.coalesce(is_base, F.lit(False))).select(
+    ins = o.filter(~is_base).select(
         "o_orderpriority", "pi", F.lit("I").alias("op")
     )
     dels = o.filter(
-        F.coalesce(is_base, F.lit(False))
-        & (F.col("o_orderkey") % 10 == _RETRACT_MOD)
+        is_base & (F.col("o_orderkey") % 10 == _RETRACT_MOD)
     ).select("o_orderpriority", "pi", F.lit("D").alias("op"))
     ins.unionByName(dels).repartition(4).write.mode("overwrite").parquet(
         src
