@@ -211,6 +211,7 @@ HEADLINE = [
     "trade_louvain_move",
     "incremental_span_maintenance",
     "nn_descent_round",
+    "nn_graph_serve_topk",
     "trade_louvain_contract",
     "rq_encode_audit",
     "stream_span_maintenance",
@@ -236,6 +237,23 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, "/root/testdata/sf0.001").count()
 
+    def _canary() -> float:
+        # Host-noise canary (VERDICT r11 item 7): a fixed pure-JVM
+        # workload — whole-stage-codegen sum over a 64M-row range, no
+        # IO, no shuffle — whose cost depends only on host CPU state.
+        # Measured first and last; the pair goes in the JSON so a
+        # host-offset day (the r9/r11 driver-run signature: near-
+        # uniform elevation across unrelated queries) is mechanically
+        # detectable.  Interpretation rule in BASELINE.md §Canary.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(1 << 26).selectExpr(
+                "sum(id % 7) AS s"
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
     def _drop_checkpoints() -> None:
         # localCheckpoint blocks from completed queries accumulate in
         # executor memory across the (now 150+) headline list and turn
@@ -250,6 +268,7 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
+    canary_first = _canary()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -265,6 +284,7 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    canary_last = _canary()
     total = round(sum(timings.values()), 4)
     full = {
         "metric": "headline_queries_total_wall",
@@ -272,6 +292,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "canary": {"first": canary_first, "last": canary_last},
     }
     # Full per-query map: stderr + a repo-local file.  The driver's
     # stdout capture keeps only a ~2 KB tail, so the 154-entry dict was
@@ -299,6 +320,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "queries": f"see {os.path.basename(out_path)}",
+        "canary": {"first": canary_first, "last": canary_last},
     }
     floors_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "FLOORS.json"
@@ -319,6 +341,14 @@ def main() -> None:
                 "n_over_2x": sum(1 for r, _ in ratios if r > 2.0),
                 "worst5": {n: r for r, n in ratios[-5:]},
             }
+            canary_ref = floors.get("__canary__")
+            if canary_ref:
+                # > 1.5x the quiet reference on BOTH probes = host-
+                # offset run; vs_floor ratios must be read relative to
+                # this number (BASELINE.md §Canary interpretation rule).
+                summary["vs_floor"]["canary_vs_ref"] = round(
+                    min(canary_first, canary_last) / canary_ref, 2
+                )
     # Lifecycle-row leg split (VERDICT r9 item 8): the two expensive
     # rows bundle an index/state BUILD with a cheap SERVE/REFRESH — one
     # stderr line each records the legs separately so a regression in

@@ -184,9 +184,14 @@ def _shingle_int(shingle: Column) -> Column:
     return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("bigint")
 
 
+# NOTE: the comprehension variable is deliberately named `mdp`, not `i`
+# — a list-comprehension variable SHADOWS outer columns inside the whole
+# expression, so an {x} that references a column literally named `i`
+# (e.g. a component index) would silently hash the position counter
+# instead (hit building the graph-serve fixture, r12).
 _SHINGLE_INT_SQL = (
-    "list_reduce([instr('0123456789abcdef', substring(md5({x}), i, 1)) - 1"
-    " for i in range(1, 9)],"
+    "list_reduce([instr('0123456789abcdef', substring(md5({x}), mdp, 1)) - 1"
+    " for mdp in range(1, 9)],"
     " (acc, v) -> acc * 16 + v)"
 )
 
