@@ -211,7 +211,6 @@ HEADLINE = [
     "trade_louvain_move",
     "incremental_span_maintenance",
     "nn_descent_round",
-    "nn_graph_serve_topk",
     "trade_louvain_contract",
     "rq_encode_audit",
     "stream_span_maintenance",
@@ -220,6 +219,9 @@ HEADLINE = [
     "temperature_mixture_plan",
     "conformal_value_coverage",
     "session_incident_overlap",
+    # round-12 additions
+    "nn_graph_serve_topk",
+    "trade_louvain_two_level",
 ]
 
 

@@ -2041,3 +2041,371 @@ def q_trade_louvain_contract(
         "q_conserved",
         "weight_conserved",
     )
+
+
+# ---------------------------------------------------------------------------
+# Louvain multi-level composition — move → contract → move on the
+# contracted weighted graph (the loop that makes Louvain Louvain)
+# ---------------------------------------------------------------------------
+
+
+def _louvain_whalf_sql(src: str, dst: str, p: int) -> str:
+    """One WEIGHTED semi-synchronous greedy half-step in DuckDB over
+    the contracted graph CTE ``we`` (a, b, w; self-loops carry the
+    intra weight): identical ΔQ·(2m)² algebra as _louvain_half_sql
+    with weighted degrees (strengths INCLUDE self-loops — they ride
+    σ_tot and move with the node, cancelling in the gain) and the
+    neighbor census excluding self-loops (a self-loop is not an edge
+    to another member)."""
+    return f"""ws_{dst} AS MATERIALIZED (
+  SELECT la.lbl, SUM(d.k) AS d_c
+  FROM wdeg d JOIN {src} la ON d.id = la.id GROUP BY la.lbl
+),
+wkc_{dst} AS MATERIALIZED (
+  SELECT u.a AS id, lb.lbl AS c, SUM(u.w) AS kic
+  FROM we u JOIN {src} lb ON u.b = lb.id
+  WHERE u.a != u.b
+  GROUP BY 1, 2
+),
+wown_{dst} AS (
+  SELECT d.id, la.lbl AS cur, d.k,
+         COALESCE(kc.kic, 0) AS kicur, s.d_c AS dcur
+  FROM wdeg d
+  JOIN {src} la ON d.id = la.id
+  JOIN ws_{dst} s ON la.lbl = s.lbl
+  LEFT JOIN wkc_{dst} kc ON kc.id = d.id AND kc.c = la.lbl
+),
+wgain_{dst} AS (
+  SELECT o.id, k.c,
+    2 * (SELECT two_m FROM m2) * (k.kic - o.kicur)
+      - 2 * o.k * (s.d_c - o.dcur + o.k) AS g
+  FROM wown_{dst} o
+  JOIN wkc_{dst} k ON k.id = o.id AND k.c != o.cur
+  JOIN ws_{dst} s ON k.c = s.lbl
+  WHERE o.id % 2 = {p}
+),
+wmv_{dst} AS (
+  SELECT id, c FROM (
+    SELECT id, c, g,
+      row_number() OVER (PARTITION BY id ORDER BY g DESC, c) AS rn
+    FROM wgain_{dst})
+  WHERE rn = 1 AND g > 0
+),
+{dst} AS MATERIALIZED (
+  SELECT l.id, COALESCE(m.c, l.lbl) AS lbl
+  FROM {src} l LEFT JOIN wmv_{dst} m ON l.id = m.id
+)"""
+
+
+def _wqnum_sql(lab: str) -> str:
+    """Q·(2m)² of the weighted contracted graph under label CTE
+    ``lab`` — intra weight INCLUDES self-loops."""
+    return f"""(
+  (SELECT COALESCE(SUM(u.w), 0) FROM we u
+     JOIN {lab} la ON u.a = la.id JOIN {lab} lb ON u.b = lb.id
+   WHERE la.lbl = lb.lbl) * (SELECT two_m FROM m2)
+  - (SELECT SUM(d_c * d_c) FROM (
+       SELECT la.lbl, SUM(d.k) AS d_c
+       FROM wdeg d JOIN {lab} la ON d.id = la.id GROUP BY la.lbl))
+)"""
+
+
+_TWO_LEVEL_ORACLE = f"""
+WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
+ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0 WHERE src != dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src != dst
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id, a AS lbl FROM ue
+),
+deg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS k FROM ue GROUP BY a),
+m2 AS MATERIALIZED (SELECT COUNT(*) AS two_m FROM ue),
+{_louvain_half_sql("lab0", "lab1", 0)},
+{_louvain_half_sql("lab1", "lab2", 1)},
+we AS MATERIALIZED (
+  SELECT la.lbl AS a, lb.lbl AS b, COUNT(*) AS w
+  FROM ue u
+  JOIN lab2 la ON u.a = la.id
+  JOIN lab2 lb ON u.b = lb.id
+  GROUP BY 1, 2
+),
+wlab0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM we),
+wdeg AS MATERIALIZED (SELECT a AS id, SUM(w) AS k FROM we GROUP BY a),
+{_louvain_whalf_sql("wlab0", "wlab1", 0)},
+{_louvain_whalf_sql("wlab1", "wlab2", 1)},
+flat AS MATERIALIZED (
+  SELECT l.id, w.lbl AS lbl
+  FROM lab2 l JOIN wlab2 w ON l.lbl = w.id
+),
+q AS (
+  SELECT {_qnum_sql("lab0")} AS q0,
+    {_qnum_sql("lab2")} AS q1,
+    {_wqnum_sql("wlab2")} AS q2,
+    (SELECT COUNT(DISTINCT lbl) FROM lab0) AS n_nodes,
+    (SELECT COUNT(DISTINCT lbl) FROM lab2) AS nc1,
+    (SELECT COUNT(DISTINCT lbl) FROM wlab2) AS nc2,
+    (SELECT COUNT(*) FROM wmv_wlab1) + (SELECT COUNT(*) FROM wmv_wlab2)
+      AS n_moved_l2,
+    (SELECT two_m FROM m2) AS two_m
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+  CAST(nc1 AS BIGINT) AS n_comm_l1,
+  CAST(nc2 AS BIGINT) AS n_comm_l2,
+  CAST(n_moved_l2 AS BIGINT) AS n_moved_l2,
+  CAST(q0 AS BIGINT) AS q_num_l0,
+  CAST(q1 AS BIGINT) AS q_num_l1,
+  CAST(q2 AS BIGINT) AS q_num_l2,
+  CAST(q0 AS DOUBLE) / NULLIF(CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE), 0.0) AS q_l0,
+  CAST(q1 AS DOUBLE) / NULLIF(CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE), 0.0) AS q_l1,
+  CAST(q2 AS DOUBLE) / NULLIF(CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE), 0.0) AS q_l2,
+  q1 >= q0 AS l1_improved,
+  q2 >= q1 AS l2_improved,
+  -- stated identity, guarded for the empty graph (where Spark's
+  -- computed NULL == NULL equality is NULL, not TRUE)
+  CASE WHEN q2 IS NULL THEN NULL ELSE TRUE END AS flat_conserved
+FROM q
+"""
+
+
+def _louvain_whalf(
+    we: DataFrame,
+    wdeg: DataFrame,
+    two_m: DataFrame,
+    lab: DataFrame,
+    p: int,
+) -> tuple[DataFrame, DataFrame]:
+    """One WEIGHTED semi-synchronous greedy half-step (Spark side of
+    _louvain_whalf_sql).  Returns (new labels, moves)."""
+    from pyspark.sql import Window
+
+    s = wdeg.join(lab, "id").groupBy("lbl").agg(F.sum("k").alias("d_c"))
+    kc = (
+        we.alias("u")
+        .filter(F.col("u.a") != F.col("u.b"))
+        .join(lab.alias("lb"), F.col("u.b") == F.col("lb.id"))
+        .groupBy(F.col("u.a").alias("id"), F.col("lb.lbl").alias("c"))
+        .agg(F.sum("w").alias("kic"))
+    )
+    own = (
+        wdeg.join(lab, "id")
+        .join(s.withColumnRenamed("d_c", "dcur"), "lbl")
+        .alias("o")
+        .join(
+            kc.alias("ko"),
+            (F.col("o.id") == F.col("ko.id"))
+            & (F.col("o.lbl") == F.col("ko.c")),
+            "left",
+        )
+        .select(
+            F.col("o.id").alias("id"),
+            F.col("o.lbl").alias("cur"),
+            F.col("o.k").alias("k"),
+            F.coalesce(F.col("ko.kic"), F.lit(0)).alias("kicur"),
+            F.col("o.dcur").alias("dcur"),
+        )
+    )
+    gain = (
+        own.alias("ow")
+        .join(
+            kc.alias("kt"),
+            (F.col("ow.id") == F.col("kt.id"))
+            & (F.col("kt.c") != F.col("ow.cur")),
+        )
+        .join(F.broadcast(s.alias("st")), F.col("kt.c") == F.col("st.lbl"))
+        .crossJoin(F.broadcast(two_m))
+        .filter(F.col("ow.id") % 2 == p)
+        .select(
+            F.col("ow.id").alias("id"),
+            F.col("kt.c").alias("c"),
+            (
+                F.lit(2)
+                * F.col("two_m")
+                * (F.col("kt.kic") - F.col("ow.kicur"))
+                - F.lit(2)
+                * F.col("ow.k")
+                * (F.col("st.d_c") - F.col("ow.dcur") + F.col("ow.k"))
+            ).alias("g"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("g").desc(), F.col("c"))
+    )
+    mv = (
+        gain.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("g") > 0))
+        .select("id", "c")
+    )
+    new_lab = (
+        lab.alias("cur")
+        .join(mv.alias("m"), F.col("cur.id") == F.col("m.id"), "left")
+        .select(
+            F.col("cur.id").alias("id"),
+            F.coalesce(F.col("m.c"), F.col("cur.lbl")).alias("lbl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return new_lab, mv
+
+
+def _wqnum(we: DataFrame, wdeg: DataFrame, lab: DataFrame) -> DataFrame:
+    """Single-row (intra_w, sum_d2) frame for the weighted contracted
+    graph — intra weight includes self-loops; caller multiplies by its
+    broadcast two_m scalar (exact integers)."""
+    intra = (
+        we.alias("u")
+        .join(lab.alias("la"), F.col("u.a") == F.col("la.id"))
+        .join(lab.alias("lb"), F.col("u.b") == F.col("lb.id"))
+        .filter(F.col("la.lbl") == F.col("lb.lbl"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("intra_w"))
+    )
+    d2 = (
+        wdeg.join(lab, "id")
+        .groupBy("lbl")
+        .agg(F.sum("k").alias("d_c"))
+        .agg(F.sum(F.col("d_c") * F.col("d_c")).alias("sum_d2"))
+    )
+    return d2.crossJoin(F.broadcast(intra))
+
+
+@query("trade_louvain_two_level", oracle=_TWO_LEVEL_ORACLE)
+def q_trade_louvain_two_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Louvain MULTI-LEVEL composition — the move → contract → move
+    loop that makes Louvain Louvain (Blondel et al. 2008 §2): level 1
+    runs the phase-1 greedy pass on the original graph from the
+    singleton seed (trade_louvain_move's two parity half-steps),
+    phase 2 contracts communities to a WEIGHTED super-graph
+    (trade_louvain_contract, intra weight as self-loops), and level 2
+    re-runs the greedy pass ON THE CONTRACTED GRAPH — weighted
+    degrees are strengths (self-loops included: they ride σ_tot and
+    move with the node, cancelling in the gain), the neighbor census
+    excludes self-loops, and the ΔQ·(2m)² algebra is otherwise
+    unchanged because 2m is CONSERVED by contraction.
+
+    Receipts (all exact integers in the same (2m)² scale, so the
+    three levels are directly comparable):
+    - q_num_l0 ≤ q_num_l1 ≤ q_num_l2 — the cross-LEVEL monotone
+      climb, emitted as l1_improved / l2_improved computed identically
+      on both engines (semi-synchronous parity passes are not
+      theoretically monotone, so the booleans are computed, not
+      stated; tests/test_graph_quality.py pins them TRUE with real
+      moves on both fixture SFs);
+    - flat_conserved (oracle states TRUE, Spark computes): Q of the
+      level-2 labeling on the CONTRACTED graph equals Q of the
+      composed node→lbl1→lbl2 FLAT labeling on the ORIGINAL graph —
+      the contraction invariance applied at the composed level, the
+      identity that justifies iterating on the small graph.
+
+    Scale shape: level 1 is the trade_louvain_move plan (edge-keyed
+    census + broadcast community stats per half-step); contraction is
+    one edge⋈label⋈label rollup; level 2 repeats the same plan on a
+    COMMUNITIES-sized graph — at 100 TB each level shrinks the
+    working set by the community factor, which is exactly why
+    multi-level Louvain scales where flat passes stall."""
+    e0 = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    ue = (
+        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab0 = (
+        ue.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    deg = ue.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("k"))
+    deg = deg.localCheckpoint(eager=True)
+    two_m = ue.agg(F.count("*").alias("two_m"))
+    lab1, _ = _louvain_half(ue, deg, two_m, lab0, 0)
+    lab2, _ = _louvain_half(ue, deg, two_m, lab1, 1)
+    we = (
+        ue.alias("u")
+        .join(F.broadcast(lab2.alias("la")), F.col("u.a") == F.col("la.id"))
+        .join(F.broadcast(lab2.alias("lb")), F.col("u.b") == F.col("lb.id"))
+        .groupBy(F.col("la.lbl").alias("a"), F.col("lb.lbl").alias("b"))
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wlab0 = (
+        we.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    wdeg = (
+        we.groupBy(F.col("a").alias("id"))
+        .agg(F.sum("w").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    wlab1, wmv1 = _louvain_whalf(we, wdeg, two_m, wlab0, 0)
+    wlab2, wmv2 = _louvain_whalf(we, wdeg, two_m, wlab1, 1)
+    n_moved = (
+        wmv1.agg(F.count("*").alias("nm1"))
+        .crossJoin(F.broadcast(wmv2.agg(F.count("*").alias("nm2"))))
+        .select((F.col("nm1") + F.col("nm2")).alias("n_moved_l2"))
+    )
+    flat = (
+        lab2.alias("l")
+        .join(F.broadcast(wlab2.alias("w")), F.col("l.lbl") == F.col("w.id"))
+        .select(F.col("l.id").alias("id"), F.col("w.lbl").alias("lbl"))
+    )
+    q0 = _qnum(ue, deg, lab0).select(
+        F.col("intra2").alias("i0"), F.col("sum_d2").alias("s0")
+    )
+    q1f = _qnum(ue, deg, lab2).select(
+        F.col("intra2").alias("i1"),
+        F.col("sum_d2").alias("s1"),
+        F.col("ncomm").alias("nc1"),
+    )
+    q2w = _wqnum(we, wdeg, wlab2).select(
+        F.col("intra_w").alias("i2"), F.col("sum_d2").alias("s2")
+    )
+    q2f = _qnum(ue, deg, flat).select(
+        F.col("intra2").alias("i2f"), F.col("sum_d2").alias("s2f")
+    )
+    counts = (
+        lab0.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(
+            F.broadcast(
+                wlab2.select("lbl").distinct().agg(
+                    F.count("*").alias("nc2")
+                )
+            )
+        )
+    )
+    qn0 = F.col("i0") * F.col("two_m") - F.col("s0")
+    qn1 = F.col("i1") * F.col("two_m") - F.col("s1")
+    qn2 = F.col("i2") * F.col("two_m") - F.col("s2")
+    qn2f = F.col("i2f") * F.col("two_m") - F.col("s2f")
+    den = F.nullif(
+        F.col("two_m").cast("double") * F.col("two_m").cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        q0.crossJoin(F.broadcast(q1f))
+        .crossJoin(F.broadcast(q2w))
+        .crossJoin(F.broadcast(q2f))
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(n_moved))
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("nc1").cast("bigint").alias("n_comm_l1"),
+            F.col("nc2").cast("bigint").alias("n_comm_l2"),
+            F.col("n_moved_l2").cast("bigint").alias("n_moved_l2"),
+            qn0.cast("bigint").alias("q_num_l0"),
+            qn1.cast("bigint").alias("q_num_l1"),
+            qn2.cast("bigint").alias("q_num_l2"),
+            (qn0.cast("double") / den).alias("q_l0"),
+            (qn1.cast("double") / den).alias("q_l1"),
+            (qn2.cast("double") / den).alias("q_l2"),
+            (qn1 >= qn0).alias("l1_improved"),
+            (qn2 >= qn1).alias("l2_improved"),
+            (qn2 == qn2f).alias("flat_conserved"),
+        )
+    )

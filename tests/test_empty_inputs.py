@@ -29,6 +29,9 @@ ORACLES = entrymod.oracle_sql()
 
 # every query that ever crashed or diverged on empty input...
 _REGRESSIONS = [
+    # round-12: the stated flat-conservation identity must be NULL on
+    # the empty graph (Spark computes NULL == NULL)
+    "trade_louvain_two_level",
     "lineitem_integrity_audit",
     "rollup_region_nation_customers",
     "cube_status_priority",

@@ -30,6 +30,26 @@ def test_louvain_move_strictly_improves_modularity(spark, sf_dir):
     assert (r.q_after > r.q_before) == (r.q_num_after > r.q_num_before)
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_louvain_two_level_monotone_across_levels(spark, sf_dir):
+    """The multi-level composition must climb Q ACROSS levels with
+    real level-2 moves, and the level-2 labeling's Q on the contracted
+    graph must equal the flat composed labeling's Q on the original
+    graph (contraction invariance at the composed level)."""
+    row = _ops.QUERIES["trade_louvain_two_level"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_moved_l2 > 0, "level 2 must exercise real moves"
+    assert r.q_num_l1 > r.q_num_l0, "level 1 must strictly improve"
+    assert r.q_num_l2 > r.q_num_l1, "level 2 must strictly improve"
+    assert r.l1_improved and r.l2_improved
+    assert r.flat_conserved, "contracted Q must equal flat-label Q"
+    assert r.n_comm_l2 < r.n_comm_l1 < r.n_nodes
+    assert r.q_l0 < r.q_l1 < r.q_l2
+
+
 def test_louvain_gain_formula_zero_for_staying_put(spark):
     """The ΔQ·(2m)² gain of 'moving' to one's own community must be
     exactly zero — the algebraic identity that anchors the formula

@@ -32,6 +32,9 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 _REGRESSIONS = [
+    # round-12: graph-serve node directory must count exploded vec_ids
+    # (NULL-embedding rows are not nodes) or n_visited drifts by one
+    "nn_graph_serve_topk",
     "enrichment_scraped_iocs",
     "media_byte_profile",
     "frame_dedup_profile",
