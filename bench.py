@@ -222,6 +222,7 @@ HEADLINE = [
     # round-12 additions
     "nn_graph_serve_topk",
     "trade_louvain_two_level",
+    "stream_conformal_coverage",
 ]
 
 

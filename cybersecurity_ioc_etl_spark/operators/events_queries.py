@@ -4891,6 +4891,39 @@ LEFT JOIN kq k ON c.event_type = k.event_type
 """
 
 
+def _conformal_base(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(events with md5 split bucket, per-type exact train median) —
+    shared by the batch conformal calibration and its streaming twin
+    (the trained-model state both legs condition on)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("vi"),
+            (_shnd(F.col("event_id").cast("string")) % 100).alias("b"),
+        )
+    )
+    tr = e.filter(F.col("b") < 50)
+    w_med = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    med = (
+        tr.select(
+            "event_type",
+            "vi",
+            F.row_number().over(w_med).alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("vi").alias("med_i"))
+    )
+    return e, med
+
+
 @query("conformal_value_coverage", oracle=_CONFORMAL_ORACLE)
 def q_conformal_value_coverage(
     spark: SparkSession, sf_dir: str
@@ -4918,30 +4951,8 @@ def q_conformal_value_coverage(
     censuses); coverage is one broadcast threshold join + conditional
     count.  Everything is type-grain after the first pass — the
     Mondrian grouping is exactly a groupBy key at 100 TB."""
-    e = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select(
-            "event_id",
-            "event_type",
-            F.round(F.col("value") * 100).cast("bigint").alias("vi"),
-            (_shnd(F.col("event_id").cast("string")) % 100).alias("b"),
-        )
-    )
+    e, med = _conformal_base(spark, sf_dir)
     tr = e.filter(F.col("b") < 50)
-    w_med = Window.partitionBy("event_type").orderBy("vi", "event_id")
-    med = (
-        tr.select(
-            "event_type",
-            "vi",
-            F.row_number().over(w_med).alias("rn"),
-            F.count("*")
-            .over(Window.partitionBy("event_type"))
-            .alias("n"),
-        )
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("vi").alias("med_i"))
-    )
     ntr = tr.groupBy("event_type").agg(F.count("*").alias("n_train"))
     cal = (
         e.filter((F.col("b") >= 50) & (F.col("b") < 75))
@@ -4965,6 +4976,98 @@ def q_conformal_value_coverage(
         )
         .filter(F.col("rn") == F.expr("((nc + 1) * 9 + 9) div 10"))
         .select("event_type", F.col("s").alias("q_i"))
+    )
+    tst = (
+        e.filter(F.col("b") >= 75)
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("vi") - F.col("med_i")).alias("s")
+        )
+    )
+    cov = (
+        tst.join(F.broadcast(kq), "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("q_i").isNull() | (F.col("s") <= F.col("q_i")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        cov.join(ntr, "event_type")
+        .join(calc, "event_type")
+        .join(kq, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.expr("((n_cal + 1) * 9 + 9) div 10")
+            .cast("bigint")
+            .alias("q_rank"),
+            (F.col("q_i").cast("double") / F.lit(100.0)).alias("q_value"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.col("n_covered").cast("bigint").alias("n_covered"),
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+@query("stream_conformal_coverage", oracle=_CONFORMAL_ORACLE)
+def q_stream_conformal_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of conformal_value_coverage — the serving
+    monitor every deployed calibration needs: calibration scores
+    arrive as micro-batches and fold into per-(type, score) integer
+    COUNT-HISTOGRAM partials, written bid-keyed and replay-safe
+    (streaming/pipeline.py::run_stream_conformal_scores); the exact
+    finite-sample conformal rank is computed at drain from the MERGED
+    state (running-count cumsum over the histogram — the
+    merged-rank-at-drain form; exact because nonconformity scores are
+    mantissa integers, so the histogram IS the score multiset).
+    Held-out coverage is then scored against the merged threshold.
+    The result is batch-identical for any batching, ordering, or
+    at-least-once replay of the calibration stream, so the BATCH
+    oracle is the ground truth the streamed fold must hash-match.
+
+    Scale shape: per trigger one map-side-combined histogram count;
+    the drain-side rank is a per-type cumsum over distinct scores
+    (state ∝ score cardinality, not events); coverage is the batch
+    leg's broadcast-threshold join."""
+    from ..streaming.pipeline import run_stream_conformal_scores
+
+    hist = run_stream_conformal_scores(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    e, med = _conformal_base(spark, sf_dir)
+    ntr = (
+        e.filter(F.col("b") < 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_train"))
+    )
+    calc = hist.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_cal")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kq = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .join(calc, "event_type")
+        .filter(
+            F.col("cum") >= F.expr("((n_cal + 1) * 9 + 9) div 10")
+        )
+        .groupBy("event_type")
+        .agg(F.min("s").alias("q_i"))
     )
     tst = (
         e.filter(F.col("b") >= 75)

@@ -1279,6 +1279,80 @@ def run_stream_cdc_retraction(
     )
 
 
+def run_stream_conformal_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CALIBRATION-score maintenance for the conformal twin:
+    calibration events (the md5-split 50≤b<75 slice, scored against
+    the static per-type train median) arrive as micro-batches; each
+    trigger folds its rows into a per-(event_type, score) COUNT
+    HISTOGRAM partial — nonconformity scores are exact mantissa
+    integers, so the histogram is the score multiset without loss and
+    partials fold by addition (the quantile_summary_merge discipline,
+    exact because the domain is integer).  Partials are written
+    bid-keyed and replay-safe; returns the summed (event_type, s, c)
+    state from which the caller computes the exact finite-sample
+    conformal rank — the merged-rank-at-drain shape a serving monitor
+    maintains across CDC arrivals.
+
+    Scale shape: per trigger one map-side-combined count bounded by the
+    batch's distinct (type, score) pairs; the end-of-stream fold
+    touches (batches × distinct scores) partial rows, never the event
+    table."""
+    from ..operators.events_queries import _conformal_base
+
+    work_dir = tempfile.mkdtemp(prefix="stream_conf_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    e, med = _conformal_base(spark, sf_dir)
+    cal = (
+        e.filter((F.col("b") >= 50) & (F.col("b") < 75))
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("vi") - F.col("med_i")).alias("s"),
+        )
+    )
+    cal.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(
+            batch.groupBy("event_type", "s").agg(
+                F.count("*").alias("c")
+            ),
+            out_dir,
+            bid,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "event_type string, s bigint, c bigint"
+        )
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("event_type", "s")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
 def run_stream_span_occurrences(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
