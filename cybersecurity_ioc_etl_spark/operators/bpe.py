@@ -418,6 +418,82 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WordPiece merge objective — likelihood gain instead of raw frequency
 # ---------------------------------------------------------------------------
 
+def wordpiece_top_pair(
+    seqs: DataFrame, checkpoint: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """One WordPiece LIKELIHOOD merge over a (seq, f) word table:
+    returns (merged (seq, f) vocab, 1-row (merged_pair, gain_i,
+    pair_count) winner frame).  Same round economics as
+    merge_top_pair (winner broadcast into a literal replace,
+    checkpoint-able cadence); the objective is the quantized log
+    likelihood gain FLOOR(1e9·(ln c_ab − ln c_a − ln c_b)) — see
+    q_wordpiece_merge_step.  Shared by the query (one round, oracle
+    bound) and tools/bpe_probe.py's 32-round depth receipt."""
+    s_full = F.split(F.col("seq"), _SEP)
+    s = F.slice(s_full, 1, F.size(s_full) - 1)
+    sc = (
+        seqs.select("f", F.explode(s).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+    )
+    pc = pair_counts(seqs)
+    gain = (
+        F.floor(
+            F.lit(1e9)
+            * (
+                F.log(F.col("pair_count"))
+                - F.log(F.col("ca"))
+                - F.log(F.col("cb"))
+            )
+        )
+    ).cast("bigint")
+    g = (
+        pc.join(
+            F.broadcast(
+                sc.select(
+                    F.col("sym").alias("left_sym"), F.col("cnt").alias("ca")
+                )
+            ),
+            "left_sym",
+        )
+        .join(
+            F.broadcast(
+                sc.select(
+                    F.col("sym").alias("right_sym"), F.col("cnt").alias("cb")
+                )
+            ),
+            "right_sym",
+        )
+        .select("left_sym", "right_sym", "pair_count", gain.alias("gain_i"))
+    )
+    topw = (
+        g.orderBy(F.col("gain_i").desc(), "left_sym", "right_sym")
+        .limit(1)
+        .select(
+            F.col("left_sym").alias("ml"),
+            F.col("right_sym").alias("mr"),
+            F.col("gain_i").alias("wg"),
+            F.col("pair_count").alias("wc"),
+        )
+    )
+    merged = seqs.crossJoin(F.broadcast(topw)).select(
+        F.expr(
+            "replace(seq, concat(ml, chr(31), mr, chr(31)),"
+            " concat(ml, mr, chr(31)))"
+        ).alias("seq"),
+        "f",
+        F.concat_ws("+", "ml", "mr").alias("merged_pair"),
+        F.col("wg").alias("gain_i"),
+        F.col("wc").alias("pair_count"),
+    )
+    if checkpoint:
+        merged = merged.localCheckpoint(eager=True)
+    return (
+        merged.select("seq", "f"),
+        merged.select("merged_pair", "gain_i", "pair_count").limit(1),
+    )
+
+
 _WP_ORACLE = f"""
 WITH {_WF_SQL},{_pairs_sql("", "seqs")},
 sc AS (
@@ -477,69 +553,11 @@ def q_wordpiece_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = _word_freq(spark, sf_dir).select(
         _to_seq(F.col("w")).alias("seq"), "f"
     )
-    s_full = F.split(F.col("seq"), _SEP)
-    s = F.slice(s_full, 1, F.size(s_full) - 1)
-    sc = (
-        seqs.select("f", F.explode(s).alias("sym"))
-        .groupBy("sym")
-        .agg(F.sum("f").cast("bigint").alias("cnt"))
-    )
-    pc = pair_counts(seqs)
-    gain = (
-        F.floor(
-            F.lit(1e9)
-            * (
-                F.log(F.col("pair_count"))
-                - F.log(F.col("ca"))
-                - F.log(F.col("cb"))
-            )
-        )
-    ).cast("bigint")
-    g = (
-        pc.join(
-            F.broadcast(
-                sc.select(
-                    F.col("sym").alias("left_sym"), F.col("cnt").alias("ca")
-                )
-            ),
-            "left_sym",
-        )
-        .join(
-            F.broadcast(
-                sc.select(
-                    F.col("sym").alias("right_sym"), F.col("cnt").alias("cb")
-                )
-            ),
-            "right_sym",
-        )
-        .select("left_sym", "right_sym", "pair_count", gain.alias("gain_i"))
-    )
-    topw = (
-        g.orderBy(F.col("gain_i").desc(), "left_sym", "right_sym")
-        .limit(1)
-        .select(
-            F.col("left_sym").alias("ml"),
-            F.col("right_sym").alias("mr"),
-            F.col("gain_i").alias("wg"),
-        )
-    )
-    merged = (
-        seqs.crossJoin(F.broadcast(topw))
-        .select(
-            F.expr(
-                "replace(seq, concat(ml, chr(31), mr, chr(31)),"
-                " concat(ml, mr, chr(31)))"
-            ).alias("seq"),
-            "f",
-            F.concat_ws("+", "ml", "mr").alias("merged_pair"),
-            F.col("wg").alias("gain_i"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    info = merged.select("merged_pair", "gain_i").limit(1)
+    new_seqs, info = wordpiece_top_pair(seqs)
+    merged = new_seqs
     return (
-        pair_counts(merged.select("seq", "f"))
-        .crossJoin(F.broadcast(info))
+        pair_counts(merged)
+        .crossJoin(F.broadcast(info.select("merged_pair", "gain_i")))
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(10)
         .select(
