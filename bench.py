@@ -223,6 +223,7 @@ HEADLINE = [
     "nn_graph_serve_topk",
     "trade_louvain_two_level",
     "stream_conformal_coverage",
+    "user_incident_exposure",
 ]
 
 

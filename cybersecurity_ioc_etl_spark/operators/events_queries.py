@@ -5118,8 +5118,59 @@ def q_stream_conformal_coverage(
 
 _INC_MIN_ERRORS = 6  # an hour with >= this many 'error' events is an incident
 
-_ALLEN_ORACLE = f"""
-WITH ev AS (
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    width: int,
+    left_cols: tuple[str, str] = ("a0", "a1"),
+    right_cols: tuple[str, str] = ("b0", "b1"),
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Two-sided INTERVAL-OVERLAP join as a bucketed equi-join — the
+    library form of the rewrite that keeps temporal joins keyed at
+    100 TB: both sides explode their inclusive [start, end] integer
+    intervals into covered ``width``-buckets (bounded by interval
+    length / width), equi-join on the bucket key, apply the EXACT
+    overlap predicate as a residual, and DISTINCT away multi-bucket
+    duplicates.  Never an inequality θ-join / cartesian.
+
+    ``width`` trades explode fan-out against bucket selectivity: pick
+    it near the typical interval length so each interval covers O(1)
+    buckets while buckets stay selective (hour buckets for session ×
+    incident-hour, day buckets for day-grain exposure — both plans
+    pinned in tests/test_plans.py).  ``broadcast_right`` marks a
+    dimension-sized right side (e.g. incident windows)."""
+    la0, la1 = left_cols
+    rb0, rb1 = right_cols
+    lb = left.withColumn(
+        "_ib",
+        F.explode(
+            F.sequence(
+                F.expr(f"{la0} div {width}"), F.expr(f"{la1} div {width}")
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_ib",
+        F.explode(
+            F.sequence(
+                F.expr(f"{rb0} div {width}"), F.expr(f"{rb1} div {width}")
+            )
+        ),
+    )
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    return (
+        lb.join(rb, "_ib")
+        .filter(
+            (F.col(la0) <= F.col(rb1)) & (F.col(rb0) <= F.col(la1))
+        )
+        .drop("_ib")
+        .distinct()
+    )
+
+_SESS_INC_CTES = f"""ev AS (
   SELECT user_id, ts, event_id, event_type,
     epoch_us(ts) // 1000000 AS es
   FROM events WHERE ts IS NOT NULL
@@ -5146,7 +5197,10 @@ inc AS (
          (epoch_us(date_trunc('hour', ts)) // 1000000) + 3599 AS b1
   FROM events WHERE ts IS NOT NULL AND event_type = 'error'
   GROUP BY 1, 2 HAVING COUNT(*) >= {_INC_MIN_ERRORS}
-),
+)"""
+
+_ALLEN_ORACLE = f"""
+WITH {_SESS_INC_CTES},
 hrs AS (
   SELECT s.user_id, s.sid, s.a0, s.a1, u.h
   FROM sess s, unnest(range(s.a0 // 3600, s.a1 // 3600 + 1)) AS u(h)
@@ -5175,32 +5229,12 @@ FROM rel GROUP BY relation
 """
 
 
-@query("session_incident_overlap", oracle=_ALLEN_ORACLE)
-def q_session_incident_overlap(
+def _session_incident_intervals(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """INTERVAL-OVERLAP join with an Allen-relation census — the
-    temporal-warehouse join shape (which sessions touched which
-    incident windows, and HOW): user sessions (30-min-gap
-    sessionization, the events_sessionize fold, as inclusive
-    epoch-second intervals) joined to incident windows (hours with
-    >= {n} 'error' events) on interval overlap, each pair classified
-    by its Allen-algebra bucket (equal / during / contains /
-    overlaps_left / overlaps_right — the inverse relations fold into
-    the left/right pair since the census is direction-agnostic), with
-    exact inclusive overlap seconds summed per bucket.
-
-    Scale shape: the overlap join is NOT an inequality θ-join — each
-    session explodes into its covered HOUR KEYS (sequence over integer
-    hour indexes, bounded by session length) and equi-joins the
-    incident hours on the key, with the exact overlap predicate as a
-    residual — the standard interval-bucketing rewrite that keeps the
-    join keyed at 100 TB (click_error_range_join's discipline applied
-    to two-sided intervals).  Incident hours are a broadcast-sized
-    dim; second-grain epochs via truncating unix_timestamp, paired
-    with the oracle's epoch_us // 1000000 (the events_twap pairing).
-    DISTINCT de-dups multi-hour pairs before classification, so each
-    (session, window) pair counts once."""
+) -> tuple[DataFrame, DataFrame]:
+    """(user sessions as inclusive epoch-second intervals, incident
+    hour windows) — shared by the Allen-relation census and the
+    day-grain exposure census."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -5256,25 +5290,39 @@ def q_session_incident_overlap(
         .filter(F.col("c") >= _INC_MIN_ERRORS)
         .select("b0", (F.col("b0") + 3599).alias("b1"))
     )
-    hrs = sess.select(
-        "user_id",
-        "sid",
-        "a0",
-        "a1",
-        F.explode(
-            F.sequence(
-                F.expr("a0 div 3600"), F.expr("a1 div 3600")
-            )
-        ).alias("h"),
-    )
-    pairs = (
-        hrs.join(
-            F.broadcast(inc), F.expr("b0 div 3600") == F.col("h")
-        )
-        .filter((F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
-        .select("user_id", "sid", "a0", "a1", "b0", "b1")
-        .distinct()
-    )
+    return sess, inc
+
+
+@query("session_incident_overlap", oracle=_ALLEN_ORACLE)
+def q_session_incident_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERVAL-OVERLAP join with an Allen-relation census — the
+    temporal-warehouse join shape (which sessions touched which
+    incident windows, and HOW): user sessions (30-min-gap
+    sessionization, the events_sessionize fold, as inclusive
+    epoch-second intervals) joined to incident windows (hours with
+    >= {n} 'error' events) on interval overlap, each pair classified
+    by its Allen-algebra bucket (equal / during / contains /
+    overlaps_left / overlaps_right — the inverse relations fold into
+    the left/right pair since the census is direction-agnostic), with
+    exact inclusive overlap seconds summed per bucket.
+
+    Scale shape: the overlap join is NOT an inequality θ-join — each
+    session explodes into its covered HOUR KEYS (sequence over integer
+    hour indexes, bounded by session length) and equi-joins the
+    incident hours on the key, with the exact overlap predicate as a
+    residual — the standard interval-bucketing rewrite that keeps the
+    join keyed at 100 TB (click_error_range_join's discipline applied
+    to two-sided intervals).  Incident hours are a broadcast-sized
+    dim; second-grain epochs via truncating unix_timestamp, paired
+    with the oracle's epoch_us // 1000000 (the events_twap pairing).
+    DISTINCT de-dups multi-hour pairs before classification, so each
+    (session, window) pair counts once."""
+    sess, inc = _session_incident_intervals(spark, sf_dir)
+    pairs = interval_overlap_join(
+        sess, inc, width=3600, broadcast_right=True
+    ).select("user_id", "sid", "a0", "a1", "b0", "b1")
     relation = (
         F.when(
             (F.col("a0") == F.col("b0")) & (F.col("a1") == F.col("b1")),
@@ -5308,5 +5356,65 @@ def q_session_incident_overlap(
             .cast("bigint")
             .alias("n_sessions"),
             F.sum("ov").cast("bigint").alias("total_overlap_secs"),
+        )
+    )
+
+
+_EXPOSURE_ORACLE = f"""
+WITH {_SESS_INC_CTES},
+pairs AS (
+  SELECT DISTINCT s.user_id, s.sid, s.a0, s.a1, i.b0, i.b1
+  FROM sess s JOIN inc i ON s.a0 <= i.b1 AND i.b0 <= s.a1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions_exposed,
+  CAST(COUNT(DISTINCT b0) AS BIGINT) AS n_windows,
+  CAST(SUM(LEAST(a1, b1) - GREATEST(a0, b0) + 1) AS BIGINT)
+    AS overlap_secs
+FROM pairs GROUP BY user_id
+"""
+
+
+@query("user_incident_exposure", oracle=_EXPOSURE_ORACLE)
+def q_user_incident_exposure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-USER incident exposure census — the second caller of the
+    `interval_overlap_join` library rewrite, at a SECOND bucket width
+    (day buckets, 86400 s, vs the Allen census's hour buckets): which
+    users had sessions open during incident windows, how many distinct
+    windows they touched, and for how many total seconds — the blast-
+    radius rollup an on-call review runs after a bad day.  Sessions
+    and incident windows are the same interval frames as
+    session_incident_overlap (shared builder); the oracle states the
+    equivalent direct overlap join, since the bucketing is a PLAN
+    rewrite, not a semantics change.
+
+    Scale shape: the helper explodes both interval sides into covered
+    day-buckets (sessions are minutes-to-hours long, so O(1) buckets
+    each) and equi-joins on the bucket key with the exact predicate as
+    a residual — never a θ-join; incidents broadcast at dim size; the
+    census is one map-side-combined per-user rollup.  Both widths'
+    plans are pinned in tests/test_plans.py (no CartesianProduct /
+    BroadcastNestedLoopJoin at either width)."""
+    sess, inc = _session_incident_intervals(spark, sf_dir)
+    pairs = interval_overlap_join(
+        sess, inc, width=86400, broadcast_right=True
+    )
+    ov = F.least("a1", "b1") - F.greatest("a0", "b0") + 1
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.countDistinct("sid")
+            .cast("bigint")
+            .alias("n_sessions_exposed"),
+            F.countDistinct("b0").cast("bigint").alias("n_windows"),
+            F.sum(ov).cast("bigint").alias("overlap_secs"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_sessions_exposed",
+            "n_windows",
+            "overlap_secs",
         )
     )

@@ -1617,6 +1617,19 @@ def test_nn_descent_candidates_bounded_and_monotone(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_interval_overlap_join_bucketed_at_both_widths(spark, sf_dir):
+    """The interval_overlap_join library rewrite must plan as a
+    bucket-keyed equi-join with the broadcast incident dim at BOTH
+    caller widths (hour buckets for the Allen census, day buckets for
+    the exposure census) — never an inequality θ-join (cartesian /
+    nested-loop)."""
+    for name in ("session_incident_overlap", "user_incident_exposure"):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+
 def test_nn_graph_serve_recall_receipt(spark, sf_dir):
     """Graph serve (beam search over the NN-descent graph): on the
     clustered fixture the beam must find the exact nearest neighbor
