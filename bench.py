@@ -224,6 +224,7 @@ HEADLINE = [
     "trade_louvain_two_level",
     "stream_conformal_coverage",
     "user_incident_exposure",
+    "event_type_bt_strengths",
 ]
 
 

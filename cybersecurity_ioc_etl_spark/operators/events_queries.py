@@ -5418,3 +5418,234 @@ def q_user_incident_exposure(
             "overlap_secs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference fit — ranking from pairwise comparisons, the
+# preference-data primitive (RLHF reward modeling's classical ancestor)
+# ---------------------------------------------------------------------------
+
+_BT_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+    CAST(ROUND(value * 100) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+adj AS (
+  SELECT event_type AS cur_t, vi AS cur_v,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_t,
+    LAG(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+  FROM e
+),
+gm AS (
+  SELECT CASE WHEN cur_v > prev_v THEN cur_t ELSE prev_t END AS wi,
+         CASE WHEN cur_v > prev_v THEN prev_t ELSE cur_t END AS lo
+  FROM adj
+  WHERE prev_t IS NOT NULL AND prev_t != cur_t AND cur_v != prev_v
+),
+wmat AS MATERIALIZED (
+  SELECT wi, lo, CAST(COUNT(*) AS BIGINT) AS w FROM gm GROUP BY 1, 2
+),
+wins AS (SELECT wi AS t, CAST(SUM(w) AS BIGINT) AS n_wins FROM wmat GROUP BY 1),
+ng AS MATERIALIZED (
+  SELECT t, o, CAST(SUM(w) AS BIGINT) AS g FROM (
+    SELECT wi AS t, lo AS o, w FROM wmat
+    UNION ALL SELECT lo AS t, wi AS o, w FROM wmat)
+  GROUP BY 1, 2
+),
+gt AS (SELECT t, CAST(SUM(g) AS BIGINT) AS n_games FROM ng GROUP BY 1),
+p1 AS MATERIALIZED (
+  SELECT gt.t, gt.n_games, COALESCE(w.n_wins, 0) AS n_wins,
+    GREATEST(1, CAST((COALESCE(w.n_wins, 0) * 2 * 1000000000)
+                     // gt.n_games AS BIGINT)) AS qp1
+  FROM gt LEFT JOIN wins w ON w.t = gt.t
+),
+d2 AS (
+  SELECT n.t,
+    CAST(SUM(CAST((n.g * 1000000000000)
+      // GREATEST(1, CAST((a.qp1 + b.qp1) // 1000000 AS BIGINT))
+      AS BIGINT)) AS BIGINT) AS d2i
+  FROM ng n JOIN p1 a ON a.t = n.t JOIN p1 b ON b.t = n.o
+  GROUP BY n.t
+),
+p2 AS MATERIALIZED (
+  SELECT p.t, p.n_wins, p.n_games, p.qp1,
+    GREATEST(1, CAST((p.n_wins * 1000000000000)
+      // GREATEST(1, CAST(d.d2i // 1000000 AS BIGINT)) AS BIGINT)) AS qp2
+  FROM p1 p JOIN d2 d ON d.t = p.t
+),
+ll AS (
+  SELECT
+    CAST(SUM(FLOOR(1000000000.0 * m.w
+      * (ln(CAST(a.qp1 AS DOUBLE)) - ln(CAST(a.qp1 + b.qp1 AS DOUBLE)))))
+      AS BIGINT) AS ll1,
+    CAST(SUM(FLOOR(1000000000.0 * m.w
+      * (ln(CAST(a.qp2 AS DOUBLE)) - ln(CAST(a.qp2 + b.qp2 AS DOUBLE)))))
+      AS BIGINT) AS ll2
+  FROM wmat m JOIN p2 a ON a.t = m.wi JOIN p2 b ON b.t = m.lo
+)
+SELECT p.t AS event_type,
+  p.n_wins, p.n_games,
+  CAST(p.qp1 AS DOUBLE) / 1000000000.0 AS p_round1,
+  CAST(p.qp2 AS DOUBLE) / 1000000000.0 AS p_round2,
+  (SELECT ll1 FROM ll) AS ll1_num,
+  (SELECT ll2 FROM ll) AS ll2_num,
+  (SELECT ll2 >= ll1 FROM ll) AS ll_improved
+FROM p2 p
+"""
+
+
+@query("event_type_bt_strengths", oracle=_BT_ORACLE)
+def q_event_type_bt_strengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BRADLEY-TERRY preference fit — ranking items from PAIRWISE
+    COMPARISONS, the classical model under RLHF reward training and
+    every A/B preference pipeline (Bradley & Terry 1952; MM algorithm
+    per Hunter 2004): adjacent same-user events of different types
+    form a comparison won by the higher value (deterministic
+    (ts, event_id) adjacency — the event_transition_matrix idiom);
+    two MM rounds from the uniform prior estimate per-type strengths
+    p_i, each round p_i ← W_i / Σ_j n_ij/(p_i+p_j) evaluated entirely
+    in QUANTIZED integer arithmetic (strengths held as 1e-9-grain
+    ints, every division an integer division with a documented 1e-6
+    rescale to stay in int64, floors at 1 to keep logs finite) — so
+    both engines walk bit-identical iterates.  Emits per type the
+    win/game censuses and both rounds' strengths, plus the quantized
+    log-likelihood of the win matrix under round-1 and round-2
+    strengths (term-floored exact-int sums, the ioc_host_dga_scores
+    discipline) with ll_improved COMPUTED on both sides — MM
+    guarantees monotone likelihood in exact arithmetic; the quantized
+    walk's monotonicity is asserted empirically in
+    tests/test_plans.py, not stated by the oracle.
+
+    Scale shape: comparisons ride the one per-user window pass
+    (adjacent pairs, no self-join); the win matrix is item²-sized
+    (types² ≪ events) and every MM round is a join over that matrix —
+    at 100 TB the comparisons shuffle once and the model state stays
+    broadcast-sized, exactly how production BT/Elo fitters run."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("vi"),
+        )
+    )
+    w_adj = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    adj = e.select(
+        F.col("event_type").alias("cur_t"),
+        F.col("vi").alias("cur_v"),
+        F.lag("event_type").over(w_adj).alias("prev_t"),
+        F.lag("vi").over(w_adj).alias("prev_v"),
+    ).filter(
+        F.col("prev_t").isNotNull()
+        & (F.col("prev_t") != F.col("cur_t"))
+        & (F.col("cur_v") != F.col("prev_v"))
+    )
+    gm = adj.select(
+        F.when(F.col("cur_v") > F.col("prev_v"), F.col("cur_t"))
+        .otherwise(F.col("prev_t"))
+        .alias("wi"),
+        F.when(F.col("cur_v") > F.col("prev_v"), F.col("prev_t"))
+        .otherwise(F.col("cur_t"))
+        .alias("lo"),
+    )
+    wmat = (
+        gm.groupBy("wi", "lo")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wins = wmat.groupBy(F.col("wi").alias("t")).agg(
+        F.sum("w").cast("bigint").alias("n_wins")
+    )
+    ng = (
+        wmat.select(F.col("wi").alias("t"), F.col("lo").alias("o"), "w")
+        .unionByName(
+            wmat.select(
+                F.col("lo").alias("t"), F.col("wi").alias("o"), "w"
+            )
+        )
+        .groupBy("t", "o")
+        .agg(F.sum("w").cast("bigint").alias("g"))
+    )
+    gt = ng.groupBy("t").agg(F.sum("g").cast("bigint").alias("n_games"))
+    p1 = (
+        gt.join(wins, "t", "left")
+        .select(
+            "t",
+            "n_games",
+            F.coalesce(F.col("n_wins"), F.lit(0)).alias("n_wins"),
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    "(coalesce(n_wins, 0) * 2 * 1000000000) div n_games"
+                ),
+            ).alias("qp1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d2 = (
+        ng.alias("n")
+        .join(F.broadcast(p1.alias("a")), F.col("n.t") == F.col("a.t"))
+        .join(F.broadcast(p1.alias("b")), F.col("n.o") == F.col("b.t"))
+        .groupBy(F.col("n.t").alias("t"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(g * 1000000000000) div"
+                    " greatest(1, (a.qp1 + b.qp1) div 1000000)"
+                )
+            )
+            .cast("bigint")
+            .alias("d2i")
+        )
+    )
+    p2 = (
+        p1.join(d2, "t")
+        .select(
+            "t",
+            "n_wins",
+            "n_games",
+            "qp1",
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    "(n_wins * 1000000000000) div"
+                    " greatest(1, d2i div 1000000)"
+                ),
+            ).alias("qp2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    term = lambda qc: F.floor(  # noqa: E731
+        F.lit(1e9)
+        * F.col("m.w")
+        * (
+            F.log(F.col(f"a.{qc}").cast("double"))
+            - F.log((F.col(f"a.{qc}") + F.col(f"b.{qc}")).cast("double"))
+        )
+    )
+    ll = (
+        wmat.alias("m")
+        .join(F.broadcast(p2.alias("a")), F.col("m.wi") == F.col("a.t"))
+        .join(F.broadcast(p2.alias("b")), F.col("m.lo") == F.col("b.t"))
+        .agg(
+            F.sum(term("qp1")).cast("bigint").alias("ll1"),
+            F.sum(term("qp2")).cast("bigint").alias("ll2"),
+        )
+    )
+    return p2.crossJoin(F.broadcast(ll)).select(
+        F.col("t").alias("event_type"),
+        F.col("n_wins").cast("bigint").alias("n_wins"),
+        F.col("n_games").cast("bigint").alias("n_games"),
+        (F.col("qp1").cast("double") / F.lit(1e9)).alias("p_round1"),
+        (F.col("qp2").cast("double") / F.lit(1e9)).alias("p_round2"),
+        F.col("ll1").alias("ll1_num"),
+        F.col("ll2").alias("ll2_num"),
+        (F.col("ll2") >= F.col("ll1")).alias("ll_improved"),
+    )

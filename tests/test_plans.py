@@ -1617,6 +1617,21 @@ def test_nn_descent_candidates_bounded_and_monotone(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_bt_mm_round_improves_quantized_likelihood(spark, sf_dir):
+    """Bradley-Terry MM guarantees monotone likelihood in exact
+    arithmetic; the quantized integer walk must preserve it on the
+    fixture (computed boolean, not oracle-stated), with real
+    comparisons and finite strengths."""
+    rows = QUERIES["event_type_bt_strengths"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_games > 0 for r in rows)
+    assert all(r.ll_improved for r in rows)
+    assert all(r.ll2_num >= r.ll1_num for r in rows)
+    assert all(r.p_round1 > 0 and r.p_round2 > 0 for r in rows)
+    # the fit separates types: strengths are not all identical
+    assert len({r.p_round2 for r in rows}) > 1
+
+
 def test_interval_overlap_join_bucketed_at_both_widths(spark, sf_dir):
     """The interval_overlap_join library rewrite must plan as a
     bucket-keyed equi-join with the broadcast incident dim at BOTH
