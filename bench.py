@@ -225,6 +225,7 @@ HEADLINE = [
     "stream_conformal_coverage",
     "user_incident_exposure",
     "event_type_bt_strengths",
+    "trade_betweenness_khop",
 ]
 
 

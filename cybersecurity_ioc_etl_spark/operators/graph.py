@@ -2409,3 +2409,301 @@ def q_trade_louvain_two_level(
             (qn2 == qn2f).alias("flat_conserved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop-bounded Brandes betweenness — sampled-source shortest-path
+# centrality with quantized dependency accumulation
+# ---------------------------------------------------------------------------
+
+_BW_LEVELS = 3  # BFS depth bound (k-bounded Brandes variant)
+_BW_SOURCES = 5  # md5-sampled pivot sources
+_BW_TOPK_EDGES = 3  # strongest trade partners kept per nation
+
+
+def _bw_levels_sql() -> str:
+    """Unrolled BFS-with-path-counts + backward quantized-dependency
+    CTEs (levels 1..{L}, then deltas {L}..1)."""
+    parts = []
+    for lv in range(1, _BW_LEVELS + 1):
+        prev_vis = "b0" if lv == 1 else f"vis{lv - 1}"
+        parts.append(f""",
+n{lv} AS MATERIALIZED (
+  SELECT f.s, u.b AS v, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+  FROM {'b0' if lv == 1 else f'n{lv - 1}'} f
+  JOIN ue u ON u.a = f.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev_vis} p WHERE p.s = f.s AND p.v = u.b)
+  GROUP BY 1, 2
+),
+vis{lv} AS MATERIALIZED (
+  SELECT s, v, sigma FROM {prev_vis} UNION ALL SELECT s, v, sigma FROM n{lv}
+)""")
+    parts.append(f""",
+d{_BW_LEVELS} AS (
+  SELECT s, v, CAST(0 AS BIGINT) AS qd FROM n{_BW_LEVELS}
+)""")
+    for lv in range(_BW_LEVELS - 1, 0, -1):
+        parts.append(f""",
+d{lv} AS MATERIALIZED (
+  SELECT f.s, f.v,
+    CAST(COALESCE(SUM((f.sigma * (1000000000 + dn.qd)) // nx.sigma), 0)
+         AS BIGINT) AS qd
+  FROM n{lv} f
+  LEFT JOIN ue u ON u.a = f.v
+  LEFT JOIN n{lv + 1} nx ON nx.s = f.s AND nx.v = u.b
+  LEFT JOIN d{lv + 1} dn ON dn.s = f.s AND dn.v = u.b
+  WHERE nx.v IS NULL OR dn.v IS NOT NULL
+  GROUP BY 1, 2
+)""")
+    return "".join(parts)
+
+
+_BW_ORACLE = f"""
+WITH w AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    AND s.s_nationkey != c.c_nationkey
+  GROUP BY 1, 2
+),
+top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+      row_number() OVER (PARTITION BY src ORDER BY cnt DESC, dst) AS rn
+    FROM w) WHERE rn <= {_BW_TOPK_EDGES}
+),
+ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM top3 UNION SELECT dst, src FROM top3
+),
+ids AS (SELECT DISTINCT a AS id FROM ue),
+srcs AS (
+  SELECT id AS s FROM (
+    SELECT id, row_number() OVER (ORDER BY
+      {_SHINGLE_INT_SQL_REF.format(x="'bw:' || CAST(id AS VARCHAR)")},
+      id) AS r
+    FROM ids) WHERE r <= {_BW_SOURCES}
+),
+b0 AS MATERIALIZED (
+  SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM srcs
+){_bw_levels_sql()},
+alld AS (
+  {' UNION ALL '.join(f'SELECT s, v, qd FROM d{lv}' for lv in range(1, _BW_LEVELS + 1))}
+),
+reach AS (
+  SELECT v, COUNT(*) AS n_sources, CAST(SUM(sigma) AS BIGINT) AS sigma_total
+  FROM (SELECT s, v, sigma FROM vis{_BW_LEVELS} WHERE v != s)
+  GROUP BY v
+)
+SELECT CAST(r.v AS BIGINT) AS node,
+  CAST(r.n_sources AS BIGINT) AS n_sources,
+  r.sigma_total,
+  CAST(COALESCE(d.qbc, 0) AS BIGINT) AS qbc,
+  CAST(COALESCE(d.qbc, 0) AS DOUBLE) / 1000000000.0 AS betweenness
+FROM reach r
+LEFT JOIN (SELECT v, CAST(SUM(qd) AS BIGINT) AS qbc FROM alld GROUP BY v) d
+  ON d.v = r.v
+"""
+
+
+@query("trade_betweenness_khop", oracle=_BW_ORACLE)
+def q_trade_betweenness_khop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-HOP-BOUNDED BRANDES betweenness from SAMPLED sources — the
+    shortest-path centrality member of the graph family (Brandes
+    2001; the k-bounded + pivot-sampling variants are the standard
+    big-graph deployments): on the strongest-partner trade graph
+    (top-{_BW_TOPK_EDGES} outgoing edges per nation by trade count —
+    a deterministic sparsifier that keeps the graph navigable at
+    every SF, where the raw quarter graph saturates complete),
+    {_BW_SOURCES} md5-sampled pivot sources run BFS with PATH COUNTS
+    (σ accumulates along the shortest-path DAG, level by level,
+    {_BW_LEVELS} levels), then dependencies accumulate BACKWARD:
+    δ(v) = Σ_w∈succ(v) σ_v/σ_w · (1 + δ(w)), held as 1e-9-grain
+    integers with the division done as (σ_v·(1e9 + qδ_w)) div σ_w —
+    a deterministic integer walk both engines reproduce bit-for-bit
+    (the documented quantization of Brandes' rational deltas; error
+    ≤ 1e-9 per path, stated in-line, receipt-checked not assumed).
+    Betweenness(v) = Σ_sources qδ(v), directed-pair convention (no
+    halving), v≠s.
+
+    Scale shape: the BFS is per-level equi-joins keyed on the node id
+    with NOT-EXISTS visited pruning (frontier-sized state, never
+    node²); the backward pass is one join per level against the
+    next level's (σ, qδ) state; source sampling bounds total work at
+    S·edges per level — the exact recipe big-graph engines
+    (GraphFrames AggregateMessages, Pregel) run betweenness with.
+    The full-exact variant is the same loop with srcs = ids."""
+    from pyspark.sql import Window
+
+    e0 = _trade_edges_weighted(spark, sf_dir)
+    w_top = Window.partitionBy("src").orderBy(
+        F.col("cnt").desc(), "dst"
+    )
+    top3 = (
+        e0.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _BW_TOPK_EDGES)
+        .select("src", "dst")
+    )
+    ue = (
+        top3.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(
+            top3.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from .dedup import _shingle_int
+
+    ids = ue.select(F.col("a").alias("id")).distinct()
+    # checkpoint the WIDE window output; the rank filter and b0
+    # projection stay lazy (narrow projections of window-filtered
+    # frames over checkpointed lineage hit the localCheckpoint
+    # constraint-rewrite bug — CLAUDE.md gotcha)
+    rk_bw = ids.select(
+        "id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                _shingle_int(
+                    F.concat(F.lit("bw:"), F.col("id").cast("string"))
+                ),
+                "id",
+            )
+        )
+        .alias("r"),
+    ).localCheckpoint(eager=True)
+    srcs = rk_bw.filter(F.col("r") <= _BW_SOURCES).select(
+        F.col("id").alias("s")
+    )
+    b0 = srcs.select(
+        "s", F.col("s").alias("v"), F.lit(1).cast("bigint").alias("sigma")
+    )
+    levels = [b0]
+    vis = b0
+    for _lv in range(1, _BW_LEVELS + 1):
+        f = levels[-1]
+        n = (
+            f.alias("f")
+            .join(ue.alias("u"), F.col("u.a") == F.col("f.v"))
+            .join(
+                vis.alias("p"),
+                (F.col("p.s") == F.col("f.s"))
+                & (F.col("p.v") == F.col("u.b")),
+                "left_anti",
+            )
+            .groupBy(F.col("f.s").alias("s"), F.col("u.b").alias("v"))
+            .agg(F.sum("f.sigma").cast("bigint").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(n)
+        vis = vis.unionByName(n)
+    deltas = [
+        levels[_BW_LEVELS].select(
+            "s", "v", F.lit(0).cast("bigint").alias("qd")
+        )
+    ]
+    for lv in range(_BW_LEVELS - 1, 0, -1):
+        nxt = levels[lv + 1].alias("nx")
+        dn = deltas[-1].alias("dn")
+        succ = (
+            levels[lv]
+            .alias("f")
+            .join(ue.alias("u"), F.col("u.a") == F.col("f.v"))
+            .join(
+                nxt,
+                (F.col("nx.s") == F.col("f.s"))
+                & (F.col("nx.v") == F.col("u.b")),
+            )
+            .join(
+                dn,
+                (F.col("dn.s") == F.col("f.s"))
+                & (F.col("dn.v") == F.col("u.b")),
+            )
+            .groupBy(F.col("f.s").alias("s"), F.col("f.v").alias("v"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "(f.sigma * (1000000000 + dn.qd)) div nx.sigma"
+                    )
+                )
+                .cast("bigint")
+                .alias("qd")
+            )
+            # checkpoint the WIDE agg output; the trailing left-join
+            # projection stays lazy (the localCheckpoint-on-narrow-
+            # projection gotcha in CLAUDE.md)
+            .localCheckpoint(eager=True)
+        )
+        d = (
+            levels[lv]
+            .alias("f")
+            .join(
+                succ.alias("sc"),
+                (F.col("sc.s") == F.col("f.s"))
+                & (F.col("sc.v") == F.col("f.v")),
+                "left",
+            )
+            .select(
+                F.col("f.s").alias("s"),
+                F.col("f.v").alias("v"),
+                F.coalesce(F.col("sc.qd"), F.lit(0))
+                .cast("bigint")
+                .alias("qd"),
+            )
+        )
+        deltas.append(d)
+    alld = deltas[0]
+    for d in deltas[1:]:
+        alld = alld.unionByName(d)
+    qbc = alld.groupBy("v").agg(F.sum("qd").cast("bigint").alias("qbc"))
+    reach = (
+        vis.filter(F.col("v") != F.col("s"))
+        .groupBy("v")
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.sum("sigma").cast("bigint").alias("sigma_total"),
+        )
+    )
+    return reach.join(qbc, "v", "left").select(
+        F.col("v").cast("bigint").alias("node"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        "sigma_total",
+        F.coalesce(F.col("qbc"), F.lit(0)).cast("bigint").alias("qbc"),
+        (
+            F.coalesce(F.col("qbc"), F.lit(0)).cast("double")
+            / F.lit(1e9)
+        ).alias("betweenness"),
+    )
+
+
+def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation→nation trade-pair COUNTS for Q1-1995 (the
+    weighted form of _trade_edges, self-loops excluded)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1995-03-31")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )

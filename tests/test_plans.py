@@ -1617,6 +1617,22 @@ def test_nn_descent_candidates_bounded_and_monotone(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_betweenness_khop_real_centrality_and_keyed_joins(spark, sf_dir):
+    """k-hop Brandes on the top-3-partner graph must produce REAL
+    centrality mass (the sparsifier keeps the graph navigable where
+    the raw quarter graph saturates complete and all deltas collapse
+    to zero), with per-level keyed joins only."""
+    out = QUERIES["trade_betweenness_khop"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert sum(1 for r in rows if r.qbc > 0) >= 3
+    assert all(r.qbc >= 0 for r in rows)
+    assert all(r.n_sources >= 1 for r in rows)
+    p = P.formatted_plan(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_bt_mm_round_improves_quantized_likelihood(spark, sf_dir):
     """Bradley-Terry MM guarantees monotone likelihood in exact
     arithmetic; the quantized integer walk must preserve it on the
