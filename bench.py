@@ -226,6 +226,7 @@ HEADLINE = [
     "user_incident_exposure",
     "event_type_bt_strengths",
     "trade_betweenness_khop",
+    "dp_event_histogram_release",
 ]
 
 

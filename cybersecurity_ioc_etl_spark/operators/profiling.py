@@ -778,3 +778,127 @@ def q_orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_total",
         (F.col("psi_total") > 0.1).alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private histogram release — quantized-Laplace mechanism
+# with a composition ledger (the release gate after the k-anon audit)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # per-release epsilon (sensitivity-1 count histograms)
+
+_DP_NOISE_SQL = """
+  CASE WHEN (u - 0.5) >= 0 THEN 1 ELSE -1 END
+  * CAST(FLOOR(-ln(1.0 - 2.0 * ABS(u - 0.5))) AS BIGINT)
+"""
+
+_DP_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, ts FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+rel AS (
+  SELECT 'type_hist' AS release, event_type AS key,
+    CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM e GROUP BY event_type
+  UNION ALL
+  SELECT 'dow_hist' AS release, CAST(dayofweek(ts) AS VARCHAR) AS key,
+    CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM e GROUP BY dayofweek(ts)
+),
+noised AS (
+  SELECT release, key, n_true, {_DP_NOISE_SQL.strip()} AS noise
+  FROM (
+    SELECT release, key, n_true,
+      (CAST({{h}} AS DOUBLE) + 0.5) / 4294967296.0 AS u
+    FROM rel)
+)
+SELECT release, key,
+  CAST(n_true + noise AS BIGINT) AS n_noisy,
+  CAST(noise AS BIGINT) AS noise,
+  CAST({_DP_EPS} AS DOUBLE) AS eps_release,
+  CAST(2.0 * {_DP_EPS} AS DOUBLE) AS eps_total
+FROM noised
+"""
+
+
+def _dp_oracle() -> str:
+    from .dedup import _SHINGLE_INT_SQL
+
+    return _DP_ORACLE.format(
+        h=_SHINGLE_INT_SQL.format(
+            x="'dp:' || release || ':' || key"
+        )
+    )
+
+
+@query("dp_event_histogram_release", oracle=_dp_oracle())
+def q_dp_event_histogram_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE histogram release — the mechanism that
+    actually publishes the counts the k-anonymity audit gates: two
+    sensitivity-1 count histograms (per event type, per weekday) each
+    released under the LAPLACE mechanism at ε = {_DP_EPS}, with the
+    noise draw DETERMINISTIC (inverse-CDF of the Laplace distribution
+    evaluated at an md5-derived uniform per cell, magnitude FLOORed to
+    an integer — the quantized-Laplace/two-sided-geometric form; a
+    production deployment swaps the md5 stream for a sealed PRNG seed,
+    the mechanism and accounting are unchanged).  The composition
+    LEDGER is the point: within one histogram the cells partition the
+    rows, so PARALLEL composition charges ε once per release; the two
+    releases stack SEQUENTIALLY, so eps_total = 2·ε — emitted on every
+    row as the budget a DP accountant would record.
+
+    Determinism makes the mechanism oracle-checkable end to end (both
+    engines evaluate the identical closed-form double expression and
+    FLOOR once — the events_twap discipline applied to noise), which
+    is exactly how you regression-test a DP pipeline: fix the seed,
+    hash the release.
+
+    Scale shape: each release is one map-side-combined census; noise
+    is a per-cell scalar expression; the ledger is a literal.  At
+    100 TB the histogram state is cells, not rows."""
+    from .dedup import _shingle_int
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    rel = (
+        e.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+        .select(
+            F.lit("type_hist").alias("release"),
+            F.col("event_type").alias("key"),
+            "n_true",
+        )
+        .unionByName(
+            # DuckDB dayofweek is 0-based Sunday; Spark 1-based
+            e.groupBy((F.dayofweek("ts") - 1).alias("dow"))
+            .agg(F.count("*").cast("bigint").alias("n_true"))
+            .select(
+                F.lit("dow_hist").alias("release"),
+                F.col("dow").cast("string").alias("key"),
+                "n_true",
+            )
+        )
+    )
+    h = _shingle_int(
+        F.concat(
+            F.lit("dp:"), F.col("release"), F.lit(":"), F.col("key")
+        )
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    t = u - F.lit(0.5)
+    mag = F.floor(-F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))).cast(
+        "bigint"
+    )
+    noise = F.when(t >= 0, mag).otherwise(-mag)
+    return rel.select(
+        "release",
+        "key",
+        (F.col("n_true") + noise).cast("bigint").alias("n_noisy"),
+        noise.cast("bigint").alias("noise"),
+        F.lit(float(_DP_EPS)).alias("eps_release"),
+        F.lit(2.0 * _DP_EPS).alias("eps_total"),
+    )
