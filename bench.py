@@ -227,6 +227,7 @@ HEADLINE = [
     "event_type_bt_strengths",
     "trade_betweenness_khop",
     "dp_event_histogram_release",
+    "purchase_shapley_attribution",
 ]
 
 

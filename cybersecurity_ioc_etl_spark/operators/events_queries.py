@@ -5649,3 +5649,241 @@ def q_event_type_bt_strengths(
         F.col("ll2").alias("ll2_num"),
         (F.col("ll2") >= F.col("ll1")).alias("ll_improved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value attribution — exact coalition enumeration over the
+# 4-channel exposure lattice (completes linear / time-decay / Shapley)
+# ---------------------------------------------------------------------------
+
+# channel bit assignment (purchase is the conversion, not a channel)
+_SHAP_BITS = {"click": 1, "view": 2, "error": 4, "signup": 8}
+_SHAP_N = 4
+# Shapley weight NUMERATORS over denominator 4! = 24, by |S|:
+# |S|!(n-|S|-1)! for n=4
+_SHAP_WNUM = {0: 6, 1: 2, 2: 2, 3: 6}
+
+_SHAP_CASE = (
+    "CASE event_type "
+    + " ".join(
+        f"WHEN '{t}' THEN {b}" for t, b in sorted(_SHAP_BITS.items())
+    )
+    + " ELSE 0 END"
+)
+
+_SHAP_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+conv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS cts FROM e
+  WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+expo AS (
+  SELECT e.user_id, CAST(e.ts AS DATE) AS d,
+    COALESCE(BIT_OR({_SHAP_CASE}), 0) AS mask,
+    MAX(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS converted
+  FROM e
+  LEFT JOIN conv c ON c.user_id = e.user_id AND c.d = CAST(e.ts AS DATE)
+  WHERE c.user_id IS NULL OR e.ts < c.cts
+  GROUP BY 1, 2
+),
+lattice AS (SELECT CAST(s AS BIGINT) AS s FROM range(0, 16) t(s)),
+stats AS (
+  SELECT l.s,
+    COALESCE(u.n_users, 0) AS n_users,
+    COALESCE(u.n_conv, 0) AS n_conv,
+    CASE WHEN COALESCE(u.n_users, 0) = 0 THEN 0
+         ELSE CAST((u.n_conv * 1000000000) // u.n_users AS BIGINT)
+    END AS qv
+  FROM lattice l LEFT JOIN (
+    SELECT mask AS s, CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(converted) AS BIGINT) AS n_conv
+    FROM expo GROUP BY mask) u ON u.s = l.s
+),
+channels AS (
+  {' UNION ALL '.join(f"SELECT '{t}' AS channel, {b} AS cb" for t, b in sorted(_SHAP_BITS.items()))}
+),
+terms AS (
+  SELECT c.channel,
+    (CASE bit_count(CAST(st0.s AS BIT)) {' '.join(f'WHEN {k} THEN {v}' for k, v in _SHAP_WNUM.items())} END)
+      * (st1.qv - st0.qv) AS term
+  FROM channels c
+  JOIN stats st0 ON (st0.s & c.cb) = 0
+  JOIN stats st1 ON st1.s = st0.s + c.cb
+),
+phi AS (
+  SELECT channel, CAST(SUM(term) AS BIGINT) AS phi_q
+  FROM terms GROUP BY channel
+),
+eff AS (
+  SELECT CAST(SUM(phi_q) AS BIGINT) AS sphi,
+    (SELECT 24 * (MAX(CASE WHEN s = 15 THEN qv END)
+                  - MAX(CASE WHEN s = 0 THEN qv END)) FROM stats) AS rhs
+  FROM phi
+),
+chstats AS (
+  SELECT c.channel,
+    CAST(SUM(x.n_users) AS BIGINT) AS n_exposed_units,
+    CAST(SUM(x.n_conv) AS BIGINT) AS n_exposed_conversions
+  FROM channels c JOIN stats x ON (x.s & c.cb) != 0
+  GROUP BY c.channel
+)
+SELECT p.channel,
+  cs.n_exposed_units,
+  cs.n_exposed_conversions,
+  p.phi_q,
+  CAST(p.phi_q AS DOUBLE) / 24.0 / 1000000000.0 AS shapley_credit,
+  (SELECT sphi = rhs FROM eff) AS efficiency_ok
+FROM phi p JOIN chstats cs ON cs.channel = p.channel
+"""
+
+
+@query("purchase_shapley_attribution", oracle=_SHAP_ORACLE)
+def q_purchase_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHAPLEY-VALUE attribution — the coalition-game credit model
+    (Shapley 1953; Zhao et al. 2018 for marketing attribution) that
+    completes the attribution family beside linear_attribution_credits
+    and time_decay_attribution: each (user, day) unit's EXPOSURE SET
+    over the 4 non-purchase channels (events before that day's first
+    purchase, or the whole day when none) becomes a 4-bit mask; a
+    unit converts if the day carried a purchase; the
+    characteristic function v(S) is the exact-exposure conversion
+    rate, quantized to a 1e-9-grain integer by integer division
+    (absent coalitions → 0, documented); Shapley values are computed
+    by EXACT ENUMERATION over the 16-subset lattice — n=4 weights
+    |S|!(n−|S|−1)!/4! carried as integer numerators over the common
+    denominator 24, so φ accumulates as exact integers and divides to
+    double once.
+
+    The EFFICIENCY receipt rides along: Σ_c φ(c) = v(full) − v(∅) is
+    an algebraic identity of the Shapley formula that survives ANY v
+    assignment — including the quantized one — so efficiency_ok is
+    computed on both engines over exact integers and must be TRUE by
+    mathematics, not by luck (a drifted weight or a missed coalition
+    breaks it, which is the point).
+
+    Scale shape: the exposure pass is one user-keyed aggregate
+    (BIT_OR mask + converted flag) after a broadcast first-purchase
+    lookup; everything downstream lives on the 16-row lattice × 4
+    channels — model state is 2^n, not users, which is why exact
+    Shapley is deployable for small channel counts (larger n swaps in
+    permutation sampling over the same exposure census)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.min("ts").alias("cts"))
+    )
+    expo = (
+        e.alias("e")
+        .join(
+            F.broadcast(conv.alias("c")),
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.to_date(F.col("e.ts")) == F.col("c.d")),
+            "left",
+        )
+        .filter(F.col("c.cts").isNull() | (F.col("e.ts") < F.col("c.cts")))
+        .groupBy(F.col("e.user_id"), F.to_date(F.col("e.ts")).alias("d"))
+        .agg(
+            F.coalesce(F.expr(f"bit_or({_SHAP_CASE})"), F.lit(0)).alias(
+                "mask"
+            ),
+            F.max(
+                F.when(F.col("c.cts").isNotNull(), 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    lattice = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    observed = expo.groupBy(F.col("mask").alias("s")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    stats = (
+        lattice.join(F.broadcast(observed), "s", "left")
+        .select(
+            "s",
+            F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
+            F.coalesce(F.col("n_conv"), F.lit(0)).alias("n_conv"),
+            F.when(F.coalesce(F.col("n_users"), F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("(n_conv * 1000000000) div n_users"))
+            .cast("bigint")
+            .alias("qv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    channels = spark.createDataFrame(
+        sorted(_SHAP_BITS.items()), "channel string, cb bigint"
+    )
+    wnum = F.create_map(
+        *[F.lit(x) for kv in _SHAP_WNUM.items() for x in kv]
+    )
+    terms = (
+        channels.alias("c")
+        .join(
+            F.broadcast(stats.alias("st0")),
+            F.expr("(st0.s & c.cb) = 0"),
+        )
+        .join(
+            F.broadcast(stats.alias("st1")),
+            F.expr("st1.s = st0.s + c.cb"),
+        )
+        .select(
+            "c.channel",
+            (
+                wnum[F.bit_count(F.col("st0.s"))]
+                * (F.col("st1.qv") - F.col("st0.qv"))
+            ).alias("term"),
+        )
+    )
+    phi = terms.groupBy("channel").agg(
+        F.sum("term").cast("bigint").alias("phi_q")
+    )
+    eff = (
+        phi.agg(F.sum("phi_q").cast("bigint").alias("sphi"))
+        .crossJoin(
+            F.broadcast(
+                stats.agg(
+                    (
+                        F.lit(24)
+                        * (
+                            F.max(F.when(F.col("s") == 15, F.col("qv")))
+                            - F.max(F.when(F.col("s") == 0, F.col("qv")))
+                        )
+                    ).alias("rhs")
+                )
+            )
+        )
+        .select((F.col("sphi") == F.col("rhs")).alias("efficiency_ok"))
+    )
+    chstats = (
+        channels.alias("c")
+        .join(
+            F.broadcast(stats.alias("x")), F.expr("(x.s & c.cb) != 0")
+        )
+        .groupBy("c.channel")
+        .agg(
+            F.sum("x.n_users").cast("bigint").alias("n_exposed_units"),
+            F.sum("x.n_conv")
+            .cast("bigint")
+            .alias("n_exposed_conversions"),
+        )
+    )
+    return (
+        phi.join(chstats, "channel")
+        .crossJoin(F.broadcast(eff))
+        .select(
+            "channel",
+            "n_exposed_units",
+            "n_exposed_conversions",
+            "phi_q",
+            (F.col("phi_q").cast("double") / F.lit(24.0) / F.lit(1e9))
+            .alias("shapley_credit"),
+            "efficiency_ok",
+        )
+    )

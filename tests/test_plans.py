@@ -1617,6 +1617,21 @@ def test_nn_descent_candidates_bounded_and_monotone(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_shapley_efficiency_and_differentiated_credits(spark, sf_dir):
+    """Exact Shapley over the exposure lattice: the efficiency
+    identity must hold over the quantized integers (it is algebra,
+    not luck), and the (user, day) framing must produce a
+    NON-degenerate game — differentiated credits with real
+    non-converting units."""
+    rows = QUERIES["purchase_shapley_attribution"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert all(r.efficiency_ok for r in rows)
+    assert all(
+        r.n_exposed_conversions < r.n_exposed_units for r in rows
+    ), "game is degenerate: every exposed unit converted"
+    assert len({r.phi_q for r in rows}) > 1, "credits are uniform"
+
+
 def test_betweenness_khop_real_centrality_and_keyed_joins(spark, sf_dir):
     """k-hop Brandes on the top-3-partner graph must produce REAL
     centrality mass (the sparsifier keeps the graph navigable where
