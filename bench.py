@@ -228,6 +228,7 @@ HEADLINE = [
     "trade_betweenness_khop",
     "dp_event_histogram_release",
     "purchase_shapley_attribution",
+    "stream_click_error_semi_join",
 ]
 
 

@@ -482,6 +482,41 @@ def q_stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_click_error_semi_join",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id,
+  epoch_us(c.ts) AS c_ts_us
+FROM events c
+WHERE c.event_type = 'click' AND c.user_id < 40
+  AND EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.event_type = 'error' AND e.user_id = c.user_id
+      AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE)
+""",
+)
+def q_stream_click_error_semi_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join — the fourth and last
+    Structured Streaming join mode beside inner / leftOuter /
+    fullOuter: a click emits ONCE, with left-side columns only, as
+    soon as an error lands inside its 10-minute horizon.  Unlike the
+    outer modes, emission never waits on the watermark (only state
+    EVICTION does), so the AvailableNow drain equals the batch EXISTS
+    semi-join with no final-watermark cutoff in the oracle — the
+    one stream-stream mode whose end-of-stream truncation is empty.
+
+    Scale shape: identical to the inner form — user_id carries the
+    state partitioning, both watermarks + the range condition bound
+    state to the 40-minute horizon; the semi form additionally
+    DROPS a matched click's state immediately (at-most-one emission),
+    so steady-state memory is strictly smaller than inner."""
+    from ..streaming.pipeline import run_click_error_join_stream
+
+    return run_click_error_join_stream(spark, sf_dir, how="leftSemi")
+
+
+@query(
     "stream_click_error_outer_join",
     oracle="""
 WITH clicks AS (

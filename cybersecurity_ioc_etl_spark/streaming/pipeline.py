@@ -956,17 +956,28 @@ def run_click_error_join_stream(
         )
         .withWatermark("e_ts", "30 minutes")
     )
-    joined = clicks.join(
-        errors,
+    cond = (
         (F.col("c_user") == F.col("e_user"))
         & (F.col("e_ts") > F.col("c_ts"))
-        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
-        how,
-    ).select(
-        "click_id",
-        "error_id",
-        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))).alias("lag_us"),
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES"))
     )
+    if how == "leftSemi":
+        # semi join: left rows emit AS SOON AS a match arrives (no
+        # watermark wait — only unmatched emission needs eviction), so
+        # the AvailableNow drain yields exactly the batch EXISTS set
+        joined = clicks.join(errors, cond, "leftSemi").select(
+            "click_id",
+            F.col("c_user").alias("user_id"),
+            F.unix_micros(F.col("c_ts")).alias("c_ts_us"),
+        )
+    else:
+        joined = clicks.join(errors, cond, how).select(
+            "click_id",
+            "error_id",
+            (
+                F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))
+            ).alias("lag_us"),
+        )
     name = f"ss_join_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_ss_join_")
     q = (
