@@ -229,6 +229,7 @@ HEADLINE = [
     "dp_event_histogram_release",
     "purchase_shapley_attribution",
     "stream_click_error_semi_join",
+    "unigram_em_round",
 ]
 
 

@@ -3028,3 +3028,349 @@ def q_ams_f2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f2_est_median",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-EM unigram-LM trainer round — E-step (on-path piece census via
+# forward+backward DP), prune, M-step re-cost, re-segment (Kudo 2018's
+# trainer loop, one iteration, deterministic hard-count form)
+# ---------------------------------------------------------------------------
+
+_EM_ROUNDS = 8  # words capped at 8 chars for the trainer fixture
+_EM_PIECE_MAX = 4
+
+
+def _em_round_sql(src: str, dst: str, edges: str, direction: str) -> str:
+    """One min-plus relaxation round as a MATERIALIZED CTE.
+    direction 'fwd' relaxes pos j -> i, 'bwd' relaxes pos i -> j."""
+    on, to = ("j", "i") if direction == "fwd" else ("i", "j")
+    return f"""{dst} AS MATERIALIZED (
+  SELECT w, pos, MIN(pk) AS pk FROM (
+    SELECT w, pos, pk FROM {src}
+    UNION ALL
+    SELECT e.w, e.{to} AS pos, d.pk + e.c16
+    FROM {src} d JOIN {edges} e ON d.w = e.w AND d.pos = e.{on}
+  ) GROUP BY 1, 2
+)"""
+
+
+def _em_dp_sql(prefix: str, init: str, edges: str, direction: str) -> str:
+    parts = [init]
+    for r in range(1, _EM_ROUNDS + 1):
+        src = f"{prefix}{r - 1}"
+        parts.append(_em_round_sql(src, f"{prefix}{r}", edges, direction))
+    return ",\n".join(parts)
+
+
+_EM_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(str_split_regex(
+    {_dedup._ASCII_FOLD_SQL.format(x='trim(text)')}, '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM tok
+  WHERE len(w) BETWEEN 1 AND {_EM_ROUNDS} GROUP BY w
+),
+edges AS MATERIALIZED (
+  SELECT w, wf, j.j AS j, j.j + k.k AS i,
+    substr(w, CAST(j.j + 1 AS INTEGER), CAST(k.k AS INTEGER)) AS piece
+  FROM words, range(0, {_EM_ROUNDS}) j(j), range(1, {_EM_PIECE_MAX + 1}) k(k)
+  WHERE j.j + k.k <= len(w)
+),
+census AS MATERIALIZED (SELECT piece, SUM(wf) AS cnt FROM edges GROUP BY piece),
+ec AS MATERIALIZED (
+  SELECT e.w, e.j, e.i, e.piece,
+    16 * (1000000000000 // c.cnt) + 1 AS c16
+  FROM edges e JOIN census c ON e.piece = c.piece
+),
+{_em_dp_sql("f", "f0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS pk FROM words)", "ec", "fwd")},
+tot AS MATERIALIZED (
+  SELECT w, pk FROM f{_EM_ROUNDS} WHERE pos = len(w)
+),
+{_em_dp_sql("b", f"b0 AS (SELECT w, len(w) AS pos, CAST(0 AS BIGINT) AS pk FROM words)", "ec", "bwd")},
+usage AS MATERIALIZED (
+  -- E-step: a piece occurrence is counted iff its edge lies on an
+  -- optimal (cost, fewest-pieces) path: fwd[j] + c16 + bwd[i] == total
+  SELECT e.piece, CAST(SUM(wd.wf) AS BIGINT) AS used
+  FROM ec e
+  JOIN f{_EM_ROUNDS} f ON f.w = e.w AND f.pos = e.j
+  JOIN b{_EM_ROUNDS} b ON b.w = e.w AND b.pos = e.i
+  JOIN tot t ON t.w = e.w
+  JOIN words wd ON wd.w = e.w
+  WHERE f.pk + e.c16 + b.pk = t.pk
+  GROUP BY e.piece
+),
+vocab2 AS MATERIALIZED (
+  -- M-step + prune: multi-char pieces with zero on-path usage drop;
+  -- single chars are always kept (segmentability), floored at count 1
+  SELECT c.piece,
+    16 * (1000000000000 // GREATEST(COALESCE(u.used, 0), 1)) + 1 AS c16
+  FROM census c LEFT JOIN usage u ON u.piece = c.piece
+  WHERE len(c.piece) = 1 OR COALESCE(u.used, 0) > 0
+),
+ec2 AS MATERIALIZED (
+  SELECT e.w, e.j, e.i, e.piece, v.c16
+  FROM edges e JOIN vocab2 v ON v.piece = e.piece
+),
+{_em_dp_sql("g", "g0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS pk FROM words)", "ec2", "fwd")},
+tot2 AS MATERIALIZED (
+  SELECT w, pk FROM g{_EM_ROUNDS} WHERE pos = len(w)
+),
+scal AS (
+  SELECT
+    (SELECT COUNT(*) FROM census) AS vocab_before,
+    (SELECT COUNT(*) FROM vocab2) AS vocab_after,
+    (SELECT COUNT(*) FROM words) = (SELECT COUNT(*) FROM tot2)
+      AS all_segmentable,
+    (SELECT SUM(wd.wf * (t.pk // 16)) FROM tot t JOIN words wd ON wd.w = t.w)
+      AS corpus_cost0,
+    (SELECT SUM(wd.wf * (t.pk // 16)) FROM tot2 t JOIN words wd ON wd.w = t.w)
+      AS corpus_cost1
+)
+SELECT wd.w AS word, wd.wf,
+  CAST(t.pk // 16 AS BIGINT) AS cost0_i,
+  CAST(t.pk % 16 AS BIGINT) AS pieces0,
+  CAST(t2.pk // 16 AS BIGINT) AS cost1_i,
+  CAST(t2.pk % 16 AS BIGINT) AS pieces1,
+  CAST((SELECT vocab_before FROM scal) AS BIGINT) AS vocab_before,
+  CAST((SELECT vocab_after FROM scal) AS BIGINT) AS vocab_after,
+  CAST((SELECT corpus_cost0 FROM scal) AS BIGINT) AS corpus_cost0,
+  CAST((SELECT corpus_cost1 FROM scal) AS BIGINT) AS corpus_cost1,
+  (SELECT all_segmentable FROM scal) AS all_segmentable
+FROM words wd
+JOIN tot t ON t.w = wd.w
+JOIN tot2 t2 ON t2.w = wd.w
+ORDER BY wd.wf DESC, wd.w
+LIMIT 20
+"""
+
+
+def _em_dp(
+    words: DataFrame, edges_c: DataFrame, direction: str, init_pos
+) -> DataFrame:
+    """Min-plus DP over (w, pos, pk) to fixpoint in _EM_ROUNDS rounds
+    — the viterbi_segment loop parameterized by direction."""
+    on, to = ("j", "i") if direction == "fwd" else ("i", "j")
+    dist = words.select(
+        "w", init_pos.alias("pos"), F.lit(0).cast("bigint").alias("pk")
+    ).localCheckpoint(eager=True)
+    for r in range(_EM_ROUNDS):
+        relaxed = (
+            dist.alias("d")
+            .join(
+                edges_c.alias("e"),
+                (F.col("d.w") == F.col("e.w"))
+                & (F.col("d.pos") == F.col(f"e.{on}")),
+            )
+            .select(
+                F.col("e.w").alias("w"),
+                F.col(f"e.{to}").alias("pos"),
+                (F.col("d.pk") + F.col("e.c16")).alias("pk"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("w", "pos")
+            .agg(F.min("pk").alias("pk"))
+        )
+        if (r + 1) % 3 == 0 or r == _EM_ROUNDS - 1:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+@query("unigram_em_round", oracle=_EM_ORACLE)
+def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HARD-EM round of the unigram-LM tokenizer TRAINER (Kudo
+    2018 — the SentencePiece loop: segment, re-estimate, prune), the
+    trainer composition that viterbi_segment_stats' inference step
+    slots into:
+
+    - E-STEP: piece usage counted over optimal segmentations WITHOUT
+      backtracking — an edge (w, j→i) lies on an optimal path iff
+      fwd[j] + cost + bwd[i] == total[w], with fwd/bwd the packed
+      min-plus DPs from each end (the on-path censusing trick; ties
+      counted on every optimal path, a deterministic hard-count
+      variant both engines reproduce exactly).
+    - PRUNE + M-STEP: multi-char pieces with ZERO on-path usage leave
+      the vocabulary (the SentencePiece prune); single characters are
+      always kept so every word stays segmentable; surviving pieces
+      re-cost from their usage census (integer 1e12 div usage, the
+      viterbi quantization).
+    - RE-SEGMENT: the forward DP re-runs on the pruned, re-costed
+      vocabulary; per-word costs and piece counts before/after are
+      emitted with the corpus totals and vocabulary sizes
+      (vocab_after < vocab_before is the prune receipt; corpus cost
+      movement is emitted, not asserted — hard-EM with unnormalized
+      integer costs is not theoretically monotone, and the fixture
+      numbers are pinned in tests/test_plans.py).
+
+    Scale shape: everything runs at the DISTINCT-WORD grain off the
+    one corpus-wide word-count shuffle (the BPE/viterbi economics);
+    the E-step census is one join of the edge table against the two
+    DP states — vocabulary-sized, map-side combined; each DP round is
+    an equi-join + integer MIN with checkpoint cadence.  A production
+    trainer iterates this round and prunes by likelihood-loss
+    quantile instead of zero-usage — same plan, different threshold."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    tok = d.select(
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("w")
+    )
+    words = (
+        tok.filter(F.length("w").between(1, _EM_ROUNDS))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("wf"))
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        words.select(
+            "w",
+            "wf",
+            F.explode(F.sequence(F.lit(0), F.length("w") - 1)).alias("j"),
+        )
+        .select(
+            "w",
+            "wf",
+            "j",
+            F.explode(F.sequence(F.lit(1), F.lit(_EM_PIECE_MAX))).alias(
+                "k"
+            ),
+        )
+        .filter(F.col("j") + F.col("k") <= F.length("w"))
+        .select(
+            "w",
+            "wf",
+            "j",
+            (F.col("j") + F.col("k")).alias("i"),
+            F.expr("substring(w, j + 1, k)").alias("piece"),
+        )
+    )
+    census = (
+        edges.groupBy("piece")
+        .agg(F.sum("wf").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ec = (
+        edges.join(census, "piece")
+        .select(
+            "w",
+            "j",
+            "i",
+            "piece",
+            (16 * F.expr("1000000000000 div cnt") + 1).alias("c16"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fwd = _em_dp(words, ec, "fwd", F.lit(0))
+    bwd = _em_dp(words, ec, "bwd", F.length("w"))
+    tot = fwd.filter(F.col("pos") == F.length("w")).select(
+        "w", F.col("pk").alias("tpk")
+    )
+    usage = (
+        ec.alias("e")
+        .join(
+            fwd.alias("f"),
+            (F.col("f.w") == F.col("e.w"))
+            & (F.col("f.pos") == F.col("e.j")),
+        )
+        .join(
+            bwd.alias("b"),
+            (F.col("b.w") == F.col("e.w"))
+            & (F.col("b.pos") == F.col("e.i")),
+        )
+        .join(tot.alias("t"), F.col("t.w") == F.col("e.w"))
+        .join(
+            words.select("w", "wf").alias("wd"),
+            F.col("wd.w") == F.col("e.w"),
+        )
+        .filter(
+            F.col("f.pk") + F.col("e.c16") + F.col("b.pk")
+            == F.col("t.tpk")
+        )
+        .groupBy("e.piece")
+        .agg(F.sum("wd.wf").cast("bigint").alias("used"))
+    )
+    vocab2 = (
+        census.join(usage, "piece", "left")
+        .filter(
+            (F.length("piece") == 1)
+            | (F.coalesce(F.col("used"), F.lit(0)) > 0)
+        )
+        .select(
+            "piece",
+            (
+                16
+                * F.expr(
+                    "1000000000000 div greatest(coalesce(used, 0), 1)"
+                )
+                + 1
+            ).alias("c16"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ec2 = (
+        edges.select("w", "j", "i", "piece")
+        .join(vocab2, "piece")
+        .select("w", "j", "i", "piece", "c16")
+        .localCheckpoint(eager=True)
+    )
+    fwd2 = _em_dp(words, ec2, "fwd", F.lit(0))
+    tot2 = fwd2.filter(F.col("pos") == F.length("w")).select(
+        "w", F.col("pk").alias("tpk2")
+    )
+    seg_ok = (
+        words.agg(F.count("*").alias("nw"))
+        .crossJoin(F.broadcast(tot2.agg(F.count("*").alias("ns"))))
+        .select((F.col("nw") == F.col("ns")).alias("all_segmentable"))
+    )
+    scal = (
+        census.agg(F.count("*").alias("vocab_before"))
+        .crossJoin(
+            F.broadcast(vocab2.agg(F.count("*").alias("vocab_after")))
+        )
+        .crossJoin(
+            F.broadcast(
+                tot.join(words, "w")
+                .agg(
+                    F.sum(F.col("wf") * F.expr("tpk div 16")).alias(
+                        "corpus_cost0"
+                    )
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tot2.join(words, "w")
+                .agg(
+                    F.sum(F.col("wf") * F.expr("tpk2 div 16")).alias(
+                        "corpus_cost1"
+                    )
+                )
+            )
+        )
+        .crossJoin(F.broadcast(seg_ok))
+    )
+    return (
+        words.join(tot, "w")
+        .join(tot2, "w")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.col("w").alias("word"),
+            "wf",
+            F.expr("tpk div 16").cast("bigint").alias("cost0_i"),
+            (F.col("tpk") % 16).cast("bigint").alias("pieces0"),
+            F.expr("tpk2 div 16").cast("bigint").alias("cost1_i"),
+            (F.col("tpk2") % 16).cast("bigint").alias("pieces1"),
+            F.col("vocab_before").cast("bigint").alias("vocab_before"),
+            F.col("vocab_after").cast("bigint").alias("vocab_after"),
+            F.col("corpus_cost0").cast("bigint").alias("corpus_cost0"),
+            F.col("corpus_cost1").cast("bigint").alias("corpus_cost1"),
+            "all_segmentable",
+        )
+        .orderBy(F.col("wf").desc(), "word")
+        .limit(20)
+    )

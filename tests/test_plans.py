@@ -1617,6 +1617,19 @@ def test_nn_descent_candidates_bounded_and_monotone(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_unigram_em_prunes_and_stays_segmentable(spark, sf_dir):
+    """The hard-EM trainer round must genuinely prune the vocabulary
+    (multi-char pieces with zero on-path usage leave) while every word
+    remains segmentable on the pruned vocabulary — the two receipts
+    that make the prune a trainer step, not data loss."""
+    rows = QUERIES["unigram_em_round"](spark, sf_dir).collect()
+    assert rows
+    r = rows[0]
+    assert r.vocab_after < r.vocab_before, "prune removed nothing"
+    assert r.all_segmentable, "a word lost segmentability"
+    assert all(x.pieces1 >= 1 and x.cost1_i > 0 for x in rows)
+
+
 def test_shapley_efficiency_and_differentiated_credits(spark, sf_dir):
     """Exact Shapley over the exposure lattice: the efficiency
     identity must hold over the quantized integers (it is algebra,
