@@ -230,6 +230,7 @@ HEADLINE = [
     "purchase_shapley_attribution",
     "stream_click_error_semi_join",
     "unigram_em_round",
+    "event_type_auc_ovr",
 ]
 
 

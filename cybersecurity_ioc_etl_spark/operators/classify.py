@@ -320,3 +320,130 @@ def q_classifier_margin_reliability(
         F.sum("c").cast("bigint").alias("n_correct"),
         (F.sum("c").cast("double") / F.count("*")).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact tie-aware AUC — the ranking-quality member of the model-eval
+# family (confusion / reliability / DCG / AUC)
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vi
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+sc AS (SELECT vi, event_type, CAST(COUNT(*) AS BIGINT) AS c
+       FROM e GROUP BY 1, 2),
+tot AS (SELECT vi, CAST(SUM(c) AS BIGINT) AS ct FROM sc GROUP BY 1),
+types AS (SELECT DISTINCT event_type FROM e),
+grid AS (
+  SELECT t.event_type, v.vi,
+    COALESCE(s.c, 0) AS pos_v,
+    v.ct - COALESCE(s.c, 0) AS neg_v
+  FROM types t
+  CROSS JOIN tot v
+  LEFT JOIN sc s ON s.event_type = t.event_type AND s.vi = v.vi
+),
+w AS (
+  SELECT event_type, pos_v, neg_v,
+    COALESCE(SUM(neg_v) OVER (PARTITION BY event_type ORDER BY vi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM grid
+),
+agg AS (
+  SELECT event_type,
+    CAST(SUM(pos_v) AS BIGINT) AS n_pos,
+    CAST(SUM(neg_v) AS BIGINT) AS n_neg,
+    CAST(SUM(pos_v * (2 * cnb + neg_v)) AS BIGINT) AS u2
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_pos, n_neg, u2,
+  CAST(u2 AS DOUBLE) / NULLIF(2.0 * n_pos * n_neg, 0.0) AS auc,
+  CAST(u2 AS DOUBLE) / NULLIF(1.0 * n_pos * n_neg, 0.0) - 1.0 AS gini
+FROM agg
+"""
+
+
+@query("event_type_auc_ovr", oracle=_AUC_ORACLE)
+def q_event_type_auc_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-aware AUC, one-vs-rest per event type — the
+    ranking-quality member of the model-eval family (beside the
+    confusion matrix, margin reliability, and retrieval DCG): treating
+    the event VALUE as a score for "this event is type t", AUC is the
+    Mann-Whitney U statistic with ties credited 1/2, computed EXACTLY
+    from the per-score census: 2U = Σ_v pos_v·(2·neg_below(v) + neg_v)
+    — all integer counts, so u2 is an exact int on both engines and
+    the AUC/Gini doubles come from one closed-form division each
+    (NULLIF-guarded for typeless slices).  No sampling, no sort of raw
+    rows, no trapezoid approximation.
+
+    Scale shape: one (score, type) census (map-side combined, state ∝
+    distinct scores × types), a type-partitioned running sum over the
+    score axis, and a per-type fold — the standard exact-AUC recipe at
+    warehouse scale; a billion rows with a bounded score domain cost
+    one shuffle of the census, never a global rank of events."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("vi"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    sc = e.groupBy("vi", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = sc.groupBy("vi").agg(F.sum("c").cast("bigint").alias("ct"))
+    types = e.select("event_type").distinct()
+    grid = (
+        types.crossJoin(tot)
+        .join(sc, ["event_type", "vi"], "left")
+        .select(
+            "event_type",
+            "vi",
+            F.coalesce(F.col("c"), F.lit(0)).alias("pos_v"),
+            (F.col("ct") - F.coalesce(F.col("c"), F.lit(0))).alias(
+                "neg_v"
+            ),
+        )
+    )
+    w_cnb = (
+        Window.partitionBy("event_type")
+        .orderBy("vi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = grid.select(
+        "event_type",
+        "pos_v",
+        "neg_v",
+        F.coalesce(F.sum("neg_v").over(w_cnb), F.lit(0)).alias("cnb"),
+    )
+    agg = w.groupBy("event_type").agg(
+        F.sum("pos_v").cast("bigint").alias("n_pos"),
+        F.sum("neg_v").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos_v") * (2 * F.col("cnb") + F.col("neg_v"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    den2 = F.nullif(
+        2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
+        F.lit(0.0),
+    )
+    den1 = F.nullif(
+        1.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "u2",
+        (F.col("u2").cast("double") / den2).alias("auc"),
+        (F.col("u2").cast("double") / den1 - F.lit(1.0)).alias("gini"),
+    )
