@@ -231,6 +231,7 @@ HEADLINE = [
     "stream_click_error_semi_join",
     "unigram_em_round",
     "event_type_auc_ovr",
+    "trade_luby_mis",
 ]
 
 

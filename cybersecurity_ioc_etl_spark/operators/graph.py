@@ -2707,3 +2707,199 @@ def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Luby's maximal-independent-set rounds — THE classic parallel-graph
+# symmetry-breaking primitive (Luby 1986)
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 3
+
+
+def _mis_round_sql(r: int) -> str:
+    """One Luby round: active nodes draw md5 priorities (round-salted);
+    a node joins the MIS iff it beats every ACTIVE neighbor on
+    (priority, id); winners and their neighbors leave the active set."""
+    pr = _SHINGLE_INT_SQL_REF.format(
+        x=f"'mis:{r}:' || CAST(id AS VARCHAR)"
+    )
+    return f"""pr{r} AS MATERIALIZED (
+  SELECT id, {pr} AS p FROM a{r - 1}
+),
+m{r} AS MATERIALIZED (
+  SELECT a.id FROM pr{r} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ue e JOIN pr{r} b ON b.id = e.b
+    WHERE e.a = a.id
+      AND (b.p < a.p OR (b.p = a.p AND b.id < a.id)))
+),
+a{r} AS MATERIALIZED (
+  SELECT s.id FROM a{r - 1} s
+  WHERE s.id NOT IN (SELECT id FROM m{r})
+    AND NOT EXISTS (
+      SELECT 1 FROM ue e JOIN m{r} m ON m.id = e.a
+      WHERE e.b = s.id)
+)"""
+
+
+_MIS_ORACLE = f"""
+WITH w AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    AND s.s_nationkey != c.c_nationkey
+  GROUP BY 1, 2
+),
+top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+      row_number() OVER (PARTITION BY src ORDER BY cnt DESC, dst) AS rn
+    FROM w) WHERE rn <= {_BW_TOPK_EDGES}
+),
+ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM top3 UNION SELECT dst, src FROM top3
+),
+a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM ue),
+{','.join(_mis_round_sql(r) for r in range(1, _MIS_ROUNDS + 1))},
+mis AS (
+  {' UNION ALL '.join(f'SELECT id, {r} AS round_joined FROM m{r}' for r in range(1, _MIS_ROUNDS + 1))}
+),
+indep AS (
+  SELECT NOT EXISTS (
+    SELECT 1 FROM ue e
+    JOIN mis x ON x.id = e.a JOIN mis y ON y.id = e.b) AS ok
+),
+scal AS (
+  SELECT
+    (SELECT COUNT(*) FROM a0) AS n_nodes,
+    (SELECT COUNT(*) FROM mis) AS n_mis,
+    (SELECT COUNT(*) FROM a{_MIS_ROUNDS}) AS n_remaining,
+    (SELECT ok FROM indep) AS independent
+)
+SELECT CAST(m.id AS BIGINT) AS node,
+  CAST(m.round_joined AS BIGINT) AS round_joined,
+  CAST(s.n_nodes AS BIGINT) AS n_nodes,
+  CAST(s.n_mis AS BIGINT) AS n_mis,
+  CAST(s.n_remaining AS BIGINT) AS n_remaining,
+  s.independent
+FROM mis m, scal s
+"""
+
+
+@query("trade_luby_mis", oracle=_MIS_ORACLE)
+def q_trade_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUBY's parallel MAXIMAL-INDEPENDENT-SET rounds (Luby 1986) —
+    the classic symmetry-breaking primitive under parallel coloring,
+    scheduling, and clustering: each round every ACTIVE node draws a
+    round-salted md5 priority (content-keyed, no RNG — the
+    deterministic stand-in for Luby's coin flips); a node joins the
+    MIS iff it beats every active neighbor on (priority, id); winners
+    and their neighborhoods retire.  {_MIS_ROUNDS} rounds on the
+    top-{_BW_TOPK_EDGES}-partner trade graph retire the expected
+    constant fraction of edges per round (Luby's lemma).
+
+    Receipts: `independent` — no edge joins two MIS members — is
+    COMPUTED on both engines (an incorrect winner rule breaks it, and
+    the value hash with it); n_remaining counts nodes still
+    undecided after the unrolled rounds (empty = the set is already
+    maximal; the fixture numbers are pinned in tests/test_plans.py).
+
+    Scale shape: each round is one neighbor-keyed census (min
+    (priority, id) over active neighbors — map-side combinable
+    struct-MIN), one anti-join pair to retire winners and their
+    neighborhoods, and nothing node²; state shrinks geometrically per
+    round, which is the entire point of Luby's algorithm at 100 TB."""
+    from pyspark.sql import Window
+    from .dedup import _shingle_int
+
+    e0 = _trade_edges_weighted(spark, sf_dir)
+    w_top = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
+    top3 = (
+        e0.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _BW_TOPK_EDGES)
+        .select("src", "dst")
+    )
+    ue = (
+        top3.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(
+            top3.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = ue.select(F.col("a").alias("id")).distinct()
+    n_nodes_df = active.agg(F.count("*").alias("n_nodes"))
+    mis_parts = []
+    for r in range(1, _MIS_ROUNDS + 1):
+        pr = active.select(
+            "id",
+            _shingle_int(
+                F.concat(
+                    F.lit(f"mis:{r}:"), F.col("id").cast("string")
+                )
+            ).alias("p"),
+        ).localCheckpoint(eager=True)
+        nb_best = (
+            ue.alias("e")
+            .join(pr.alias("b"), F.col("b.id") == F.col("e.b"))
+            .groupBy(F.col("e.a").alias("id"))
+            .agg(
+                F.min(F.struct(F.col("b.p"), F.col("b.id"))).alias(
+                    "nbmin"
+                )
+            )
+        )
+        winners = (
+            pr.join(nb_best, "id", "left")
+            .filter(
+                F.col("nbmin").isNull()
+                | (F.struct(F.col("p"), F.col("id")) < F.col("nbmin"))
+            )
+            .select("id")
+        )
+        m = winners.localCheckpoint(eager=True)
+        mis_parts.append(
+            m.select("id", F.lit(r).alias("round_joined"))
+        )
+        retired_nbrs = (
+            ue.alias("e")
+            .join(m.alias("m"), F.col("m.id") == F.col("e.a"))
+            .select(F.col("e.b").alias("id"))
+            .distinct()
+        )
+        active = (
+            active.join(m, "id", "left_anti")
+            .join(retired_nbrs, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    mis = mis_parts[0]
+    for p in mis_parts[1:]:
+        mis = mis.unionByName(p)
+    mis = mis.localCheckpoint(eager=True)
+    indep = (
+        ue.alias("e")
+        .join(mis.alias("x"), F.col("x.id") == F.col("e.a"))
+        .join(mis.alias("y"), F.col("y.id") == F.col("e.b"))
+        .agg((F.count("*") == 0).alias("independent"))
+    )
+    scal = (
+        n_nodes_df.crossJoin(
+            F.broadcast(mis.agg(F.count("*").alias("n_mis")))
+        )
+        .crossJoin(
+            F.broadcast(active.agg(F.count("*").alias("n_remaining")))
+        )
+        .crossJoin(F.broadcast(indep))
+    )
+    return mis.crossJoin(F.broadcast(scal)).select(
+        F.col("id").cast("bigint").alias("node"),
+        F.col("round_joined").cast("bigint").alias("round_joined"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_mis").cast("bigint").alias("n_mis"),
+        F.col("n_remaining").cast("bigint").alias("n_remaining"),
+        "independent",
+    )

@@ -1617,6 +1617,21 @@ def test_nn_descent_candidates_bounded_and_monotone(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_luby_mis_independent_and_maximal_on_fixture(spark, sf_dir):
+    """Luby rounds must produce an INDEPENDENT set (computed receipt)
+    that is MAXIMAL on the fixture (no active nodes remain after the
+    unrolled rounds) with geometric progress (first round decides
+    most of the set)."""
+    rows = QUERIES["trade_luby_mis"](spark, sf_dir).collect()
+    assert rows
+    r = rows[0]
+    assert r.independent
+    assert r.n_remaining == 0, "set not maximal on the fixture"
+    assert r.n_mis == len(rows)
+    assert 1 <= r.n_mis < r.n_nodes
+    assert min(x.round_joined for x in rows) == 1
+
+
 def test_unigram_em_prunes_and_stays_segmentable(spark, sf_dir):
     """The hard-EM trainer round must genuinely prune the vocabulary
     (multi-char pieces with zero on-path usage leave) while every word
