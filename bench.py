@@ -232,6 +232,7 @@ HEADLINE = [
     "unigram_em_round",
     "event_type_auc_ovr",
     "trade_luby_mis",
+    "fairness_gap_audit",
 ]
 
 

@@ -902,3 +902,149 @@ def q_dp_event_histogram_release(
         F.lit(float(_DP_EPS)).alias("eps_release"),
         F.lit(2.0 * _DP_EPS).alias("eps_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fairness gap audit — demographic parity, equalized odds, four-fifths
+# rule (the bias gate beside the privacy gates)
+# ---------------------------------------------------------------------------
+
+_FAIR_THRESH = 5000  # decision rule: predict positive iff vi >= 50.00
+
+_FAIR_ORACLE = f"""
+WITH e AS (
+  SELECT user_id % 3 AS grp,
+    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+    CASE WHEN CAST(ROUND(value * 100) AS BIGINT) >= {_FAIR_THRESH}
+         THEN 1 ELSE 0 END AS yhat
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND user_id IS NOT NULL
+),
+g AS (
+  SELECT grp,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(yhat) AS BIGINT) AS n_sel,
+    CAST(SUM(y) AS BIGINT) AS n_pos,
+    CAST(SUM(y * yhat) AS BIGINT) AS n_tp,
+    CAST(SUM((1 - y) * yhat) AS BIGINT) AS n_fp
+  FROM e GROUP BY grp
+),
+q AS (
+  SELECT grp, n, n_sel, n_pos,
+    CAST((n_sel * 1000000000) // n AS BIGINT) AS sel_q,
+    CAST((n_tp * 1000000000) // NULLIF(n_pos, 0) AS BIGINT) AS tpr_q,
+    CAST((n_fp * 1000000000) // NULLIF(n - n_pos, 0) AS BIGINT) AS fpr_q
+  FROM g
+),
+gaps AS (
+  SELECT
+    MAX(sel_q) - MIN(sel_q) AS dp_gap_q,
+    MAX(tpr_q) - MIN(tpr_q) AS tpr_gap_q,
+    MAX(fpr_q) - MIN(fpr_q) AS fpr_gap_q,
+    CAST((MIN(sel_q) * 1000000000) // NULLIF(MAX(sel_q), 0) AS BIGINT)
+      AS sel_ratio_q
+  FROM q
+)
+SELECT CAST(q.grp AS BIGINT) AS grp, q.n, q.n_sel, q.n_pos,
+  CAST(q.sel_q AS DOUBLE) / 1000000000.0 AS selection_rate,
+  CAST(q.tpr_q AS DOUBLE) / 1000000000.0 AS tpr,
+  CAST(q.fpr_q AS DOUBLE) / 1000000000.0 AS fpr,
+  CAST(g.dp_gap_q AS BIGINT) AS dp_gap_q,
+  CAST(g.tpr_gap_q AS BIGINT) AS tpr_gap_q,
+  CAST(g.fpr_gap_q AS BIGINT) AS fpr_gap_q,
+  g.sel_ratio_q >= 800000000 AS four_fifths_ok
+FROM q, gaps g
+"""
+
+
+@query("fairness_gap_audit", oracle=_FAIR_ORACLE)
+def q_fairness_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAIRNESS gap audit — the bias gate that sits beside the privacy
+    gates (k-anonymity / l-diversity / t-closeness) before a model or
+    a labeled release ships: for a fixed decision rule (predict
+    'error' iff value ≥ {_FAIR_THRESH}/100 — any scored model slots
+    in) and a protected grouping (user_id % 3, the synthetic stand-in
+    a real deployment replaces with its protected attribute), the
+    audit computes per group the SELECTION RATE (demographic parity),
+    TPR and FPR (equalized odds), all quantized to 1e-9-grain
+    integers by integer division; the across-group gaps and the EEOC
+    FOUR-FIFTHS selection-ratio test ride along as exact-integer
+    scalars (min·1e9 div max ≥ 0.8·1e9).  NULLIF guards the
+    degenerate strata (a group with no positives has NULL TPR on both
+    engines, the variance-denominator discipline).
+
+    Scale shape: one conditional-aggregation census per group (map-
+    side combined), then constant-size gap folds — the audit costs
+    one pass regardless of row count, which is why it belongs in the
+    ingest gate, not a notebook."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 3).alias("grp"),
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.when(
+                F.round(F.col("value") * 100).cast("bigint")
+                >= _FAIR_THRESH,
+                1,
+            )
+            .otherwise(0)
+            .alias("yhat"),
+        )
+    )
+    g = e.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("yhat").cast("bigint").alias("n_sel"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("n_tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat"))
+        .cast("bigint")
+        .alias("n_fp"),
+    )
+    q = g.select(
+        "grp",
+        "n",
+        "n_sel",
+        "n_pos",
+        F.expr("(n_sel * 1000000000) div n").cast("bigint").alias(
+            "sel_q"
+        ),
+        F.expr("(n_tp * 1000000000) div nullif(n_pos, 0)")
+        .cast("bigint")
+        .alias("tpr_q"),
+        F.expr("(n_fp * 1000000000) div nullif(n - n_pos, 0)")
+        .cast("bigint")
+        .alias("fpr_q"),
+    )
+    gaps = q.agg(
+        (F.max("sel_q") - F.min("sel_q")).alias("dp_gap_q"),
+        (F.max("tpr_q") - F.min("tpr_q")).alias("tpr_gap_q"),
+        (F.max("fpr_q") - F.min("fpr_q")).alias("fpr_gap_q"),
+        F.expr(
+            "(min(sel_q) * 1000000000) div nullif(max(sel_q), 0)"
+        )
+        .cast("bigint")
+        .alias("sel_ratio_q"),
+    )
+    return q.crossJoin(F.broadcast(gaps)).select(
+        F.col("grp").cast("bigint").alias("grp"),
+        "n",
+        "n_sel",
+        "n_pos",
+        (F.col("sel_q").cast("double") / F.lit(1e9)).alias(
+            "selection_rate"
+        ),
+        (F.col("tpr_q").cast("double") / F.lit(1e9)).alias("tpr"),
+        (F.col("fpr_q").cast("double") / F.lit(1e9)).alias("fpr"),
+        F.col("dp_gap_q").cast("bigint").alias("dp_gap_q"),
+        F.col("tpr_gap_q").cast("bigint").alias("tpr_gap_q"),
+        F.col("fpr_gap_q").cast("bigint").alias("fpr_gap_q"),
+        (F.col("sel_ratio_q") >= 800000000).alias("four_fifths_ok"),
+    )
