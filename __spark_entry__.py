@@ -244,15 +244,17 @@ _RECONFIRM = [
 # Unchecked queries deliberately deferred past this round's window
 # (none yet for r12 — add here if the window fills past 50).
 # ROUND-13 ROTATION NOTE: fold the 50 names the r12 CORRECTNESS gate
-# sampled (head of queries() at gate time: _PRIORITY, the new round-12
-# additions, then the leading _RECONFIRM entries) into _DRIVER_CHECKED,
-# clear _PRIORITY unless an oracle changed, promote any _DEFER entries,
+# sampled (head at gate time: session_incident_overlap + the 14
+# round-12 additions + reconfirms through classifier_margin_reliability
+# — run `list(queries())[:50]` to confirm) into _DRIVER_CHECKED, clear
+# _PRIORITY unless an oracle changed, promote any _DEFER entries,
 # continue _RECONFIRM oldest-first from where the r12 window cut off
-# (the r6-latest alphabetical sweep: customer_order_timeline,
-# customer_spend_rank, enrichment_scraped_iocs, event_value_mad_outliers,
-# events_hourly_gapfill, events_ohlc_bars, events_sessionize,
-# events_twap, grouping_sets_revenue, hybrid_rrf_retrieval, and the
-# rest of the 47-row r6 tranche), and keep head + new <= 50.
+# (the r6-latest alphabetical sweep resumes at: click_error_range_join,
+# cluster_safe_split, countmin_token_audit, customer_order_timeline,
+# customer_spend_rank, enrichment_scraped_iocs,
+# event_value_mad_outliers, events_hourly_gapfill, events_ohlc_bars,
+# events_sessionize, events_twap, grouping_sets_revenue, and the rest
+# of the 47-row r6 tranche), and keep head + new <= 50.
 _DEFER: list[str] = []
 
 
