@@ -233,6 +233,7 @@ HEADLINE = [
     "event_type_auc_ovr",
     "trade_luby_mis",
     "fairness_gap_audit",
+    "stream_dp_histogram_release",
 ]
 
 

@@ -1048,3 +1048,49 @@ def q_fairness_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fpr_gap_q").cast("bigint").alias("fpr_gap_q"),
         (F.col("sel_ratio_q") >= 800000000).alias("four_fifths_ok"),
     )
+
+
+@query("stream_dp_histogram_release", oracle=_dp_oracle())
+def q_stream_dp_histogram_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of dp_event_histogram_release — the deployed DP
+    telemetry shape: true counts are maintained across micro-batches
+    as bid-keyed additive partials
+    (streaming/pipeline.py::run_stream_dp_counts) and the Laplace
+    mechanism + epsilon ledger apply ONCE at release time from the
+    merged state.  Noise-at-release (never per batch) is the
+    load-bearing design point: per-batch noising would both destroy
+    partial mergeability and multiply the spent budget by the batch
+    count — the aggregate-then-release discipline every production DP
+    pipeline (RAPPOR-descendant telemetry, census-style releases)
+    follows.  The batch oracle is the ground truth the streamed fold
+    must hash-match exactly.
+
+    Scale shape: per trigger one cell-bounded count; the release-time
+    noise is a per-cell scalar expression over cells, not rows."""
+    from ..streaming.pipeline import run_stream_dp_counts
+    from .dedup import _shingle_int
+
+    rel = run_stream_dp_counts(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    h = _shingle_int(
+        F.concat(
+            F.lit("dp:"), F.col("release"), F.lit(":"), F.col("key")
+        )
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    t = u - F.lit(0.5)
+    mag = F.floor(-F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))).cast(
+        "bigint"
+    )
+    noise = F.when(t >= 0, mag).otherwise(-mag)
+    return rel.select(
+        "release",
+        "key",
+        (F.col("n_true") + noise).cast("bigint").alias("n_noisy"),
+        noise.cast("bigint").alias("noise"),
+        F.lit(float(_DP_EPS)).alias("eps_release"),
+        F.lit(2.0 * _DP_EPS).alias("eps_total"),
+    )

@@ -1290,6 +1290,76 @@ def run_stream_cdc_retraction(
     )
 
 
+def run_stream_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the DP release's TRUE counts: the two
+    histograms' keyed event rows arrive as micro-batches; each trigger
+    folds a per-(release, key) COUNT partial, written bid-keyed and
+    replay-safe.  Counts fold by addition, so the merged state is
+    batch-identical for any batching or at-least-once replay — noise
+    and the epsilon ledger are applied ONCE at release time by the
+    caller (noising partials would both break mergeability and spend
+    budget per batch; the aggregate-then-release shape every deployed
+    DP telemetry pipeline uses).
+
+    Scale shape: per trigger one map-side-combined count bounded by the
+    cell count; the drain fold touches (batches × cells) rows."""
+    from ..sources.readers import load_table
+
+    work_dir = tempfile.mkdtemp(prefix="stream_dp_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    rel = e.select(
+        F.lit("type_hist").alias("release"),
+        F.col("event_type").alias("key"),
+    ).unionByName(
+        e.select(
+            F.lit("dow_hist").alias("release"),
+            (F.dayofweek("ts") - 1).cast("string").alias("key"),
+        )
+    )
+    rel.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(
+            batch.groupBy("release", "key").agg(
+                F.count("*").alias("c")
+            ),
+            out_dir,
+            bid,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "release string, key string, n_true bigint"
+        )
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("release", "key")
+        .agg(F.sum("c").cast("bigint").alias("n_true"))
+    )
+
+
 def run_stream_conformal_scores(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
