@@ -234,6 +234,7 @@ HEADLINE = [
     "trade_luby_mis",
     "fairness_gap_audit",
     "stream_dp_histogram_release",
+    "events_mann_kendall",
 ]
 
 

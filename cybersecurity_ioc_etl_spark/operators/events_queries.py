@@ -5922,3 +5922,185 @@ def q_purchase_shapley_attribution(
             "efficiency_ok",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test — the significance companion to Theil-Sen's
+# slope estimate (the pair every monitoring runbook quotes together)
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, ts, event_id,
+    CAST(ROUND(value * 10000) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+pts AS (
+  SELECT event_type, vi,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+),
+k AS (SELECT * FROM pts WHERE rn <= {{k}}),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY 1),
+s AS (
+  SELECT a.event_type,
+    CAST(SUM(CASE WHEN a.vi > b.vi THEN 1
+                  WHEN a.vi < b.vi THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM k a JOIN k b
+    ON a.event_type = b.event_type AND a.rn < b.rn
+  GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+  FROM (SELECT event_type, vi, CAST(COUNT(*) AS BIGINT) AS t
+        FROM k GROUP BY 1, 2)
+  GROUP BY 1
+),
+v AS (
+  SELECT n.event_type, n.n,
+    CAST(n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tsum, 0)
+         AS BIGINT) AS var18
+  FROM n LEFT JOIN ties t ON t.event_type = n.event_type
+)
+SELECT v.event_type, v.n, s.s_stat, v.var18,
+  CASE WHEN v.var18 = 0 THEN CAST(0.0 AS DOUBLE)
+       WHEN s.s_stat > 0
+         THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+              / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+       WHEN s.s_stat < 0
+         THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+              / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+       ELSE CAST(0.0 AS DOUBLE) END AS z,
+  CASE WHEN v.var18 = 0 THEN 'no_trend'
+       WHEN s.s_stat > 0 AND (CAST(s.s_stat AS DOUBLE) - 1.0)
+              / sqrt(CAST(v.var18 AS DOUBLE) / 18.0) > 1.96
+         THEN 'increasing'
+       WHEN s.s_stat < 0 AND (CAST(s.s_stat AS DOUBLE) + 1.0)
+              / sqrt(CAST(v.var18 AS DOUBLE) / 18.0) < -1.96
+         THEN 'decreasing'
+       ELSE 'no_trend' END AS trend
+FROM v JOIN s ON s.event_type = v.event_type
+""".format(k=_TS_K)
+
+
+@query("events_mann_kendall", oracle=_MK_ORACLE)
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test over the SAME last-{{k}}-point series
+    Theil-Sen estimates its slope on — the companion every monitoring
+    runbook quotes as a pair (Theil-Sen answers "how steep", MK
+    answers "is there a trend at all", distribution-free): S is the
+    exact integer sum of pairwise value signs over the deterministic
+    (ts, event_id)-ranked sequence (rank is the time index, so time
+    ties cannot occur by construction); Var(S) carries the VALUE-tie
+    correction exactly as the integer numerator
+    var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5); the continuity-corrected
+    z = (S∓1)/sqrt(var18/18) is one identical closed-form double
+    expression on both engines (exact ints → sqrt → divide, each
+    correctly rounded — no quantization needed), and the ±1.96
+    verdict string rides the identical doubles.
+
+    Scale shape: identical to events_theil_sen — one per-type rank
+    window, a bounded k(k−1)/2 pair fan-out per type, everything
+    after per-type local.  Together the pair form the robust-trend
+    kit: MK gates, Theil-Sen sizes."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pts = (
+        e.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 10000).cast("bigint").alias("vi"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TS_K)
+        .select("event_type", "vi", "rn")
+        .localCheckpoint(eager=True)
+    )
+    n = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    s = (
+        pts.alias("a")
+        .join(
+            pts.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.vi") > F.col("b.vi"), 1)
+                .when(F.col("a.vi") < F.col("b.vi"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        pts.groupBy("event_type", "vi")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    v = n.join(ties, "event_type", "left").select(
+        "event_type",
+        "n",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.coalesce(F.col("tsum"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("var18"),
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("var18") == 0, F.lit(0.0))
+        .when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0)) / sd,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0)) / sd,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    trend = (
+        F.when(F.col("var18") == 0, F.lit("no_trend"))
+        .when(
+            (F.col("s_stat") > 0)
+            & ((F.col("s_stat").cast("double") - F.lit(1.0)) / sd > 1.96),
+            F.lit("increasing"),
+        )
+        .when(
+            (F.col("s_stat") < 0)
+            & (
+                (F.col("s_stat").cast("double") + F.lit(1.0)) / sd
+                < -1.96
+            ),
+            F.lit("decreasing"),
+        )
+        .otherwise(F.lit("no_trend"))
+    )
+    return v.join(s, "event_type").select(
+        "event_type",
+        "n",
+        "s_stat",
+        "var18",
+        z.alias("z"),
+        trend.alias("trend"),
+    )
