@@ -235,6 +235,7 @@ HEADLINE = [
     "fairness_gap_audit",
     "stream_dp_histogram_release",
     "events_mann_kendall",
+    "stream_mann_kendall",
 ]
 
 

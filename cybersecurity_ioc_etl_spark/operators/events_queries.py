@@ -6023,6 +6023,14 @@ def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "vi", "rn")
         .localCheckpoint(eager=True)
     )
+    return _mk_stats(pts)
+
+
+def _mk_stats(pts: DataFrame) -> DataFrame:
+    """Mann-Kendall S / tie-corrected variance / z / verdict from a
+    ranked (event_type, vi, rn) point frame — shared by the batch test
+    and its streaming twin (which rebuilds pts from merged per-batch
+    top-k partials)."""
     n = pts.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n")
     )
@@ -6104,3 +6112,38 @@ def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         trend.alias("trend"),
     )
+
+
+@query("stream_mann_kendall", oracle=_MK_ORACLE)
+def q_stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of events_mann_kendall — the trend monitor
+    deployed the way monitors actually run: each micro-batch keeps its
+    own last-{k} points per type (batch-local rank window, k·types
+    state) written as replay-safe bid-keyed partials
+    (streaming/pipeline.py::run_stream_topk_points); at drain the
+    union re-ranks to the global last-{k} — EXACT by the
+    order-statistic merge law (the global top-k under a total order is
+    contained in the union of per-batch top-ks; the
+    priority_sample_merge_audit law applied to a time-ordered window)
+    — and the same MK statistics (_mk_stats) run on the merged
+    window.  Batch-identical for any batching, ordering, or
+    at-least-once replay, so the batch oracle is the ground truth.
+
+    Completes the streaming-twin family's ORDER-STATISTIC member
+    beside the additive folds (counts, sums, sketches, histograms):
+    top-k windows fold by union + re-rank."""
+    from ..streaming.pipeline import run_stream_topk_points
+
+    cand = run_stream_topk_points(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pts = (
+        cand.dropDuplicates(["event_type", "ts", "event_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TS_K)
+        .select("event_type", "vi", "rn")
+    )
+    return _mk_stats(pts)

@@ -2010,3 +2010,73 @@ def run_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
     )
     return drift_from_sums(parts)
+
+
+def run_stream_topk_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the last-k point window the robust
+    trend pair (Theil-Sen / Mann-Kendall) runs on: each micro-batch
+    keeps only ITS OWN last-k points per event type (a batch-local
+    rank window) and writes them as a bid-keyed replay-safe partial;
+    the drain re-ranks the UNION and keeps the global last-k.  The
+    fold is exact by the order-statistic MERGE LAW: the global top-k
+    under a total order is contained in the union of per-batch top-ks
+    — the same law priority_sample_merge_audit pins for bottom-k —
+    so state per batch is k·types rows, never the stream.
+
+    Returns the merged (event_type, vi, ts, event_id) candidate set
+    (≤ k·batches·types rows) for the caller to re-rank."""
+    from ..operators.events_queries import _TS_K
+    from ..sources.readers import load_table
+
+    work_dir = tempfile.mkdtemp(prefix="stream_topk_")
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 10000).cast("bigint").alias("vi"),
+        )
+    )
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        _write_partial_bid(
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TS_K)
+            .select("event_type", "vi", "ts", "event_id"),
+            out_dir,
+            bid,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "event_type string, vi bigint, ts timestamp, event_id bigint"
+        )
+    return spark.read.parquet(*dirs)
