@@ -236,6 +236,7 @@ HEADLINE = [
     "stream_dp_histogram_release",
     "events_mann_kendall",
     "stream_mann_kendall",
+    "events_runs_test",
 ]
 
 

@@ -6147,3 +6147,158 @@ def q_stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "vi", "rn")
     )
     return _mk_stats(pts)
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — the randomness gate beside the trend pair
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, ts, event_id,
+    CAST(ROUND(value * 10000) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+pts AS (
+  SELECT event_type, vi,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+),
+k AS (SELECT * FROM pts WHERE rn <= {_TS_K}),
+med AS (
+  -- exact lower median of the window (rank (n+1) div 2 under (vi, rn))
+  SELECT event_type, vi AS m FROM (
+    SELECT event_type, vi,
+      row_number() OVER (PARTITION BY event_type ORDER BY vi, rn) AS r,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM k) WHERE r = (n + 1) // 2
+),
+signs AS (
+  -- above/below the median; exact-median points drop (standard form)
+  SELECT k.event_type, k.rn,
+    CASE WHEN k.vi > med.m THEN 1 ELSE 0 END AS s
+  FROM k JOIN med ON med.event_type = k.event_type
+  WHERE k.vi != med.m
+),
+runs AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN prev IS NULL OR s != prev THEN 1 ELSE 0 END)
+         AS BIGINT) AS r,
+    CAST(SUM(s) AS BIGINT) AS n1,
+    CAST(SUM(1 - s) AS BIGINT) AS n2
+  FROM (
+    SELECT event_type, s,
+      LAG(s) OVER (PARTITION BY event_type ORDER BY rn DESC) AS prev
+    FROM signs)
+  GROUP BY event_type
+)
+SELECT event_type, r AS n_runs, n1, n2,
+  CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 = 1 THEN CAST(0.0 AS DOUBLE)
+       ELSE (CAST(r AS DOUBLE)
+             - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+            / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                   / ((CAST(n1 + n2 AS DOUBLE))
+                      * (CAST(n1 + n2 AS DOUBLE))
+                      * (n1 + n2 - 1.0)))
+  END AS z
+FROM runs
+"""
+
+
+@query("events_runs_test", oracle=_RUNS_ORACLE)
+def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ runs test over the same last-{k} window the
+    trend pair reads — the randomness gate that completes the kit
+    (MK asks "is there a trend", Theil-Sen "how steep", the runs test
+    "is the sequence even random": too FEW runs = clustering/trend,
+    too MANY = oscillation, both invisible to a mean check): the
+    window binarizes against its exact lower median (exact-median
+    points drop, the standard form), the run count R is an exact
+    integer from a lag window over the deterministic chronological
+    order, and z = (R − μ)/σ with μ = 2n₁n₂/n + 1 and the closed-form
+    σ — one identical double expression per type on both engines
+    (exact ints → arithmetic → sqrt → divide), degenerate one-sided
+    windows guarded to z = 0.
+
+    Scale shape: identical to the trend pair — per-type rank window,
+    then everything per-type local over ≤ {k} rows."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pts = (
+        e.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 10000).cast("bigint").alias("vi"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TS_K)
+        .select("event_type", "vi", "rn")
+        .localCheckpoint(eager=True)
+    )
+    w_med = Window.partitionBy("event_type").orderBy("vi", "rn")
+    med = (
+        pts.select(
+            "event_type",
+            "vi",
+            F.row_number().over(w_med).alias("r"),
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("vi").alias("m"))
+    )
+    signs = (
+        pts.join(F.broadcast(med), "event_type")
+        .filter(F.col("vi") != F.col("m"))
+        .select(
+            "event_type",
+            "rn",
+            F.when(F.col("vi") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_lag = Window.partitionBy("event_type").orderBy(F.col("rn").desc())
+    runs = (
+        signs.withColumn("prev", F.lag("s").over(w_lag))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_runs"),
+            F.sum("s").cast("bigint").alias("n1"),
+            F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = 2.0 * n1d * n2d / nd + F.lit(1.0)
+    sig = F.sqrt(
+        2.0
+        * n1d
+        * n2d
+        * (2.0 * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    z = (
+        F.when(
+            (F.col("n1") == 0)
+            | (F.col("n2") == 0)
+            | (F.col("n1") + F.col("n2") == 1),
+            F.lit(0.0),
+        )
+        .otherwise((F.col("n_runs").cast("double") - mu) / sig)
+    )
+    return runs.select("event_type", "n_runs", "n1", "n2", z.alias("z"))
