@@ -31,6 +31,17 @@ from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 # restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r12 window (CORRECTNESS_r12: 50/50 hash-green — the re-adjudicated
+        # session_incident_overlap head, the 17 round-12 additions, and 32
+        # oldest-first re-confirmations already listed in earlier windows)
+        "session_incident_overlap", "stream_click_error_semi_join",
+        "stream_conformal_coverage", "user_incident_exposure",
+        "event_type_bt_strengths", "purchase_shapley_attribution",
+        "events_mann_kendall", "stream_mann_kendall", "events_runs_test",
+        "unigram_em_round", "trade_louvain_two_level",
+        "trade_betweenness_khop", "trade_luby_mis", "nn_graph_serve_topk",
+        "event_type_auc_ovr", "dp_event_histogram_release",
+        "fairness_gap_audit", "stream_dp_histogram_release",
         # r11 window (CORRECTNESS_r11: 50/50 hash-green — the 12 round-11
         # additions + 38 oldest-first re-confirmations already listed in
         # earlier windows)
@@ -207,54 +218,48 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: session_incident_overlap's oracle changed this
-# round (ADVICE r11 high: deterministic (ts, event_id) session ordering
-# on both sides) — it must be re-adjudicated under the new hash.
-_PRIORITY: list[str] = ["session_incident_overlap"]
+# Head of the rotation: empty — no oracle changed at r13 open (ADVICE.md
+# is empty; CORRECTNESS_r12 was 50/50 hash-green).
+_PRIORITY: list[str] = []
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-12 queries.  Recency recomputed from the r1-r11
-# CORRECTNESS JSONs at r12 open: 10 rows' latest green is r4, 19 rows'
-# is r5, 47 rows' is r6.  This window clears ALL r4+r5 debt (29 rows)
-# and begins the r6 sweep alphabetically.
+# head + any new round-13 queries.  Recency recomputed from the r1-r12
+# CORRECTNESS JSONs at r13 open: latest-green distribution is r6×44,
+# r7×50, r8×50, r9×50, r10×50, r11×49, r12×50.  This window continues
+# the r6-latest alphabetical sweep (44 rows remain; the r12 window
+# covered approx_distinct_parts / approx_value_percentiles /
+# asof_click_before_purchase).  With N new r13 queries ahead of these,
+# the gate's 50-row cut lands ~44-N deep; the remainder rolls to r14.
 _RECONFIRM = [
-    # r4-latest remainder (the full tranche)
-    "stream_click_error_join", "stream_neardup_signature_groups",
-    "corpus_segment_dedup", "events_variant_stats",
-    "doc_repetition_scores", "bpe_pair_counts", "bpe_merge_step",
-    "bpe_two_merges", "stream_ann_topk", "events_native_sessions",
-    # r5-latest tranche (all 19)
-    "ann_recall_audit", "bpe_encode_stats", "embedding_abtt_residuals",
-    "eval_contamination", "event_value_winsorized",
-    "incremental_dedup_new_docs", "ioc_first_last_seen",
-    "ivf_trained_topk", "ivfpq_adc_topk", "ivfpq_trained_topk",
-    "kmeans_two_rounds", "minhash_band_pairs", "mrl_truncation_audit",
-    "neardup_keep_canonical", "pq_codes", "source_overlap_matrix",
-    "stream_classify_confusion", "stream_value_outliers",
-    "tfidf_doc_similarity_pairs",
-    # r6 sweep begins (alphabetical; window cut expected partway —
-    # remainder rolls to r13)
-    "approx_distinct_parts", "approx_value_percentiles",
-    "asof_click_before_purchase", "bigram_lm_doc_scores",
-    "bm25_more_like_this", "boilerplate_segment_scrub",
-    "classifier_margin_reliability", "click_error_range_join",
-    "cluster_safe_split", "countmin_token_audit",
+    # r6-latest tranche (all 44, alphabetical)
+    "bigram_lm_doc_scores", "bm25_more_like_this",
+    "boilerplate_segment_scrub", "classifier_margin_reliability",
+    "click_error_range_join", "cluster_safe_split", "countmin_token_audit",
+    "customer_order_timeline", "customer_spend_rank",
+    "enrichment_scraped_iocs", "event_value_mad_outliers",
+    "events_hourly_gapfill", "events_ohlc_bars", "events_sessionize",
+    "events_twap", "grouping_sets_revenue", "hybrid_rrf_retrieval",
+    "idle_rich_customers", "incremental_neardup_new_batch", "ioc_classify",
+    "ioc_flagship", "ivf_filtered_topk", "ivfpq_stored_topk",
+    "ivfpq_upsert_topk", "kneser_ney_doc_scores", "market_share_by_year",
+    "media_dhash_groups", "media_dhash_neardup_pairs", "mixture_epoch_plan",
+    "pareto_frontier_parts", "ppjoin_doc_pairs", "pricing_summary",
+    "region_nation_revenue", "returned_never_accepted",
+    "rollup_region_nation_customers", "shipping_priority",
+    "stored_model_confusion", "stream_countmin_merge", "stream_ohlc_bars",
+    "stream_stateful_type_totals", "top_orders", "tweet_batch_pipeline",
+    "unified_ioc_table", "viterbi_segment_stats",
 ]
 
 # Unchecked queries deliberately deferred past this round's window
-# (none yet for r12 — add here if the window fills past 50).
-# ROUND-13 ROTATION NOTE: fold the 50 names the r12 CORRECTNESS gate
-# sampled (head at gate time: session_incident_overlap + the 14
-# round-12 additions + reconfirms through classifier_margin_reliability
-# — run `list(queries())[:50]` to confirm) into _DRIVER_CHECKED, clear
-# _PRIORITY unless an oracle changed, promote any _DEFER entries,
-# continue _RECONFIRM oldest-first from where the r12 window cut off
-# (the r6-latest alphabetical sweep resumes at: click_error_range_join,
-# cluster_safe_split, countmin_token_audit, customer_order_timeline,
-# customer_spend_rank, enrichment_scraped_iocs,
-# event_value_mad_outliers, events_hourly_gapfill, events_ohlc_bars,
-# events_sessionize, events_twap, grouping_sets_revenue, and the rest
-# of the 47-row r6 tranche), and keep head + new <= 50.
+# (none yet for r13 — add here if the window fills past 50).
+# ROUND-14 ROTATION NOTE: fold the 50 names the r13 CORRECTNESS gate
+# sampled (the new round-13 additions + reconfirms from the r6 tranche
+# above, cut at 50 — run `list(queries())[:50]` to confirm against
+# CORRECTNESS_r13.json) into _DRIVER_CHECKED, clear _PRIORITY unless an
+# oracle changed, promote any _DEFER entries, continue _RECONFIRM
+# oldest-first with whatever r6-tranche remainder the cut left plus the
+# r7-latest tranche (alphabetical), and keep head + new <= 50.
 _DEFER: list[str] = []
 
 
