@@ -237,6 +237,9 @@ HEADLINE = [
     "events_mann_kendall",
     "stream_mann_kendall",
     "events_runs_test",
+    # round-13 additions
+    "stream_bt_strengths",
+    "stream_auc_ovr",
 ]
 
 
@@ -286,8 +289,18 @@ def main() -> None:
             rdd.unpersist()
 
     canary_first = _canary()
+    canary_mid = None
+    mid_at = len(HEADLINE) // 2
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i == mid_at:
+            # Third probe at the list midpoint (BASELINE.md §Canary rule,
+            # run-3-of-r12 lesson): a first/last pair can both read quiet
+            # while a contention burst hits the MIDDLE of the 4-minute
+            # run.  With three probes a contaminated segment is
+            # localized (first..mid or mid..last) instead of the whole
+            # run being discarded.
+            canary_mid = _canary()
         fn = queries[name]
         # best-of-3: the steady-state plan cost, independent of which
         # query happens to pay residual first-run compilation or a GC
@@ -309,7 +322,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "canary": {"first": canary_first, "last": canary_last},
+        "canary": {
+            "first": canary_first, "mid": canary_mid, "last": canary_last,
+        },
     }
     # Full per-query map: stderr + a repo-local file.  The driver's
     # stdout capture keeps only a ~2 KB tail, so the 154-entry dict was
@@ -337,7 +352,9 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "queries": f"see {os.path.basename(out_path)}",
-        "canary": {"first": canary_first, "last": canary_last},
+        "canary": {
+            "first": canary_first, "mid": canary_mid, "last": canary_last,
+        },
     }
     floors_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "FLOORS.json"
@@ -360,20 +377,26 @@ def main() -> None:
             }
             canary_ref = floors.get("__canary__")
             if canary_ref:
-                # Read BOTH probes (BASELINE.md §Canary rule): min() is
-                # the optimistic bound; a first/last SPLIT (one probe
-                # > 1.25x ref) marks a partially-contended run whose
-                # per-row ratios are unadjudicated — re-measure.
+                # Read ALL probes (BASELINE.md §Canary rule): min() is
+                # the optimistic bound; a SPLIT (some probe > 1.25x ref
+                # while another reads quiet) marks a partially-contended
+                # run whose per-row ratios are unadjudicated — the
+                # mid probe localizes the contaminated segment
+                # (first..mid vs mid..last) so only that half's rows
+                # need re-measurement.
+                probes = [
+                    p for p in (canary_first, canary_mid, canary_last)
+                    if p is not None
+                ]
                 summary["vs_floor"]["canary_vs_ref"] = round(
-                    min(canary_first, canary_last) / canary_ref, 2
+                    min(probes) / canary_ref, 2
                 )
                 summary["vs_floor"]["canary_vs_ref_max"] = round(
-                    max(canary_first, canary_last) / canary_ref, 2
+                    max(probes) / canary_ref, 2
                 )
                 summary["vs_floor"]["canary_split"] = (
-                    max(canary_first, canary_last) / canary_ref > 1.25
-                    and min(canary_first, canary_last) / canary_ref
-                    <= 1.25
+                    max(probes) / canary_ref > 1.25
+                    and min(probes) / canary_ref <= 1.25
                 )
     # Lifecycle-row leg split (VERDICT r9 item 8): the two expensive
     # rows bundle an index/state BUILD with a cheap SERVE/REFRESH — one

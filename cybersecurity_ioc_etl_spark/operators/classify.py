@@ -392,13 +392,21 @@ def q_event_type_auc_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("bigint").alias("vi"),
         )
     )
-    from pyspark.sql.window import Window
-
     sc = e.groupBy("vi", "event_type").agg(
         F.count("*").cast("bigint").alias("c")
     )
+    return _auc_from_census(sc)
+
+
+def _auc_from_census(sc: DataFrame) -> DataFrame:
+    """Exact tie-aware one-vs-rest AUC from a (vi, event_type, c)
+    score census — shared by the batch query and its streaming twin
+    (census partials are additive integers; the AUC fold runs once on
+    the merged state)."""
+    from pyspark.sql.window import Window
+
     tot = sc.groupBy("vi").agg(F.sum("c").cast("bigint").alias("ct"))
-    types = e.select("event_type").distinct()
+    types = sc.select("event_type").distinct()
     grid = (
         types.crossJoin(tot)
         .join(sc, ["event_type", "vi"], "left")
@@ -447,3 +455,27 @@ def q_event_type_auc_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("u2").cast("double") / den2).alias("auc"),
         (F.col("u2").cast("double") / den1 - F.lit(1.0)).alias("gini"),
     )
+
+
+@query("stream_auc_ovr", oracle=_AUC_ORACLE)
+def q_stream_auc_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of event_type_auc_ovr — the live model-quality
+    monitor: scored events arrive as micro-batches and fold into
+    per-(score, type) integer COUNT-CENSUS partials, written bid-keyed
+    and replay-safe (streaming/pipeline.py::run_stream_auc_census);
+    the exact Mann-Whitney fold runs at drain on the MERGED census
+    (`_auc_from_census`, the exact code path the batch query runs).
+    Census counts are additive integers, so the streamed AUC is
+    batch-identical under any batching, ordering, or at-least-once
+    replay — the BATCH oracle is the ground truth (the
+    stream_conformal_coverage discipline, completing the streaming
+    eval-twin family: confusion, drift, conformal, now AUC).
+
+    Scale shape: per trigger one map-side-combined (vi, type) count
+    bounded by the batch's distinct scores × types; drain-side state
+    is the score-cardinality census — the AUC fold never touches the
+    event stream again."""
+    from ..streaming.pipeline import run_stream_auc_census
+
+    sc = run_stream_auc_census(spark, sf_dir).localCheckpoint(eager=True)
+    return _auc_from_census(sc)

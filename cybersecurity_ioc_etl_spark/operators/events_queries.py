@@ -5560,6 +5560,18 @@ def q_event_type_bt_strengths(
     (types² ≪ events) and every MM round is a join over that matrix —
     at 100 TB the comparisons shuffle once and the model state stays
     broadcast-sized, exactly how production BT/Elo fitters run."""
+    gm = _bt_comparisons(spark, sf_dir)
+    wmat = (
+        gm.groupBy("wi", "lo")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    return _bt_fit_from_wmat(wmat)
+
+
+def _bt_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(wi, lo) pairwise comparisons from deterministic same-user
+    adjacency — the input stream a preference pipeline receives."""
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
@@ -5582,7 +5594,7 @@ def q_event_type_bt_strengths(
         & (F.col("prev_t") != F.col("cur_t"))
         & (F.col("cur_v") != F.col("prev_v"))
     )
-    gm = adj.select(
+    return adj.select(
         F.when(F.col("cur_v") > F.col("prev_v"), F.col("cur_t"))
         .otherwise(F.col("prev_t"))
         .alias("wi"),
@@ -5590,11 +5602,13 @@ def q_event_type_bt_strengths(
         .otherwise(F.col("cur_t"))
         .alias("lo"),
     )
-    wmat = (
-        gm.groupBy("wi", "lo")
-        .agg(F.count("*").cast("bigint").alias("w"))
-        .localCheckpoint(eager=True)
-    )
+
+
+def _bt_fit_from_wmat(wmat: DataFrame) -> DataFrame:
+    """Two quantized MM rounds + likelihood receipt from a win matrix
+    (wi, lo, w) — shared by the batch query and its streaming twin
+    (the partials-additive split: the win matrix folds by addition,
+    the fit runs once on the merged state)."""
     wins = wmat.groupBy(F.col("wi").alias("t")).agg(
         F.sum("w").cast("bigint").alias("n_wins")
     )
@@ -5684,6 +5698,32 @@ def q_event_type_bt_strengths(
         F.col("ll2").alias("ll2_num"),
         (F.col("ll2") >= F.col("ll1")).alias("ll_improved"),
     )
+
+
+@query("stream_bt_strengths", oracle=_BT_ORACLE)
+def q_stream_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of event_type_bt_strengths — the reward-model
+    data pipeline's live form: pairwise comparisons arrive as
+    micro-batches (an upstream labeler emitting (winner, loser)
+    pairs) and fold into WIN-MATRIX integer partials per trigger,
+    written bid-keyed and replay-safe
+    (streaming/pipeline.py::run_stream_bt_comparisons); the two
+    quantized MM rounds + likelihood receipt run at drain on the
+    MERGED matrix (`_bt_fit_from_wmat`, the exact code path the batch
+    query runs).  Win counts are additive integers, so the result is
+    batch-identical under any batching, ordering, or at-least-once
+    replay — the BATCH oracle is the ground truth the streamed fold
+    must hash-match (the stream_conformal_coverage discipline).
+
+    Scale shape: per trigger one map-side-combined (wi, lo) count
+    bounded by types²; drain-side state is the types²-row matrix —
+    model fitting never touches the event stream again."""
+    from ..streaming.pipeline import run_stream_bt_comparisons
+
+    wmat = run_stream_bt_comparisons(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    return _bt_fit_from_wmat(wmat)
 
 
 # ---------------------------------------------------------------------------

@@ -1434,6 +1434,103 @@ def run_stream_conformal_scores(
     )
 
 
+def _run_stream_count_fold(
+    spark: SparkSession,
+    staged: DataFrame,
+    keys: list[str],
+    prefix: str,
+    n_files: int = 4,
+) -> DataFrame:
+    """Shared additive-count streaming fold: stage `staged` to parquet,
+    replay it as a file stream (one file per trigger), fold each
+    micro-batch into a per-`keys` integer COUNT partial written
+    bid-keyed and replay-safe, and return the end-of-stream merged
+    (keys..., c) census.  Counts are additive integers, so the merged
+    state is batch-identical under any batching, ordering, or
+    at-least-once replay — the pattern behind the conformal / BT / AUC
+    streaming twins.
+
+    Scale shape: per trigger one map-side-combined count bounded by the
+    batch's distinct key combinations; the end-of-stream fold touches
+    (batches × distinct keys) partial rows, never the staged stream."""
+    work_dir = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "partials")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    staged.repartition(n_files).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        _write_partial_bid(
+            batch.groupBy(*keys).agg(F.count("*").alias("c")),
+            out_dir,
+            bid,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_partial_dirs(out_dir)
+    if not dirs:
+        fields = ", ".join(
+            f"{k} {staged.schema[k].dataType.simpleString()}" for k in keys
+        )
+        return spark.createDataFrame([], f"{fields}, c bigint")
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy(*keys)
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def run_stream_bt_comparisons(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming WIN-MATRIX maintenance for the Bradley-Terry twin:
+    (winner, loser) comparison pairs arrive as micro-batches and fold
+    into additive (wi, lo) count partials; returns the merged matrix
+    with the count aliased `w` as `_bt_fit_from_wmat` expects."""
+    from ..operators.events_queries import _bt_comparisons
+
+    gm = _bt_comparisons(spark, sf_dir)
+    return _run_stream_count_fold(
+        spark, gm, ["wi", "lo"], "stream_bt_"
+    ).withColumnRenamed("c", "w")
+
+
+def run_stream_auc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCORE-CENSUS maintenance for the AUC twin: scored
+    events arrive as micro-batches and fold into additive
+    (vi, event_type) count partials; returns the merged census."""
+    from ..sources.readers import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("vi"),
+        )
+    )
+    return _run_stream_count_fold(
+        spark, e, ["vi", "event_type"], "stream_auc_"
+    )
+
+
 def run_stream_span_occurrences(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
