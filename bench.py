@@ -240,6 +240,7 @@ HEADLINE = [
     # round-13 additions
     "stream_bt_strengths",
     "stream_auc_ovr",
+    "tdigest_merge_audit",
 ]
 
 

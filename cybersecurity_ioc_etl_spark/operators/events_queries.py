@@ -4793,6 +4793,338 @@ def q_quantile_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t-digest merge law — the mergeable-CENTROID quantile sketch (k2 scale),
+# deterministically, completing the percentile-sketch ladder beside GK
+# ---------------------------------------------------------------------------
+
+_TD_PARTS = 4
+_TD_C = 6.0  # k2 scale multiplier delta/2: ~2*C*ln(np) clusters per part
+_TD_OFF = 10_000_000  # vi offset making the ordering key nonnegative
+
+
+_TDIGEST_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    event_id % {_TD_PARTS} AS part
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, part, vi,
+    row_number() OVER (PARTITION BY event_type, part
+                       ORDER BY vi, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type, part) AS np
+  FROM base
+),
+pre AS MATERIALIZED (
+  SELECT event_type, part, ki,
+    CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(vi) AS BIGINT) AS sv
+  FROM (
+    SELECT event_type, part, vi,
+      CAST(FLOOR({_TD_C} * (ln(CAST(rn AS DOUBLE))
+        - ln(CAST(np + 1 - rn AS DOUBLE)))) AS BIGINT) AS ki
+    FROM ranked)
+  GROUP BY 1, 2, 3
+),
+ord1 AS (
+  SELECT event_type, part, ki, w, sv,
+    SUM(w) OVER (PARTITION BY event_type
+                 ORDER BY CAST(((sv + w * {_TD_OFF}) * 1000) // w AS BIGINT),
+                          part, ki
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+    SUM(w) OVER (PARTITION BY event_type) AS n,
+    COUNT(*) OVER (PARTITION BY event_type) AS m_pre
+  FROM pre
+),
+mc AS MATERIALIZED (
+  SELECT event_type, km, CAST(SUM(w) AS BIGINT) AS wm,
+    CAST(SUM(sv) AS BIGINT) AS svm, MAX(n) AS n, MAX(m_pre) AS m_pre
+  FROM (
+    SELECT event_type, w, sv, n, m_pre,
+      CAST(FLOOR({_TD_C} * (ln(CAST(2 * cumw - w AS DOUBLE))
+        - ln(CAST(2 * n - 2 * cumw + w AS DOUBLE)))) AS BIGINT) AS km
+    FROM ord1)
+  GROUP BY 1, 2
+),
+mo AS (
+  SELECT event_type, km, wm, svm, n, m_pre,
+    SUM(wm) OVER (PARTITION BY event_type ORDER BY km
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumwm,
+    COUNT(*) OVER (PARTITION BY event_type) AS m_merged
+  FROM mc
+),
+est AS (
+  SELECT event_type, MAX(n) AS n, MAX(m_pre) AS m_pre,
+    MAX(m_merged) AS m_merged,
+    MAX(CASE WHEN cumwm >= (n + 1) // 2
+             AND cumwm - wm < (n + 1) // 2 THEN svm END) AS sv50,
+    MAX(CASE WHEN cumwm >= (n + 1) // 2
+             AND cumwm - wm < (n + 1) // 2 THEN wm END) AS w50,
+    MAX(CASE WHEN cumwm >= (9 * n + 9) // 10
+             AND cumwm - wm < (9 * n + 9) // 10 THEN svm END) AS sv90,
+    MAX(CASE WHEN cumwm >= (9 * n + 9) // 10
+             AND cumwm - wm < (9 * n + 9) // 10 THEN wm END) AS w90,
+    MAX(CASE WHEN cumwm >= (n + 1) // 2
+             AND cumwm - wm < (n + 1) // 2 THEN cumwm END) AS cum50,
+    MAX(CASE WHEN cumwm >= (9 * n + 9) // 10
+             AND cumwm - wm < (9 * n + 9) // 10 THEN cumwm END) AS cum90
+  FROM mo GROUP BY event_type
+),
+pb AS (
+  SELECT event_type, CAST(SUM(mw) AS BIGINT) AS pre_bound FROM (
+    SELECT event_type, part, MAX(w) AS mw FROM pre GROUP BY 1, 2)
+  GROUP BY 1
+),
+mb AS (SELECT event_type, MAX(wm) AS max_wm FROM mc GROUP BY 1),
+ranks AS (
+  SELECT b.event_type,
+    SUM(CASE WHEN b.vi * e.w50 < e.sv50 THEN 1 ELSE 0 END) AS lt50,
+    SUM(CASE WHEN b.vi * e.w50 <= e.sv50 THEN 1 ELSE 0 END) AS le50,
+    SUM(CASE WHEN b.vi * e.w90 < e.sv90 THEN 1 ELSE 0 END) AS lt90,
+    SUM(CASE WHEN b.vi * e.w90 <= e.sv90 THEN 1 ELSE 0 END) AS le90
+  FROM base b JOIN est e USING (event_type)
+  GROUP BY b.event_type
+)
+SELECT e.event_type, CAST(e.n AS BIGINT) AS n_events,
+  CAST(e.m_pre AS BIGINT) AS n_centroids_pre,
+  CAST(e.m_merged AS BIGINT) AS n_centroids_merged,
+  CAST(e.sv50 AS DOUBLE) / CAST(e.w50 AS DOUBLE) / 100.0 AS est_p50,
+  CAST(e.sv90 AS DOUBLE) / CAST(e.w90 AS DOUBLE) / 100.0 AS est_p90,
+  CAST(GREATEST(0, (e.n + 1) // 2 - r.le50,
+                r.lt50 + 1 - (e.n + 1) // 2) AS BIGINT) AS rank_err_p50,
+  CAST(GREATEST(0, (9 * e.n + 9) // 10 - r.le90,
+                r.lt90 + 1 - (9 * e.n + 9) // 10) AS BIGINT) AS rank_err_p90,
+  CAST(p.pre_bound + m.max_wm AS BIGINT) AS err_bound,
+  GREATEST(0, (e.n + 1) // 2 - r.le50,
+           r.lt50 + 1 - (e.n + 1) // 2)
+    <= p.pre_bound + m.max_wm AS within_bound_p50,
+  GREATEST(0, (9 * e.n + 9) // 10 - r.le90,
+           r.lt90 + 1 - (9 * e.n + 9) // 10)
+    <= p.pre_bound + m.max_wm AS within_bound_p90
+FROM est e
+JOIN ranks r USING (event_type)
+JOIN pb p USING (event_type)
+JOIN mb m USING (event_type)
+"""
+
+
+@query("tdigest_merge_audit", oracle=_TDIGEST_ORACLE)
+def q_tdigest_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-DIGEST merge law, made deterministic — the mergeable-CENTROID
+    quantile sketch (Dunning & Ertl, "Computing extremely accurate
+    quantiles using t-digests"), completing the percentile-sketch
+    ladder the way MG completed heavy hitters: GK keeps strided RANKS
+    (`quantile_summary_merge`); the t-digest keeps variable-width
+    CENTROIDS sized by a scale function that shrinks clusters at the
+    tails.  The stock algorithm's greedy sequential clustering is
+    replaced by closed-form SCALE-FUNCTION BUCKETING with the k2 scale
+    K(q) = C·ln(q/(1-q)) (a published t-digest scale; its derivative
+    1/(q(1-q)) gives the tail-accuracy property), which makes every
+    cluster assignment an independent per-row expression — fully
+    parallel, deterministic, and rebuilt bit-identically by DuckDB:
+
+    1. PER-PART digests (4 parts by event_id): rank rn of np
+       within (type, part), cluster ki = FLOOR(C·(ln rn − ln(np+1−rn)))
+       — exact-int ln args, so both engines floor identical doubles
+       (the ioc_host_dga_scores ln discipline); centroids carry
+       (w=count, sv=Σvi) EXACT INTEGER pairs, never float means.
+    2. MERGE = sort all parts' centroids by quantized mean
+       ((sv + w·OFF)·1000 div w — exact, nonnegative) and RE-CLUSTER by
+       the same scale function on merged mid-rank q=(2·cumw−w)/2N —
+       precisely the reference t-digest merge (sort by mean, re-bucket
+       by scale), in one window pass.
+    3. ESTIMATE: the covering centroid of the target rank (the unique
+       row with cumwm−wm < target ≤ cumwm); est = sv/w, one exact-int
+       division per output double.
+    4. AUDIT: exact lt/le rank census of the estimates over the raw
+       rows via integer CROSS-MULTIPLY (vi·w < sv — no float compare),
+       with the merge-error bound Σ_part max-cluster-weight +
+       max-merged-cluster-weight COMPUTED on both sides (each part
+       mislocates a rank by < its widest cluster; errors add under
+       union — the GK parts×stride argument with data-dependent
+       widths).
+
+    Scale shape: per-part digests build in one (type, part) window
+    pass and are O(C·ln np) centroids; the merge window rides the
+    tiny centroid set; the exact-rank census is the audit leg, not
+    the production path — production serves the merged digest.  At
+    100 TB parts = executors and the merge folds centroid sets, which
+    is the entire point of the t-digest."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100.0).cast("bigint").alias("vi"),
+        (F.col("event_id") % _TD_PARTS).alias("part"),
+    )
+    wpo = Window.partitionBy("event_type", "part").orderBy(
+        "vi", "event_id"
+    )
+    wpp = Window.partitionBy("event_type", "part")
+    ki = F.floor(
+        F.lit(_TD_C)
+        * (
+            F.log(F.col("rn").cast("double"))
+            - F.log((F.col("np") + 1 - F.col("rn")).cast("double"))
+        )
+    ).cast("bigint")
+    pre = (
+        base.select(
+            "event_type",
+            "part",
+            "vi",
+            F.row_number().over(wpo).alias("rn"),
+            F.count("*").over(wpp).alias("np"),
+        )
+        .select("event_type", "part", "vi", ki.alias("ki"))
+        .groupBy("event_type", "part", "ki")
+        .agg(
+            F.count("*").cast("bigint").alias("w"),
+            F.sum("vi").cast("bigint").alias("sv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qmk = F.expr(f"((sv + w * {_TD_OFF}) * 1000) div w")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(qmk, "part", "ki")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_t = Window.partitionBy("event_type")
+    ord1 = pre.select(
+        "event_type",
+        "part",
+        "ki",
+        "w",
+        "sv",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_t).alias("n"),
+        F.count("*").over(w_t).alias("m_pre"),
+    )
+    km = F.floor(
+        F.lit(_TD_C)
+        * (
+            F.log((2 * F.col("cumw") - F.col("w")).cast("double"))
+            - F.log(
+                (2 * F.col("n") - 2 * F.col("cumw") + F.col("w")).cast(
+                    "double"
+                )
+            )
+        )
+    ).cast("bigint")
+    mc = (
+        ord1.select("event_type", "w", "sv", "n", "m_pre", km.alias("km"))
+        .groupBy("event_type", "km")
+        .agg(
+            F.sum("w").cast("bigint").alias("wm"),
+            F.sum("sv").cast("bigint").alias("svm"),
+            F.max("n").alias("n"),
+            F.max("m_pre").alias("m_pre"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_mc = (
+        Window.partitionBy("event_type")
+        .orderBy("km")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mo = mc.select(
+        "event_type",
+        "km",
+        "wm",
+        "svm",
+        "n",
+        "m_pre",
+        F.sum("wm").over(w_mc).alias("cumwm"),
+        F.count("*").over(w_t).alias("m_merged"),
+    )
+    t50 = F.expr("(n + 1) div 2")
+    t90 = F.expr("(9 * n + 9) div 10")
+    cov50 = (F.col("cumwm") >= t50) & (F.col("cumwm") - F.col("wm") < t50)
+    cov90 = (F.col("cumwm") >= t90) & (F.col("cumwm") - F.col("wm") < t90)
+    est = mo.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("m_pre").alias("m_pre"),
+        F.max("m_merged").alias("m_merged"),
+        F.max(F.when(cov50, F.col("svm"))).alias("sv50"),
+        F.max(F.when(cov50, F.col("wm"))).alias("w50"),
+        F.max(F.when(cov90, F.col("svm"))).alias("sv90"),
+        F.max(F.when(cov90, F.col("wm"))).alias("w90"),
+    )
+    pb = (
+        pre.groupBy("event_type", "part")
+        .agg(F.max("w").alias("mw"))
+        .groupBy("event_type")
+        .agg(F.sum("mw").cast("bigint").alias("pre_bound"))
+    )
+    mb = mc.groupBy("event_type").agg(F.max("wm").alias("max_wm"))
+    ranks = (
+        base.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vi") * F.col("w50") < F.col("sv50"), 1
+                ).otherwise(0)
+            ).alias("lt50"),
+            F.sum(
+                F.when(
+                    F.col("vi") * F.col("w50") <= F.col("sv50"), 1
+                ).otherwise(0)
+            ).alias("le50"),
+            F.sum(
+                F.when(
+                    F.col("vi") * F.col("w90") < F.col("sv90"), 1
+                ).otherwise(0)
+            ).alias("lt90"),
+            F.sum(
+                F.when(
+                    F.col("vi") * F.col("w90") <= F.col("sv90"), 1
+                ).otherwise(0)
+            ).alias("le90"),
+        )
+    )
+    j = (
+        est.join(ranks, "event_type")
+        .join(pb, "event_type")
+        .join(mb, "event_type")
+    )
+    err50 = F.greatest(
+        F.lit(0).cast("bigint"),
+        (t50 - F.col("le50")).cast("bigint"),
+        (F.col("lt50") + 1 - t50).cast("bigint"),
+    )
+    err90 = F.greatest(
+        F.lit(0).cast("bigint"),
+        (t90 - F.col("le90")).cast("bigint"),
+        (F.col("lt90") + 1 - t90).cast("bigint"),
+    )
+    bound = (F.col("pre_bound") + F.col("max_wm")).cast("bigint")
+    return j.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("m_pre").cast("bigint").alias("n_centroids_pre"),
+        F.col("m_merged").cast("bigint").alias("n_centroids_merged"),
+        (
+            F.col("sv50").cast("double")
+            / F.col("w50").cast("double")
+            / F.lit(100.0)
+        ).alias("est_p50"),
+        (
+            F.col("sv90").cast("double")
+            / F.col("w90").cast("double")
+            / F.lit(100.0)
+        ).alias("est_p90"),
+        err50.alias("rank_err_p50"),
+        err90.alias("rank_err_p90"),
+        bound.alias("err_bound"),
+        (err50 <= bound).alias("within_bound_p50"),
+        (err90 <= bound).alias("within_bound_p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming sessionization, APPEND mode — sessions emit as they close
 # ---------------------------------------------------------------------------
 
