@@ -241,6 +241,7 @@ HEADLINE = [
     "stream_bt_strengths",
     "stream_auc_ovr",
     "tdigest_merge_audit",
+    "nn_graph_serve_recall_table",
 ]
 
 

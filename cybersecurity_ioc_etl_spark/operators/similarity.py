@@ -3960,6 +3960,176 @@ _GS_TOPK = 4  # results served per query
 _GS_QMOD = 23  # query set: vec_id % 23 == 7 (held-out perturbed probes)
 _GS_SEED_MULT = 4  # entry seeds = 4·ncl, evenly spaced on the LSH ring
 
+
+def _gs_ring(spark: SparkSession, ccomp: DataFrame) -> DataFrame:
+    """LSH-bit ring ordering over a (vec_id, i, xi) component frame:
+    _GS_NBITS md5-derived hyperplane sign bits pack into one key whose
+    rank orders the node ring (shared by the clustered serve row and
+    the adversarial audit)."""
+    from .dedup import _shingle_int
+
+    spark_ = ccomp.sparkSession
+    jdf = spark_.range(_GS_NBITS).select(
+        F.col("id").cast("int").alias("j")
+    )
+    hp = (
+        _shingle_int(
+            F.concat(
+                F.lit("h:"),
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        )
+        % 2001
+        - 1000
+    )
+    zk = (
+        ccomp.crossJoin(jdf)
+        .groupBy("vec_id", "j")
+        .agg(F.sum(hp * F.col("xi")).alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") >= 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
+                ).otherwise(F.lit(0))
+            ).alias("zkey")
+        )
+    )
+    return zk.select(
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                "zkey",
+                _shingle_int(F.col("vec_id").cast("string")),
+                "vec_id",
+            )
+        )
+        .alias("r"),
+    ).localCheckpoint(eager=True)
+
+
+def _gs_edges(ccomp: DataFrame, rk: DataFrame, n: int) -> DataFrame:
+    """Undirected serve graph: one NN-descent round (k=_GS_K) from the
+    ring init, plus the degree-1 ring itself for connectivity."""
+    _, _, topk = _nnd_round_frames(ccomp, k=_GS_K, rk=rk, n_nodes=n)
+    ring1 = (
+        rk.alias("a")
+        .join(
+            rk.alias("b"),
+            F.col("b.r") == (F.col("a.r") % F.lit(max(n, 1))) + 1,
+        )
+        .select(
+            F.col("a.vec_id").alias("v"), F.col("b.vec_id").alias("u")
+        )
+    )
+    fwd = topk.select("v", "u").unionByName(ring1)
+    return (
+        fwd.union(
+            fwd.select(F.col("u").alias("v"), F.col("v").alias("u"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _gs_probes(ccomp: DataFrame) -> DataFrame:
+    """Held-out perturbed query probes: vec_id % _GS_QMOD == 7, each
+    component shifted by an md5-derived ±200."""
+    from .dedup import _shingle_int
+
+    pert = (
+        _shingle_int(
+            F.concat(
+                F.lit("p:"),
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        )
+        % 401
+        - 200
+    )
+    return (
+        ccomp.filter(F.col("vec_id") % _GS_QMOD == 7)
+        .select(
+            F.col("vec_id").alias("qid"),
+            "i",
+            (F.col("xi") + pert).alias("qi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _gs_qdist(
+    pairs: DataFrame, qcomp: DataFrame, ccomp: DataFrame
+) -> DataFrame:
+    """Exact-integer L2 of (qid, u) candidate pairs against the query
+    components."""
+    return (
+        pairs.alias("p")
+        .join(qcomp.alias("q"), F.col("p.qid") == F.col("q.qid"))
+        .join(
+            ccomp.alias("n"),
+            (F.col("n.vec_id") == F.col("p.u"))
+            & (F.col("n.i") == F.col("q.i")),
+        )
+        .groupBy("p.qid", "p.u")
+        .agg(
+            F.sum(
+                (F.col("q.qi") - F.col("n.xi"))
+                * (F.col("q.qi") - F.col("n.xi"))
+            ).alias("d2")
+        )
+        .select("qid", "u", "d2")
+    )
+
+
+def _gs_beam(
+    qids: DataFrame,
+    seeds: DataFrame,
+    qcomp: DataFrame,
+    ccomp: DataFrame,
+    edges: DataFrame,
+    h: int,
+    b: int,
+) -> DataFrame:
+    """Best-first beam search: h hops of width b from the seed set;
+    returns the visited (qid, u, d2) frame (serve work per query is
+    bounded by seeds + h·b expansions, never the corpus)."""
+    visited = _gs_qdist(qids.crossJoin(seeds), qcomp, ccomp).localCheckpoint(
+        eager=True
+    )
+    expanded = qids.limit(0).select(
+        "qid", F.lit(None).cast("bigint").alias("u")
+    )
+    w_beam = Window.partitionBy("qid").orderBy("d2", "u")
+    for _t in range(h):
+        frontier = (
+            visited.join(expanded, ["qid", "u"], "left_anti")
+            .withColumn("rn", F.row_number().over(w_beam))
+            .filter(F.col("rn") <= b)
+            .select("qid", "u")
+        )
+        expanded = expanded.unionByName(frontier).localCheckpoint(
+            eager=True
+        )
+        nbr = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.u") == F.col("e.v"))
+            .select("f.qid", F.col("e.u").alias("u"))
+            .distinct()
+            .join(visited.select("qid", "u"), ["qid", "u"], "left_anti")
+        )
+        visited = visited.unionByName(
+            _gs_qdist(nbr, qcomp, ccomp)
+        ).localCheckpoint(eager=True)
+    return visited
+
+
 _GS_RK_SQL = f"""SELECT vec_id,
     row_number() OVER (ORDER BY zkey,
       {_SHINGLE_INT_SQL_REF.format(x="CAST(vec_id AS VARCHAR)")},
@@ -4200,146 +4370,24 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    jdf = spark.range(_GS_NBITS).select(
-        F.col("id").cast("int").alias("j")
-    )
-    hp = (
-        _shingle_int(
-            F.concat(
-                F.lit("h:"),
-                F.col("j").cast("string"),
-                F.lit(":"),
-                F.col("i").cast("string"),
-            )
-        )
-        % 2001
-        - 1000
-    )
-    zk = (
-        ccomp.crossJoin(jdf)
-        .groupBy("vec_id", "j")
-        .agg(F.sum(hp * F.col("xi")).alias("dot"))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot") >= 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
-                ).otherwise(F.lit(0))
-            ).alias("zkey")
-        )
-    )
-    rk = (
-        zk.select(
-            "vec_id",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    "zkey",
-                    _shingle_int(F.col("vec_id").cast("string")),
-                    "vec_id",
-                )
-            )
-            .alias("r"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    _, _, topk = _nnd_round_frames(ccomp, k=_GS_K, rk=rk, n_nodes=n)
-    ring1 = (
-        rk.alias("a")
-        .join(
-            rk.alias("b"),
-            F.col("b.r") == (F.col("a.r") % F.lit(max(n, 1))) + 1,
-        )
-        .select(
-            F.col("a.vec_id").alias("v"), F.col("b.vec_id").alias("u")
-        )
-    )
-    fwd = topk.select("v", "u").unionByName(ring1)
-    edges = (
-        fwd.union(
-            fwd.select(F.col("u").alias("v"), F.col("v").alias("u"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    pert = (
-        _shingle_int(
-            F.concat(
-                F.lit("p:"),
-                F.col("vec_id").cast("string"),
-                F.lit(":"),
-                F.col("i").cast("string"),
-            )
-        )
-        % 401
-        - 200
-    )
-    qcomp = (
-        ccomp.filter(F.col("vec_id") % _GS_QMOD == 7)
-        .select(
-            F.col("vec_id").alias("qid"),
-            "i",
-            (F.col("xi") + pert).alias("qi"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    def qdist(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.alias("p")
-            .join(qcomp.alias("q"), F.col("p.qid") == F.col("q.qid"))
-            .join(
-                ccomp.alias("n"),
-                (F.col("n.vec_id") == F.col("p.u"))
-                & (F.col("n.i") == F.col("q.i")),
-            )
-            .groupBy("p.qid", "p.u")
-            .agg(
-                F.sum(
-                    (F.col("q.qi") - F.col("n.xi"))
-                    * (F.col("q.qi") - F.col("n.xi"))
-                ).alias("d2")
-            )
-            .select("qid", "u", "d2")
-        )
-
+    rk = _gs_ring(spark, ccomp)
+    edges = _gs_edges(ccomp, rk, n)
+    qcomp = _gs_probes(ccomp)
     seeds = rk.filter((F.col("r") - 1) % stride == 0).select(
         F.col("vec_id").alias("u")
     )
     qids = qcomp.select("qid").distinct()
-    visited = qdist(qids.crossJoin(seeds)).localCheckpoint(eager=True)
-    expanded = qids.limit(0).select(
-        "qid", F.lit(None).cast("bigint").alias("u")
-    )
     w_beam = Window.partitionBy("qid").orderBy("d2", "u")
-    for _t in range(_GS_H):
-        frontier = (
-            visited.join(expanded, ["qid", "u"], "left_anti")
-            .withColumn("rn", F.row_number().over(w_beam))
-            .filter(F.col("rn") <= _GS_B)
-            .select("qid", "u")
-        )
-        expanded = expanded.unionByName(frontier).localCheckpoint(
-            eager=True
-        )
-        nbr = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.u") == F.col("e.v"))
-            .select("f.qid", F.col("e.u").alias("u"))
-            .distinct()
-            .join(visited.select("qid", "u"), ["qid", "u"], "left_anti")
-        )
-        visited = visited.unionByName(qdist(nbr)).localCheckpoint(
-            eager=True
-        )
+    visited = _gs_beam(qids, seeds, qcomp, ccomp, edges, _GS_H, _GS_B)
     served = visited.withColumn("rn", F.row_number().over(w_beam))
-    exact = qdist(
+    exact = _gs_qdist(
         qids.crossJoin(
             ccomp.select("vec_id").distinct().select(
                 F.col("vec_id").alias("u")
             )
-        )
+        ),
+        qcomp,
+        ccomp,
     ).withColumn("rn", F.row_number().over(w_beam)).localCheckpoint(
         eager=True
     )
@@ -4379,6 +4427,276 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("best_id") == F.col("exact_id")).alias("found_nn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-serve ADVERSARIAL recall audit — the same beam search on the RAW
+# (non-navigable) fixture, at two beam widths: the tuning table for the
+# beam/hop levers (every other ANN family member has this audit twin)
+# ---------------------------------------------------------------------------
+
+_GSA_SETTINGS = [(4, 2), (4, 8)]  # (hops, beam) rows of the recall table
+
+
+def _graph_serve_adv_oracle() -> str:
+    sh = _SHINGLE_INT_SQL_REF
+    h_key = (
+        "'h:' || CAST(b.j AS VARCHAR) || ':' || CAST(c.i AS VARCHAR)"
+    )
+    chains = []
+    finals = []
+    for h, b in _GSA_SETTINGS:
+        sfx = f"_b{b}"
+        hops = []
+        for t in range(1, h + 1):
+            pv = f"v{t - 1}{sfx}" if t > 1 else "v0"
+            pe = f"exp{t - 1}{sfx}" if t > 1 else "exp0"
+            hops.append(f""",
+front{t}{sfx} AS MATERIALIZED (
+  SELECT qid, u FROM (
+    SELECT p.qid, p.u,
+      row_number() OVER (PARTITION BY p.qid ORDER BY p.d2, p.u) AS rn
+    FROM {pv} p LEFT JOIN {pe} e ON e.qid = p.qid AND e.u = p.u
+    WHERE e.u IS NULL) WHERE rn <= {b}
+),
+exp{t}{sfx} AS MATERIALIZED (
+  SELECT qid, u FROM {pe} UNION SELECT qid, u FROM front{t}{sfx}
+),
+nd{t}{sfx} AS MATERIALIZED (
+  SELECT n.qid, n.u, SUM((q.qi - c.xi) * (q.qi - c.xi)) AS d2
+  FROM (
+    SELECT DISTINCT f.qid, ed.u
+    FROM front{t}{sfx} f JOIN edges ed ON ed.v = f.u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {pv} pv WHERE pv.qid = f.qid AND pv.u = ed.u)
+  ) n
+  JOIN qcomp q ON q.qid = n.qid
+  JOIN ccomp c ON c.vec_id = n.u AND c.i = q.i
+  GROUP BY n.qid, n.u
+),
+v{t}{sfx} AS MATERIALIZED (
+  SELECT qid, u, d2 FROM {pv}
+  UNION ALL SELECT qid, u, d2 FROM nd{t}{sfx}
+)""")
+        chains.append(
+            "".join(hops)
+            + f""",
+served{sfx} AS (
+  SELECT qid, u, d2,
+    row_number() OVER (PARTITION BY qid ORDER BY d2, u) AS rn
+  FROM v{h}{sfx}
+),
+hits{sfx} AS (
+  SELECT s.qid, COUNT(*) AS nh
+  FROM served{sfx} s
+  JOIN exactr e ON e.qid = s.qid AND e.u = s.u AND e.rn <= {_GS_TOPK}
+  WHERE s.rn <= {_GS_TOPK}
+  GROUP BY s.qid
+),
+vis{sfx} AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
+  FROM v{h}{sfx} GROUP BY qid
+),
+agg{sfx} AS (
+  SELECT COUNT(*) AS nq,
+    SUM(CASE WHEN s.u = e.u THEN 1 ELSE 0 END) AS nfound,
+    SUM(COALESCE(hh.nh, 0)) AS nhits,
+    SUM(v.n_visited) AS nvis
+  FROM served{sfx} s
+  JOIN exactr e ON e.qid = s.qid AND e.rn = 1
+  JOIN vis{sfx} v ON v.qid = s.qid
+  LEFT JOIN hits{sfx} hh ON hh.qid = s.qid
+  WHERE s.rn = 1
+)"""
+        )
+        finals.append(f"""SELECT CAST({b} AS BIGINT) AS beam,
+  CAST({h} AS BIGINT) AS hops,
+  CAST(nq AS BIGINT) AS n_queries,
+  CAST(nfound AS BIGINT) AS n_found_nn,
+  CAST(nhits AS BIGINT) AS n_hits,
+  CAST(nhits AS DOUBLE) / CAST({_GS_TOPK} * nq AS DOUBLE) AS recall_at4,
+  CAST(nvis AS DOUBLE) / CAST(nq AS DOUBLE) AS mean_visited
+FROM agg{sfx}""")
+    return f"""
+WITH comp0 AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS mxi
+  FROM embeddings
+),
+ccomp AS MATERIALIZED (SELECT vec_id, i, mxi AS xi FROM comp0),
+nn0 AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM comp0),
+pars AS (
+  SELECT n,
+    GREATEST(1, CAST(
+      n // ({_GS_SEED_MULT} * GREATEST({_GS_NC_MIN}, CAST(n // {_GS_CELL} AS BIGINT)))
+      AS BIGINT)) AS stride
+  FROM nn0
+),
+zk AS MATERIALIZED (
+  SELECT vec_id,
+    SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS zkey
+  FROM (
+    SELECT c.vec_id, b.j,
+      SUM(({sh.format(x=h_key)} % 2001 - 1000) * c.xi) AS dot
+    FROM ccomp c CROSS JOIN (SELECT unnest(range(0, {_GS_NBITS})) AS j) b
+    GROUP BY c.vec_id, b.j)
+  GROUP BY vec_id
+),
+{_nnd_chain_sql(_GS_K, _GS_RK_SQL, "ccomp")},
+graph AS (SELECT v, u FROM ranked WHERE rn <= {_GS_K}),
+ring1 AS (
+  SELECT a.vec_id AS v, b.vec_id AS u
+  FROM rk a JOIN rk b ON b.r = (a.r % (SELECT n FROM nn)) + 1
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT v, u FROM (
+    SELECT v, u FROM graph UNION ALL SELECT u, v FROM graph
+    UNION ALL SELECT v, u FROM ring1 UNION ALL SELECT u, v FROM ring1)
+),
+qcomp AS MATERIALIZED (
+  SELECT vec_id AS qid, i,
+    xi + ({sh.format(x="'p:' || CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 401 - 200) AS qi
+  FROM ccomp WHERE vec_id % {_GS_QMOD} = 7
+),
+seeds AS (
+  SELECT r.vec_id AS u FROM rk r, pars p WHERE (r.r - 1) % p.stride = 0
+),
+v0 AS MATERIALIZED (
+  SELECT q.qid, s.u, SUM((q.qi - c.xi) * (q.qi - c.xi)) AS d2
+  FROM qcomp q
+  CROSS JOIN seeds s
+  JOIN ccomp c ON c.vec_id = s.u AND c.i = q.i
+  GROUP BY q.qid, s.u
+),
+exp0 AS (
+  SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS u WHERE FALSE
+),
+exact AS MATERIALIZED (
+  SELECT q.qid, c.vec_id AS u, SUM((q.qi - c.xi) * (q.qi - c.xi)) AS d2
+  FROM qcomp q JOIN ccomp c ON c.i = q.i
+  GROUP BY q.qid, c.vec_id
+),
+exactr AS MATERIALIZED (
+  SELECT qid, u, d2,
+    row_number() OVER (PARTITION BY qid ORDER BY d2, u) AS rn
+  FROM exact
+){''.join(chains)}
+{' UNION ALL '.join(finals)}
+"""
+
+
+@query("nn_graph_serve_recall_table", oracle=_graph_serve_adv_oracle())
+def q_nn_graph_serve_recall_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADVERSARIAL graph-serve recall audit — the tuning table for the
+    beam/hop levers, completing the audit-twin discipline the ANN
+    family has everywhere else (ann_recall_audit, anchor_recall_audit,
+    banding_recall_audit): the SAME build + beam-search recipe as
+    `nn_graph_serve_topk`, but on the RAW near-uniform 64-d mantissa
+    fixture (NO synthetic cluster structure — the geometry the r11
+    probe measured at ~3% recall@3, SCALE.md §NN-descent) and at TWO
+    beam widths (hops, beam) ∈ {(4, 2), (4, 8)}.  Emits one AGGREGATE
+    row per setting: query count, exact-NN hit count, recall@4
+    numerator/ratio, and mean visited nodes — quantifying exactly how
+    much recall the navigable-fixture receipt (1.00) owes to geometry
+    vs beam width, so the serve row's levers carry a measured
+    degradation table instead of a single optimistic point.  The raw
+    fixture's graph is NOT navigable by construction; LOW recall here
+    is the honest expected result (the audit pins the measurement, not
+    a target), and the beam-2 vs beam-8 delta is the lever's measured
+    slope on hostile geometry.
+
+    Scale shape: identical to the serve row — ring/zk are
+    node-directory-sized, the build round is the NND plan, per-query
+    serve work is seeds + h·b expansions; the brute exact leg is the
+    fixture-bounded oracle check.  The production lesson the table
+    encodes: on non-navigable geometry widen the beam OR re-key the
+    layout (IVF routing), because hops alone don't recover recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ccomp = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            ),
+        )
+        .select("vec_id", "i", _mi(F.col("x")).alias("xi"))
+        .localCheckpoint(eager=True)
+    )
+    n = ccomp.select("vec_id").distinct().count()
+    ncl = max(_GS_NC_MIN, n // _GS_CELL)
+    stride = max(1, n // (_GS_SEED_MULT * ncl))
+    rk = _gs_ring(spark, ccomp)
+    edges = _gs_edges(ccomp, rk, n)
+    qcomp = _gs_probes(ccomp)
+    seeds = rk.filter((F.col("r") - 1) % stride == 0).select(
+        F.col("vec_id").alias("u")
+    )
+    qids = qcomp.select("qid").distinct()
+    w_beam = Window.partitionBy("qid").orderBy("d2", "u")
+    exactr = (
+        _gs_qdist(
+            qids.crossJoin(
+                ccomp.select("vec_id").distinct().select(
+                    F.col("vec_id").alias("u")
+                )
+            ),
+            qcomp,
+            ccomp,
+        )
+        .withColumn("rn", F.row_number().over(w_beam))
+        .localCheckpoint(eager=True)
+    )
+    ebest = exactr.filter(F.col("rn") == 1).select(
+        "qid", F.col("u").alias("eu")
+    )
+    etop = exactr.filter(F.col("rn") <= _GS_TOPK).select("qid", "u")
+    out = None
+    for h, b in _GSA_SETTINGS:
+        visited = _gs_beam(qids, seeds, qcomp, ccomp, edges, h, b)
+        served = visited.withColumn("rn", F.row_number().over(w_beam))
+        hits = (
+            served.filter(F.col("rn") <= _GS_TOPK)
+            .select("qid", "u")
+            .join(etop, ["qid", "u"])
+            .groupBy("qid")
+            .agg(F.count("*").alias("nh"))
+        )
+        vis = visited.groupBy("qid").agg(
+            F.count("*").cast("bigint").alias("n_visited")
+        )
+        agg = (
+            served.filter(F.col("rn") == 1)
+            .join(ebest, "qid")
+            .join(vis, "qid")
+            .join(hits, "qid", "left")
+            .agg(
+                F.count("*").alias("nq"),
+                F.sum(
+                    F.when(F.col("u") == F.col("eu"), 1).otherwise(0)
+                ).alias("nfound"),
+                F.sum(F.coalesce(F.col("nh"), F.lit(0))).alias("nhits"),
+                F.sum("n_visited").alias("nvis"),
+            )
+            .select(
+                F.lit(b).cast("bigint").alias("beam"),
+                F.lit(h).cast("bigint").alias("hops"),
+                F.col("nq").cast("bigint").alias("n_queries"),
+                F.col("nfound").cast("bigint").alias("n_found_nn"),
+                F.col("nhits").cast("bigint").alias("n_hits"),
+                (
+                    F.col("nhits").cast("double")
+                    / (F.lit(_GS_TOPK) * F.col("nq")).cast("double")
+                ).alias("recall_at4"),
+                (
+                    F.col("nvis").cast("double")
+                    / F.col("nq").cast("double")
+                ).alias("mean_visited"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
 
 
 # ---------------------------------------------------------------------------
