@@ -242,6 +242,7 @@ HEADLINE = [
     "stream_auc_ovr",
     "tdigest_merge_audit",
     "nn_graph_serve_recall_table",
+    "events_ks_emd_drift",
 ]
 
 

@@ -781,6 +781,152 @@ def q_orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-sample distribution drift: exact KS + 1-D Wasserstein (EMD) —
+# the nonparametric members of the drift ladder (PSI is binned+smoothed;
+# KS/EMD work on the raw support, no binning choice to govern)
+# ---------------------------------------------------------------------------
+
+_KS_SPLIT_EPOCH = 1705363200  # 2024-01-16T00:00:00Z, events-month midpoint
+
+_KS_EMD_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    epoch_us(ts) // 1000000 < {_KS_SPLIT_EPOCH} AS in_a
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+census AS (
+  SELECT event_type, vi,
+    CAST(COUNT(*) FILTER (WHERE in_a) AS BIGINT) AS c_a,
+    CAST(COUNT(*) FILTER (WHERE NOT in_a) AS BIGINT) AS c_b
+  FROM base GROUP BY 1, 2
+),
+enr AS (
+  SELECT event_type, vi,
+    SUM(c_a) OVER (PARTITION BY event_type ORDER BY vi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+    SUM(c_b) OVER (PARTITION BY event_type ORDER BY vi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+    SUM(c_a) OVER (PARTITION BY event_type) AS n_a,
+    SUM(c_b) OVER (PARTITION BY event_type) AS n_b,
+    LEAD(vi) OVER (PARTITION BY event_type ORDER BY vi) - vi AS dv
+  FROM census
+),
+agg AS (
+  SELECT event_type,
+    MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+    CAST(COUNT(*) AS BIGINT) AS n_support,
+    MAX(ABS(cum_a * n_b - cum_b * n_a)) AS ks_num,
+    SUM(CAST(ABS(cum_a * n_b - cum_b * n_a) AS HUGEINT)
+        * COALESCE(dv, 0)) AS emd_num
+  FROM enr GROUP BY event_type
+)
+SELECT event_type,
+  CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  n_support,
+  CAST(ks_num AS BIGINT) AS ks_num,
+  CAST(ks_num AS DOUBLE)
+    / NULLIF(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0) AS ks_stat,
+  CAST(emd_num AS DOUBLE)
+    / NULLIF(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0)
+    / 100.0 AS emd,
+  CAST(ks_num AS DOUBLE)
+    / NULLIF(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0)
+    > 0.1 AS drift_flag
+FROM agg
+"""
+
+
+@query("events_ks_emd_drift", oracle=_KS_EMD_ORACLE)
+def q_events_ks_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample drift tests per event type between month halves —
+    EXACT Kolmogorov-Smirnov statistic and 1-D Wasserstein-1 (earth
+    mover's) distance, the nonparametric members of the drift ladder
+    beside the binned PSI (orders_psi_drift) and the embedding-space
+    centroid drift: KS is the max CDF gap (the alarm for SHAPE
+    changes), W1 the integrated CDF gap (the magnitude of the shift,
+    in value units) — together they answer "did the score
+    distribution move, and by how much" with no binning choice to
+    govern.
+
+    Float discipline: both statistics are rationals over the
+    (vi, type) census — CDF gaps are exact integer CROSS-PRODUCTS
+    (cum_a·n_b − cum_b·n_a, the tdigest_merge_audit comparison trick),
+    KS folds their MAX, W1 folds |gap|·support-gap in 128-bit exact
+    arithmetic (decimal(38,0) / HUGEINT, the PSI total discipline)
+    since gap×Δv terms overflow int64 at larger SFs; each statistic
+    converts to double in ONE closed-form division.  The era split is
+    second-grain epoch (unix_timestamp truncation = DuckDB
+    epoch_us div 1e6, the events_twap pairing).
+
+    Scale shape: one map-side-combined (type, value) census; every
+    window (two cumsums, the support gap) rides ONE event_type
+    shuffle of the census (state ∝ distinct values × types, never
+    events); the fold is per-type scalars.  At 100 TB the census is
+    the only data-scale pass — the same economics as the exact-AUC
+    recipe, which shares the cross-multiply trick."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100.0).cast("bigint").alias("vi"),
+            (F.unix_timestamp("ts") < _KS_SPLIT_EPOCH).alias("in_a"),
+        )
+    )
+    census = e.groupBy("event_type", "vi").agg(
+        F.count(F.when(F.col("in_a"), 1)).cast("bigint").alias("c_a"),
+        F.count(F.when(~F.col("in_a"), 1)).cast("bigint").alias("c_b"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("vi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_t = Window.partitionBy("event_type")
+    w_lead = Window.partitionBy("event_type").orderBy("vi")
+    enr = census.select(
+        "event_type",
+        "vi",
+        F.sum("c_a").over(w_cum).alias("cum_a"),
+        F.sum("c_b").over(w_cum).alias("cum_b"),
+        F.sum("c_a").over(w_t).alias("n_a"),
+        F.sum("c_b").over(w_t).alias("n_b"),
+        (F.lead("vi").over(w_lead) - F.col("vi")).alias("dv"),
+    )
+    gap = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    agg = enr.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.count("*").cast("bigint").alias("n_support"),
+        F.max(gap).alias("ks_num"),
+        F.sum(
+            gap.cast("decimal(38,0)")
+            * F.coalesce(F.col("dv"), F.lit(0)).cast("decimal(38,0)")
+        ).alias("emd_num"),
+    )
+    den = F.nullif(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double"),
+        F.lit(0.0),
+    )
+    ks = F.col("ks_num").cast("double") / den
+    return agg.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "n_support",
+        F.col("ks_num").cast("bigint").alias("ks_num"),
+        ks.alias("ks_stat"),
+        (F.col("emd_num").cast("double") / den / F.lit(100.0)).alias(
+            "emd"
+        ),
+        (ks > 0.1).alias("drift_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Differentially-private histogram release — quantized-Laplace mechanism
 # with a composition ledger (the release gate after the k-anon audit)
 # ---------------------------------------------------------------------------
