@@ -243,6 +243,7 @@ HEADLINE = [
     "tdigest_merge_audit",
     "nn_graph_serve_recall_table",
     "events_ks_emd_drift",
+    "knn_shapley_valuation",
 ]
 
 

@@ -4700,6 +4700,198 @@ def q_nn_graph_serve_recall_table(
 
 
 # ---------------------------------------------------------------------------
+# KNN-Shapley data valuation — closed-form training-data attribution
+# (which corpus points help/hurt a probe set), the data-market primitive
+# ---------------------------------------------------------------------------
+
+_KSH_K = 5  # KNN vote size the utility is defined over
+_KSH_QMOD = 23  # probe set: vec_id % 23 == 7 (same held-out convention)
+_KSH_Q = 1_000_000_000_000  # 1e-12 quantization grain of the 1/j terms
+
+_KSH_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_MI_SQL.format(x='unnest(CAST(embedding AS DOUBLE[]))')} AS xi
+  FROM embeddings
+),
+lab AS (SELECT doc_id, lang FROM documents),
+d AS MATERIALIZED (
+  SELECT q.vec_id AS qid, t.vec_id AS tid,
+    SUM((q.xi - t.xi) * (q.xi - t.xi)) AS d2
+  FROM comp q JOIN comp t
+    ON t.i = q.i AND t.vec_id % {_KSH_QMOD} != 7
+  WHERE q.vec_id % {_KSH_QMOD} = 7
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT qid, tid,
+    row_number() OVER (PARTITION BY qid ORDER BY d2, tid) AS rn,
+    COUNT(*) OVER (PARTITION BY qid) AS nt
+  FROM d
+),
+lb AS (
+  SELECT r.qid, r.tid, r.rn, r.nt,
+    CASE WHEN lt.lang = lq.lang THEN 1 ELSE 0 END AS delta
+  FROM rk r
+  JOIN lab lt ON lt.doc_id = r.tid
+  JOIN lab lq ON lq.doc_id = r.qid
+),
+terms AS (
+  SELECT qid, tid, rn, delta,
+    CASE WHEN rn = nt THEN delta * CAST({_KSH_Q} // nt AS BIGINT)
+         ELSE (delta - LEAD(delta) OVER (PARTITION BY qid ORDER BY rn))
+              * CAST({_KSH_Q} // GREATEST(rn, {_KSH_K}) AS BIGINT)
+    END AS t
+  FROM lb
+),
+sfx AS (
+  SELECT qid, tid, rn,
+    SUM(t) OVER (PARTITION BY qid ORDER BY rn DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM terms
+),
+agg AS (
+  SELECT tid,
+    CAST(COUNT(*) AS BIGINT) AS n_test,
+    CAST(SUM(s) AS BIGINT) AS shapley_num,
+    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nn1
+  FROM sfx GROUP BY tid
+)
+SELECT a.tid AS doc_id, l.lang, a.n_test, a.n_nn1, a.shapley_num,
+  CAST(a.shapley_num AS DOUBLE) / CAST(a.n_test AS DOUBLE)
+    / 1000000000000.0 AS shapley_value
+FROM agg a JOIN lab l ON l.doc_id = a.tid
+"""
+
+
+@query("knn_shapley_valuation", oracle=_KSH_ORACLE)
+def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-SHAPLEY data valuation — EXACT per-point training-data
+    attribution (Jia et al., VLDB'19: for the KNN utility the Shapley
+    value has a closed form), the data-market / data-curation
+    primitive: which corpus points HELP a probe set's predictions and
+    which actively hurt (negative values → mislabeled/poisoned
+    candidates, the valuation complement of dedup and quality
+    scoring).
+
+    For each probe (vec_id % 23 == 7, embeddings as features,
+    document lang as label), train points rank by exact-integer L2
+    (ties → smaller id); the paper's recursion
+    s_N = δ_N/N;  s_i = s_(i+1) + (δ_i − δ_(i+1)) / max(i, K)
+    telescopes into a SUFFIX SUM of per-rank terms, each term
+    quantized to the 1e-12 integer grain via nonnegative integer
+    division (δ differences are in {{-1,0,1}}; 1e12 div j is exact and
+    identical in both engines), so the whole valuation is exact
+    integer arithmetic — one double per output row at the end.  The
+    per-probe values then AVERAGE over the probe set (exact integer
+    sum, one division).  n_nn1 (how often the point is the 1-NN) is
+    the interpretability sidecar.
+
+    Scale shape: ranking is the exact-ANN audit-leg shape
+    (probes × corpus, fixture-bounded here; production swaps in the
+    served ANN top-M with the same suffix recursion truncated at M —
+    the paper's own approximation); the suffix sum and the per-point
+    fold ride one probe-keyed window shuffle; output is corpus-sized
+    (one row per train point), the whole point of the operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    ).select("vec_id", "i", _mi(F.col("x")).alias("xi"))
+    lab = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    qc = comp.filter(F.col("vec_id") % _KSH_QMOD == 7)
+    tc = comp.filter(F.col("vec_id") % _KSH_QMOD != 7)
+    d = (
+        qc.alias("q")
+        .join(tc.alias("t"), F.col("t.i") == F.col("q.i"))
+        .groupBy(
+            F.col("q.vec_id").alias("qid"),
+            F.col("t.vec_id").alias("tid"),
+        )
+        .agg(
+            F.sum(
+                (F.col("q.xi") - F.col("t.xi"))
+                * (F.col("q.xi") - F.col("t.xi"))
+            ).alias("d2")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_rk = Window.partitionBy("qid").orderBy("d2", "tid")
+    w_q = Window.partitionBy("qid")
+    rk = d.select(
+        "qid",
+        "tid",
+        F.row_number().over(w_rk).alias("rn"),
+        F.count("*").over(w_q).alias("nt"),
+    )
+    lb = (
+        rk.alias("r")
+        .join(
+            F.broadcast(lab.alias("lt")),
+            F.col("lt.doc_id") == F.col("r.tid"),
+        )
+        .join(
+            F.broadcast(lab.alias("lq")),
+            F.col("lq.doc_id") == F.col("r.qid"),
+        )
+        .select(
+            "r.qid",
+            "r.tid",
+            "r.rn",
+            "r.nt",
+            F.when(F.col("lt.lang") == F.col("lq.lang"), 1)
+            .otherwise(0)
+            .alias("delta"),
+        )
+    )
+    w_rn = Window.partitionBy("qid").orderBy("rn")
+    term = F.when(
+        F.col("rn") == F.col("nt"),
+        F.col("delta") * F.expr(f"{_KSH_Q} div nt"),
+    ).otherwise(
+        (F.col("delta") - F.lead("delta").over(w_rn))
+        * F.expr(f"{_KSH_Q} div greatest(rn, {_KSH_K})")
+    )
+    terms = lb.select("qid", "tid", "rn", term.alias("t"))
+    w_sfx = (
+        Window.partitionBy("qid")
+        .orderBy(F.col("rn").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sfx = terms.select(
+        "qid", "tid", "rn", F.sum("t").over(w_sfx).alias("s")
+    )
+    agg = sfx.groupBy("tid").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum("s").cast("bigint").alias("shapley_num"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nn1"),
+    )
+    return (
+        agg.alias("a")
+        .join(
+            F.broadcast(lab.alias("l")),
+            F.col("l.doc_id") == F.col("a.tid"),
+        )
+        .select(
+            F.col("a.tid").alias("doc_id"),
+            "l.lang",
+            "a.n_test",
+            "a.n_nn1",
+            "a.shapley_num",
+            (
+                F.col("a.shapley_num").cast("double")
+                / F.col("a.n_test").cast("double")
+                / F.lit(1e12)
+            ).alias("shapley_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Residual quantization — the ADDITIVE quantizer family (RQ/LSQ), the
 # complement of PQ's subspace split
 # ---------------------------------------------------------------------------
