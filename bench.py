@@ -244,6 +244,7 @@ HEADLINE = [
     "nn_graph_serve_recall_table",
     "events_ks_emd_drift",
     "knn_shapley_valuation",
+    "trade_louvain_converged_level",
 ]
 
 
