@@ -245,6 +245,7 @@ HEADLINE = [
     "events_ks_emd_drift",
     "knn_shapley_valuation",
     "trade_louvain_converged_level",
+    "stream_ks_emd_drift",
 ]
 
 

@@ -878,6 +878,55 @@ def q_events_ks_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("in_a"), 1)).cast("bigint").alias("c_a"),
         F.count(F.when(~F.col("in_a"), 1)).cast("bigint").alias("c_b"),
     )
+    return _ks_emd_from_census(census)
+
+
+@query("stream_ks_emd_drift", oracle=_KS_EMD_ORACLE)
+def q_stream_ks_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of events_ks_emd_drift — the live drift monitor:
+    scored events arrive as micro-batches and fold into additive
+    (type, value, era) integer COUNT partials
+    (streaming/pipeline.py::_run_stream_count_fold, the conformal/BT/
+    AUC discipline); the exact KS and W1 folds run at drain on the
+    MERGED census, so the streamed statistics are batch-identical
+    under any batching, ordering, or at-least-once replay and the
+    BATCH oracle is the ground truth.
+
+    Scale shape: per trigger one map-side-combined count bounded by
+    the batch's distinct (type, value, era) triples; drain-side state
+    is the census — the statistic folds never touch the stream."""
+    from ..streaming.pipeline import _run_stream_count_fold
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100.0).cast("bigint").alias("vi"),
+            (F.unix_timestamp("ts") < _KS_SPLIT_EPOCH).alias("in_a"),
+        )
+    )
+    census = (
+        _run_stream_count_fold(
+            spark, e, ["event_type", "vi", "in_a"], "stream_ksemd_"
+        )
+        .groupBy("event_type", "vi")
+        .agg(
+            F.sum(F.when(F.col("in_a"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("c_a"),
+            F.sum(F.when(~F.col("in_a"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("c_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _ks_emd_from_census(census)
+
+
+def _ks_emd_from_census(census: DataFrame) -> DataFrame:
+    """Exact KS + W1 folds from a (event_type, vi, c_a, c_b) census —
+    shared by the batch query and its streaming twin."""
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("vi")
