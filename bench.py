@@ -246,6 +246,7 @@ HEADLINE = [
     "knn_shapley_valuation",
     "trade_louvain_converged_level",
     "stream_ks_emd_drift",
+    "customer_record_linkage",
 ]
 
 

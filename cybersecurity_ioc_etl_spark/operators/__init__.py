@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     analytics,
     profiling,
     pruning,
+    linkage,
 )
 from ..multimodal import columns as _multimodal_columns  # noqa: F401,E402
 from .registry import ORACLES, QUERIES  # noqa: F401
