@@ -247,6 +247,7 @@ HEADLINE = [
     "trade_louvain_converged_level",
     "stream_ks_emd_drift",
     "customer_record_linkage",
+    "linkage_em_round",
 ]
 
 
