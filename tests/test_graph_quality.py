@@ -73,3 +73,33 @@ def test_louvain_gain_formula_zero_for_staying_put(spark):
     # single community: no candidate c != cur exists, so no moves
     _, mv = _louvain_half(ue, deg, two_m, lab, 0)
     assert mv.count() == 0
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_louvain_converged_level_stops_at_first_nonimproving_pair(
+    spark, sf_dir
+):
+    """The termination loop must (a) find a stop pair within the
+    unrolled bound, (b) climb Q strictly on every pair BEFORE the
+    stop, (c) stop exactly where dQ first fails to improve, and
+    (d) report the best labeling as the pair before the stop —
+    Q-based termination per tools/louvain_probe.py (moves can
+    oscillate forever at constant Q, so zero-moves is NOT the
+    fixpoint test)."""
+    rows = {
+        r.pair: r
+        for r in _ops.QUERIES["trade_louvain_converged_level"](
+            spark, sf_dir
+        ).collect()
+    }
+    stop = rows[0].stop_pair
+    assert stop is not None, "must converge within the unrolled bound"
+    for k in range(1, stop):
+        assert rows[k].dq_num > 0 and rows[k].improved
+    assert rows[stop].dq_num <= 0 and rows[stop].is_stop
+    best = rows[stop - 1]
+    assert rows[0].best_q == best.q
+    # the best labeling's Q dominates every pair's Q through the stop
+    assert all(rows[k].q_num <= best.q_num for k in range(stop + 1))
