@@ -248,6 +248,7 @@ HEADLINE = [
     "stream_ks_emd_drift",
     "customer_record_linkage",
     "linkage_em_round",
+    "retrieval_rbo_audit",
 ]
 
 

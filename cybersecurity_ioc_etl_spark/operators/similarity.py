@@ -2941,85 +2941,11 @@ def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum — order-dependent and unhashable).
 _DCG_L = 27720
 
-_DCG_ORACLE = f"""
-WITH comp AS (
-  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-         unnest(CAST(embedding AS DOUBLE[])) AS x
-  FROM embeddings
-),
-qv AS (SELECT i, {_MI_SQL.format(x='x')} AS qx FROM comp WHERE vec_id = 0),
-scored AS (
-  SELECT v.vec_id, v.label,
-    round((CAST(SUM({_MI_SQL.format(x='v.x')} * qv.qx) AS DOUBLE)
-           / 100000000000000.0)
-        / (sqrt(CAST(SUM({_MI_SQL.format(x='v.x')}
-                        * {_MI_SQL.format(x='v.x')}) AS DOUBLE)
-                / 100000000000000.0)
-         * sqrt(CAST(SUM(qv.qx * qv.qx) AS DOUBLE)
-                / 100000000000000.0)), 6) AS cosine_sim
-  FROM comp v JOIN qv ON v.i = qv.i
-  WHERE v.vec_id != 0
-  GROUP BY v.vec_id, v.label
-),
-brute AS (
-  SELECT vec_id,
-    row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
-  FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 10
-),
-cent AS (
-  SELECT label, i,
-    {_MI_SQL.format(x=f"CAST(SUM({_MI_SQL.format(x='x')}) AS DOUBLE) / 10000000.0 / COUNT(*)")} AS cx
-  FROM comp GROUP BY label, i
-),
-probe AS (
-  SELECT c.label
-  FROM cent c JOIN qv ON c.i = qv.i
-  GROUP BY c.label
-  ORDER BY CAST(SUM(c.cx * qv.qx) AS DOUBLE)
-           / sqrt(CAST(SUM(c.cx * c.cx) AS DOUBLE)) DESC, c.label
-  LIMIT 1
-),
-ivf AS (
-  SELECT vec_id,
-    row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
-  FROM scored
-  WHERE label = (SELECT label FROM probe)
-  ORDER BY cosine_sim DESC, vec_id LIMIT 10
-),
-dcg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
-    CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      AS n_hits,
-    CAST(SUM(CASE WHEN b.vec_id IS NOT NULL
-             THEN {_DCG_L} // (a.rank + 1) ELSE 0 END) AS BIGINT) AS dcg_i
-  FROM ivf a LEFT JOIN brute b ON a.vec_id = b.vec_id
-),
-idcg AS (
-  SELECT CAST(SUM({_DCG_L} // (rank + 1)) AS BIGINT) AS idcg_i FROM brute
-)
-SELECT d.n_candidates, d.n_hits, d.dcg_i, i.idcg_i,
-  CAST(d.dcg_i AS DOUBLE) / CAST(i.idcg_i AS DOUBLE) AS ndcg
-FROM dcg d CROSS JOIN idcg i
-"""
-
-
-@query("retrieval_dcg_audit", oracle=_DCG_ORACLE)
-def q_retrieval_dcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DCG@10 of the IVF (nprobe=1) candidate list against the
-    brute-force ground truth — the retrieval-quality metric that
-    weights EARLY hits, complementing ann_recall_audit's unweighted
-    recall.  The discount is linear (gain = L/(rank+1) with
-    L = lcm(2..11) = 27720), so every gain is an exact integer and the
-    DCG sums hash cross-engine — log2 discounts would force an
-    order-dependent float sum.  ndcg = dcg/idcg is the single final
-    double division; idcg derives from the ground-truth list itself
-    (robust to short lists).
-
-    Scale shape: both rankings reuse ONE scored pass over the corpus
-    (the cell filter restricts the IVF side); the audit join touches
-    10×10 rows.  At 100 TB the brute side is the bounded calibration
-    slice, the IVF side the production path — same discipline as
-    ann_recall_audit."""
+def _query_rankings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Brute-force top-10 and IVF(nprobe=1) top-10 rankings of query
+    vec 0 — shared by the DCG and RBO retrieval-quality audits."""
     comp = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -3081,6 +3007,93 @@ def q_retrieval_dcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("rank", F.row_number().over(wrank))
     )
+    return brute, ivf
+
+
+# Shared ranking CTEs: brute-force top-10 vs IVF(nprobe=1) top-10 for
+# query vec 0 — instantiated by the DCG audit and the RBO audit.
+_RANKINGS_SQL = f"""comp AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+qv AS (SELECT i, {_MI_SQL.format(x='x')} AS qx FROM comp WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id, v.label,
+    round((CAST(SUM({_MI_SQL.format(x='v.x')} * qv.qx) AS DOUBLE)
+           / 100000000000000.0)
+        / (sqrt(CAST(SUM({_MI_SQL.format(x='v.x')}
+                        * {_MI_SQL.format(x='v.x')}) AS DOUBLE)
+                / 100000000000000.0)
+         * sqrt(CAST(SUM(qv.qx * qv.qx) AS DOUBLE)
+                / 100000000000000.0)), 6) AS cosine_sim
+  FROM comp v JOIN qv ON v.i = qv.i
+  WHERE v.vec_id != 0
+  GROUP BY v.vec_id, v.label
+),
+brute AS (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 10
+),
+cent AS (
+  SELECT label, i,
+    {_MI_SQL.format(x=f"CAST(SUM({_MI_SQL.format(x='x')}) AS DOUBLE) / 10000000.0 / COUNT(*)")} AS cx
+  FROM comp GROUP BY label, i
+),
+probe AS (
+  SELECT c.label
+  FROM cent c JOIN qv ON c.i = qv.i
+  GROUP BY c.label
+  ORDER BY CAST(SUM(c.cx * qv.qx) AS DOUBLE)
+           / sqrt(CAST(SUM(c.cx * c.cx) AS DOUBLE)) DESC, c.label
+  LIMIT 1
+),
+ivf AS (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+  WHERE label = (SELECT label FROM probe)
+  ORDER BY cosine_sim DESC, vec_id LIMIT 10
+)"""
+
+_DCG_ORACLE = f"""
+WITH {_RANKINGS_SQL},
+dcg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_hits,
+    CAST(SUM(CASE WHEN b.vec_id IS NOT NULL
+             THEN {_DCG_L} // (a.rank + 1) ELSE 0 END) AS BIGINT) AS dcg_i
+  FROM ivf a LEFT JOIN brute b ON a.vec_id = b.vec_id
+),
+idcg AS (
+  SELECT CAST(SUM({_DCG_L} // (rank + 1)) AS BIGINT) AS idcg_i FROM brute
+)
+SELECT d.n_candidates, d.n_hits, d.dcg_i, i.idcg_i,
+  CAST(d.dcg_i AS DOUBLE) / CAST(i.idcg_i AS DOUBLE) AS ndcg
+FROM dcg d CROSS JOIN idcg i
+"""
+
+
+@query("retrieval_dcg_audit", oracle=_DCG_ORACLE)
+def q_retrieval_dcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCG@10 of the IVF (nprobe=1) candidate list against the
+    brute-force ground truth — the retrieval-quality metric that
+    weights EARLY hits, complementing ann_recall_audit's unweighted
+    recall.  The discount is linear (gain = L/(rank+1) with
+    L = lcm(2..11) = 27720), so every gain is an exact integer and the
+    DCG sums hash cross-engine — log2 discounts would force an
+    order-dependent float sum.  ndcg = dcg/idcg is the single final
+    double division; idcg derives from the ground-truth list itself
+    (robust to short lists).
+
+    Scale shape: both rankings reuse ONE scored pass over the corpus
+    (the cell filter restricts the IVF side); the audit join touches
+    10×10 rows.  At 100 TB the brute side is the bounded calibration
+    slice, the IVF side the production path — same discipline as
+    ann_recall_audit."""
+    brute, ivf = _query_rankings(spark, sf_dir)
     gain = F.lit(_DCG_L) / (F.col("rank") + 1)  # exact: L divisible by 2..11
     hit = F.col("b.vec_id").isNotNull()
     dcg = (
@@ -3112,6 +3125,115 @@ def q_retrieval_dcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg_i",
         (F.col("dcg_i").cast("double") / F.col("idcg_i").cast("double")).alias(
             "ndcg"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap — the top-weighted rank-similarity metric between
+# two retrieval rankings (Webber et al., TOIS 2010), exact at p = 1/2
+# ---------------------------------------------------------------------------
+
+_RBO_D = 10  # evaluation depth (both rankings are top-10)
+# lcm of d·2^d for d = 1..10 — every RBO term ovl_d/(d·2^d) scales to an
+# exact integer, so the truncated-RBO sum is int-exact, no FLOOR needed
+_RBO_Q = 645120  # 2^11 · 3^2 · 5 · 7
+
+_RBO_ORACLE = f"""
+WITH {_RANKINGS_SQL},
+m AS (
+  SELECT GREATEST(a.rank, b.rank) AS dmin
+  FROM ivf a JOIN brute b ON a.vec_id = b.vec_id
+),
+depths AS (SELECT unnest(range(1, {_RBO_D + 1})) AS d),
+ovl AS (
+  SELECT d.d, CAST(COUNT(m.dmin) AS BIGINT) AS ovl
+  FROM depths d LEFT JOIN m ON m.dmin <= d.d
+  GROUP BY d.d
+),
+t AS (
+  SELECT d, ovl,
+    ovl * CAST({_RBO_Q} // (d * (CAST(1 AS BIGINT) << d)) AS BIGINT)
+      AS term_num
+  FROM ovl
+),
+tot AS (SELECT CAST(SUM(term_num) AS BIGINT) AS rbo_num FROM t)
+SELECT CAST(t.d AS BIGINT) AS depth,
+  t.ovl AS overlap,
+  CAST(t.ovl AS DOUBLE) / CAST(t.d AS DOUBLE) AS agreement,
+  CAST(t.term_num AS BIGINT) AS term_num,
+  (SELECT rbo_num FROM tot) AS rbo_num,
+  CAST((SELECT rbo_num FROM tot) AS DOUBLE) / {_RBO_Q}.0 AS rbo
+FROM t
+"""
+
+
+@query("retrieval_rbo_audit", oracle=_RBO_ORACLE)
+def q_retrieval_rbo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP between the IVF and brute-force rankings —
+    the top-weighted rank-SIMILARITY metric (Webber-Moffat-Zobel)
+    completing the retrieval-eval trio: recall counts hits
+    (ann_recall_audit), nDCG scores the served list against graded
+    ground truth (retrieval_dcg_audit), RBO compares the two RANKINGS
+    as objects — it penalizes disagreement more the higher it occurs
+    and handles non-conjoint lists, which is why it's the standard for
+    comparing ranker versions (index A/B tests, quantization-induced
+    rank churn).
+
+    Exactness: at persistence p = 1/2 the weight of depth d is
+    2^(-d), so the truncated RBO Σ_d (1-p)·p^(d-1)·(ovl_d/d) scales by
+    lcm(d·2^d, d ≤ 10) = 645120 into a sum of EXACT INTEGER terms —
+    the one published RBO parameterization with no float fold at all
+    (p=1/2 weights the top ~2 ranks with ~75% of the mass — the
+    sharp-top regime).  Per-depth overlap counts, agreements, term
+    numerators, and the total are all hash-checked; rbo is the single
+    final division.
+
+    Scale shape: both rankings reuse ONE scored pass
+    (`_query_rankings`, shared with the DCG audit); the RBO fold
+    touches depth × matched rows ≤ 10×10.  At 100 TB the rankings are
+    whatever the production and challenger indexes serve — the metric
+    itself is list-bounded."""
+    brute, ivf = _query_rankings(spark, sf_dir)
+    m = (
+        ivf.alias("a")
+        .join(
+            F.broadcast(brute.alias("b")),
+            F.col("a.vec_id") == F.col("b.vec_id"),
+        )
+        .select(
+            F.greatest(F.col("a.rank"), F.col("b.rank")).alias("dmin")
+        )
+    )
+    depths = spark.range(1, _RBO_D + 1).select(
+        F.col("id").cast("bigint").alias("d")
+    )
+    ovl = (
+        depths.join(
+            F.broadcast(m), F.col("dmin") <= F.col("d"), "left"
+        )
+        .groupBy("d")
+        .agg(F.count("dmin").cast("bigint").alias("ovl"))
+    )
+    t = ovl.select(
+        "d",
+        "ovl",
+        (
+            F.col("ovl")
+            * F.expr(f"CAST({_RBO_Q} div (d * shiftleft(1, d)) AS BIGINT)")
+        ).alias("term_num"),
+    )
+    tot = t.agg(F.sum("term_num").cast("bigint").alias("rbo_num"))
+    return t.crossJoin(F.broadcast(tot)).select(
+        F.col("d").cast("bigint").alias("depth"),
+        F.col("ovl").alias("overlap"),
+        (F.col("ovl").cast("double") / F.col("d").cast("double")).alias(
+            "agreement"
+        ),
+        F.col("term_num").cast("bigint").alias("term_num"),
+        "rbo_num",
+        (F.col("rbo_num").cast("double") / F.lit(float(_RBO_Q))).alias(
+            "rbo"
         ),
     )
 
