@@ -249,6 +249,7 @@ HEADLINE = [
     "customer_record_linkage",
     "linkage_em_round",
     "retrieval_rbo_audit",
+    "events_sprt_monitor",
 ]
 
 

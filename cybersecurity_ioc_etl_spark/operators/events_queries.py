@@ -6674,3 +6674,209 @@ def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("n_runs").cast("double") - mu) / sig)
     )
     return runs.select("event_type", "n_runs", "n1", "n2", z.alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT — sequential probability-ratio test over the event stream,
+# the always-valid experimentation gate (beside the fixed-n z-test)
+# ---------------------------------------------------------------------------
+
+# H0: P(value > train median) = 9/20 vs H1: 11/20; alpha = beta = 0.05.
+# All LLR increments and boundaries are FLOOR(1e9·ln(rational)) — exact
+# ints from ln of small-integer doubles, identical in both engines.
+
+_SPRT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type, ts,
+    CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+    {_CONF_BUCKET} AS b
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+med AS (
+  SELECT event_type, vi AS med_i FROM (
+    SELECT event_type, vi,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vi, event_id)
+        AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM e WHERE b < 50)
+  WHERE rn = (n + 1) // 2
+),
+consts AS (
+  SELECT
+    CAST(FLOOR(1000000000.0 * (ln(11.0) - ln(9.0))) AS BIGINT) AS c1,
+    CAST(FLOOR(1000000000.0 * (ln(9.0) - ln(11.0))) AS BIGINT) AS c0,
+    CAST(FLOOR(1000000000.0 * ln(19.0)) AS BIGINT) AS qa,
+    CAST(FLOOR(-1000000000.0 * ln(19.0)) AS BIGINT) AS qb
+),
+walk AS (
+  SELECT t.event_type, t.rn,
+    SUM(CASE WHEN t.x = 1 THEN (SELECT c1 FROM consts)
+             ELSE (SELECT c0 FROM consts) END)
+      OVER (PARTITION BY t.event_type ORDER BY t.rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+    SUM(t.x) OVER (PARTITION BY t.event_type ORDER BY t.rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+    COUNT(*) OVER (PARTITION BY t.event_type) AS n_test
+  FROM (
+    SELECT e.event_type,
+      ROW_NUMBER() OVER (PARTITION BY e.event_type
+                         ORDER BY e.ts, e.event_id) AS rn,
+      CASE WHEN e.vi > m.med_i THEN 1 ELSE 0 END AS x
+    FROM e JOIN med m ON m.event_type = e.event_type
+    WHERE e.b >= 50) t
+),
+dec AS (
+  SELECT event_type,
+    MAX(n_test) AS n_test,
+    MAX(CASE WHEN rn = n_test THEN llr END) AS llr_final,
+    MAX(CASE WHEN rn = n_test THEN k END) AS k_total,
+    MIN(CASE WHEN llr >= (SELECT qa FROM consts)
+              OR llr <= (SELECT qb FROM consts) THEN rn END)
+      AS n_at_decision
+  FROM walk GROUP BY event_type
+)
+SELECT d.event_type,
+  CAST(d.n_test AS BIGINT) AS n_test,
+  CAST(d.k_total AS BIGINT) AS k_total,
+  CAST(d.llr_final AS BIGINT) AS llr_final,
+  CAST(d.n_at_decision AS BIGINT) AS n_at_decision,
+  CAST(w.llr AS BIGINT) AS llr_at_decision,
+  CASE WHEN d.n_at_decision IS NULL THEN 'continue'
+       WHEN w.llr >= (SELECT qa FROM consts) THEN 'accept_h1'
+       ELSE 'accept_h0' END AS decision,
+  CAST((SELECT qa FROM consts) AS BIGINT) AS boundary_qa
+FROM dec d
+LEFT JOIN walk w
+  ON w.event_type = d.event_type AND w.rn = d.n_at_decision
+"""
+
+
+@query("events_sprt_monitor", oracle=_SPRT_ORACLE)
+def q_events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SPRT — the sequential probability-ratio test walked over
+    the event stream in arrival order, the always-valid A/B gate
+    beside the fixed-n z-test (events_value_ztest): per event type,
+    H0: P(value > train median) = 0.45 vs H1: 0.55 at
+    alpha = beta = 0.05; the log-likelihood ratio climbs by
+    ln(11/9) per success and ln(9/11) per failure and the FIRST
+    crossing of ±ln(19) decides — Wald's theorem makes the error
+    rates valid at the RANDOM stopping time, which is exactly what
+    peeking at a fixed-n test destroys.
+
+    Exactness: the train median is the conformal split's exact
+    per-type rank median (leak-proof md5 buckets, shared convention);
+    increments and boundaries are FLOOR(1e9·ln(small-rational))
+    integers so the whole walk is an exact-integer cumsum over the
+    deterministic (ts, event_id) order; the decision row is the
+    min-rn boundary crossing.  Emits per type the test size, success
+    census, final LLR, decision point, LLR at decision, and the
+    decision — so a drift in ANY step of the walk breaks the hash.
+
+    Scale shape: one train-slice rank window fits the model; the walk
+    rides ONE per-type window shuffle of the test slice (state: two
+    running integers); the decision fold is per-type scalars.  As a
+    stream this is a running cumsum + first-crossing flag — the
+    stateful-counter shape ST4 already serves."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("vi"),
+            (_shnd(F.col("event_id").cast("string")) % 100).alias("b"),
+        )
+    )
+    w_med = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    med = (
+        e.filter(F.col("b") < 50)
+        .select(
+            "event_type",
+            "vi",
+            F.row_number().over(w_med).alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("vi").alias("med_i"))
+    )
+    c1 = F.floor(F.lit(1e9) * (F.log(F.lit(11.0)) - F.log(F.lit(9.0)))).cast(
+        "bigint"
+    )
+    c0 = F.floor(F.lit(1e9) * (F.log(F.lit(9.0)) - F.log(F.lit(11.0)))).cast(
+        "bigint"
+    )
+    qa = F.floor(F.lit(1e9) * F.log(F.lit(19.0))).cast("bigint")
+    qb = F.floor(F.lit(-1e9) * F.log(F.lit(19.0))).cast("bigint")
+    w_seq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_t = Window.partitionBy("event_type")
+    walk = (
+        e.filter(F.col("b") >= 50)
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.row_number().over(w_seq).alias("rn"),
+            F.when(F.col("vi") > F.col("med_i"), 1)
+            .otherwise(0)
+            .alias("x"),
+        )
+        .select(
+            "event_type",
+            "rn",
+            F.sum(F.when(F.col("x") == 1, c1).otherwise(c0))
+            .over(
+                Window.partitionBy("event_type")
+                .orderBy("rn")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("llr"),
+            F.sum("x")
+            .over(
+                Window.partitionBy("event_type")
+                .orderBy("rn")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("k"),
+            F.count("*").over(w_t).alias("n_test"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dec = walk.groupBy("event_type").agg(
+        F.max("n_test").alias("n_test"),
+        F.max(
+            F.when(F.col("rn") == F.col("n_test"), F.col("llr"))
+        ).alias("llr_final"),
+        F.max(F.when(F.col("rn") == F.col("n_test"), F.col("k"))).alias(
+            "k_total"
+        ),
+        F.min(
+            F.when(
+                (F.col("llr") >= qa) | (F.col("llr") <= qb), F.col("rn")
+            )
+        ).alias("n_at_decision"),
+    )
+    return (
+        dec.alias("d")
+        .join(
+            walk.alias("w"),
+            (F.col("w.event_type") == F.col("d.event_type"))
+            & (F.col("w.rn") == F.col("d.n_at_decision")),
+            "left",
+        )
+        .select(
+            F.col("d.event_type").alias("event_type"),
+            F.col("d.n_test").cast("bigint").alias("n_test"),
+            F.col("d.k_total").cast("bigint").alias("k_total"),
+            F.col("d.llr_final").cast("bigint").alias("llr_final"),
+            F.col("d.n_at_decision").cast("bigint").alias("n_at_decision"),
+            F.col("w.llr").cast("bigint").alias("llr_at_decision"),
+            F.when(F.col("d.n_at_decision").isNull(), F.lit("continue"))
+            .when(F.col("w.llr") >= qa, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            qa.alias("boundary_qa"),
+        )
+    )
