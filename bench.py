@@ -250,6 +250,7 @@ HEADLINE = [
     "linkage_em_round",
     "retrieval_rbo_audit",
     "events_sprt_monitor",
+    "lang_classifier_cv_folds",
 ]
 
 

@@ -479,3 +479,185 @@ def q_stream_auc_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sc = run_stream_auc_census(spark, sf_dir).localCheckpoint(eager=True)
     return _auc_from_census(sc)
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation — the model-selection lifecycle row (fold
+# hygiene + pooled and macro accuracy from one tokenized pass)
+# ---------------------------------------------------------------------------
+
+_CV_K = 5  # folds: md5 bucket % 5 (same leak-proof hash discipline)
+
+
+def _cv_oracle() -> str:
+    fold_sql = _bucket_sql(x="CAST(doc_id AS VARCHAR)") + f" % {_CV_K}"
+    parts = []
+    for f in range(_CV_K):
+        parts.append(f""",
+ct_{f} AS MATERIALIZED (
+  SELECT b, lang AS cls, COUNT(*) AS ct
+  FROM tok WHERE fold != {f} GROUP BY 1, 2
+),
+nc_{f} AS (SELECT cls, SUM(ct) AS n_c FROM ct_{f} GROUP BY cls),
+grid_{f} AS MATERIALIZED (
+  SELECT r.b, nc.cls,
+    {_SCORE_SQL.format(ct='COALESCE(ct.ct, 0)', nc='nc.n_c')} AS w
+  FROM (SELECT range AS b FROM range({_V})) r
+  CROSS JOIN nc_{f} nc
+  LEFT JOIN ct_{f} ct ON ct.b = r.b AND ct.cls = nc.cls
+),
+pred_{f} AS MATERIALIZED (
+  SELECT doc_id, lang, cls AS pred_lang FROM (
+    SELECT t.doc_id, t.lang, g.cls,
+      ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                         ORDER BY SUM(g.w) DESC, g.cls) AS rn
+    FROM tok t JOIN grid_{f} g ON t.b = g.b
+    WHERE t.fold = {f}
+    GROUP BY t.doc_id, t.lang, g.cls
+  ) WHERE rn = 1
+),
+fold_{f} AS (
+  SELECT CAST({f} AS BIGINT) AS fold,
+    CAST(COUNT(*) AS BIGINT) AS n_test,
+    CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_correct
+  FROM pred_{f}
+)""")
+    folds_union = " UNION ALL ".join(
+        f"SELECT * FROM fold_{f}" for f in range(_CV_K)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang,
+    {fold_sql} AS fold,
+    {_SHINGLE_INT_SQL.format(x='t.tok')} % {_V} AS b
+  FROM (SELECT doc_id, lang,
+          unnest(str_split_regex({_ASCII_FOLD_SQL.format(x='trim(text)')},
+                                 '\\s+')) AS tok
+        FROM documents) t
+){''.join(parts)},
+folds AS MATERIALIZED ({folds_union}),
+tot AS (
+  SELECT CAST(SUM(n_test) AS BIGINT) AS n_all,
+    CAST(SUM(n_correct) AS BIGINT) AS c_all,
+    CAST(SUM(CAST(FLOOR(1000000000.0 * CAST(n_correct AS DOUBLE)
+      / NULLIF(CAST(n_test AS DOUBLE), 0.0)) AS BIGINT)) AS BIGINT)
+      AS macro_num
+  FROM folds
+)
+SELECT f.fold, f.n_test, f.n_correct,
+  CAST(f.n_correct AS DOUBLE) / NULLIF(CAST(f.n_test AS DOUBLE), 0.0)
+    AS fold_accuracy,
+  t.n_all, t.c_all,
+  CAST(t.c_all AS DOUBLE) / NULLIF(CAST(t.n_all AS DOUBLE), 0.0)
+    AS micro_accuracy,
+  CAST(t.macro_num AS DOUBLE) / ({_CV_K} * 1000000000.0)
+    AS macro_accuracy
+FROM folds f CROSS JOIN tot t
+"""
+
+
+@query("lang_classifier_cv_folds", oracle=_cv_oracle())
+def q_lang_classifier_cv_folds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-FOLD CROSS-VALIDATION of the language classifier — the
+    model-selection lifecycle row the eval family was missing (the
+    confusion/reliability/AUC rows evaluate ONE split; CV evaluates
+    the TRAINING PROCEDURE): 5 leak-proof md5 folds, each fold scored
+    by a grid trained on the other four, per-fold accuracy plus the
+    pooled (micro) and per-fold-averaged (macro) accuracies.
+
+    Fold hygiene is the point: the fold id derives from the same md5
+    bucket discipline as every split in the engine, so no document's
+    tokens ever reach the grid that scores it.  Float discipline:
+    fold/micro accuracies are single divisions of exact integer
+    censuses; the macro mean quantizes each fold's (bit-identical)
+    accuracy to FLOOR(1e9·acc) and averages exact integers — the
+    order-dependent 5-term double sum never happens.
+
+    Scale shape: ONE tokenized pass feeds all five folds (the fold id
+    is a column, not a scan); each fold's grid is the broadcast
+    V×classes table and its scoring pass a broadcast join + map-side
+    combined sum — at 100 TB k-fold CV costs k broadcast-join sweeps
+    over the same cached tokens, never k corpus re-reads."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = _tokenize_buckets(d).withColumn(
+        "fold", hash_bucket(F.col("doc_id")) % _CV_K
+    )
+    tok = tok.localCheckpoint(eager=True)
+    rows = None
+    for f in range(_CV_K):
+        tr = tok.filter(F.col("fold") != f)
+        ct = (
+            tr.groupBy("b", F.col("lang").alias("cls"))
+            .agg(F.count("*").alias("ct"))
+            .localCheckpoint(eager=True)
+        )
+        nc = ct.groupBy("cls").agg(F.sum("ct").alias("n_c"))
+        buckets = d.sparkSession.range(_V).select(
+            F.col("id").cast("bigint").alias("b")
+        )
+        w = F.floor(
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+            * F.lit(1000000000.0)
+            / (F.col("n_c") + _V).cast("double")
+        ).cast("bigint")
+        grid = (
+            buckets.crossJoin(F.broadcast(nc))
+            .join(F.broadcast(ct), ["b", "cls"], "left")
+            .select("b", "cls", w.alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        scored = (
+            tok.filter(F.col("fold") == f)
+            .join(F.broadcast(grid), "b")
+            .groupBy("doc_id", "lang", "cls")
+            .agg(F.sum("w").alias("s"))
+        )
+        pred = (
+            scored.groupBy("doc_id", "lang")
+            .agg(
+                F.min(
+                    F.struct((-F.col("s")).alias("ns"), F.col("cls"))
+                ).alias("best")
+            )
+            .select("doc_id", "lang", F.col("best.cls").alias("pred_lang"))
+        )
+        fr = pred.agg(
+            F.lit(f).cast("bigint").alias("fold"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        rows = fr if rows is None else rows.unionByName(fr)
+    folds = rows.localCheckpoint(eager=True)
+    facc = F.col("n_correct").cast("double") / F.nullif(
+        F.col("n_test").cast("double"), F.lit(0.0)
+    )
+    tot = folds.agg(
+        F.sum("n_test").cast("bigint").alias("n_all"),
+        F.sum("n_correct").cast("bigint").alias("c_all"),
+        F.sum(F.floor(F.lit(1e9) * facc).cast("bigint"))
+        .cast("bigint")
+        .alias("macro_num"),
+    )
+    return folds.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_test",
+        "n_correct",
+        facc.alias("fold_accuracy"),
+        "n_all",
+        "c_all",
+        (
+            F.col("c_all").cast("double")
+            / F.nullif(F.col("n_all").cast("double"), F.lit(0.0))
+        ).alias("micro_accuracy"),
+        (
+            F.col("macro_num").cast("double")
+            / F.lit(_CV_K * 1000000000.0)
+        ).alias("macro_accuracy"),
+    )
