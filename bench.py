@@ -251,6 +251,7 @@ HEADLINE = [
     "retrieval_rbo_audit",
     "events_sprt_monitor",
     "lang_classifier_cv_folds",
+    "event_type_dow_chisq",
 ]
 
 

@@ -1289,3 +1289,144 @@ def q_stream_dp_histogram_release(
         F.lit(float(_DP_EPS)).alias("eps_release"),
         F.lit(2.0 * _DP_EPS).alias("eps_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test — type × day-of-week contingency audit,
+# the classical categorical-association member of the test family
+# ---------------------------------------------------------------------------
+
+_CHISQ_CRIT_24DOF = 36.415  # 0.05 critical value at (5-1)(7-1) dof (doc)
+
+_CHISQ_ORACLE = """
+WITH e AS (
+  SELECT event_type, dayofweek(ts) AS dow
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+o AS MATERIALIZED (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM e GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+c AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nt FROM o),
+grid AS (
+  SELECT r.event_type, c.dow, COALESCE(o.obs, 0) AS obs, r.rt, c.ct,
+    (SELECT nt FROM n) AS nt
+  FROM r CROSS JOIN c
+  LEFT JOIN o ON o.event_type = r.event_type AND o.dow = c.dow
+),
+terms AS MATERIALIZED (
+  SELECT event_type, dow, obs, rt, ct, nt,
+    CAST(FLOOR(1000000.0
+      * CAST(CAST(obs * nt - rt * ct AS HUGEINT)
+             * CAST(obs * nt - rt * ct AS HUGEINT) AS DOUBLE)
+      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(nt AS DOUBLE)))
+      AS BIGINT) AS term_q
+  FROM grid
+),
+tot AS (
+  SELECT CAST(SUM(term_q) AS BIGINT) AS chisq_num,
+    CAST((COUNT(DISTINCT event_type) - 1)
+       * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof
+  FROM terms
+)
+SELECT t.event_type, CAST(t.dow AS BIGINT) AS dow, t.obs,
+  t.rt AS row_total, t.ct AS col_total,
+  CAST(t.term_q AS DOUBLE) / 1000000.0 AS term,
+  (SELECT chisq_num FROM tot) AS chisq_num,
+  CAST((SELECT chisq_num FROM tot) AS DOUBLE) / 1000000.0 AS chisq,
+  (SELECT dof FROM tot) AS dof
+FROM terms t
+"""
+
+
+@query("event_type_dow_chisq", oracle=_CHISQ_ORACLE)
+def q_event_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE independence test on the type × day-of-week
+    contingency table — the classical categorical-association member
+    of the statistical-test family (z-test for means, Mann-Kendall for
+    trend, runs test for randomness, SPRT for sequential decisions,
+    KS/EMD for distributions; chi-square for CATEGORY×CATEGORY
+    association — "does event mix depend on weekday", the seasonality
+    gate behind the dow-residuals feature).
+
+    Exactness: each Pearson term (O−E)²/E is restated over the
+    cross-multiplied integers ((O·N − r·c)² / (r·c·N)) — the square
+    reaches 1e20 so it folds in 128-bit exact arithmetic
+    (HUGEINT / decimal(38,0), the PSI total discipline) before ONE
+    correctly-rounded division per cell, FLOOR-quantized to the 1e-6
+    grain and summed exactly; per-cell terms, the statistic, and the
+    dof all hash-check.  (The 0.05 critical value at 24 dof is 36.4 —
+    a reader-side constant; the hash pins the statistic itself.)
+    Note Spark dayofweek == DuckDB dayofweek + 1; the dow KEY here is
+    only a group label, so Spark emits `dayofweek(ts) - 1` to match
+    (the documented pairing).
+
+    Scale shape: one map-side-combined (type, dow) census (state =
+    occupied cells); the grid densifies to types × 7 rows; everything
+    after is cell-grain arithmetic — at 100 TB the census is the only
+    data-scale pass."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    o = (
+        e.groupBy(
+            "event_type", (F.dayofweek("ts") - 1).alias("dow")
+        )
+        .agg(F.count("*").cast("bigint").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    r = o.groupBy("event_type").agg(
+        F.sum("obs").cast("bigint").alias("rt")
+    )
+    c = o.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("ct"))
+    n = o.agg(F.sum("obs").cast("bigint").alias("nt"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(o, ["event_type", "dow"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            "rt",
+            "ct",
+            "nt",
+        )
+    )
+    diff = (F.col("obs") * F.col("nt") - F.col("rt") * F.col("ct")).cast(
+        "decimal(38,0)"
+    )
+    term_q = F.floor(
+        F.lit(1e6)
+        * (diff * diff).cast("double")
+        / (
+            F.col("rt").cast("double")
+            * F.col("ct").cast("double")
+            * F.col("nt").cast("double")
+        )
+    ).cast("bigint")
+    terms = grid.select(
+        "event_type", "dow", "obs", "rt", "ct", "nt", term_q.alias("term_q")
+    ).localCheckpoint(eager=True)
+    tot = terms.agg(
+        F.sum("term_q").cast("bigint").alias("chisq_num"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "obs",
+        F.col("rt").alias("row_total"),
+        F.col("ct").alias("col_total"),
+        (F.col("term_q").cast("double") / F.lit(1e6)).alias("term"),
+        "chisq_num",
+        (F.col("chisq_num").cast("double") / F.lit(1e6)).alias("chisq"),
+        "dof",
+    )
