@@ -254,16 +254,16 @@ _RECONFIRM = [
 # Unchecked queries deliberately deferred past this round's window
 # (none yet for r13 — add here if the window fills past 50).
 # ROUND-14 ROTATION NOTE: fold the 50 names the r13 CORRECTNESS gate
-# sampled (the 13 round-13 additions — tdigest_merge_audit through
-# linkage_em_round — + reconfirms through stored_model_confusion; run
-# `list(queries())[:50]` to confirm against CORRECTNESS_r13.json) into
-# _DRIVER_CHECKED, clear _PRIORITY unless an oracle changed, promote
-# any _DEFER entries, continue _RECONFIRM oldest-first with the
-# r6-tranche remainder the cut left (stream_countmin_merge,
-# stream_ohlc_bars, stream_stateful_type_totals, top_orders,
-# tweet_batch_pipeline, unified_ioc_table, viterbi_segment_stats)
-# plus the r7-latest tranche (alphabetical), and keep
-# head + new <= 50.
+# sampled (the 14 round-13 additions — tdigest_merge_audit through
+# linkage_em_round, incl. event_type_dow_chisq — + reconfirms through
+# shipping_priority; run `list(queries())[:50]` to confirm against
+# CORRECTNESS_r13.json) into _DRIVER_CHECKED, clear _PRIORITY unless
+# an oracle changed, promote any _DEFER entries, continue _RECONFIRM
+# oldest-first with the r6-tranche remainder the cut left
+# (stored_model_confusion, stream_countmin_merge, stream_ohlc_bars,
+# stream_stateful_type_totals, top_orders, tweet_batch_pipeline,
+# unified_ioc_table, viterbi_segment_stats) plus the r7-latest
+# tranche (alphabetical), and keep head + new <= 50.
 _DEFER: list[str] = []
 
 
