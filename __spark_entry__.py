@@ -31,6 +31,15 @@ from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 # restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r13 window (CORRECTNESS_r13: 50/50 hash-green — the 14 round-13
+        # additions below + 36 oldest-first re-confirmations already
+        # listed in earlier windows)
+        "tdigest_merge_audit", "stream_bt_strengths", "events_sprt_monitor",
+        "trade_louvain_converged_level", "retrieval_rbo_audit",
+        "nn_graph_serve_recall_table", "knn_shapley_valuation",
+        "stream_auc_ovr", "lang_classifier_cv_folds", "events_ks_emd_drift",
+        "stream_ks_emd_drift", "event_type_dow_chisq",
+        "customer_record_linkage", "linkage_em_round",
         # r12 window (CORRECTNESS_r12: 50/50 hash-green — the re-adjudicated
         # session_incident_overlap head, the 17 round-12 additions, and 32
         # oldest-first re-confirmations already listed in earlier windows)
@@ -218,52 +227,62 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-# Head of the rotation: empty — no oracle changed at r13 open (ADVICE.md
-# is empty; CORRECTNESS_r12 was 50/50 hash-green).
-_PRIORITY: list[str] = []
+# Head of the rotation: queries whose OUTPUT CHANGED this round and
+# therefore need a fresh driver hash despite being in _DRIVER_CHECKED
+# (r14: nn_graph_serve_recall_table gains the ivf-seeded third row per
+# VERDICT-r13 item 7 — its r13 hash is stale by design).
+_PRIORITY: list[str] = [
+    "nn_graph_serve_recall_table",
+]
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-13 queries.  Recency recomputed from the r1-r12
-# CORRECTNESS JSONs at r13 open: latest-green distribution is r6×44,
-# r7×50, r8×50, r9×50, r10×50, r11×49, r12×50.  This window continues
-# the r6-latest alphabetical sweep (44 rows remain; the r12 window
-# covered approx_distinct_parts / approx_value_percentiles /
-# asof_click_before_purchase).  With N new r13 queries ahead of these,
-# the gate's 50-row cut lands ~44-N deep; the remainder rolls to r14.
+# head + any new round-14 queries.  Recency recomputed from the r1-r13
+# CORRECTNESS JSONs at r14 open: latest-green distribution is r6×8,
+# r7×50, r8×50, r9×50, r10×50, r11×49, r12×50, r13×50.  This window
+# finishes the r6-latest remainder (8 rows) then starts the r7-latest
+# tranche (50 rows, alphabetical).  With ~1 head + N new r14 queries
+# ahead of these, the gate's 50-row cut lands ~41-N into the tranche;
+# the remainder rolls to r15.
 _RECONFIRM = [
-    # r6-latest tranche (all 44, alphabetical)
-    "bigram_lm_doc_scores", "bm25_more_like_this",
-    "boilerplate_segment_scrub", "classifier_margin_reliability",
-    "click_error_range_join", "cluster_safe_split", "countmin_token_audit",
-    "customer_order_timeline", "customer_spend_rank",
-    "enrichment_scraped_iocs", "event_value_mad_outliers",
-    "events_hourly_gapfill", "events_ohlc_bars", "events_sessionize",
-    "events_twap", "grouping_sets_revenue", "hybrid_rrf_retrieval",
-    "idle_rich_customers", "incremental_neardup_new_batch", "ioc_classify",
-    "ioc_flagship", "ivf_filtered_topk", "ivfpq_stored_topk",
-    "ivfpq_upsert_topk", "kneser_ney_doc_scores", "market_share_by_year",
-    "media_dhash_groups", "media_dhash_neardup_pairs", "mixture_epoch_plan",
-    "pareto_frontier_parts", "ppjoin_doc_pairs", "pricing_summary",
-    "region_nation_revenue", "returned_never_accepted",
-    "rollup_region_nation_customers", "shipping_priority",
+    # r6-latest remainder (8 rows, alphabetical)
     "stored_model_confusion", "stream_countmin_merge", "stream_ohlc_bars",
     "stream_stateful_type_totals", "top_orders", "tweet_batch_pipeline",
     "unified_ioc_table", "viterbi_segment_stats",
+    # r7-latest tranche (50 rows, alphabetical)
+    "asof_next_purchase_tolerance", "audio_rms_profile",
+    "benford_price_audit", "bloom_semijoin_audit", "cdc_snapshot_fold",
+    "cohort_ltv_triangle", "dedup_exact_groups", "dedup_keep_first",
+    "doc_readability_scores", "event_dow_residuals",
+    "event_hourly_autocorrelation", "event_transition_matrix",
+    "event_type_stationary_dist", "event_value_quantile_normalized",
+    "event_value_trend_ols", "events_cusum_alarms",
+    "events_debounced_counts", "events_ewma_half_life",
+    "events_lttb_downsample", "funnel_click_purchase",
+    "greedy_coverage_docs", "hits_hubs_authorities", "hll_register_audit",
+    "ioc_host_dga_scores", "ioc_ip_prefix_rollup",
+    "ioc_typosquat_candidates", "jl_projection_audit", "k_anonymity_audit",
+    "kmv_distinct_audit", "l_diversity_audit", "lang_token_fertility",
+    "linear_attribution_credits", "orders_profile_drift",
+    "rake_keyword_scores", "retrieval_dcg_audit",
+    "revenue_gini_concentration", "rfm_customer_segments",
+    "scd2_temporal_join", "stream_bloom_build", "stream_hll_merge",
+    "stream_kmv_merge", "substring_anchor_scores", "t_closeness_audit",
+    "token_cooccurrence_pmi", "trade_degree_assortativity",
+    "trade_kcore_membership", "user_active_intervals",
+    "user_survival_curve", "video_scene_cuts", "zorder_layout_audit",
 ]
 
 # Unchecked queries deliberately deferred past this round's window
-# (none yet for r13 — add here if the window fills past 50).
-# ROUND-14 ROTATION NOTE: fold the 50 names the r13 CORRECTNESS gate
-# sampled (the 14 round-13 additions — tdigest_merge_audit through
-# linkage_em_round, incl. event_type_dow_chisq — + reconfirms through
-# shipping_priority; run `list(queries())[:50]` to confirm against
-# CORRECTNESS_r13.json) into _DRIVER_CHECKED, clear _PRIORITY unless
-# an oracle changed, promote any _DEFER entries, continue _RECONFIRM
-# oldest-first with the r6-tranche remainder the cut left
-# (stored_model_confusion, stream_countmin_merge, stream_ohlc_bars,
-# stream_stateful_type_totals, top_orders, tweet_batch_pipeline,
-# unified_ioc_table, viterbi_segment_stats) plus the r7-latest
-# tranche (alphabetical), and keep head + new <= 50.
+# (none yet for r14 — add here if the window fills past 50).
+# ROUND-15 ROTATION NOTE: fold the 50 names the r14 CORRECTNESS gate
+# sampled (run `list(queries())[:50]` to confirm against
+# CORRECTNESS_r14.json — the head nn_graph_serve_recall_table, the
+# round-14 additions, the 8-row r6 remainder, and the front of the
+# r7-latest tranche) into _DRIVER_CHECKED, clear _PRIORITY unless an
+# oracle changed, promote any _DEFER entries, continue _RECONFIRM
+# oldest-first with the r7-latest remainder the cut left (alphabetical
+# from wherever the cut landed) plus the r8-latest tranche
+# (alphabetical), and keep head + new <= 50.
 _DEFER: list[str] = []
 
 
