@@ -233,6 +233,11 @@ _DRIVER_CHECKED = frozenset(
 # VERDICT-r13 item 7 — its r13 hash is stale by design).
 _PRIORITY: list[str] = [
     "nn_graph_serve_recall_table",
+    # ADVICE-r13 touched code (domain guard / LEAST clamp) — outputs
+    # unchanged on the fixture (parity re-verified at sf0.01) but the
+    # changed plans earn a fresh driver hash:
+    "tdigest_merge_audit",
+    "linkage_em_round",
 ]
 
 # High-value re-confirmations filling leftover window slots after the

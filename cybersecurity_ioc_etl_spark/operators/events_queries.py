@@ -4804,9 +4804,15 @@ _TD_OFF = 10_000_000  # vi offset making the ordering key nonnegative
 
 _TDIGEST_ORACLE = f"""
 WITH base AS (
-  SELECT event_type, event_id, CAST(ROUND(value * 100.0) AS BIGINT) AS vi,
+  SELECT event_type, event_id,
+    CASE WHEN vi0 >= -{_TD_OFF} THEN vi0
+         ELSE CAST(error('tdigest_merge_audit: vi < -_TD_OFF; widen _TD_OFF')
+                   AS BIGINT) END AS vi,
     event_id % {_TD_PARTS} AS part
-  FROM events WHERE value IS NOT NULL
+  FROM (
+    SELECT event_type, event_id,
+      CAST(ROUND(value * 100.0) AS BIGINT) AS vi0
+    FROM events WHERE value IS NOT NULL)
 ),
 ranked AS (
   SELECT event_type, part, vi,
@@ -4952,12 +4958,23 @@ def q_tdigest_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
+    # Domain guard (ADVICE r13): the merge ordering key
+    # (sv + w*_TD_OFF)*1000 div w is only engine-identical while it stays
+    # nonnegative (Spark `div` truncates toward zero, DuckDB `//` floors)
+    # — fail LOUDLY if the fixture's value domain ever drops below
+    # -_TD_OFF instead of silently reordering the merge.
+    vi_guard = F.expr(
+        f"CASE WHEN vi0 >= -{_TD_OFF} THEN vi0"
+        " ELSE CAST(raise_error("
+        "'tdigest_merge_audit: vi < -_TD_OFF; widen _TD_OFF')"
+        " AS BIGINT) END"
+    )
     base = e.select(
         "event_type",
         "event_id",
-        F.round(F.col("value") * 100.0).cast("bigint").alias("vi"),
+        F.round(F.col("value") * 100.0).cast("bigint").alias("vi0"),
         (F.col("event_id") % _TD_PARTS).alias("part"),
-    )
+    ).select("event_type", "event_id", vi_guard.alias("vi"), "part")
     wpo = Window.partitionBy("event_type", "part").orderBy(
         "vi", "event_id"
     )

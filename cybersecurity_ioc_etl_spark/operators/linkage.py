@@ -385,7 +385,8 @@ pat AS MATERIALIZED (
 ),
 e0 AS MATERIALIZED (
   SELECT a_name, a_seg, a_bal, n, n_true, mixm + mixu AS mix,
-    CAST(mixm // GREATEST((mixm + mixu) // {_EM_G}, 1) AS BIGINT) AS g_q
+    LEAST(CAST(mixm // GREATEST((mixm + mixu) // {_EM_G}, 1) AS BIGINT),
+          {_EM_G}) AS g_q
   FROM (
     SELECT a_name, a_seg, a_bal, n, n_true,
       CAST({_EM_P0} * {lm0} AS BIGINT) AS mixm,
@@ -526,9 +527,13 @@ def q_linkage_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_true",
         (F.col("mixm") + F.col("mixu")).alias("mix"),
+        # LEAST clamp (ADVICE r13): the floored denominator can
+        # undershoot, letting mixm div den slightly exceed the grain —
+        # keep responsibilities in [0, G] so M-step (G - g_q) censuses
+        # never go negative.
         F.expr(
-            f"CAST(mixm div greatest((mixm + mixu) div {_EM_G}, 1)"
-            " AS BIGINT)"
+            f"CAST(least(mixm div greatest((mixm + mixu) div {_EM_G}, 1),"
+            f" {_EM_G}) AS BIGINT)"
         ).alias("g_q"),
     ).localCheckpoint(eager=True)
     m1 = e0.agg(

@@ -4902,9 +4902,13 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_N = δ_N/N;  s_i = s_(i+1) + (δ_i − δ_(i+1)) / max(i, K)
     telescopes into a SUFFIX SUM of per-rank terms, each term
     quantized to the 1e-12 integer grain via nonnegative integer
-    division (δ differences are in {{-1,0,1}}; 1e12 div j is exact and
-    identical in both engines), so the whole valuation is exact
-    integer arithmetic — one double per output row at the end.  The
+    division (δ differences are in {{-1,0,1}}; 1e12 div j is
+    floor-quantized — 1e12 is not divisible by every rank j, so terms
+    are 1e-12-grain approximations of 1/j, not exact rationals, but
+    the floors are identical in both engines; the RBO audit picks an
+    lcm scale where true exactness matters), so the whole valuation
+    is engine-identical integer arithmetic — one double per output
+    row at the end.  The
     per-probe values then AVERAGE over the probe set (exact integer
     sum, one division).  n_nn1 (how often the point is the 1-NN) is
     the interpretability sidecar.
