@@ -180,6 +180,16 @@ _FAMILIES = [
     "session_path_counts",
     "trade_edge_churn",
     "sliding_24h_distinct_users",
+    # round-13 families: blocked linkage over zero customers, t-digest
+    # merge over zero events, KS/EMD censuses with no distribution,
+    # Shapley over an empty probe/corpus split, Louvain loop on the
+    # empty trade graph (probe-verified 42/42 in r13, pinned per
+    # CLAUDE.md step 7)
+    "customer_record_linkage",
+    "tdigest_merge_audit",
+    "events_ks_emd_drift",
+    "knn_shapley_valuation",
+    "trade_louvain_converged_level",
 ]
 
 

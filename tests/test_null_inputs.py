@@ -168,6 +168,16 @@ _REGRESSIONS = [
     # null-safe equality or it emits NULL where the oracle states TRUE
     # (null_probe caught the live bug)
     "minmax_delete_repair",
+    # round-13 families: NULL name/balance fields through the agreement
+    # vectors, NULL values excluded from the t-digest / KS-EMD censuses
+    # on both sides, NULL-embedding rows through the Shapley ranking,
+    # Louvain over NULL-keyed trade edges (probe-verified 42/42 in r13,
+    # pinned per CLAUDE.md step 7)
+    "customer_record_linkage",
+    "tdigest_merge_audit",
+    "events_ks_emd_drift",
+    "knn_shapley_valuation",
+    "trade_louvain_converged_level",
 ]
 
 

@@ -86,6 +86,14 @@ _REGRESSIONS = [
     "stream_hll_merge",
     # deferred 11b: multi-byte event types survive path assembly
     "session_path_counts",
+    # round-13 families: multi-byte customer names through the linkage
+    # agreement vectors (md5 blocking + exact-match bits must agree
+    # byte-wise across engines); multi-byte event types as KS/EMD and
+    # t-digest group keys (probe-verified in r13, pinned per CLAUDE.md
+    # step 7)
+    "customer_record_linkage",
+    "events_ks_emd_drift",
+    "tdigest_merge_audit",
 ]
 
 
