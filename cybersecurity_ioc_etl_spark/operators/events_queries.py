@@ -4802,11 +4802,14 @@ _TD_C = 6.0  # k2 scale multiplier delta/2: ~2*C*ln(np) clusters per part
 _TD_OFF = 10_000_000  # vi offset making the ordering key nonnegative
 
 
-_TDIGEST_ORACLE = f"""
-WITH base AS (
+# Shared digest pipeline (build → merge → bound), used by both the
+# merge audit and the quantile-serve leg: per-part scale-function
+# centroids, the sort-by-mean re-cluster merge, cumulative merged
+# weights, and the two bound ingredients.
+_TD_CORE_SQL = f"""base AS (
   SELECT event_type, event_id,
     CASE WHEN vi0 >= -{_TD_OFF} THEN vi0
-         ELSE CAST(error('tdigest_merge_audit: vi < -_TD_OFF; widen _TD_OFF')
+         ELSE CAST(error('tdigest: vi < -_TD_OFF; widen _TD_OFF')
                    AS BIGINT) END AS vi,
     event_id % {_TD_PARTS} AS part
   FROM (
@@ -4858,6 +4861,16 @@ mo AS (
     COUNT(*) OVER (PARTITION BY event_type) AS m_merged
   FROM mc
 ),
+pb AS (
+  SELECT event_type, CAST(SUM(mw) AS BIGINT) AS pre_bound FROM (
+    SELECT event_type, part, MAX(w) AS mw FROM pre GROUP BY 1, 2)
+  GROUP BY 1
+),
+mb AS (SELECT event_type, MAX(wm) AS max_wm FROM mc GROUP BY 1)"""
+
+
+_TDIGEST_ORACLE = f"""
+WITH {_TD_CORE_SQL},
 est AS (
   SELECT event_type, MAX(n) AS n, MAX(m_pre) AS m_pre,
     MAX(m_merged) AS m_merged,
@@ -4875,12 +4888,6 @@ est AS (
              AND cumwm - wm < (9 * n + 9) // 10 THEN cumwm END) AS cum90
   FROM mo GROUP BY event_type
 ),
-pb AS (
-  SELECT event_type, CAST(SUM(mw) AS BIGINT) AS pre_bound FROM (
-    SELECT event_type, part, MAX(w) AS mw FROM pre GROUP BY 1, 2)
-  GROUP BY 1
-),
-mb AS (SELECT event_type, MAX(wm) AS max_wm FROM mc GROUP BY 1),
 ranks AS (
   SELECT b.event_type,
     SUM(CASE WHEN b.vi * e.w50 < e.sv50 THEN 1 ELSE 0 END) AS lt50,
@@ -4913,48 +4920,13 @@ JOIN mb m USING (event_type)
 """
 
 
-@query("tdigest_merge_audit", oracle=_TDIGEST_ORACLE)
-def q_tdigest_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-DIGEST merge law, made deterministic — the mergeable-CENTROID
-    quantile sketch (Dunning & Ertl, "Computing extremely accurate
-    quantiles using t-digests"), completing the percentile-sketch
-    ladder the way MG completed heavy hitters: GK keeps strided RANKS
-    (`quantile_summary_merge`); the t-digest keeps variable-width
-    CENTROIDS sized by a scale function that shrinks clusters at the
-    tails.  The stock algorithm's greedy sequential clustering is
-    replaced by closed-form SCALE-FUNCTION BUCKETING with the k2 scale
-    K(q) = C·ln(q/(1-q)) (a published t-digest scale; its derivative
-    1/(q(1-q)) gives the tail-accuracy property), which makes every
-    cluster assignment an independent per-row expression — fully
-    parallel, deterministic, and rebuilt bit-identically by DuckDB:
-
-    1. PER-PART digests (4 parts by event_id): rank rn of np
-       within (type, part), cluster ki = FLOOR(C·(ln rn − ln(np+1−rn)))
-       — exact-int ln args, so both engines floor identical doubles
-       (the ioc_host_dga_scores ln discipline); centroids carry
-       (w=count, sv=Σvi) EXACT INTEGER pairs, never float means.
-    2. MERGE = sort all parts' centroids by quantized mean
-       ((sv + w·OFF)·1000 div w — exact, nonnegative) and RE-CLUSTER by
-       the same scale function on merged mid-rank q=(2·cumw−w)/2N —
-       precisely the reference t-digest merge (sort by mean, re-bucket
-       by scale), in one window pass.
-    3. ESTIMATE: the covering centroid of the target rank (the unique
-       row with cumwm−wm < target ≤ cumwm); est = sv/w, one exact-int
-       division per output double.
-    4. AUDIT: exact lt/le rank census of the estimates over the raw
-       rows via integer CROSS-MULTIPLY (vi·w < sv — no float compare),
-       with the merge-error bound Σ_part max-cluster-weight +
-       max-merged-cluster-weight COMPUTED on both sides (each part
-       mislocates a rank by < its widest cluster; errors add under
-       union — the GK parts×stride argument with data-dependent
-       widths).
-
-    Scale shape: per-part digests build in one (type, part) window
-    pass and are O(C·ln np) centroids; the merge window rides the
-    tiny centroid set; the exact-rank census is the audit leg, not
-    the production path — production serves the merged digest.  At
-    100 TB parts = executors and the merge folds centroid sets, which
-    is the entire point of the t-digest."""
+def _td_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared t-digest pipeline: (base rows, merged centroids mc,
+    cumulative merged view mo, per-part bound pb, merged bound mb) —
+    the build+merge legs of _TD_CORE_SQL, used by both the merge audit
+    and the quantile-serve leg."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
@@ -4966,7 +4938,7 @@ def q_tdigest_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vi_guard = F.expr(
         f"CASE WHEN vi0 >= -{_TD_OFF} THEN vi0"
         " ELSE CAST(raise_error("
-        "'tdigest_merge_audit: vi < -_TD_OFF; widen _TD_OFF')"
+        "'tdigest: vi < -_TD_OFF; widen _TD_OFF')"
         " AS BIGINT) END"
     )
     base = e.select(
@@ -5056,6 +5028,59 @@ def q_tdigest_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wm").over(w_mc).alias("cumwm"),
         F.count("*").over(w_t).alias("m_merged"),
     )
+    pb = (
+        pre.groupBy("event_type", "part")
+        .agg(F.max("w").alias("mw"))
+        .groupBy("event_type")
+        .agg(F.sum("mw").cast("bigint").alias("pre_bound"))
+    )
+    mb = mc.groupBy("event_type").agg(F.max("wm").alias("max_wm"))
+    return base, mc, mo, pb, mb
+
+
+@query("tdigest_merge_audit", oracle=_TDIGEST_ORACLE)
+def q_tdigest_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-DIGEST merge law, made deterministic — the mergeable-CENTROID
+    quantile sketch (Dunning & Ertl, "Computing extremely accurate
+    quantiles using t-digests"), completing the percentile-sketch
+    ladder the way MG completed heavy hitters: GK keeps strided RANKS
+    (`quantile_summary_merge`); the t-digest keeps variable-width
+    CENTROIDS sized by a scale function that shrinks clusters at the
+    tails.  The stock algorithm's greedy sequential clustering is
+    replaced by closed-form SCALE-FUNCTION BUCKETING with the k2 scale
+    K(q) = C·ln(q/(1-q)) (a published t-digest scale; its derivative
+    1/(q(1-q)) gives the tail-accuracy property), which makes every
+    cluster assignment an independent per-row expression — fully
+    parallel, deterministic, and rebuilt bit-identically by DuckDB:
+
+    1. PER-PART digests (4 parts by event_id): rank rn of np
+       within (type, part), cluster ki = FLOOR(C·(ln rn − ln(np+1−rn)))
+       — exact-int ln args, so both engines floor identical doubles
+       (the ioc_host_dga_scores ln discipline); centroids carry
+       (w=count, sv=Σvi) EXACT INTEGER pairs, never float means.
+    2. MERGE = sort all parts' centroids by quantized mean
+       ((sv + w·OFF)·1000 div w — exact, nonnegative) and RE-CLUSTER by
+       the same scale function on merged mid-rank q=(2·cumw−w)/2N —
+       precisely the reference t-digest merge (sort by mean, re-bucket
+       by scale), in one window pass.
+    3. ESTIMATE: the covering centroid of the target rank (the unique
+       row with cumwm−wm < target ≤ cumwm); est = sv/w, one exact-int
+       division per output double.
+    4. AUDIT: exact lt/le rank census of the estimates over the raw
+       rows via integer CROSS-MULTIPLY (vi·w < sv — no float compare),
+       with the merge-error bound Σ_part max-cluster-weight +
+       max-merged-cluster-weight COMPUTED on both sides (each part
+       mislocates a rank by < its widest cluster; errors add under
+       union — the GK parts×stride argument with data-dependent
+       widths).
+
+    Scale shape: per-part digests build in one (type, part) window
+    pass and are O(C·ln np) centroids; the merge window rides the
+    tiny centroid set; the exact-rank census is the audit leg, not
+    the production path — production serves the merged digest.  At
+    100 TB parts = executors and the merge folds centroid sets, which
+    is the entire point of the t-digest."""
+    base, mc, mo, pb, mb = _td_frames(spark, sf_dir)
     t50 = F.expr("(n + 1) div 2")
     t90 = F.expr("(9 * n + 9) div 10")
     cov50 = (F.col("cumwm") >= t50) & (F.col("cumwm") - F.col("wm") < t50)
@@ -5069,13 +5094,6 @@ def q_tdigest_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(cov90, F.col("svm"))).alias("sv90"),
         F.max(F.when(cov90, F.col("wm"))).alias("w90"),
     )
-    pb = (
-        pre.groupBy("event_type", "part")
-        .agg(F.max("w").alias("mw"))
-        .groupBy("event_type")
-        .agg(F.sum("mw").cast("bigint").alias("pre_bound"))
-    )
-    mb = mc.groupBy("event_type").agg(F.max("wm").alias("max_wm"))
     ranks = (
         base.join(F.broadcast(est), "event_type")
         .groupBy("event_type")
@@ -5138,6 +5156,198 @@ def q_tdigest_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.alias("err_bound"),
         (err50 <= bound).alias("within_bound_p50"),
         (err90 <= bound).alias("within_bound_p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile SERVE — answer a quantile ladder from the PERSISTED
+# merged-centroid artifact, completing build→merge→serve for the
+# quantile-sketch family the way the IVF-PQ lifecycle did for ANN
+# ---------------------------------------------------------------------------
+
+_TD_QUANTS = [25, 50, 75, 90, 99]
+
+_TDSERVE_ORACLE = f"""
+WITH {_TD_CORE_SQL},
+qs AS (SELECT * FROM (VALUES {", ".join(f"({qq})" for qq in _TD_QUANTS)})
+       AS qs(q_pct)),
+tq AS (
+  SELECT t.event_type, t.n, qs.q_pct,
+    LEAST(GREATEST(CAST((qs.q_pct * (t.n + 1)) // 100 AS BIGINT), 1),
+          t.n) AS r
+  FROM (SELECT DISTINCT event_type, n FROM mo) t CROSS JOIN qs
+),
+serve AS (
+  SELECT tq.event_type, tq.q_pct, tq.n, tq.r,
+    MAX(CASE WHEN mo.cumwm >= tq.r AND mo.cumwm - mo.wm < tq.r
+             THEN mo.svm END) AS svq,
+    MAX(CASE WHEN mo.cumwm >= tq.r AND mo.cumwm - mo.wm < tq.r
+             THEN mo.wm END) AS wq
+  FROM tq JOIN mo ON mo.event_type = tq.event_type
+  GROUP BY 1, 2, 3, 4
+),
+rk AS (
+  SELECT s.event_type, s.q_pct,
+    SUM(CASE WHEN b.vi * s.wq < s.svq THEN 1 ELSE 0 END) AS ltq,
+    SUM(CASE WHEN b.vi * s.wq <= s.svq THEN 1 ELSE 0 END) AS leq
+  FROM base b JOIN serve s ON b.event_type = s.event_type
+  GROUP BY 1, 2
+)
+SELECT s.event_type,
+  CAST(s.q_pct AS BIGINT) AS q_pct,
+  CAST(s.n AS BIGINT) AS n_events,
+  CAST(s.r AS BIGINT) AS target_rank,
+  CAST(s.svq AS DOUBLE) / CAST(s.wq AS DOUBLE) / 100.0 AS est_value,
+  CAST(GREATEST(0, s.r - k.leq, k.ltq + 1 - s.r) AS BIGINT) AS rank_err,
+  CAST(p.pre_bound + m.max_wm AS BIGINT) AS err_bound,
+  GREATEST(0, s.r - k.leq, k.ltq + 1 - s.r)
+    <= p.pre_bound + m.max_wm AS within_bound
+FROM serve s
+JOIN rk k ON k.event_type = s.event_type AND k.q_pct = s.q_pct
+JOIN pb p ON p.event_type = s.event_type
+JOIN mb m ON m.event_type = s.event_type
+"""
+
+
+@query("tdigest_quantile_serve", oracle=_TDSERVE_ORACLE)
+def q_tdigest_quantile_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t-digest quantile SERVE leg — the query-time half the merge
+    audit (`tdigest_merge_audit`) leaves implicit, completing
+    build → merge → SERVE for the quantile-sketch ladder exactly as
+    the IVF-PQ lifecycle did for ANN (VERDICT-r13 item 5):
+
+    1. BUILD+MERGE (ingest-time): the shared `_td_frames` pipeline
+       (per-part scale-function centroids → sort-by-mean re-cluster
+       merge), then PERSIST the merged centroids as a table whose rows
+       carry their OWN error bound (pre_bound + max_wm columns) — the
+       digest artifact a serving node loads is self-certifying.
+    2. SERVE (query-time): answer a 5-point quantile ladder
+       (p25/p50/p75/p90/p99) per event_type from the STORED centroids
+       only — one cumulative-weight window over ~C·ln(n) rows per
+       type, covering-centroid pick per target rank
+       (floor(q·(n+1)/100), clamped), est = svm/wq in one exact-int
+       division.  No raw-data touch on the serve path.
+    3. AUDIT: the exact lt/le rank census of every served estimate
+       over the raw rows (integer cross-multiply, the merge-audit
+       discipline), with `within_bound` COMPUTED on both sides — the
+       sketch's rank-error guarantee is a checked boolean, so a
+       drifting digest breaks the value hash.
+
+    Scale shape: the stored artifact is O(types · C·ln n) rows —
+    kilobytes at 100 TB — and the serve path reads ONLY it; the raw
+    census is the audit leg, not the production path.  Serving any
+    quantile is a broadcast-sized window + one row pick, which is why
+    digest-backed percentile dashboards answer in milliseconds while
+    the exact query re-scans terabytes."""
+    import hashlib
+
+    tbl = "tdq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_cent"
+    from ..sinks.bucketed import drop_table_and_location
+
+    drop_table_and_location(spark, tbl)
+    base, mc, _, pb, mb = _td_frames(spark, sf_dir)
+    (
+        mc.join(pb, "event_type")
+        .join(mb, "event_type")
+        .select(
+            "event_type", "km", "wm", "svm", "n", "pre_bound", "max_wm"
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    cent = spark.table(tbl)
+    w_mc = (
+        Window.partitionBy("event_type")
+        .orderBy("km")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mo = cent.select(
+        "event_type",
+        "wm",
+        "svm",
+        "n",
+        F.sum("wm").over(w_mc).alias("cumwm"),
+    )
+    tq = (
+        cent.select("event_type", "n")
+        .distinct()
+        .select(
+            "event_type",
+            "n",
+            F.explode(
+                F.array(
+                    *[F.lit(qq).cast("bigint") for qq in _TD_QUANTS]
+                )
+            ).alias("q_pct"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "q_pct",
+            F.expr(
+                "least(greatest((q_pct * (n + 1)) div 100, 1), n)"
+            ).alias("r"),
+        )
+    )
+    cov = (F.col("cumwm") >= F.col("r")) & (
+        F.col("cumwm") - F.col("wm") < F.col("r")
+    )
+    serve = (
+        mo.join(F.broadcast(tq.drop("n")), "event_type")
+        .groupBy("event_type", "q_pct", "r")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(cov, F.col("svm"))).alias("svq"),
+            F.max(F.when(cov, F.col("wm"))).alias("wq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rk = (
+        base.join(F.broadcast(serve), "event_type")
+        .groupBy("event_type", "q_pct")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vi") * F.col("wq") < F.col("svq"), 1
+                ).otherwise(0)
+            ).alias("ltq"),
+            F.sum(
+                F.when(
+                    F.col("vi") * F.col("wq") <= F.col("svq"), 1
+                ).otherwise(0)
+            ).alias("leq"),
+        )
+    )
+    bounds = cent.groupBy("event_type").agg(
+        F.max("pre_bound").alias("pre_bound"),
+        F.max("max_wm").alias("max_wm"),
+    )
+    err = F.greatest(
+        F.lit(0).cast("bigint"),
+        (F.col("r") - F.col("leq")).cast("bigint"),
+        (F.col("ltq") + 1 - F.col("r")).cast("bigint"),
+    )
+    bound = (F.col("pre_bound") + F.col("max_wm")).cast("bigint")
+    return (
+        serve.join(rk, ["event_type", "q_pct"])
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.col("q_pct").cast("bigint").alias("q_pct"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("r").cast("bigint").alias("target_rank"),
+            (
+                F.col("svq").cast("double")
+                / F.col("wq").cast("double")
+                / F.lit(100.0)
+            ).alias("est_value"),
+            err.alias("rank_err"),
+            bound.alias("err_bound"),
+            (err <= bound).alias("within_bound"),
+        )
     )
 
 
