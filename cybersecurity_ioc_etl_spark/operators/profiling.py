@@ -1430,3 +1430,348 @@ def q_event_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("chisq_num").cast("double") / F.lit(1e6)).alias("chisq"),
         "dof",
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over a per-cell Welch-z battery — the
+# multiple-testing correction that makes the test ladder honest when it
+# is run as a BATTERY instead of a single hypothesis
+# ---------------------------------------------------------------------------
+
+_BH_ORACLE = """
+WITH e AS (
+  SELECT event_type, dayofweek(ts) AS dow,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n1,
+    CAST(SUM(vi) AS BIGINT) AS s1, CAST(SUM(vi * vi) AS BIGINT) AS q1
+  FROM e GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS nt, CAST(SUM(s1) AS BIGINT) AS st,
+    CAST(SUM(q1) AS BIGINT) AS qt
+  FROM cells
+),
+mom AS (
+  SELECT c.event_type, c.dow, c.n1, t.nt - c.n1 AS n2,
+    CAST(c.s1 AS DOUBLE) / 10000.0 / c.n1 AS mean1,
+    CAST(t.st - c.s1 AS DOUBLE) / 10000.0 / (t.nt - c.n1) AS mean2,
+    (CAST(c.q1 AS DOUBLE) / 100000000.0
+     - c.n1 * (CAST(c.s1 AS DOUBLE) / 10000.0 / c.n1)
+            * (CAST(c.s1 AS DOUBLE) / 10000.0 / c.n1)) / (c.n1 - 1)
+      AS var1,
+    (CAST(t.qt - c.q1 AS DOUBLE) / 100000000.0
+     - (t.nt - c.n1)
+       * (CAST(t.st - c.s1 AS DOUBLE) / 10000.0 / (t.nt - c.n1))
+       * (CAST(t.st - c.s1 AS DOUBLE) / 10000.0 / (t.nt - c.n1)))
+    / (t.nt - c.n1 - 1) AS var2
+  FROM cells c CROSS JOIN tot t
+  WHERE c.n1 >= 2 AND t.nt - c.n1 >= 2
+),
+zs AS MATERIALIZED (
+  SELECT event_type, dow, n1, n2,
+    (mean1 - mean2) / sqrt(var1 / n1 + var2 / n2) AS zst
+  FROM mom WHERE var1 / n1 + var2 / n2 > 0.0
+),
+ps AS (
+  SELECT event_type, dow, n1, n2, zst,
+    LEAST(1.0, 1.0 / (zst * zst)) AS p
+  FROM zs
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ps),
+ranked AS MATERIALIZED (
+  SELECT p.*, mm.m,
+    CAST(row_number() OVER (ORDER BY p.p, p.event_type, p.dow)
+         AS BIGINT) AS r
+  FROM ps p CROSS JOIN mm
+),
+dec AS MATERIALIZED (
+  SELECT *, CAST(r AS DOUBLE) / (10.0 * m) AS thr,
+    p <= CAST(r AS DOUBLE) / (10.0 * m) AS le
+  FROM ranked
+),
+kk AS (
+  SELECT COALESCE(MAX(CASE WHEN le THEN r ELSE CAST(0 AS BIGINT) END),
+                  CAST(0 AS BIGINT)) AS k
+  FROM dec
+)
+SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow,
+  d.n1 AS n_cell, d.n2 AS n_rest, d.zst AS z_stat, d.p AS p_cheb,
+  d.r AS bh_rank, d.thr AS bh_thr, d.m AS m_tests, kk.k AS k_reject,
+  d.r <= kk.k AS rejected
+FROM dec d CROSS JOIN kk
+"""
+
+
+@query("events_bh_fdr_battery", oracle=_BH_ORACLE)
+def q_events_bh_fdr_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control over a (type × day-of-week)
+    battery of two-sample Welch z-tests — the multiple-testing member
+    that completes the ladder's honesty story: the z-test answers one
+    hypothesis, but monitoring runs the SAME test over every cell of a
+    grid, and at 35 cells a per-test α=0.05 expects ~2 false alarms;
+    BH caps the FALSE DISCOVERY RATE at q=0.10 with the classic
+    step-up rule (sort p ascending, reject ranks ≤ k where k = max r
+    with p_(r) ≤ r·q/m).
+
+    Each cell's test is mean-value-in-cell vs mean-value-everywhere-
+    else (the exact complement from the global moment totals — one
+    census, no second scan), the events_value_ztest Welch chain
+    verbatim.  P-values are the distribution-free CHEBYSHEV bound
+    p = min(1, 1/z²) — deliberately conservative but EXACT-arithmetic
+    (pure correctly-rounded divides on the integer-mantissa moment
+    chain; Φ(z) would need erf, which neither engine guarantees
+    bit-identically), so BH on them is a valid (conservative) FDR
+    procedure and every p, threshold, and verdict hash-checks.
+    Degenerate cells (n < 2 either side, zero standard error) are
+    excluded by identical integer/double guards on both engines.
+
+    Scale shape: ONE map-side-combined (type, dow, moments) census is
+    the only data-scale pass; the battery is cell-grain (≤ types × 7
+    rows), so the global rank window and step-up scan run on a frame
+    the size of the hypothesis grid, not the data.
+
+    Reference parity: the reference ETL has no statistics; this
+    extends the engine's monitoring family (SURVEY.md §2.5 extension
+    ladder: z-test → MK/runs → SPRT → chi-square → KS/EMD → BH-FDR)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    cells = (
+        e.groupBy("event_type", (F.dayofweek("ts") - 1).alias("dow"))
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.sum(vi).cast("bigint").alias("s1"),
+            F.sum(vi * vi).cast("bigint").alias("q1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("s1").cast("bigint").alias("st"),
+        F.sum("q1").cast("bigint").alias("qt"),
+    )
+    n1, n2 = F.col("n1"), F.col("nt") - F.col("n1")
+    mean1 = F.col("s1").cast("double") / F.lit(10000.0) / n1
+    mean2 = (
+        (F.col("st") - F.col("s1")).cast("double") / F.lit(10000.0) / n2
+    )
+    var1 = (
+        F.col("q1").cast("double") / F.lit(100000000.0)
+        - n1 * mean1 * mean1
+    ) / (n1 - 1)
+    var2 = (
+        (F.col("qt") - F.col("q1")).cast("double") / F.lit(100000000.0)
+        - n2 * mean2 * mean2
+    ) / (n2 - 1)
+    se2 = var1 / n1 + var2 / n2
+    zst = (mean1 - mean2) / F.sqrt(se2)
+    ps = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter((n1 >= 2) & (n2 >= 2))
+        .filter(se2 > 0.0)
+        .select(
+            "event_type",
+            "dow",
+            n1.alias("n1"),
+            n2.alias("n2"),
+            zst.alias("zst"),
+            F.least(
+                F.lit(1.0), F.lit(1.0) / (zst * zst)
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mm = ps.agg(F.count("*").cast("bigint").alias("m"))
+    ranked = (
+        ps.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy("p", "event_type", "dow"))
+            .cast("bigint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    thr = F.col("r").cast("double") / (F.lit(10.0) * F.col("m"))
+    dec = ranked.select(
+        "*", thr.alias("thr"), (F.col("p") <= thr).alias("le")
+    ).localCheckpoint(eager=True)
+    kk = dec.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("le"), F.col("r")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("k")
+    )
+    return dec.crossJoin(F.broadcast(kk)).select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n1").alias("n_cell"),
+        F.col("n2").alias("n_rest"),
+        F.col("zst").alias("z_stat"),
+        F.col("p").alias("p_cheb"),
+        F.col("r").alias("bh_rank"),
+        F.col("thr").alias("bh_thr"),
+        F.col("m").alias("m_tests"),
+        F.col("k").alias("k_reject"),
+        (F.col("r") <= F.col("k")).alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F-test across event types — the k-group generalization
+# of the two-sample z-test (variance decomposition from one census)
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+g AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nj,
+    CAST(SUM(vi) AS BIGINT) AS sj, CAST(SUM(vi * vi) AS BIGINT) AS qj
+  FROM e GROUP BY 1
+),
+terms AS MATERIALIZED (
+  SELECT event_type, nj, sj, qj,
+    CAST(FLOOR(1000000.0
+      * CAST(CAST(sj AS HUGEINT) * CAST(sj AS HUGEINT) AS DOUBLE)
+      / (100000000.0 * nj)) AS BIGINT) AS bt_q
+  FROM g
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(nj) AS BIGINT) AS nt, CAST(SUM(sj) AS BIGINT) AS st,
+    CAST(SUM(qj) AS BIGINT) AS qt, CAST(SUM(bt_q) AS BIGINT) AS btsum,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM terms
+),
+stats AS (
+  SELECT nt, k,
+    btsum - CAST(FLOOR(1000000.0
+      * CAST(CAST(st AS HUGEINT) * CAST(st AS HUGEINT) AS DOUBLE)
+      / (100000000.0 * nt)) AS BIGINT) AS ssb_q,
+    CAST(qt // 100 AS BIGINT) - btsum AS ssw_q
+  FROM tot
+)
+SELECT t.event_type, t.nj AS n_group,
+  CAST(t.sj AS DOUBLE) / 10000.0 / t.nj AS mean_value,
+  s.k AS k_groups, s.nt AS n_total,
+  CAST(s.ssb_q AS DOUBLE) / 1000000.0 AS ss_between,
+  CAST(s.ssw_q AS DOUBLE) / 1000000.0 AS ss_within,
+  s.k - 1 AS dof_between, s.nt - s.k AS dof_within,
+  (CAST(s.ssb_q AS DOUBLE) * (s.nt - s.k))
+    / NULLIF(CAST(s.ssw_q AS DOUBLE) * (s.k - 1), 0.0) AS f_stat,
+  CAST(s.ssb_q AS DOUBLE)
+    / NULLIF(CAST(s.ssb_q + s.ssw_q AS DOUBLE), 0.0) AS eta_sq
+FROM terms t CROSS JOIN stats s
+"""
+
+
+@query("event_value_anova", oracle=_ANOVA_ORACLE)
+def q_event_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F-test of mean event value across ALL event types
+    — the k-group generalization of the two-sample z-test (which fixes
+    click vs purchase): does value depend on type AT ALL, before any
+    pairwise drill-down (the omnibus gate the BH battery then
+    localizes per cell).
+
+    Exactness: the variance decomposition is restated over the exact
+    integer moment census — SSB = Σ sⱼ²/(10⁸nⱼ) − S²/(10⁸N) and
+    SSW = Q/10⁸ − Σ sⱼ²/(10⁸nⱼ) — with each between-group term
+    FLOOR-quantized to the 1e-6 grain after ONE correctly-rounded
+    division (sⱼ² reaches ~1e25 so the square folds in 128-bit exact
+    arithmetic — HUGEINT / decimal(38,0), the chi-square discipline —
+    before its single cast to double), the Q/10⁸ total taken as the
+    EXACT integer Q div 100 (never through a >2^53 double), and the
+    quantized numerators summed exactly; F and η² are then one
+    closed-form double expression each, NULLIF-guarded at birth
+    (degenerate all-equal-within-groups inputs yield NULL, not a
+    throw).  Note div/floor agree here because every operand is
+    nonnegative (squares and counts).
+
+    Scale shape: ONE map-side-combined per-type moment census (k rows
+    of state) is the only data-scale pass; everything downstream is
+    group-grain scalar arithmetic — the statistical-test family law
+    (SCALE.md §Statistical tests) in its purest form."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    g = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("nj"),
+            F.sum(vi).cast("bigint").alias("sj"),
+            F.sum(vi * vi).cast("bigint").alias("qj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _bt_q(s, n):
+        sq = (s.cast("decimal(38,0)") * s.cast("decimal(38,0)")).cast(
+            "double"
+        )
+        return F.floor(
+            F.lit(1000000.0) * sq / (F.lit(100000000.0) * n)
+        ).cast("bigint")
+
+    terms = g.select(
+        "event_type", "nj", "sj", "qj", _bt_q(F.col("sj"), F.col("nj")).alias("bt_q")
+    ).localCheckpoint(eager=True)
+    tot = terms.agg(
+        F.sum("nj").cast("bigint").alias("nt"),
+        F.sum("sj").cast("bigint").alias("st"),
+        F.sum("qj").cast("bigint").alias("qt"),
+        F.sum("bt_q").cast("bigint").alias("btsum"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    stats = tot.select(
+        "nt",
+        "k",
+        (F.col("btsum") - _bt_q(F.col("st"), F.col("nt"))).alias("ssb_q"),
+        (F.expr("qt div 100") - F.col("btsum")).alias("ssw_q"),
+    )
+    fden = F.nullif(
+        F.col("ssw_q").cast("double") * (F.col("k") - 1), F.lit(0.0)
+    )
+    return terms.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        F.col("nj").alias("n_group"),
+        (F.col("sj").cast("double") / F.lit(10000.0) / F.col("nj")).alias(
+            "mean_value"
+        ),
+        F.col("k").alias("k_groups"),
+        F.col("nt").alias("n_total"),
+        (F.col("ssb_q").cast("double") / F.lit(1000000.0)).alias(
+            "ss_between"
+        ),
+        (F.col("ssw_q").cast("double") / F.lit(1000000.0)).alias(
+            "ss_within"
+        ),
+        (F.col("k") - 1).alias("dof_between"),
+        (F.col("nt") - F.col("k")).alias("dof_within"),
+        (
+            F.col("ssb_q").cast("double") * (F.col("nt") - F.col("k"))
+            / fden
+        ).alias("f_stat"),
+        (
+            F.col("ssb_q").cast("double")
+            / F.nullif(
+                (F.col("ssb_q") + F.col("ssw_q")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("eta_sq"),
+    )

@@ -190,6 +190,11 @@ _FAMILIES = [
     "events_ks_emd_drift",
     "knn_shapley_valuation",
     "trade_louvain_converged_level",
+    # round-14 test-ladder additions: BH step-up over an EMPTY battery
+    # (m = 0, k = 0, zero rows) and ANOVA with no groups (probe-verified
+    # this round, pinned per CLAUDE.md step 7)
+    "events_bh_fdr_battery",
+    "event_value_anova",
 ]
 
 

@@ -178,6 +178,10 @@ _REGRESSIONS = [
     "events_ks_emd_drift",
     "knn_shapley_valuation",
     "trade_louvain_converged_level",
+    # round-14 test-ladder additions: NULL ts/type/value rows must be
+    # excluded from the moment censuses identically on both sides
+    "events_bh_fdr_battery",
+    "event_value_anova",
 ]
 
 

@@ -94,6 +94,9 @@ _REGRESSIONS = [
     "customer_record_linkage",
     "events_ks_emd_drift",
     "tdigest_merge_audit",
+    # round-14: multi-byte event types as battery/ANOVA group keys
+    "events_bh_fdr_battery",
+    "event_value_anova",
 ]
 
 
