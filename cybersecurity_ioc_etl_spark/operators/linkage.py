@@ -119,9 +119,7 @@ pairs AS MATERIALIZED (
   FROM cust o JOIN dirty d ON o.nat = d.nat
 )"""
 
-_LINKAGE_ORACLE = f"""
-WITH {_LNK_PAIRS_SQL},
-rates AS MATERIALIZED (
+_LNK_RATES_WTS_SQL = f"""rates AS MATERIALIZED (
   SELECT
     COALESCE(CAST(SUM(is_match) AS BIGINT), 0) AS nm,
     COALESCE(CAST(SUM(1 - is_match) AS BIGINT), 0) AS nu,
@@ -149,7 +147,12 @@ wts AS MATERIALIZED (
     CAST(FLOOR(1000000000.0 * (ln(CAST(nm - m_bal + 1 AS DOUBLE)) - ln(CAST(nm + 2 AS DOUBLE))
       - ln(CAST(nu - u_bal + 1 AS DOUBLE)) + ln(CAST(nu + 2 AS DOUBLE)))) AS BIGINT) AS wd_bal
   FROM rates
-),
+)"""
+
+
+_LINKAGE_ORACLE = f"""
+WITH {_LNK_PAIRS_SQL},
+{_LNK_RATES_WTS_SQL},
 scored AS (
   SELECT p.is_match,
     (CASE WHEN p.a_name = 1 THEN w.wa_name ELSE w.wd_name END
@@ -1259,4 +1262,314 @@ def q_linkage_blocking_recall(
             F.col("n_cand_pairs").cast("double")
             / F.nullif(F.col("cartv").cast("double"), F.lit(0.0))
         ).alias("cost_vs_cartesian"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record consolidation — matched pairs -> connected-component
+# entities -> survivorship, completing the linkage lifecycle the way
+# serve legs complete the ANN lifecycle
+# ---------------------------------------------------------------------------
+
+_GR_ROUNDS = 4  # CC unroll bound: matched components are bipartite
+# stars (orig <- its replicas) plus rare FP bridges, diameter <= 2·FP
+# chain length; round 5 is the stability probe that PROVES the bound
+# held (converged=false would break the pinned test, not silently
+# truncate)
+
+
+def _gr_cc_rounds_sql() -> str:
+    rounds = []
+    for t in range(1, _GR_ROUNDS + 2):  # +1 probe round
+        rounds.append(f""",
+lab{t} AS MATERIALIZED (
+  SELECT n.v, LEAST(n.lbl, MIN(l2.lbl)) AS lbl
+  FROM lab{t - 1} n
+  JOIN gedges e ON e.a = n.v
+  JOIN lab{t - 1} l2 ON l2.v = e.b
+  GROUP BY n.v, n.lbl
+)""")
+    return "".join(rounds)
+
+
+_GOLDEN_ORACLE = f"""
+WITH {_LNK_PAIRS_SQL},
+{_LNK_RATES_WTS_SQL},
+scored AS MATERIALIZED (
+  SELECT p.ok, p.dk,
+    (CASE WHEN p.a_name = 1 THEN w.wa_name ELSE w.wd_name END
+     + CASE WHEN p.a_seg = 1 THEN w.wa_seg ELSE w.wd_seg END
+     + CASE WHEN p.a_bal = 1 THEN w.wa_bal ELSE w.wd_bal END) AS score
+  FROM pairs p CROSS JOIN wts w
+),
+matched AS MATERIALIZED (SELECT ok, dk FROM scored WHERE score > 0),
+gedges AS MATERIALIZED (
+  SELECT CAST(2 * ok AS BIGINT) AS a, CAST(2 * dk + 1 AS BIGINT) AS b
+  FROM matched
+  UNION ALL
+  SELECT CAST(2 * dk + 1 AS BIGINT), CAST(2 * ok AS BIGINT)
+  FROM matched
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT a AS v, a AS lbl FROM gedges
+){_gr_cc_rounds_sql()},
+chg AS (
+  SELECT COALESCE(CAST(SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END)
+                  AS BIGINT), CAST(0 AS BIGINT)) AS nchg
+  FROM lab{_GR_ROUNDS + 1} a JOIN lab{_GR_ROUNDS} b ON a.v = b.v
+),
+mem AS MATERIALIZED (
+  SELECT l.lbl AS cid, 0 AS src, c.k, c.name, c.seg, c.bal_i
+  FROM lab{_GR_ROUNDS} l JOIN cust c ON l.v = 2 * c.k
+  UNION ALL
+  SELECT l.lbl, 1, d.k, d.name, d.seg, d.bal_i
+  FROM lab{_GR_ROUNDS} l JOIN dirty d ON l.v = 2 * d.k + 1
+),
+ids AS (
+  SELECT cid,
+    CAST(MIN(CASE WHEN src = 0 THEN k END) AS BIGINT) AS entity_id,
+    CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orig,
+    CAST(SUM(src) AS BIGINT) AS n_dirty,
+    CAST(MAX(bal_i) AS BIGINT) AS bal_golden_i
+  FROM mem GROUP BY cid
+),
+nmr AS (
+  SELECT cid, name,
+    row_number() OVER (PARTITION BY cid
+                       ORDER BY length(name) DESC, name) AS rn
+  FROM mem
+),
+sgc AS (
+  SELECT cid, seg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM mem GROUP BY 1, 2
+),
+sgr AS (
+  SELECT cid, seg,
+    row_number() OVER (PARTITION BY cid ORDER BY c DESC, seg) AS rn
+  FROM sgc
+)
+SELECT i.entity_id, i.n_members, i.n_orig, i.n_dirty,
+  n.name AS name_golden, s.seg AS seg_golden, i.bal_golden_i,
+  (SELECT nchg FROM chg) = 0 AS converged
+FROM ids i
+JOIN nmr n ON n.cid = i.cid AND n.rn = 1
+JOIN sgr s ON s.cid = i.cid AND s.rn = 1
+"""
+
+
+@query("linkage_golden_records", oracle=_GOLDEN_ORACLE)
+def q_linkage_golden_records(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GOLDEN-RECORD consolidation — the serve leg of the linkage
+    lifecycle (pairs are the intermediate, consolidated ENTITIES are
+    the product an MDM pipeline actually ships): Fellegi-Sunter
+    matched pairs (customer_record_linkage's calibrated weights and
+    score > 0 rule, verbatim) become entities via connected components
+    over the bipartite original↔replica match graph, then SURVIVORSHIP
+    rules elect each entity's canonical attributes —
+    master-key = min original key (trust-ranked source election),
+    name = longest-then-lexicographically-smallest (completeness
+    rule), segment = mode-then-smallest (consensus rule),
+    balance = max (recency stand-in) — one row per consolidated
+    entity, every attribute decision deterministic and hash-checked.
+
+    CC is a bounded {_GR_ROUNDS}-round min-label propagation (matched
+    components are bipartite stars plus rare false-positive bridges;
+    node ids interleave as 2·k / 2·k+1 so both record universes share
+    one integer label space) with a ROUND-{_GR_ROUNDS + 1} STABILITY
+    PROBE folded into the output: `converged` states that one more
+    round changed nothing — a diameter overrun breaks the pinned test
+    instead of silently truncating (the Louvain/EM termination
+    discipline applied to the unroll bound).
+
+    Scale shape: scoring re-rides the nation-blocked join with the
+    1-row weight frame broadcast (never cartesian); the CC rounds and
+    survivorship windows run on the MATCHED subgraph — entity-grain,
+    a tiny fraction of the corpus; per-attribute elections are one
+    groupBy + per-entity rank window each.  At 100 TB this is the
+    standard big-CC recipe (alternating minima over an edge list),
+    bounded by the match graph, not the record count.
+
+    Cites: reference has no entity consolidation (h-isac.py
+    deduplicates by exact key only); Fellegi & Sunter (JASA 1969);
+    survivorship rules per the MDM literature's completeness /
+    consensus / recency taxonomy."""
+    c, dirty = _lnk_sides(spark, sf_dir)
+    ag = lambda a, b: F.when(F.col(a) == F.col(b), 1).otherwise(0)  # noqa: E731
+    kp = (
+        c.alias("o")
+        .join(dirty.alias("d"), F.col("o.nat") == F.col("d.nat"))
+        .select(
+            F.col("o.k").alias("ok"),
+            F.col("d.k").alias("dk"),
+            ag("o.name", "d.name").alias("a_name"),
+            ag("o.seg", "d.seg").alias("a_seg"),
+            ag("o.bal_i", "d.bal_i").alias("a_bal"),
+            F.when(F.col("o.k") == F.col("d.k"), 1)
+            .otherwise(0)
+            .alias("is_match"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    z = F.lit(0).cast("bigint")
+    rates = kp.agg(
+        F.coalesce(F.sum("is_match").cast("bigint"), z).alias("nm"),
+        F.coalesce(F.sum(1 - F.col("is_match")).cast("bigint"), z).alias(
+            "nu"
+        ),
+        *[
+            x
+            for f in _LNK_FIELDS
+            for x in (
+                F.coalesce(
+                    F.sum(F.col(f"a_{f}") * F.col("is_match")).cast(
+                        "bigint"
+                    ),
+                    z,
+                ).alias(f"m_{f}"),
+                F.coalesce(
+                    F.sum(
+                        F.col(f"a_{f}") * (1 - F.col("is_match"))
+                    ).cast("bigint"),
+                    z,
+                ).alias(f"u_{f}"),
+            )
+        ],
+    )
+    lnq = lambda col: F.log(col.cast("double"))  # noqa: E731
+    wcols = []
+    for f in _LNK_FIELDS:
+        wa = F.floor(
+            F.lit(1e9)
+            * (
+                lnq(F.col(f"m_{f}") + 1)
+                - lnq(F.col("nm") + 2)
+                - lnq(F.col(f"u_{f}") + 1)
+                + lnq(F.col("nu") + 2)
+            )
+        ).cast("bigint")
+        wd = F.floor(
+            F.lit(1e9)
+            * (
+                lnq(F.col("nm") - F.col(f"m_{f}") + 1)
+                - lnq(F.col("nm") + 2)
+                - lnq(F.col("nu") - F.col(f"u_{f}") + 1)
+                + lnq(F.col("nu") + 2)
+            )
+        ).cast("bigint")
+        wcols += [wa.alias(f"wa_{f}"), wd.alias(f"wd_{f}")]
+    wts = rates.select(*wcols).localCheckpoint(eager=True)
+    score = None
+    for f in _LNK_FIELDS:
+        term = F.when(
+            F.col(f"a_{f}") == 1, F.col(f"wa_{f}")
+        ).otherwise(F.col(f"wd_{f}"))
+        score = term if score is None else score + term
+    matched = (
+        kp.crossJoin(F.broadcast(wts))
+        .filter(score > 0)
+        .select("ok", "dk")
+        .localCheckpoint(eager=True)
+    )
+    ov = (F.lit(2) * F.col("ok")).cast("bigint")
+    dv = (F.lit(2) * F.col("dk") + 1).cast("bigint")
+    gedges = (
+        matched.select(ov.alias("a"), dv.alias("b"))
+        .unionByName(matched.select(dv.alias("a"), ov.alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    lab = gedges.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    ).localCheckpoint(eager=True)
+    prev = lab
+    for _ in range(_GR_ROUNDS + 1):  # +1 stability-probe round
+        prev = lab
+        lab = (
+            lab.alias("n")
+            .join(gedges.alias("e"), F.col("n.v") == F.col("e.a"))
+            .join(lab.alias("l2"), F.col("l2.v") == F.col("e.b"))
+            .groupBy(F.col("n.v").alias("v"), F.col("n.lbl").alias("l0"))
+            .agg(F.min(F.col("l2.lbl")).alias("mn"))
+            .select("v", F.least(F.col("l0"), F.col("mn")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    final, probe = prev, lab
+    chg = probe.alias("a").join(
+        final.alias("b"), F.col("a.v") == F.col("b.v")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("a.lbl") != F.col("b.lbl"), 1).otherwise(0)
+            ).cast("bigint"),
+            z,
+        ).alias("nchg")
+    )
+    mem = (
+        final.join(c, final["v"] == F.lit(2) * c["k"])
+        .select(
+            F.col("lbl").alias("cid"),
+            F.lit(0).alias("src"),
+            "k",
+            "name",
+            "seg",
+            "bal_i",
+        )
+        .unionByName(
+            final.join(dirty, final["v"] == F.lit(2) * dirty["k"] + 1).select(
+                F.col("lbl").alias("cid"),
+                F.lit(1).alias("src"),
+                "k",
+                "name",
+                "seg",
+                "bal_i",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    ids = mem.groupBy("cid").agg(
+        F.min(F.when(F.col("src") == 0, F.col("k")))
+        .cast("bigint")
+        .alias("entity_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("src") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orig"),
+        F.sum("src").cast("bigint").alias("n_dirty"),
+        F.max("bal_i").cast("bigint").alias("bal_golden_i"),
+    )
+    w_nm = Window.partitionBy("cid").orderBy(
+        F.length("name").desc(), F.col("name")
+    )
+    nmr = (
+        mem.withColumn("rn", F.row_number().over(w_nm))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("name").alias("name_golden"))
+    )
+    sgc = mem.groupBy("cid", "seg").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_sg = Window.partitionBy("cid").orderBy(
+        F.col("c").desc(), F.col("seg")
+    )
+    sgr = (
+        sgc.withColumn("rn", F.row_number().over(w_sg))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("seg").alias("seg_golden"))
+    )
+    return (
+        ids.join(nmr, "cid")
+        .join(sgr, "cid")
+        .crossJoin(F.broadcast(chg))
+        .select(
+            "entity_id",
+            "n_members",
+            "n_orig",
+            "n_dirty",
+            "name_golden",
+            "seg_golden",
+            "bal_golden_i",
+            (F.col("nchg") == 0).alias("converged"),
+        )
     )
