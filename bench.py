@@ -252,6 +252,13 @@ HEADLINE = [
     "events_sprt_monitor",
     "lang_classifier_cv_folds",
     "event_type_dow_chisq",
+    # round-14 additions
+    "tdigest_quantile_serve",
+    "linkage_em_converged",
+    "linkage_blocking_recall",
+    "linkage_golden_records",
+    "events_bh_fdr_battery",
+    "event_value_anova",
 ]
 
 
