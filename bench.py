@@ -259,6 +259,7 @@ HEADLINE = [
     "linkage_golden_records",
     "events_bh_fdr_battery",
     "event_value_anova",
+    "event_value_kruskal_wallis",
 ]
 
 

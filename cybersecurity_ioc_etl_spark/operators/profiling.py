@@ -1775,3 +1775,186 @@ def q_event_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("eta_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H — the rank-based (nonparametric) omnibus twin of the
+# one-way ANOVA, from the same census machinery as the KS/EMD drift pair
+# ---------------------------------------------------------------------------
+
+_KW_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT vi, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+),
+vals AS MATERIALIZED (
+  SELECT vi, CAST(SUM(c) AS BIGINT) AS cnt FROM cells GROUP BY 1
+),
+ranked AS MATERIALIZED (
+  SELECT vi, cnt,
+    CAST(2 * SUM(cnt) OVER (ORDER BY vi) - cnt + 1 AS BIGINT) AS r2
+  FROM vals
+),
+rg AS MATERIALIZED (
+  SELECT c.event_type, CAST(SUM(c.c) AS BIGINT) AS nj,
+    CAST(SUM(c.c * r.r2) AS BIGINT) AS r2j
+  FROM cells c JOIN ranked r ON r.vi = c.vi
+  GROUP BY 1
+),
+terms AS MATERIALIZED (
+  SELECT event_type, nj, r2j,
+    CAST(FLOOR(
+      CAST(CAST(r2j AS HUGEINT) * CAST(r2j AS HUGEINT) AS DOUBLE)
+      / (4.0 * nj)) AS BIGINT) AS t_q
+  FROM rg
+),
+ties AS (
+  SELECT COALESCE(
+    CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE),
+    0.0) AS tie3
+  FROM vals
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(nj) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(t_q) AS BIGINT) AS tsum
+  FROM terms
+),
+stats AS (
+  SELECT nt, k, tsum,
+    12.0 * CAST(tsum AS DOUBLE)
+      / (CAST(nt AS DOUBLE) * (nt + 1)) - 3.0 * (nt + 1) AS h_raw,
+    1.0 - (SELECT tie3 FROM ties)
+        / (CAST(nt AS DOUBLE) * nt * nt - nt) AS tie_corr
+  FROM tot
+)
+SELECT t.event_type, t.nj AS n_group, t.r2j AS rank2_sum,
+  s.k AS k_groups, s.nt AS n_total, s.h_raw, s.tie_corr,
+  s.h_raw / NULLIF(s.tie_corr, 0.0) AS h_stat,
+  s.k - 1 AS dof
+FROM terms t CROSS JOIN stats s
+"""
+
+
+@query("event_value_kruskal_wallis", oracle=_KW_ORACLE)
+def q_event_value_kruskal_wallis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KRUSKAL-WALLIS H — the RANK-based omnibus across event types,
+    the nonparametric twin of event_value_anova (ANOVA compares
+    means under a variance model; KW compares rank distributions and
+    survives the heavy-tailed values real telemetry has — the pairing
+    every runbook quotes, exactly as Theil-Sen pairs with OLS).
+
+    Exactness: average ranks under ties are carried DOUBLED so they
+    stay integer (r2(v) = 2·cum(v) − cnt(v) + 1 over the ordered
+    distinct-value census), per-type rank sums Σc·r2 are exact
+    bigints, each R²ⱼ/nⱼ term folds its ~1e20 square in 128-bit exact
+    arithmetic before ONE cast and division (the ANOVA/chi-square
+    discipline), FLOOR-quantized at the INTEGER grain — rank terms
+    are ~1e15 so unit grain already carries 15 significant digits,
+    and a finer 1e-6 grain would push the quantized term past 2^63
+    (the first draft hit exactly this ARITHMETIC_OVERFLOW at sf0.1;
+    the term bound is n³, so unit grain holds to n < 2·10⁶ — past
+    that, pre-bin the value census) — and summed exactly; the
+    tie-correction numerator Σ(t³−t) likewise folds in 128-bit before
+    its single cast.  H, the correction, and the
+    corrected statistic are closed-form doubles, NULLIF-guarded for
+    the all-one-value degenerate input.
+
+    Scale shape: one (value, type) census pass is the only data-scale
+    stage; the rank walk is ONE ordered window over the DISTINCT-value
+    census (the KS/EMD discipline — at 100 TB pre-bin values to a
+    fixed grid if the distinct census itself would be large), and
+    everything after is group-grain scalar arithmetic."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    cells = (
+        e.select(vi.alias("vi"), "event_type")
+        .groupBy("vi", "event_type")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vals = cells.groupBy("vi").agg(
+        F.sum("c").cast("bigint").alias("cnt")
+    )
+    w_run = Window.orderBy("vi")
+    ranked = vals.select(
+        "vi",
+        "cnt",
+        (
+            F.lit(2) * F.sum("cnt").over(w_run) - F.col("cnt") + 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    rg = (
+        cells.join(ranked, "vi")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("nj"),
+            F.sum(F.col("c") * F.col("r2")).cast("bigint").alias("r2j"),
+        )
+    )
+    sq = (
+        F.col("r2j").cast("decimal(38,0)")
+        * F.col("r2j").cast("decimal(38,0)")
+    ).cast("double")
+    terms = rg.select(
+        "event_type",
+        "nj",
+        "r2j",
+        F.floor(sq / (F.lit(4.0) * F.col("nj")))
+        .cast("bigint")
+        .alias("t_q"),
+    ).localCheckpoint(eager=True)
+    ties = vals.agg(
+        F.coalesce(
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * F.col("cnt")
+                * F.col("cnt")
+                - F.col("cnt")
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("tie3")
+    )
+    tot = terms.agg(
+        F.sum("nj").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("t_q").cast("bigint").alias("tsum"),
+    )
+    ntd = F.col("nt").cast("double")
+    stats = tot.crossJoin(F.broadcast(ties)).select(
+        "nt",
+        "k",
+        "tsum",
+        (
+            F.lit(12.0)
+            * F.col("tsum").cast("double")
+            / (ntd * (F.col("nt") + 1))
+            - F.lit(3.0) * (F.col("nt") + 1)
+        ).alias("h_raw"),
+        (
+            F.lit(1.0)
+            - F.col("tie3") / (ntd * F.col("nt") * F.col("nt") - F.col("nt"))
+        ).alias("tie_corr"),
+    )
+    return terms.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        F.col("nj").alias("n_group"),
+        F.col("r2j").alias("rank2_sum"),
+        F.col("k").alias("k_groups"),
+        F.col("nt").alias("n_total"),
+        "h_raw",
+        "tie_corr",
+        (F.col("h_raw") / F.nullif(F.col("tie_corr"), F.lit(0.0))).alias(
+            "h_stat"
+        ),
+        (F.col("k") - 1).alias("dof"),
+    )

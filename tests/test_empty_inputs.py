@@ -195,6 +195,7 @@ _FAMILIES = [
     # this round, pinned per CLAUDE.md step 7)
     "events_bh_fdr_battery",
     "event_value_anova",
+    "event_value_kruskal_wallis",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
 ]

@@ -182,6 +182,7 @@ _REGRESSIONS = [
     # excluded from the moment censuses identically on both sides
     "events_bh_fdr_battery",
     "event_value_anova",
+    "event_value_kruskal_wallis",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
 ]

@@ -97,6 +97,7 @@ _REGRESSIONS = [
     # round-14: multi-byte event types as battery/ANOVA group keys
     "events_bh_fdr_battery",
     "event_value_anova",
+    "event_value_kruskal_wallis",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
 ]
