@@ -260,6 +260,7 @@ HEADLINE = [
     "events_bh_fdr_battery",
     "event_value_anova",
     "event_value_kruskal_wallis",
+    "incremental_linkage_maintenance",
 ]
 
 

@@ -1573,3 +1573,495 @@ def q_linkage_golden_records(
             (F.col("nchg") == 0).alias("converged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental entity maintenance — a NEW replica batch folds into the
+# stored entities without reprocessing history, with a fold==recompute
+# receipt (the incremental_cc_maintenance discipline at linkage level)
+# ---------------------------------------------------------------------------
+
+_LNK_NEW_MOD = 11  # the arriving batch: custkey % 11, fresh corruption
+# seeds ("m:"/"c:") so its dirty values differ from the stored batch's
+
+
+def _cc_sql(prefix: str, edges: str, rounds: int) -> str:
+    """Bounded min-label propagation rounds as MATERIALIZED CTEs
+    (prefix0 must exist; produces prefix1..prefix{rounds})."""
+    out = []
+    for t in range(1, rounds + 1):
+        out.append(f""",
+{prefix}{t} AS MATERIALIZED (
+  SELECT n.v, LEAST(n.lbl, MIN(l2.lbl)) AS lbl
+  FROM {prefix}{t - 1} n
+  JOIN {edges} e ON e.a = n.v
+  JOIN {prefix}{t - 1} l2 ON l2.v = e.b
+  GROUP BY n.v, n.lbl
+)""")
+    return "".join(out)
+
+
+_FS_SCORE_SQL = """(CASE WHEN p.a_name = 1 THEN w.wa_name ELSE w.wd_name END
+     + CASE WHEN p.a_seg = 1 THEN w.wa_seg ELSE w.wd_seg END
+     + CASE WHEN p.a_bal = 1 THEN w.wa_bal ELSE w.wd_bal END)"""
+
+_INCR_FOLD_ROUNDS = 3  # new matches attach at distance 1 to stored
+# entities; 3 rounds absorb FP bridges, the probe round proves it
+_INCR_RE_ROUNDS = 4  # from-scratch recompute, golden-records bound
+
+
+_INCR_LINKAGE_ORACLE = f"""
+WITH {_LNK_PAIRS_SQL},
+{_LNK_RATES_WTS_SQL},
+bscore AS MATERIALIZED (
+  SELECT p.ok, p.dk, {_FS_SCORE_SQL} AS score
+  FROM pairs p CROSS JOIN wts w
+),
+bmatch AS MATERIALIZED (SELECT ok, dk FROM bscore WHERE score > 0),
+dirty2 AS MATERIALIZED (
+  SELECT k, nat,
+    CASE WHEN k % 5 = 0
+      THEN name || '~' || CAST({_SHINGLE_INT_SQL.format(
+          x="'m:' || CAST(k AS VARCHAR)")} % 10 AS VARCHAR)
+      ELSE name END AS name,
+    CASE WHEN k % 3 = 0
+      THEN bal_i + 1 + {_SHINGLE_INT_SQL.format(
+          x="'c:' || CAST(k AS VARCHAR)")} % 100
+      ELSE bal_i END AS bal_i,
+    CASE WHEN k % 4 = 0 THEN seg || 'X' ELSE seg END AS seg
+  FROM cust WHERE k % {_LNK_NEW_MOD} = 0
+),
+pairs2 AS MATERIALIZED (
+  SELECT o.k AS ok, d.k AS dk,
+    CASE WHEN o.name = d.name THEN 1 ELSE 0 END AS a_name,
+    CASE WHEN o.seg = d.seg THEN 1 ELSE 0 END AS a_seg,
+    CASE WHEN o.bal_i = d.bal_i THEN 1 ELSE 0 END AS a_bal
+  FROM cust o JOIN dirty2 d ON o.nat = d.nat
+),
+nscore AS MATERIALIZED (
+  SELECT p.ok, p.dk, {_FS_SCORE_SQL} AS score
+  FROM pairs2 p CROSS JOIN wts w
+),
+nmatch AS MATERIALIZED (SELECT ok, dk FROM nscore WHERE score > 0),
+bedges AS MATERIALIZED (
+  SELECT CAST(3 * ok AS BIGINT) AS a, CAST(3 * dk + 1 AS BIGINT) AS b
+  FROM bmatch
+  UNION ALL
+  SELECT CAST(3 * dk + 1 AS BIGINT), CAST(3 * ok AS BIGINT) FROM bmatch
+),
+slab0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM bedges)
+{_cc_sql("slab", "bedges", _INCR_RE_ROUNDS)},
+stars AS MATERIALIZED (
+  SELECT v AS a, lbl AS b FROM slab{_INCR_RE_ROUNDS}
+  UNION ALL
+  SELECT lbl, v FROM slab{_INCR_RE_ROUNDS}
+),
+nedges AS MATERIALIZED (
+  SELECT CAST(3 * ok AS BIGINT) AS a, CAST(3 * dk + 2 AS BIGINT) AS b
+  FROM nmatch
+  UNION ALL
+  SELECT CAST(3 * dk + 2 AS BIGINT), CAST(3 * ok AS BIGINT) FROM nmatch
+),
+fedges AS MATERIALIZED (
+  SELECT a, b FROM stars UNION ALL SELECT a, b FROM nedges
+),
+flab0 AS MATERIALIZED (
+  SELECT v, lbl FROM slab{_INCR_RE_ROUNDS}
+  UNION ALL
+  SELECT DISTINCT CAST(3 * dk + 2 AS BIGINT), CAST(3 * dk + 2 AS BIGINT)
+  FROM nmatch
+  UNION ALL
+  SELECT DISTINCT CAST(3 * ok AS BIGINT), CAST(3 * ok AS BIGINT)
+  FROM nmatch
+  WHERE CAST(3 * ok AS BIGINT) NOT IN
+    (SELECT v FROM slab{_INCR_RE_ROUNDS})
+)
+{_cc_sql("flab", "fedges", _INCR_FOLD_ROUNDS + 1)},
+redges AS MATERIALIZED (
+  SELECT a, b FROM bedges UNION ALL SELECT a, b FROM nedges
+),
+rlab0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM redges)
+{_cc_sql("rlab", "redges", _INCR_RE_ROUNDS + 1)},
+fch AS (
+  SELECT COALESCE(CAST(SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END)
+                  AS BIGINT), CAST(0 AS BIGINT)) AS c
+  FROM flab{_INCR_FOLD_ROUNDS + 1} a
+  JOIN flab{_INCR_FOLD_ROUNDS} b ON a.v = b.v
+),
+rch AS (
+  SELECT COALESCE(CAST(SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END)
+                  AS BIGINT), CAST(0 AS BIGINT)) AS c
+  FROM rlab{_INCR_RE_ROUNDS + 1} a
+  JOIN rlab{_INCR_RE_ROUNDS} b ON a.v = b.v
+),
+cf AS MATERIALIZED (
+  SELECT f.v, m.cv AS canon
+  FROM flab{_INCR_FOLD_ROUNDS} f
+  JOIN (SELECT lbl, MIN(v) AS cv FROM flab{_INCR_FOLD_ROUNDS}
+        GROUP BY lbl) m ON m.lbl = f.lbl
+),
+cr AS MATERIALIZED (
+  SELECT r.v, m.cv AS canon
+  FROM rlab{_INCR_RE_ROUNDS} r
+  JOIN (SELECT lbl, MIN(v) AS cv FROM rlab{_INCR_RE_ROUNDS}
+        GROUP BY lbl) m ON m.lbl = r.lbl
+),
+cmp AS (
+  SELECT
+    COALESCE(CAST(SUM(CASE WHEN a.canon <> b.canon THEN 1 ELSE 0 END)
+             AS BIGINT), CAST(0 AS BIGINT)) AS nbad,
+    CAST(COUNT(*) AS BIGINT) AS njoined,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cf) AS nf,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cr) AS nr
+  FROM cf a JOIN cr b ON a.v = b.v
+),
+mem2 AS MATERIALIZED (
+  SELECT cf.canon AS cid, 0 AS src, c.k, c.bal_i
+  FROM cf JOIN cust c ON cf.v = 3 * c.k
+  UNION ALL
+  SELECT cf.canon, 1, d.k, d.bal_i
+  FROM cf JOIN dirty d ON cf.v = 3 * d.k + 1
+  UNION ALL
+  SELECT cf.canon, 2, d.k, d.bal_i
+  FROM cf JOIN dirty2 d ON cf.v = 3 * d.k + 2
+),
+ents AS (
+  SELECT cid,
+    CAST(MIN(CASE WHEN src = 0 THEN k END) AS BIGINT) AS entity_id,
+    CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orig,
+    CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_base_dirty,
+    CAST(SUM(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_new_dirty,
+    CAST(MAX(bal_i) AS BIGINT) AS bal_golden_i
+  FROM mem2 GROUP BY cid
+)
+SELECT e.entity_id, e.n_members, e.n_orig, e.n_base_dirty,
+  e.n_new_dirty, e.bal_golden_i,
+  (SELECT nbad FROM cmp) = 0
+    AND (SELECT njoined FROM cmp) = (SELECT nf FROM cmp)
+    AND (SELECT nf FROM cmp) = (SELECT nr FROM cmp) AS incr_consistent,
+  (SELECT c FROM fch) = 0 AS fold_converged,
+  (SELECT c FROM rch) = 0 AS recompute_converged
+FROM ents e
+"""
+
+
+def _cc_iterate(lab: DataFrame, edges: DataFrame, rounds: int) -> DataFrame:
+    """Bounded min-label propagation (both sides aliased per the
+    AMBIGUOUS_SELF_JOIN gotcha; each round checkpointed to cut the
+    iterative lineage)."""
+    for _ in range(rounds):
+        lab = (
+            lab.alias("n")
+            .join(edges.alias("e"), F.col("n.v") == F.col("e.a"))
+            .join(lab.alias("l2"), F.col("l2.v") == F.col("e.b"))
+            .groupBy(F.col("n.v").alias("v"), F.col("n.lbl").alias("l0"))
+            .agg(F.min(F.col("l2.lbl")).alias("mn"))
+            .select("v", F.least(F.col("l0"), F.col("mn")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return lab
+
+
+def _canon(lab: DataFrame) -> DataFrame:
+    """(v, canon) with canon = min member node of v's component."""
+    m = lab.groupBy("lbl").agg(F.min("v").alias("cv"))
+    return lab.join(m, "lbl").select("v", F.col("cv").alias("canon"))
+
+
+@query("incremental_linkage_maintenance", oracle=_INCR_LINKAGE_ORACLE)
+def q_incremental_linkage_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL entity maintenance — the daily-ingest leg of the
+    linkage lifecycle (batch linkage scores history once; production
+    then receives NEW record batches forever): a second corrupted
+    replica batch (custkey % {_LNK_NEW_MOD}, fresh md5 corruption
+    seeds) arrives, is blocked and scored against the originals with
+    the STORED Fellegi-Sunter weights (the calibrated artifact — new
+    batches do not recalibrate), and its matches FOLD into the stored
+    entities: stored components collapse to star edges, the new match
+    edges attach, and {_INCR_FOLD_ROUNDS} pointer-jumping rounds
+    absorb the batch (new matches attach at distance 1; only a
+    false-positive bridge needs more) — the incremental_cc_maintenance
+    recipe applied to structured-record entities.
+
+    Three receipts ride the output: `incr_consistent` asserts the
+    folded partition EQUALS a from-scratch recompute over both batches
+    (canonicalized per-component min-member maps compared node-by-node
+    — fold==recompute made a value, the house incremental discipline),
+    and both legs carry their own stability-probe round
+    (`fold_converged` / `recompute_converged`) so an unroll-bound
+    overrun breaks the pinned test rather than silently truncating.
+    Entity rows show the merged census: every custkey divisible by
+    both replica mods ({_LNK_DIRTY_MOD}·{_LNK_NEW_MOD}) must carry
+    BOTH dirty members in one entity.
+
+    Scale shape: the arriving batch pays batch × blocked-candidates
+    scoring with the 1-row weight frame broadcast; the fold runs on
+    star edges (entity-grain state, not history) plus batch edges —
+    cost ∝ batch + affected entities, never the corpus.  The
+    recompute leg exists ONLY as the receipt (at 100 TB it is the
+    periodic audit, not the steady state)."""
+    c, dirty = _lnk_sides(spark, sf_dir)
+    md = lambda p: _shingle_int(  # noqa: E731
+        F.concat(F.lit(p), F.col("k").cast("string"))
+    )
+    dirty2 = c.filter(F.col("k") % _LNK_NEW_MOD == 0).select(
+        "k",
+        "nat",
+        F.when(
+            F.col("k") % 5 == 0,
+            F.concat(
+                F.col("name"), F.lit("~"), (md("m:") % 10).cast("string")
+            ),
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(
+            F.col("k") % 3 == 0, F.col("bal_i") + 1 + md("c:") % 100
+        )
+        .otherwise(F.col("bal_i"))
+        .alias("bal_i"),
+        F.when(F.col("k") % 4 == 0, F.concat(F.col("seg"), F.lit("X")))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+    )
+    ag = lambda a, b: F.when(F.col(a) == F.col(b), 1).otherwise(0)  # noqa: E731
+
+    def _pairs(d: DataFrame, with_truth: bool) -> DataFrame:
+        cols = [
+            F.col("o.k").alias("ok"),
+            F.col("d.k").alias("dk"),
+            ag("o.name", "d.name").alias("a_name"),
+            ag("o.seg", "d.seg").alias("a_seg"),
+            ag("o.bal_i", "d.bal_i").alias("a_bal"),
+        ]
+        if with_truth:
+            cols.append(
+                F.when(F.col("o.k") == F.col("d.k"), 1)
+                .otherwise(0)
+                .alias("is_match")
+            )
+        return (
+            c.alias("o")
+            .join(d.alias("d"), F.col("o.nat") == F.col("d.nat"))
+            .select(*cols)
+            .localCheckpoint(eager=True)
+        )
+
+    kp = _pairs(dirty, with_truth=True)
+    z = F.lit(0).cast("bigint")
+    rates = kp.agg(
+        F.coalesce(F.sum("is_match").cast("bigint"), z).alias("nm"),
+        F.coalesce(F.sum(1 - F.col("is_match")).cast("bigint"), z).alias(
+            "nu"
+        ),
+        *[
+            x
+            for f in _LNK_FIELDS
+            for x in (
+                F.coalesce(
+                    F.sum(F.col(f"a_{f}") * F.col("is_match")).cast(
+                        "bigint"
+                    ),
+                    z,
+                ).alias(f"m_{f}"),
+                F.coalesce(
+                    F.sum(
+                        F.col(f"a_{f}") * (1 - F.col("is_match"))
+                    ).cast("bigint"),
+                    z,
+                ).alias(f"u_{f}"),
+            )
+        ],
+    )
+    lnq = lambda col: F.log(col.cast("double"))  # noqa: E731
+    wcols = []
+    for f in _LNK_FIELDS:
+        wa = F.floor(
+            F.lit(1e9)
+            * (
+                lnq(F.col(f"m_{f}") + 1)
+                - lnq(F.col("nm") + 2)
+                - lnq(F.col(f"u_{f}") + 1)
+                + lnq(F.col("nu") + 2)
+            )
+        ).cast("bigint")
+        wd = F.floor(
+            F.lit(1e9)
+            * (
+                lnq(F.col("nm") - F.col(f"m_{f}") + 1)
+                - lnq(F.col("nm") + 2)
+                - lnq(F.col("nu") - F.col(f"u_{f}") + 1)
+                + lnq(F.col("nu") + 2)
+            )
+        ).cast("bigint")
+        wcols += [wa.alias(f"wa_{f}"), wd.alias(f"wd_{f}")]
+    wts = rates.select(*wcols).localCheckpoint(eager=True)
+    score = None
+    for f in _LNK_FIELDS:
+        term = F.when(
+            F.col(f"a_{f}") == 1, F.col(f"wa_{f}")
+        ).otherwise(F.col(f"wd_{f}"))
+        score = term if score is None else score + term
+
+    def _match(p: DataFrame) -> DataFrame:
+        return (
+            p.crossJoin(F.broadcast(wts))
+            .filter(score > 0)
+            .select("ok", "dk")
+            .localCheckpoint(eager=True)
+        )
+
+    bmatch = _match(kp)
+    nmatch = _match(_pairs(dirty2, with_truth=False))
+
+    def _bi_edges(m: DataFrame, off: int) -> DataFrame:
+        a = (F.lit(3) * F.col("ok")).cast("bigint")
+        b = (F.lit(3) * F.col("dk") + off).cast("bigint")
+        return m.select(a.alias("a"), b.alias("b")).unionByName(
+            m.select(b.alias("a"), a.alias("b"))
+        )
+
+    bedges = _bi_edges(bmatch, 1).localCheckpoint(eager=True)
+    nedges = _bi_edges(nmatch, 2).localCheckpoint(eager=True)
+    slab0 = bedges.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    slab = _cc_iterate(slab0, bedges, _INCR_RE_ROUNDS)
+    stars = slab.select(
+        F.col("v").alias("a"), F.col("lbl").alias("b")
+    ).unionByName(
+        slab.select(F.col("lbl").alias("a"), F.col("v").alias("b"))
+    )
+    fedges = stars.unionByName(nedges).localCheckpoint(eager=True)
+    new_nodes = (
+        nmatch.select(
+            (F.lit(3) * F.col("dk") + 2).cast("bigint").alias("v")
+        )
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+    )
+    nmatch_orig = (
+        nmatch.select((F.lit(3) * F.col("ok")).cast("bigint").alias("v"))
+        .distinct()
+        .join(slab.select("v"), "v", "left_anti")
+        .select("v", F.col("v").alias("lbl"))
+    )
+    flab0 = slab.select("v", "lbl").unionByName(new_nodes).unionByName(
+        nmatch_orig
+    ).localCheckpoint(eager=True)
+    flab = _cc_iterate(flab0, fedges, _INCR_FOLD_ROUNDS)
+    fprobe = _cc_iterate(flab, fedges, 1)
+    redges = bedges.unionByName(nedges).localCheckpoint(eager=True)
+    rlab0 = redges.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    rlab = _cc_iterate(rlab0, redges, _INCR_RE_ROUNDS)
+    rprobe = _cc_iterate(rlab, redges, 1)
+
+    def _changes(probe: DataFrame, final: DataFrame) -> DataFrame:
+        return (
+            probe.alias("a")
+            .join(final.alias("b"), F.col("a.v") == F.col("b.v"))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("a.lbl") != F.col("b.lbl"), 1
+                        ).otherwise(0)
+                    ).cast("bigint"),
+                    z,
+                ).alias("c")
+            )
+        )
+
+    fch = _changes(fprobe, flab)
+    rch = _changes(rprobe, rlab)
+    cf = _canon(flab).localCheckpoint(eager=True)
+    cr = _canon(rlab).localCheckpoint(eager=True)
+    cmp_ = (
+        cf.alias("a")
+        .join(cr.alias("b"), F.col("a.v") == F.col("b.v"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("a.canon") != F.col("b.canon"), 1
+                    ).otherwise(0)
+                ).cast("bigint"),
+                z,
+            ).alias("nbad"),
+            F.count("*").cast("bigint").alias("njoined"),
+        )
+        .crossJoin(
+            F.broadcast(cf.agg(F.count("*").cast("bigint").alias("nf")))
+        )
+        .crossJoin(
+            F.broadcast(cr.agg(F.count("*").cast("bigint").alias("nr")))
+        )
+    )
+    mem2 = (
+        cf.join(c, cf["v"] == F.lit(3) * c["k"])
+        .select(
+            F.col("canon").alias("cid"),
+            F.lit(0).alias("src"),
+            "k",
+            "bal_i",
+        )
+        .unionByName(
+            cf.join(dirty, cf["v"] == F.lit(3) * dirty["k"] + 1).select(
+                F.col("canon").alias("cid"),
+                F.lit(1).alias("src"),
+                "k",
+                "bal_i",
+            )
+        )
+        .unionByName(
+            cf.join(dirty2, cf["v"] == F.lit(3) * dirty2["k"] + 2).select(
+                F.col("canon").alias("cid"),
+                F.lit(2).alias("src"),
+                "k",
+                "bal_i",
+            )
+        )
+    )
+    ents = mem2.groupBy("cid").agg(
+        F.min(F.when(F.col("src") == 0, F.col("k")))
+        .cast("bigint")
+        .alias("entity_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("src") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orig"),
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base_dirty"),
+        F.sum(F.when(F.col("src") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new_dirty"),
+        F.max("bal_i").cast("bigint").alias("bal_golden_i"),
+    )
+    return (
+        ents.crossJoin(F.broadcast(cmp_))
+        .crossJoin(F.broadcast(fch.select(F.col("c").alias("fc"))))
+        .crossJoin(F.broadcast(rch.select(F.col("c").alias("rc"))))
+        .select(
+            "entity_id",
+            "n_members",
+            "n_orig",
+            "n_base_dirty",
+            "n_new_dirty",
+            "bal_golden_i",
+            (
+                (F.col("nbad") == 0)
+                & (F.col("njoined") == F.col("nf"))
+                & (F.col("nf") == F.col("nr"))
+            ).alias("incr_consistent"),
+            (F.col("fc") == 0).alias("fold_converged"),
+            (F.col("rc") == 0).alias("recompute_converged"),
+        )
+    )

@@ -23,3 +23,21 @@ def test_golden_records_converged_and_star_shaped(spark, sf_dir):
         assert r.entity_id % _LNK_DIRTY_MOD == 0, (
             "entity keyed off a non-replicated original"
         )
+
+
+def test_incremental_linkage_fold_matches_recompute(spark, sf_dir):
+    rows = _ops.QUERIES["incremental_linkage_maintenance"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    both = 0
+    for r in rows:
+        assert r.incr_consistent is True, "fold diverged from recompute"
+        assert r.fold_converged is True and r.recompute_converged is True
+        if r.n_base_dirty >= 1 and r.n_new_dirty >= 1:
+            both += 1
+            assert r.entity_id % 77 == 0, (
+                "both-batch entity must be a common multiple of the "
+                f"replica mods: {r}"
+            )
+    assert both >= 1, "fixture must produce at least one merged entity"

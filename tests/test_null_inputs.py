@@ -185,6 +185,7 @@ _REGRESSIONS = [
     "event_value_kruskal_wallis",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
+    "incremental_linkage_maintenance",
 ]
 
 
