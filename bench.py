@@ -261,6 +261,7 @@ HEADLINE = [
     "event_value_anova",
     "event_value_kruskal_wallis",
     "incremental_linkage_maintenance",
+    "stream_bh_fdr_battery",
 ]
 
 

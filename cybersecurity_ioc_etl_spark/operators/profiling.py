@@ -1554,6 +1554,12 @@ def q_events_bh_fdr_battery(
         )
         .localCheckpoint(eager=True)
     )
+    return _bh_from_cells(cells)
+
+
+def _bh_from_cells(cells: DataFrame) -> DataFrame:
+    """BH step-up over a (event_type, dow, n1, s1, q1) moment census —
+    shared by the batch battery and its streaming twin."""
     tot = cells.agg(
         F.sum("n1").cast("bigint").alias("nt"),
         F.sum("s1").cast("bigint").alias("st"),
@@ -1958,3 +1964,54 @@ def q_event_value_kruskal_wallis(
         ),
         (F.col("k") - 1).alias("dof"),
     )
+
+
+@query("stream_bh_fdr_battery", oracle=_BH_ORACLE)
+def q_stream_bh_fdr_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of events_bh_fdr_battery — the live
+    multiple-testing monitor: scored events arrive as micro-batches
+    and fold into additive (type, dow, value) integer COUNT partials
+    (streaming/pipeline.py::_run_stream_count_fold — the conformal /
+    BT / AUC / KS-EMD discipline); the moment census (n, Σv, Σv²) and
+    the whole BH step-up run at drain on the MERGED census, so the
+    streamed battery is batch-identical under any batching, ordering,
+    or at-least-once replay, and the BATCH oracle is the ground truth
+    verbatim.
+
+    Scale shape: per trigger one map-side-combined count bounded by
+    the batch's distinct (type, dow, value) triples; drain-side state
+    is the census; the step-up runs on the hypothesis grid."""
+    from ..streaming.pipeline import _run_stream_count_fold
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.round(F.col("value") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("vi"),
+        )
+    )
+    census = _run_stream_count_fold(
+        spark, e, ["event_type", "dow", "vi"], "stream_bh_"
+    )
+    cells = (
+        census.groupBy("event_type", "dow")
+        .agg(
+            F.sum("c").cast("bigint").alias("n1"),
+            F.sum(F.col("vi") * F.col("c")).cast("bigint").alias("s1"),
+            F.sum(F.col("vi") * F.col("vi") * F.col("c"))
+            .cast("bigint")
+            .alias("q1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _bh_from_cells(cells)

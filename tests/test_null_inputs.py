@@ -183,6 +183,7 @@ _REGRESSIONS = [
     "events_bh_fdr_battery",
     "event_value_anova",
     "event_value_kruskal_wallis",
+    "stream_bh_fdr_battery",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -98,6 +98,7 @@ _REGRESSIONS = [
     "events_bh_fdr_battery",
     "event_value_anova",
     "event_value_kruskal_wallis",
+    "stream_bh_fdr_battery",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
