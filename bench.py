@@ -262,6 +262,7 @@ HEADLINE = [
     "event_value_kruskal_wallis",
     "incremental_linkage_maintenance",
     "stream_bh_fdr_battery",
+    "event_cmh_weekend_purchase",
 ]
 
 

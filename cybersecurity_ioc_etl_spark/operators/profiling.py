@@ -2015,3 +2015,187 @@ def q_stream_bh_fdr_battery(
         .localCheckpoint(eager=True)
     )
     return _bh_from_cells(cells)
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel — stratified 2x2 association, the confounder-
+# adjusted member of the categorical test family
+# ---------------------------------------------------------------------------
+
+_CMH_ORACLE = """
+WITH e AS (
+  SELECT CAST(hour(ts) // 6 AS BIGINT) AS hq,
+    CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wkd,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+strata AS MATERIALIZED (
+  SELECT hq,
+    CAST(SUM(wkd * pur) AS BIGINT) AS a,
+    CAST(SUM(wkd * (1 - pur)) AS BIGINT) AS b,
+    CAST(SUM((1 - wkd) * pur) AS BIGINT) AS c,
+    CAST(SUM((1 - wkd) * (1 - pur)) AS BIGINT) AS d
+  FROM e GROUP BY 1
+),
+terms AS MATERIALIZED (
+  SELECT hq, a, b, c, d, a + b + c + d AS n,
+    CAST(FLOOR(1000000.0
+      * CAST(CAST(a AS HUGEINT) * (a + b + c + d)
+             - CAST(a + b AS HUGEINT) * (a + c) AS DOUBLE)
+      / (a + b + c + d)) AS BIGINT) AS dq,
+    CAST(FLOOR(1000000.0
+      * CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+             AS DOUBLE)
+      / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)
+         * (a + b + c + d - 1))) AS BIGINT) AS vq,
+    CAST(FLOOR(1000000.0 * CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+      / (a + b + c + d)) AS BIGINT) AS adq,
+    CAST(FLOOR(1000000.0 * CAST(CAST(b AS HUGEINT) * c AS DOUBLE)
+      / (a + b + c + d)) AS BIGINT) AS bcq
+  FROM strata
+  WHERE a + b + c + d >= 2
+),
+tot AS (
+  SELECT CAST(SUM(dq) AS BIGINT) AS sd, CAST(SUM(vq) AS BIGINT) AS sv,
+    CAST(SUM(adq) AS BIGINT) AS sad, CAST(SUM(bcq) AS BIGINT) AS sbc,
+    CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM terms
+)
+SELECT t.hq AS stratum, t.a AS n_wkd_purchase, t.b AS n_wkd_other,
+  t.c AS n_wd_purchase, t.d AS n_wd_other, t.n AS n_stratum,
+  s.n_strata,
+  (CAST(s.sd AS DOUBLE) / 1000000.0)
+    * (CAST(s.sd AS DOUBLE) / 1000000.0)
+    / NULLIF(CAST(s.sv AS DOUBLE) / 1000000.0, 0.0) AS cmh_chisq,
+  CAST(s.sad AS DOUBLE) / NULLIF(CAST(s.sbc AS DOUBLE), 0.0) AS or_mh,
+  CAST(1 AS BIGINT) AS dof
+FROM terms t CROSS JOIN tot s
+"""
+
+
+@query("event_cmh_weekend_purchase", oracle=_CMH_ORACLE)
+def q_event_cmh_weekend_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL test of the weekend ↔ purchase 2×2
+    association STRATIFIED by time-of-day (four 6-hour strata) — the
+    confounder-adjusted member of the categorical family: the plain
+    chi-square (event_type_dow_chisq) would confound a time-of-day
+    mix shift with a real weekend effect; CMH tests the association
+    WITHIN each stratum and pools the evidence, the epidemiology
+    workhorse for exactly this Simpson's-paradox failure mode.
+    The Mantel-Haenszel common odds ratio rides along as the pooled
+    effect size.
+
+    Exactness: each stratum's 2×2 comes from ONE conditional-sum
+    census row; (a − E), the hypergeometric variance term, and both
+    odds-ratio numerator terms are restated over cross-multiplied
+    integers (products reach n⁴ so they fold in 128-bit exact
+    arithmetic — HUGEINT / decimal(38,0), the chi-square discipline —
+    before ONE correctly-rounded division each), FLOOR-quantized at
+    the 1e-6 grain and summed exactly; χ²_CMH and OR_MH are then one
+    closed-form double expression each, NULLIF-guarded.  Degenerate
+    strata (n < 2) are excluded by identical integer guards.  The
+    classical 0.5 continuity correction is deliberately omitted (both
+    engines state the uncorrected statistic; at census sizes the
+    correction is noise and omitting it keeps the arithmetic pure).
+
+    Scale shape: one map-side-combined (stratum, exposure, outcome)
+    census — 4 rows of state — then stratum-grain scalar arithmetic;
+    the statistical-test family law in its stratified form."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    wkd = F.when((F.dayofweek("ts") - 1).isin(0, 6), 1).otherwise(0)
+    pur = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    strata = (
+        e.select(
+            F.expr("hour(ts) div 6").cast("bigint").alias("hq"),
+            wkd.alias("wkd"),
+            pur.alias("pur"),
+        )
+        .groupBy("hq")
+        .agg(
+            F.sum(F.col("wkd") * F.col("pur")).cast("bigint").alias("a"),
+            F.sum(F.col("wkd") * (1 - F.col("pur")))
+            .cast("bigint")
+            .alias("b"),
+            F.sum((1 - F.col("wkd")) * F.col("pur"))
+            .cast("bigint")
+            .alias("c"),
+            F.sum((1 - F.col("wkd")) * (1 - F.col("pur")))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    dq = F.floor(
+        F.lit(1000000.0)
+        * (
+            d38(F.col("a")) * n
+            - d38(F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
+        ).cast("double")
+        / n
+    ).cast("bigint")
+    vq = F.floor(
+        F.lit(1000000.0)
+        * (
+            d38(F.col("a") + F.col("b"))
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        ).cast("double")
+        / (n.cast("double") * n * (n - 1))
+    ).cast("bigint")
+    adq = F.floor(
+        F.lit(1000000.0) * (d38(F.col("a")) * F.col("d")).cast("double") / n
+    ).cast("bigint")
+    bcq = F.floor(
+        F.lit(1000000.0) * (d38(F.col("b")) * F.col("c")).cast("double") / n
+    ).cast("bigint")
+    terms = (
+        strata.filter(n >= 2)
+        .select(
+            "hq",
+            "a",
+            "b",
+            "c",
+            "d",
+            n.alias("n"),
+            dq.alias("dq"),
+            vq.alias("vq"),
+            adq.alias("adq"),
+            bcq.alias("bcq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = terms.agg(
+        F.sum("dq").cast("bigint").alias("sd"),
+        F.sum("vq").cast("bigint").alias("sv"),
+        F.sum("adq").cast("bigint").alias("sad"),
+        F.sum("bcq").cast("bigint").alias("sbc"),
+        F.count("*").cast("bigint").alias("n_strata"),
+    )
+    sdd = F.col("sd").cast("double") / F.lit(1000000.0)
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("hq").alias("stratum"),
+        F.col("a").alias("n_wkd_purchase"),
+        F.col("b").alias("n_wkd_other"),
+        F.col("c").alias("n_wd_purchase"),
+        F.col("d").alias("n_wd_other"),
+        F.col("n").alias("n_stratum"),
+        "n_strata",
+        (
+            sdd * sdd
+            / F.nullif(
+                F.col("sv").cast("double") / F.lit(1000000.0), F.lit(0.0)
+            )
+        ).alias("cmh_chisq"),
+        (
+            F.col("sad").cast("double")
+            / F.nullif(F.col("sbc").cast("double"), F.lit(0.0))
+        ).alias("or_mh"),
+        F.lit(1).cast("bigint").alias("dof"),
+    )
