@@ -263,6 +263,7 @@ HEADLINE = [
     "incremental_linkage_maintenance",
     "stream_bh_fdr_battery",
     "event_cmh_weekend_purchase",
+    "stream_cmh_weekend_purchase",
 ]
 
 

@@ -2129,6 +2129,12 @@ def q_event_cmh_weekend_purchase(
         )
         .localCheckpoint(eager=True)
     )
+    return _cmh_from_strata(strata)
+
+
+def _cmh_from_strata(strata: DataFrame) -> DataFrame:
+    """CMH pooling from a (hq, a, b, c, d) stratum census — shared by
+    the batch test and its streaming twin."""
     n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
     d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     dq = F.floor(
@@ -2199,3 +2205,60 @@ def q_event_cmh_weekend_purchase(
         ).alias("or_mh"),
         F.lit(1).cast("bigint").alias("dof"),
     )
+
+
+@query("stream_cmh_weekend_purchase", oracle=_CMH_ORACLE)
+def q_stream_cmh_weekend_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of event_cmh_weekend_purchase: events arrive as
+    micro-batches and fold into additive (stratum, exposure, outcome)
+    integer COUNT partials via the shared count-fold harness; the 2×2
+    censuses and the whole CMH pooling run at drain on the merged
+    state, so the streamed statistic is batch-identical under any
+    batching/replay and the batch oracle is the ground truth verbatim.
+
+    Scale shape: per trigger one map-side-combined count over ≤ 16
+    occupied (stratum, wkd, pur) cells; drain-side work is
+    stratum-grain."""
+    from ..streaming.pipeline import _run_stream_count_fold
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.expr("hour(ts) div 6").cast("bigint").alias("hq"),
+            F.when((F.dayofweek("ts") - 1).isin(0, 6), 1)
+            .otherwise(0)
+            .alias("wkd"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("pur"),
+        )
+    )
+    census = _run_stream_count_fold(
+        spark, e, ["hq", "wkd", "pur"], "stream_cmh_"
+    )
+    z = F.lit(0).cast("bigint")
+
+    def cell(w: int, p: int):
+        return F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("wkd") == w) & (F.col("pur") == p), F.col("c")
+                ).otherwise(F.lit(0))
+            ).cast("bigint"),
+            z,
+        )
+
+    strata = (
+        census.groupBy("hq")
+        .agg(
+            cell(1, 1).alias("a"),
+            cell(1, 0).alias("b"),
+            cell(0, 1).alias("c"),
+            cell(0, 0).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _cmh_from_strata(strata)

@@ -198,6 +198,7 @@ _FAMILIES = [
     "event_value_kruskal_wallis",
     "stream_bh_fdr_battery",
     "event_cmh_weekend_purchase",
+    "stream_cmh_weekend_purchase",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
     "incremental_linkage_maintenance",

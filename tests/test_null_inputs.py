@@ -185,6 +185,7 @@ _REGRESSIONS = [
     "event_value_kruskal_wallis",
     "stream_bh_fdr_battery",
     "event_cmh_weekend_purchase",
+    "stream_cmh_weekend_purchase",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -100,6 +100,7 @@ _REGRESSIONS = [
     "event_value_kruskal_wallis",
     "stream_bh_fdr_battery",
     "event_cmh_weekend_purchase",
+    "stream_cmh_weekend_purchase",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
