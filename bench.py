@@ -264,6 +264,7 @@ HEADLINE = [
     "stream_bh_fdr_battery",
     "event_cmh_weekend_purchase",
     "stream_cmh_weekend_purchase",
+    "event_value_jonckheere",
 ]
 
 

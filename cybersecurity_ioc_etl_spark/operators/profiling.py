@@ -2262,3 +2262,262 @@ def q_stream_cmh_weekend_purchase(
         .localCheckpoint(eager=True)
     )
     return _cmh_from_strata(strata)
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra — the ordered-alternative omnibus (monotone trend
+# across ORDERED groups), completing the rank family beside KW
+# ---------------------------------------------------------------------------
+
+_JT_ORACLE = """
+WITH e AS (
+  SELECT CAST(hour(ts) // 6 AS BIGINT) AS g,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT vi, g, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+),
+wide AS MATERIALIZED (
+  SELECT vi,
+    CAST(COALESCE(SUM(CASE WHEN g = 0 THEN c END), 0) AS BIGINT) AS c0,
+    CAST(COALESCE(SUM(CASE WHEN g = 1 THEN c END), 0) AS BIGINT) AS c1,
+    CAST(COALESCE(SUM(CASE WHEN g = 2 THEN c END), 0) AS BIGINT) AS c2,
+    CAST(COALESCE(SUM(CASE WHEN g = 3 THEN c END), 0) AS BIGINT) AS c3
+  FROM cells GROUP BY vi
+),
+cum AS MATERIALIZED (
+  SELECT vi, c0, c1, c2, c3,
+    CAST(SUM(c0) OVER w - c0 AS BIGINT) AS l0,
+    CAST(SUM(c1) OVER w - c1 AS BIGINT) AS l1,
+    CAST(SUM(c2) OVER w - c2 AS BIGINT) AS l2
+  FROM wide WINDOW w AS (ORDER BY vi)
+),
+uacc AS (
+  SELECT CAST(SUM(
+      c1 * (2 * l0 + c0)
+    + c2 * (2 * l0 + c0 + 2 * l1 + c1)
+    + c3 * (2 * l0 + c0 + 2 * l1 + c1 + 2 * l2 + c2)
+  ) AS BIGINT) AS u2
+  FROM cum
+),
+gs AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN g = 0 THEN c END), 0) AS BIGINT) AS n0,
+    CAST(COALESCE(SUM(CASE WHEN g = 1 THEN c END), 0) AS BIGINT) AS n1,
+    CAST(COALESCE(SUM(CASE WHEN g = 2 THEN c END), 0) AS BIGINT) AS n2,
+    CAST(COALESCE(SUM(CASE WHEN g = 3 THEN c END), 0) AS BIGINT) AS n3,
+    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nt,
+    COALESCE(CAST(SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5))
+         AS DOUBLE), 0.0) AS ag,
+    COALESCE(CAST(SUM(CAST(c AS HUGEINT) * (c - 1) * (c - 2))
+         AS DOUBLE), 0.0) AS bg,
+    COALESCE(CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE), 0.0)
+      AS cg
+  FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS c FROM cells GROUP BY g)
+),
+ts_ AS (
+  SELECT
+    COALESCE(CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+         AS DOUBLE), 0.0) AS at_,
+    COALESCE(CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+         AS DOUBLE), 0.0) AS bt,
+    COALESCE(CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS DOUBLE), 0.0)
+      AS ct
+  FROM (SELECT vi, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY vi)
+),
+stats AS (
+  SELECT g.*, t.*,
+    g.n0 * g.n1 + g.n0 * g.n2 + g.n0 * g.n3
+      + g.n1 * g.n2 + g.n1 * g.n3 + g.n2 * g.n3 AS e2,
+    (CAST(CAST(g.nt AS HUGEINT) * (g.nt - 1) * (2 * g.nt + 5)
+          AS DOUBLE) - g.ag - t.at_) / 72.0
+      + (g.bg * t.bt)
+        / (36.0 * g.nt * (g.nt - 1) * (g.nt - 2))
+      + (g.cg * t.ct) / (8.0 * g.nt * (g.nt - 1)) AS var_u
+  FROM gs g CROSS JOIN ts_ t
+)
+SELECT grp.g AS grp, grp.n AS n_group, s.nt AS n_total,
+  u.u2 AS u2_stat, CAST(s.e2 AS BIGINT) AS e2_null,
+  s.var_u AS var_null,
+  (CAST(u.u2 - s.e2 AS DOUBLE) / 2.0) / NULLIF(sqrt(s.var_u), 0.0)
+    AS z_jt
+FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY g) grp
+CROSS JOIN uacc u CROSS JOIN stats s
+"""
+
+
+@query("event_value_jonckheere", oracle=_JT_ORACLE)
+def q_event_value_jonckheere(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JONCKHEERE-TERPSTRA ordered-alternative test — does event value
+    INCREASE monotonically across the four ordered time-of-day strata?
+    The rank family's third member: KW asks "are the k groups
+    different at all" (unordered), Mann-Kendall asks "does ONE series
+    trend"; JT asks the ordered-k-sample question between them, and
+    is strictly more powerful than KW when the alternative really is
+    monotone — the dose-response / time-of-day shape.
+
+    Exactness: U is the sum of pairwise Mann-Whitney counts between
+    ordered group pairs, carried DOUBLED (ties count 1, strict wins
+    2) so it stays integer; the cumulative-window restatement makes
+    it ONE pass over the distinct-value census (U2 per value row =
+    Σ_j c_j·Σ_{i<j}(2·cumLT_i + c_i), statically unrolled over the 4
+    strata) instead of the textbook's O(n²) pair walk — the KS/EMD
+    cross-product discipline.  Null mean E2 = Σ_{i<j} nᵢnⱼ is exact;
+    the Hollander-Wolfe tie-corrected null variance folds its three
+    cubic terms in 128-bit exact arithmetic (group census + tie
+    census) before single casts; z is one closed-form double,
+    NULLIF-guarded.
+
+    Scale shape: one (value, stratum) census pass; the U walk is one
+    ordered window over the DISTINCT-value census (pre-bin at 100 TB
+    if the distinct census is large); group/tie moments are two
+    4-row/census-row aggregations; everything else is scalar."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    cells = (
+        e.select(
+            F.expr("hour(ts) div 6").cast("bigint").alias("g"),
+            F.round(F.col("value") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("vi"),
+        )
+        .groupBy("vi", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def gcol(i: int):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("g") == i, F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+        )
+
+    wide = cells.groupBy("vi").agg(
+        gcol(0).alias("c0"),
+        gcol(1).alias("c1"),
+        gcol(2).alias("c2"),
+        gcol(3).alias("c3"),
+    )
+    w = Window.orderBy("vi")
+    cum = wide.select(
+        "vi",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        (F.sum("c0").over(w) - F.col("c0")).cast("bigint").alias("l0"),
+        (F.sum("c1").over(w) - F.col("c1")).cast("bigint").alias("l1"),
+        (F.sum("c2").over(w) - F.col("c2")).cast("bigint").alias("l2"),
+    )
+    u2row = (
+        F.col("c1") * (2 * F.col("l0") + F.col("c0"))
+        + F.col("c2")
+        * (2 * F.col("l0") + F.col("c0") + 2 * F.col("l1") + F.col("c1"))
+        + F.col("c3")
+        * (
+            2 * F.col("l0")
+            + F.col("c0")
+            + 2 * F.col("l1")
+            + F.col("c1")
+            + 2 * F.col("l2")
+            + F.col("c2")
+        )
+    )
+    uacc = cum.agg(F.sum(u2row).cast("bigint").alias("u2"))
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    gsize = cells.groupBy("g").agg(F.sum("c").cast("bigint").alias("c"))
+    gs = gsize.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("g") == i, F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(4)
+        ],
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("nt"),
+        F.coalesce(
+            F.sum(
+                (d38(F.col("c")) * (F.col("c") - 1) * (2 * F.col("c") + 5))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("ag"),
+        F.coalesce(
+            F.sum(
+                d38(F.col("c")) * (F.col("c") - 1) * (F.col("c") - 2)
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("bg"),
+        F.coalesce(
+            F.sum(d38(F.col("c")) * (F.col("c") - 1)).cast("double"),
+            F.lit(0.0),
+        ).alias("cg"),
+    )
+    tsize = cells.groupBy("vi").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    ts_ = tsize.agg(
+        F.coalesce(
+            F.sum(
+                d38(F.col("t")) * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("at_"),
+        F.coalesce(
+            F.sum(
+                d38(F.col("t")) * (F.col("t") - 1) * (F.col("t") - 2)
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("bt"),
+        F.coalesce(
+            F.sum(d38(F.col("t")) * (F.col("t") - 1)).cast("double"),
+            F.lit(0.0),
+        ).alias("ct"),
+    )
+    e2 = (
+        F.col("n0") * F.col("n1")
+        + F.col("n0") * F.col("n2")
+        + F.col("n0") * F.col("n3")
+        + F.col("n1") * F.col("n2")
+        + F.col("n1") * F.col("n3")
+        + F.col("n2") * F.col("n3")
+    )
+    nt = F.col("nt")
+    var_u = (
+        (
+            (d38(nt) * (nt - 1) * (2 * nt + 5)).cast("double")
+            - F.col("ag")
+            - F.col("at_")
+        )
+        / F.lit(72.0)
+        + (F.col("bg") * F.col("bt"))
+        / (F.lit(36.0) * nt * (nt - 1) * (nt - 2))
+        + (F.col("cg") * F.col("ct")) / (F.lit(8.0) * nt * (nt - 1))
+    )
+    stats = gs.crossJoin(F.broadcast(ts_)).select(
+        "nt", e2.alias("e2"), var_u.alias("var_u")
+    )
+    return (
+        gsize.select(F.col("g").alias("grp"), F.col("c").alias("n_group"))
+        .crossJoin(F.broadcast(uacc))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "grp",
+            "n_group",
+            F.col("nt").alias("n_total"),
+            F.col("u2").alias("u2_stat"),
+            F.col("e2").cast("bigint").alias("e2_null"),
+            F.col("var_u").alias("var_null"),
+            (
+                (F.col("u2") - F.col("e2")).cast("double")
+                / F.lit(2.0)
+                / F.nullif(F.sqrt(F.col("var_u")), F.lit(0.0))
+            ).alias("z_jt"),
+        )
+    )

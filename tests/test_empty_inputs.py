@@ -199,6 +199,7 @@ _FAMILIES = [
     "stream_bh_fdr_battery",
     "event_cmh_weekend_purchase",
     "stream_cmh_weekend_purchase",
+    "event_value_jonckheere",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
     "incremental_linkage_maintenance",

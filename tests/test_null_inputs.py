@@ -186,6 +186,7 @@ _REGRESSIONS = [
     "stream_bh_fdr_battery",
     "event_cmh_weekend_purchase",
     "stream_cmh_weekend_purchase",
+    "event_value_jonckheere",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -101,6 +101,7 @@ _REGRESSIONS = [
     "stream_bh_fdr_battery",
     "event_cmh_weekend_purchase",
     "stream_cmh_weekend_purchase",
+    "event_value_jonckheere",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
