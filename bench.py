@@ -265,6 +265,7 @@ HEADLINE = [
     "event_cmh_weekend_purchase",
     "stream_cmh_weekend_purchase",
     "event_value_jonckheere",
+    "image_patch_stats",
 ]
 
 

@@ -1254,3 +1254,137 @@ def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(coalesce(n_silent, 0) * 1000000 div n_frames AS BIGINT)"
         ).alias("silent_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch statistics — the dataset-normalization pass a vision
+# pipeline computes before training (per-patch-position mean/std)
+# ---------------------------------------------------------------------------
+
+_PATCH_W, _PATCH_H = 3, 2  # 9x8 luma grid tiles into 3x4 = 12 patches
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("pr", T.LongType()),
+        T.StructField("pc", T.LongType()),
+        T.StructField("psum", T.LongType()),
+    ]
+)
+
+
+def patch_luma_sums(media: DataFrame) -> DataFrame:
+    """Per-image per-patch integer luma sums over the REAL decode path
+    (mapInPandas batches feed _decode_ppm, the dHash stage's decoder):
+    the 9×8 luma grid tiles into 3-wide × 2-tall patches and each
+    patch's 6 samples sum exactly — the Arrow-batched analog of a ViT
+    patchify, emitting integers so everything downstream hash-checks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "pr": [], "pc": [], "psum": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                lum = _decode_ppm(bytes(blob))
+                if lum is None or len(lum) != _PH_W * _PH_H:
+                    continue
+                for pr in range(_PH_H // _PATCH_H):
+                    for pc in range(_PH_W // _PATCH_W):
+                        s = 0
+                        for dr in range(_PATCH_H):
+                            row = pr * _PATCH_H + dr
+                            base = row * _PH_W + pc * _PATCH_W
+                            s += sum(lum[base : base + _PATCH_W])
+                        out["media_id"].append(int(mid))
+                        out["pr"].append(pr)
+                        out["pc"].append(pc)
+                        out["psum"].append(s)
+            yield pd.DataFrame(out, columns=list(PATCH_SCHEMA.names))
+
+    return media.filter(F.col("content").isNotNull()).mapInPandas(
+        run, schema=PATCH_SCHEMA
+    )
+
+
+_PATCH_N = _PATCH_W * _PATCH_H
+
+_PATCH_STATS_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id,
+    rpad(substring(text, 1, {_PH_BYTES}), {_PH_BYTES}, 'x') AS p
+  FROM documents
+  WHERE text IS NOT NULL AND strlen(text) = length(text)
+),
+lum AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+    (ord(substring(p, CAST(3 * g.i + 1 AS INTEGER), 1)) * 299
+   + ord(substring(p, CAST(3 * g.i + 2 AS INTEGER), 1)) * 587
+   + ord(substring(p, CAST(3 * g.i + 3 AS INTEGER), 1)) * 114) // 1000
+      AS y
+  FROM px, range(0, {_PH_W * _PH_H}) g(i)
+),
+psums AS MATERIALIZED (
+  SELECT doc_id,
+    CAST((i // {_PH_W}) // {_PATCH_H} AS BIGINT) AS pr,
+    CAST((i % {_PH_W}) // {_PATCH_W} AS BIGINT) AS pc,
+    CAST(SUM(y) AS BIGINT) AS psum
+  FROM lum GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT pr, pc, CAST(COUNT(*) AS BIGINT) AS n_images,
+    CAST(SUM(psum) AS BIGINT) AS s, CAST(SUM(psum * psum) AS BIGINT) AS q
+  FROM psums GROUP BY 1, 2
+)
+SELECT pr AS patch_row, pc AS patch_col, n_images,
+  CAST(s AS DOUBLE) / n_images / {_PATCH_N}.0 AS mean_luma,
+  sqrt(CAST(q * n_images - s * s AS DOUBLE)
+       / NULLIF(CAST(n_images AS DOUBLE) * (n_images - 1), 0.0))
+    AS std_patch_sum
+FROM stats
+"""
+
+
+@query("image_patch_stats", oracle=_PATCH_STATS_ORACLE)
+def q_image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-STYLE per-patch-position dataset statistics — the
+    normalization pass every vision-training pipeline runs before
+    patchifying images into tokens (per-position mean/std feed the
+    input-norm layer; a position with anomalous variance flags a
+    synthesis/decode bug): each synthesized P6 PPM decodes through the
+    NATIVE path (_decode_ppm header parse + BT.601 integer luma — the
+    dHash stage's decoder, so a decoder regression breaks BOTH
+    families' hashes), the 9×8 luma grid tiles into 3×4 = 12
+    patches of 6 samples inside the same Arrow batch, and per-patch
+    integer sums are the only thing Python emits.
+
+    Exactness: patch sums are exact integers (≤ 6·255); per-position
+    count / Σ / Σ² fold exactly (q·n ≤ ~6e15 at sf1 — inside int64);
+    mean and std are one closed-form double expression each,
+    NULLIF-guarded for the single-image corner.  The oracle re-derives
+    luma from raw character codes (the dHash oracle technique) and
+    must match to the bit.
+
+    Scale shape: decode + patchify is ONE Arrow-batched mapInPandas
+    over the media stream (the sanctioned Python stage, allow-listed);
+    the statistics are a 12-row census — at 100 TB the only
+    data-scale cost is the decode pass the pipeline runs anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_ppm_images(docs)
+    ps = patch_luma_sums(media)
+    stats = ps.groupBy("pr", "pc").agg(
+        F.count("*").cast("bigint").alias("n_images"),
+        F.sum("psum").cast("bigint").alias("s"),
+        F.sum(F.col("psum") * F.col("psum")).cast("bigint").alias("q"),
+    )
+    n = F.col("n_images")
+    return stats.select(
+        F.col("pr").alias("patch_row"),
+        F.col("pc").alias("patch_col"),
+        "n_images",
+        (F.col("s").cast("double") / n / F.lit(float(_PATCH_N))).alias(
+            "mean_luma"
+        ),
+        F.sqrt(
+            (F.col("q") * n - F.col("s") * F.col("s")).cast("double")
+            / F.nullif(n.cast("double") * (n - 1), F.lit(0.0))
+        ).alias("std_patch_sum"),
+    )

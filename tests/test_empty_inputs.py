@@ -200,6 +200,7 @@ _FAMILIES = [
     "event_cmh_weekend_purchase",
     "stream_cmh_weekend_purchase",
     "event_value_jonckheere",
+    "image_patch_stats",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -187,6 +187,7 @@ _REGRESSIONS = [
     "event_cmh_weekend_purchase",
     "stream_cmh_weekend_purchase",
     "event_value_jonckheere",
+    "image_patch_stats",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -37,6 +37,7 @@ _PYTHON_STAGE_OK = {
     "audio_rms_profile",  # native WAV decode → frame energies (one Arrow map)
     "audio_silence_segments",  # same decode stage feeding the islands window
     "video_scene_cuts",  # native Y4M decode → pair deltas (one Arrow map)
+    "image_patch_stats",  # native PPM decode → ViT-style patch sums
 }
 
 _BATCH_QUERIES = sorted(

@@ -102,6 +102,7 @@ _REGRESSIONS = [
     "event_cmh_weekend_purchase",
     "stream_cmh_weekend_purchase",
     "event_value_jonckheere",
+    "image_patch_stats",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
