@@ -266,6 +266,7 @@ HEADLINE = [
     "stream_cmh_weekend_purchase",
     "event_value_jonckheere",
     "image_patch_stats",
+    "trade_closeness_centrality",
 ]
 
 

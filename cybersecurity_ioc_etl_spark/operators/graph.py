@@ -3133,3 +3133,161 @@ def q_trade_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_remaining").cast("bigint").alias("n_remaining"),
         "independent",
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic closeness centrality + eccentricity — the distance-based
+# member of the centrality family (degree/PageRank/HITS/betweenness
+# cover flow; closeness covers REACH)
+# ---------------------------------------------------------------------------
+
+_CLOSE_ROUNDS = 4  # BFS unroll bound: the quarter trade graph's
+# diameter is <= 2 sparse and 1 complete (sf0.1); the probe round
+# proves the bound held
+
+
+def _dist_rounds_sql(rounds: int) -> str:
+    out = []
+    for t in range(1, rounds + 1):
+        out.append(f""",
+dist{t} AS MATERIALIZED (
+  SELECT s, u, CAST(MIN(d) AS BIGINT) AS d FROM (
+    SELECT s, u, d FROM dist{t - 1}
+    UNION ALL
+    SELECT p.s, e.b AS u, p.d + 1 AS d
+    FROM dist{t - 1} p JOIN bedges e ON e.a = p.u
+  ) GROUP BY s, u
+)""")
+    return "".join(out)
+
+
+_CLOSENESS_ORACLE = f"""
+WITH draw AS ({_EDGES_SQL}),
+uedges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM draw WHERE src != dst
+),
+bedges AS MATERIALIZED (
+  SELECT a, b FROM uedges UNION ALL SELECT b, a FROM uedges
+),
+dist0 AS MATERIALIZED (
+  SELECT DISTINCT a AS s, a AS u, CAST(0 AS BIGINT) AS d FROM bedges
+){_dist_rounds_sql(_CLOSE_ROUNDS + 1)},
+conv AS (
+  SELECT (SELECT COUNT(*) FROM dist{_CLOSE_ROUNDS + 1})
+           = (SELECT COUNT(*) FROM dist{_CLOSE_ROUNDS})
+         AND (SELECT COALESCE(SUM(d), 0) FROM dist{_CLOSE_ROUNDS + 1})
+           = (SELECT COALESCE(SUM(d), 0) FROM dist{_CLOSE_ROUNDS})
+    AS ok
+)
+SELECT CAST(s AS BIGINT) AS nation_id,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+  CAST(MAX(d) AS BIGINT) AS eccentricity,
+  CAST(SUM(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS BIGINT)
+    AS harmonic_q,
+  CAST(SUM(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS DOUBLE)
+    / 1000000.0 AS harmonic,
+  (SELECT ok FROM conv) AS converged
+FROM dist{_CLOSE_ROUNDS}
+GROUP BY s
+"""
+
+
+@query("trade_closeness_centrality", oracle=_CLOSENESS_ORACLE)
+def q_trade_closeness_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HARMONIC closeness centrality + eccentricity per nation over
+    the undirected quarter trade graph — the distance-based member of
+    the centrality family (degree counts neighbors, PageRank/HITS
+    score flow, betweenness scores brokerage; closeness scores REACH:
+    how few hops to everyone).  The HARMONIC form Σ 1/d is chosen
+    over classic 1/Σd because it is well-defined under disconnection
+    (unreachable pairs contribute 0 instead of poisoning the sum) —
+    the standard recommendation for real graphs.
+
+    Exactness: all-pairs distances come from {_CLOSE_ROUNDS} unrolled
+    min-plus BFS rounds over the node-directory-sized frontier frame
+    (the nation graph is dims-bounded: ≤ 25 nodes, so the (s, u)
+    distance frame is ≤ 625 rows); 1/d terms are exact integers at
+    the 1e-6 grain (1000000 div d); a round-{_CLOSE_ROUNDS + 1}
+    STABILITY PROBE rides the output as `converged` (count and
+    total-distance equality — monotone relaxation makes that pair a
+    sufficient identity check), so a diameter overrun breaks the
+    pinned gate instead of silently truncating.
+
+    Scale shape: the edge derivation is the pushdown-bounded quarter
+    join every trade query shares; BFS state is (nodes²) of the
+    NATION directory, never data-scale — at 100 TB closeness on an
+    entity graph this small is a broadcast-side computation; on a
+    large graph the same rounds run as the standard frontier
+    iteration with each round one shuffle."""
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    ue = e.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    bedges = ue.unionByName(
+        ue.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    dist = (
+        bedges.select(F.col("a").alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("u"), F.lit(0).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    counts = []
+    for _ in range(_CLOSE_ROUNDS + 1):
+        nxt = (
+            dist.alias("p")
+            .join(bedges.alias("e"), F.col("p.u") == F.col("e.a"))
+            .select("p.s", F.col("e.b").alias("u"), (F.col("p.d") + 1).alias("d"))
+            .unionByName(dist)
+            .groupBy("s", "u")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        counts.append((dist, nxt))
+        dist = nxt
+    final, probe = counts[-1][0], counts[-1][1]
+    conv = (
+        final.agg(
+            F.count("*").alias("c1"),
+            F.coalesce(F.sum("d"), F.lit(0)).alias("s1"),
+        )
+        .crossJoin(
+            probe.agg(
+                F.count("*").alias("c2"),
+                F.coalesce(F.sum("d"), F.lit(0)).alias("s2"),
+            )
+        )
+        .select(
+            (
+                (F.col("c1") == F.col("c2"))
+                & (F.col("s1") == F.col("s2"))
+            ).alias("ok")
+        )
+    )
+    hq = F.sum(
+        F.when(F.col("d") > 0, F.expr("1000000 div d")).otherwise(
+            F.lit(0)
+        )
+    ).cast("bigint")
+    return (
+        final.groupBy(F.col("s").cast("bigint").alias("nation_id"))
+        .agg(
+            (F.count("*") - 1).cast("bigint").alias("n_reached"),
+            F.max("d").cast("bigint").alias("eccentricity"),
+            hq.alias("harmonic_q"),
+            (hq.cast("double") / F.lit(1000000.0)).alias("harmonic"),
+        )
+        .crossJoin(F.broadcast(conv))
+        .select(
+            "nation_id",
+            "n_reached",
+            "eccentricity",
+            "harmonic_q",
+            "harmonic",
+            F.col("ok").alias("converged"),
+        )
+    )

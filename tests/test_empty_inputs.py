@@ -201,6 +201,7 @@ _FAMILIES = [
     "stream_cmh_weekend_purchase",
     "event_value_jonckheere",
     "image_patch_stats",
+    "trade_closeness_centrality",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
     "incremental_linkage_maintenance",

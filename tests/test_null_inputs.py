@@ -188,6 +188,7 @@ _REGRESSIONS = [
     "stream_cmh_weekend_purchase",
     "event_value_jonckheere",
     "image_patch_stats",
+    "trade_closeness_centrality",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -103,6 +103,7 @@ _REGRESSIONS = [
     "stream_cmh_weekend_purchase",
     "event_value_jonckheere",
     "image_patch_stats",
+    "trade_closeness_centrality",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
