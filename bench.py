@@ -267,6 +267,7 @@ HEADLINE = [
     "event_value_jonckheere",
     "image_patch_stats",
     "trade_closeness_centrality",
+    "ql_dirichlet_retrieval",
 ]
 
 

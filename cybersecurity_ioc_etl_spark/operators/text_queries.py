@@ -3374,3 +3374,169 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wf").desc(), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing — the language-
+# modeling ranker beside BM25's probabilistic-relevance one
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000  # Dirichlet prior mass (Zhai & Lafferty's standard choice)
+_QL_LNQ = "CAST(FLOOR(1000000000.0 * ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+
+_QL_ORACLE = f"""
+WITH docs_t AS (
+  SELECT doc_id,
+    str_split_regex({_dedup._ASCII_FOLD_SQL.format(x='trim(text)')},
+                    '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM docs_t),
+st AS (SELECT CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+toks AS (SELECT doc_id, unnest(t) AS tok FROM docs_t),
+qt AS (SELECT DISTINCT tok FROM toks WHERE doc_id = 0),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM qt),
+cfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+  FROM toks JOIN qt USING (tok) GROUP BY tok
+),
+tf AS (
+  SELECT k.doc_id, k.tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks k JOIN qt USING (tok) GROUP BY 1, 2
+),
+qconst AS (
+  SELECT COALESCE(CAST(SUM(
+      {_QL_LNQ.format(x=f'{_QL_MU} * cf')}
+    - {_QL_LNQ.format(x='st.s')}) AS BIGINT), CAST(0 AS BIGINT)) AS c0
+  FROM cfreq CROSS JOIN st
+),
+aq AS (
+  SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+    CAST(SUM(
+      {_QL_LNQ.format(x=f'tf.tf * st.s + {_QL_MU} * c.cf')}
+    - {_QL_LNQ.format(x=f'{_QL_MU} * c.cf')}) AS BIGINT) AS sa
+  FROM tf JOIN cfreq c USING (tok) CROSS JOIN st
+  GROUP BY tf.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+    COALESCE(a.n_terms, CAST(0 AS BIGINT)) AS n_terms,
+    COALESCE(a.sa, CAST(0 AS BIGINT)) + q.c0
+      - n.nq * {_QL_LNQ.format(x=f'd.dl + {_QL_MU}')} AS sq
+  FROM dl d
+  LEFT JOIN aq a USING (doc_id)
+  CROSS JOIN qconst q CROSS JOIN nq n
+)
+SELECT doc_id, n_terms, CAST(sq AS BIGINT) AS ql_q,
+  CAST(sq AS DOUBLE) / 1000000000.0 AS ql_score
+FROM scored ORDER BY sq DESC, doc_id LIMIT 15
+"""
+
+
+@query("ql_dirichlet_retrieval", oracle=_QL_ORACLE)
+def q_ql_dirichlet_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (Zhai &
+    Lafferty 2001, μ = {_QL_MU}) — the language-modeling ranker that
+    completes the classical-retrieval pair (BM25 scores probabilistic
+    relevance; QL scores P(query | doc's smoothed unigram LM); every
+    IR shootout quotes both).  Query-by-example on document 0's
+    distinct tokens, the bm25_more_like_this convention.
+
+    Engine-exactness: the score telescopes into
+    Σ_{{t∈q∩d}} [ln(tf·T + μ·cf) − ln(μ·cf)]  +  Σ_{{t∈q}} ln(μ·cf/T)
+    − |q|·ln(dl + μ), so EVERY document has a defined score (the
+    smoothing-only floor) — unlike BM25 the no-match docs rank by
+    length alone; each ln argument is an exact int64 rational
+    numerator (tf·T ≤ ~1e11), each term FLOOR-quantized at the 1e-9
+    grain (the DGA/linkage ln discipline) and summed exactly — no
+    SUM(double); top-15 orders by the integer score.
+
+    Scale shape: identical to BM25 — the query term set and its
+    corpus-frequency table broadcast; tf is the one postings-grain
+    shuffle; the per-doc fold joins on doc_id; top-15 is
+    TakeOrderedAndProject.  At 100 TB: per-query work ∝ the query
+    terms' postings plus one doc-directory-sized length scan."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(_dedup.ascii_fold(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    st = dl.agg(F.sum("dl").cast("bigint").alias("s"))
+    qt = toks.filter(F.col("doc_id") == 0).select("tok").distinct()
+    nqf = qt.agg(F.count("*").cast("bigint").alias("nq"))
+    cfreq = (
+        toks.join(F.broadcast(qt), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cf"))
+    )
+    tf = (
+        toks.join(F.broadcast(qt), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    lnq = lambda col: F.floor(  # noqa: E731
+        F.lit(1000000000.0) * F.log(col.cast("double"))
+    ).cast("bigint")
+    qconst = (
+        cfreq.crossJoin(F.broadcast(st))
+        .select(
+            (
+                lnq(F.lit(_QL_MU) * F.col("cf")) - lnq(F.col("s"))
+            ).alias("t")
+        )
+        .agg(
+            F.coalesce(
+                F.sum("t").cast("bigint"), F.lit(0).cast("bigint")
+            ).alias("c0")
+        )
+    )
+    aq = (
+        tf.join(F.broadcast(cfreq), "tok")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            (
+                lnq(F.col("tf") * F.col("s") + F.lit(_QL_MU) * F.col("cf"))
+                - lnq(F.lit(_QL_MU) * F.col("cf"))
+            ).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("t").cast("bigint").alias("sa"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    scored = (
+        dl.join(aq, "doc_id", "left")
+        .crossJoin(F.broadcast(qconst))
+        .crossJoin(F.broadcast(nqf))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_terms"), z).alias("n_terms"),
+            (
+                F.coalesce(F.col("sa"), z)
+                + F.col("c0")
+                - F.col("nq") * lnq(F.col("dl") + F.lit(_QL_MU))
+            ).alias("sq"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("sq").desc(), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.col("sq").cast("bigint").alias("ql_q"),
+            (F.col("sq").cast("double") / F.lit(1000000000.0)).alias(
+                "ql_score"
+            ),
+        )
+    )

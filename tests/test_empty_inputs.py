@@ -202,6 +202,7 @@ _FAMILIES = [
     "event_value_jonckheere",
     "image_patch_stats",
     "trade_closeness_centrality",
+    "ql_dirichlet_retrieval",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
     "incremental_linkage_maintenance",

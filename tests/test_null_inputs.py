@@ -189,6 +189,7 @@ _REGRESSIONS = [
     "event_value_jonckheere",
     "image_patch_stats",
     "trade_closeness_centrality",
+    "ql_dirichlet_retrieval",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -104,6 +104,7 @@ _REGRESSIONS = [
     "event_value_jonckheere",
     "image_patch_stats",
     "trade_closeness_centrality",
+    "ql_dirichlet_retrieval",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
