@@ -268,6 +268,7 @@ HEADLINE = [
     "image_patch_stats",
     "trade_closeness_centrality",
     "ql_dirichlet_retrieval",
+    "neyman_stratified_sample",
 ]
 
 

@@ -982,3 +982,177 @@ def q_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mt") == F.lit(_TEMP_M)).alias("quota_total_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling — the OPTIMAL survey design:
+# sample each stratum in proportion to N_h * S_h, not just N_h
+# ---------------------------------------------------------------------------
+
+_NEY_M = 1000  # total sample budget across strata
+
+_NEYMAN_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type,
+    CAST(ROUND(value * 10000.0) AS BIGINT) AS vi
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+mom AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+    CAST(SUM(vi) AS BIGINT) AS sh, CAST(SUM(vi * vi) AS BIGINT) AS qh
+  FROM e GROUP BY 1
+),
+wq AS MATERIALIZED (
+  SELECT event_type, nh, sh, qh,
+    CAST(FLOOR(1000000.0 * nh * sqrt(
+      (CAST(qh AS DOUBLE) / 100000000.0
+       - nh * (CAST(sh AS DOUBLE) / 10000.0 / nh)
+            * (CAST(sh AS DOUBLE) / 10000.0 / nh)) / (nh - 1)
+    )) AS BIGINT) AS w
+  FROM mom WHERE nh >= 2
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM wq),
+alloc AS MATERIALIZED (
+  SELECT q.event_type, q.nh, q.sh, q.qh, q.w,
+    CAST(LEAST({_NEY_M} * q.w // t.wt, q.nh) AS BIGINT) AS n_alloc
+  FROM wq q CROSS JOIN tot t WHERE t.wt > 0
+),
+ranked AS MATERIALIZED (
+  SELECT e.event_type, e.vi,
+    row_number() OVER (PARTITION BY e.event_type
+      ORDER BY {_SHINGLE_INT_SQL.format(
+          x="'ney:' || CAST(e.event_id AS VARCHAR)")}, e.event_id) AS rn
+  FROM e JOIN alloc a USING (event_type)
+),
+samp AS (
+  SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n_real,
+    CAST(SUM(r.vi) AS BIGINT) AS s_samp
+  FROM ranked r JOIN alloc a USING (event_type)
+  WHERE r.rn <= a.n_alloc
+  GROUP BY 1
+)
+SELECT a.event_type, a.nh AS n_stratum,
+  CAST(a.sh AS DOUBLE) / 10000.0 / a.nh AS mean_pop,
+  CAST(a.w AS DOUBLE) / 1000000.0 AS neyman_weight,
+  a.n_alloc, COALESCE(s.n_real, CAST(0 AS BIGINT)) AS n_realized,
+  CASE WHEN s.n_real > 0
+    THEN CAST(s.s_samp AS DOUBLE) / 10000.0 / s.n_real END AS mean_sample
+FROM alloc a LEFT JOIN samp s USING (event_type)
+"""
+
+
+@query("neyman_stratified_sample", oracle=_NEYMAN_ORACLE)
+def q_neyman_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEYMAN-ALLOCATION stratified sampling — the survey-design
+    optimum the plain stratified sampler (stratified_sample_k: equal
+    k per stratum) ignores: for a fixed budget m = {_NEY_M}, variance
+    of the stratified mean is minimized by nₕ ∝ Nₕ·Sₕ, so volatile
+    strata get more rows — the design every annotation-budget or
+    eval-set pipeline should use when strata differ in spread.
+
+    Determinism contract: per-stratum weights FLOOR(1e6·Nₕ·Sₕ) are
+    identical doubles quantized once (Sₕ via the ztest moment chain —
+    exact integer moments, one sqrt); allocations are integer
+    divisions of the quantized weights (largest-remainder seats are
+    deliberately not chased — the floor allocation undersums m by
+    < k rows and stays pure-integer; documented, not hidden); the
+    SAMPLE ITSELF is exact: rows rank per stratum by portable md5
+    (the deterministic-sample convention) and the first nₕ are taken,
+    so realized counts equal allocations wherever Nₕ ≥ nₕ.  Emits the
+    per-stratum design row (population size/mean, weight, allocated,
+    realized, sampled mean) — the whole design hash-checks.
+
+    Scale shape: one moment census (k rows), one per-stratum rank
+    window over the data (the deterministic-sample shuffle), one
+    sampled-moment fold.  At 100 TB the rank window is the only
+    data-scale stage and it is exactly the sampler every split query
+    already pays."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    vi = F.round(F.col("value") * F.lit(10000.0)).cast("bigint")
+    ev = e.select("event_id", "event_type", vi.alias("vi")).localCheckpoint(
+        eager=True
+    )
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nh"),
+        F.sum("vi").cast("bigint").alias("sh"),
+        F.sum(F.col("vi") * F.col("vi")).cast("bigint").alias("qh"),
+    )
+    nh = F.col("nh")
+    mean = F.col("sh").cast("double") / F.lit(10000.0) / nh
+    var = (
+        F.col("qh").cast("double") / F.lit(100000000.0) - nh * mean * mean
+    ) / (nh - 1)
+    wq = mom.filter(nh >= 2).select(
+        "event_type",
+        "nh",
+        "sh",
+        "qh",
+        F.floor(F.lit(1000000.0) * nh * F.sqrt(var))
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = wq.agg(F.sum("w").cast("bigint").alias("wt"))
+    alloc = (
+        wq.crossJoin(F.broadcast(tot))
+        .filter(F.col("wt") > 0)
+        .select(
+            "event_type",
+            "nh",
+            "sh",
+            "qh",
+            "w",
+            F.least(
+                F.expr(f"({_NEY_M} * w) div wt"), F.col("nh")
+            )
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window as W
+
+    h = _shingle_int(
+        F.concat(F.lit("ney:"), F.col("event_id").cast("string"))
+    )
+    ranked = (
+        ev.join(F.broadcast(alloc.select("event_type", "n_alloc")), "event_type")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    h.alias("h"), F.col("event_id")
+                )
+            ),
+        )
+    )
+    samp = (
+        ranked.filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_real"),
+            F.sum("vi").cast("bigint").alias("s_samp"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return alloc.join(samp, "event_type", "left").select(
+        "event_type",
+        F.col("nh").alias("n_stratum"),
+        (F.col("sh").cast("double") / F.lit(10000.0) / F.col("nh")).alias(
+            "mean_pop"
+        ),
+        (F.col("w").cast("double") / F.lit(1000000.0)).alias(
+            "neyman_weight"
+        ),
+        "n_alloc",
+        F.coalesce(F.col("n_real"), z).alias("n_realized"),
+        F.when(
+            F.col("n_real") > 0,
+            F.col("s_samp").cast("double")
+            / F.lit(10000.0)
+            / F.col("n_real"),
+        ).alias("mean_sample"),
+    )

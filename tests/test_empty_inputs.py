@@ -203,6 +203,7 @@ _FAMILIES = [
     "image_patch_stats",
     "trade_closeness_centrality",
     "ql_dirichlet_retrieval",
+    "neyman_stratified_sample",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
     "incremental_linkage_maintenance",

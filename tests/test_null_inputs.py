@@ -190,6 +190,7 @@ _REGRESSIONS = [
     "image_patch_stats",
     "trade_closeness_centrality",
     "ql_dirichlet_retrieval",
+    "neyman_stratified_sample",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

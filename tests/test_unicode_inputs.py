@@ -105,6 +105,7 @@ _REGRESSIONS = [
     "image_patch_stats",
     "trade_closeness_centrality",
     "ql_dirichlet_retrieval",
+    "neyman_stratified_sample",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
