@@ -269,6 +269,7 @@ HEADLINE = [
     "trade_closeness_centrality",
     "ql_dirichlet_retrieval",
     "neyman_stratified_sample",
+    "purchase_rate_wilson",
 ]
 
 

@@ -1478,7 +1478,8 @@ zs AS MATERIALIZED (
 ),
 ps AS (
   SELECT event_type, dow, n1, n2, zst,
-    LEAST(1.0, 1.0 / (zst * zst)) AS p
+    CASE WHEN zst = 0.0 THEN 1.0
+         ELSE LEAST(1.0, 1.0 / (zst * zst)) END AS p
   FROM zs
 ),
 mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ps),
@@ -1590,9 +1591,11 @@ def _bh_from_cells(cells: DataFrame) -> DataFrame:
             n1.alias("n1"),
             n2.alias("n2"),
             zst.alias("zst"),
-            F.least(
-                F.lit(1.0), F.lit(1.0) / (zst * zst)
-            ).alias("p"),
+            F.when(zst == 0.0, F.lit(1.0))
+            .otherwise(
+                F.least(F.lit(1.0), F.lit(1.0) / (zst * zst))
+            )
+            .alias("p"),
         )
         .localCheckpoint(eager=True)
     )
@@ -2520,4 +2523,152 @@ def q_event_value_jonckheere(
                 / F.nullif(F.sqrt(F.col("var_u")), F.lit(0.0))
             ).alias("z_jt"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test + Wilson score intervals — the PROPORTION member
+# of the test family (means have the z-test; rates get this pair)
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = "1.96"  # 95% normal quantile, a literal both engines parse
+# to the identical double
+
+_WILSON_ORACLE = f"""
+WITH e AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+         ELSE 'weekday' END AS grp,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+g AS MATERIALIZED (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(pur) AS BIGINT) AS x
+  FROM e GROUP BY 1
+),
+w AS (
+  SELECT grp, n, x,
+    CAST(x AS DOUBLE) / n AS phat,
+    (CAST(x AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n))
+      / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n) AS ctr,
+    ({_WILSON_Z} / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n))
+      * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) / n
+             + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)) AS hw
+  FROM g WHERE n > 0
+),
+tp AS (
+  SELECT
+    (SELECT CAST(x AS DOUBLE) / n FROM g WHERE grp = 'weekend')
+      AS p1,
+    (SELECT CAST(x AS DOUBLE) / n FROM g WHERE grp = 'weekday')
+      AS p2,
+    (SELECT n FROM g WHERE grp = 'weekend') AS n1,
+    (SELECT n FROM g WHERE grp = 'weekday') AS n2,
+    CAST((SELECT COALESCE(SUM(x), 0) FROM g) AS DOUBLE)
+      / NULLIF(CAST((SELECT COALESCE(SUM(n), 0) FROM g) AS DOUBLE),
+               0.0) AS pp
+),
+zz AS (
+  SELECT (p1 - p2) / NULLIF(
+      sqrt(pp * (1.0 - pp)
+           * (1.0 / n1 + 1.0 / n2)), 0.0) AS z2p
+  FROM tp
+)
+SELECT w.grp, w.n AS n_events, w.x AS n_purchases, w.phat,
+  w.ctr - w.hw AS wilson_lo, w.ctr + w.hw AS wilson_hi,
+  (SELECT z2p FROM zz) AS z_two_prop
+FROM w
+"""
+
+
+@query("purchase_rate_wilson", oracle=_WILSON_ORACLE)
+def q_purchase_rate_wilson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-PROPORTION z-test + WILSON score intervals for the weekend
+    vs weekday purchase RATE — the proportion member of the test
+    family (events_value_ztest answers "did the treatment move the
+    MEAN"; conversion experiments ask "did it move the RATE", and the
+    Wilson interval is the standard small-p-safe CI the naive Wald
+    interval gets wrong near 0 and 1).
+
+    Exactness: the 2×2 census is one conditional-sum pass; every
+    downstream quantity (p̂, the pooled two-proportion z, the Wilson
+    center (p̂ + z²/2n)/(1 + z²/n) and half-width) is one identical
+    chain of correctly-rounded double ops over exact integer counts,
+    with the 1.96 quantile a decimal literal both engines parse to
+    the same double — no quantization needed anywhere, the
+    events_value_ztest contract applied to rates.  NULLIF guards the
+    degenerate all-one-group input.
+
+    Scale shape: ONE map-side-combined 2-row census; everything after
+    is scalar — the cheapest member of the family beside the mean
+    z-test."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    g = (
+        e.select(
+            F.when(
+                (F.dayofweek("ts") - 1).isin(0, 6), F.lit("weekend")
+            )
+            .otherwise(F.lit("weekday"))
+            .alias("grp"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("pur"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pur").cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    zc = F.lit(1.96)
+    n, x = F.col("n"), F.col("x")
+    phat = x.cast("double") / n
+    ctr = (phat + zc * zc / (F.lit(2.0) * n)) / (F.lit(1.0) + zc * zc / n)
+    hw = (zc / (F.lit(1.0) + zc * zc / n)) * F.sqrt(
+        phat * (F.lit(1.0) - phat) / n
+        + zc * zc / (F.lit(4.0) * n * n)
+    )
+    w = g.filter(n > 0).select(
+        "grp",
+        n.alias("n"),
+        x.alias("x"),
+        phat.alias("phat"),
+        ctr.alias("ctr"),
+        hw.alias("hw"),
+    )
+    agg = g.agg(
+        F.max(F.when(F.col("grp") == "weekend", phat)).alias("p1"),
+        F.max(F.when(F.col("grp") == "weekday", phat)).alias("p2"),
+        F.max(F.when(F.col("grp") == "weekend", n)).alias("n1"),
+        F.max(F.when(F.col("grp") == "weekday", n)).alias("n2"),
+        (
+            F.coalesce(F.sum("x"), F.lit(0)).cast("double")
+            / F.nullif(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("pp"),
+    )
+    z2p = (F.col("p1") - F.col("p2")) / F.nullif(
+        F.sqrt(
+            F.col("pp")
+            * (F.lit(1.0) - F.col("pp"))
+            * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+        ),
+        F.lit(0.0),
+    )
+    zz = agg.select(z2p.alias("z2p"))
+    return w.crossJoin(F.broadcast(zz)).select(
+        "grp",
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_purchases"),
+        "phat",
+        (F.col("ctr") - F.col("hw")).alias("wilson_lo"),
+        (F.col("ctr") + F.col("hw")).alias("wilson_hi"),
+        F.col("z2p").alias("z_two_prop"),
     )

@@ -204,6 +204,7 @@ _FAMILIES = [
     "trade_closeness_centrality",
     "ql_dirichlet_retrieval",
     "neyman_stratified_sample",
+    "purchase_rate_wilson",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -191,6 +191,7 @@ _REGRESSIONS = [
     "trade_closeness_centrality",
     "ql_dirichlet_retrieval",
     "neyman_stratified_sample",
+    "purchase_rate_wilson",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -106,6 +106,7 @@ _REGRESSIONS = [
     "trade_closeness_centrality",
     "ql_dirichlet_retrieval",
     "neyman_stratified_sample",
+    "purchase_rate_wilson",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
