@@ -283,7 +283,7 @@ _RECONFIRM = [
 # sampled (run `list(queries())[:50]` to confirm against
 # CORRECTNESS_r14.json — the composition as of round-14 close, all
 # 50 verified green at sf0.01 by the builder's gate replica: the
-# 3-row _PRIORITY head, the EIGHTEEN round-14 additions
+# 3-row _PRIORITY head, the NINETEEN round-14 additions
 # (tdigest_quantile_serve, ql_dirichlet_retrieval,
 # neyman_stratified_sample, trade_closeness_centrality,
 # events_bh_fdr_battery, event_value_anova,
@@ -292,13 +292,13 @@ _RECONFIRM = [
 # event_value_jonckheere, linkage_em_converged,
 # linkage_blocking_recall, linkage_golden_records,
 # incremental_linkage_maintenance, image_patch_stats,
-# purchase_rate_wilson — and
+# purchase_rate_wilson, stream_jonckheere — and
 # nn_graph_serve_recall_table rehashed in the head), the 8-row r6
-# remainder, and the r7-latest tranche through hits_hubs_authorities)
+# remainder, and the r7-latest tranche through greedy_coverage_docs)
 # into _DRIVER_CHECKED, clear _PRIORITY unless an oracle changed,
 # promote any _DEFER entries, continue _RECONFIRM oldest-first with
 # the r7-latest remainder the cut left (alphabetical from
-# hll_register_audit) plus the r8-latest tranche (alphabetical),
+# hits_hubs_authorities) plus the r8-latest tranche (alphabetical),
 # and keep head + new <= 50.
 _DEFER: list[str] = []
 

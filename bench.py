@@ -270,6 +270,7 @@ HEADLINE = [
     "ql_dirichlet_retrieval",
     "neyman_stratified_sample",
     "purchase_rate_wilson",
+    "stream_jonckheere",
 ]
 
 

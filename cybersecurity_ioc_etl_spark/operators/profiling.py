@@ -2392,6 +2392,12 @@ def q_event_value_jonckheere(
         .agg(F.count("*").cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
+    return _jt_from_cells(cells)
+
+
+def _jt_from_cells(cells: DataFrame) -> DataFrame:
+    """Jonckheere-Terpstra from a (vi, g, c) census — shared by the
+    batch test and its streaming twin."""
 
     def gcol(i: int):
         return (
@@ -2672,3 +2678,35 @@ def q_purchase_rate_wilson(
         (F.col("ctr") + F.col("hw")).alias("wilson_hi"),
         F.col("z2p").alias("z_two_prop"),
     )
+
+
+@query("stream_jonckheere", oracle=_JT_ORACLE)
+def q_stream_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of event_value_jonckheere: events fold into
+    additive (stratum, value) integer COUNT partials via the shared
+    count-fold harness; the cumulative-window U walk and the
+    tie-corrected moments run at drain on the merged census, so the
+    streamed ordered-trend statistic is batch-identical under any
+    batching/replay and the batch oracle is the ground truth verbatim.
+
+    Scale shape: per trigger one map-side-combined count bounded by
+    the batch's distinct (stratum, value) pairs; drain-side work is
+    census-grain."""
+    from ..streaming.pipeline import _run_stream_count_fold
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.expr("hour(ts) div 6").cast("bigint").alias("g"),
+            F.round(F.col("value") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("vi"),
+        )
+    )
+    cells = (
+        _run_stream_count_fold(spark, e, ["vi", "g"], "stream_jt_")
+        .select("vi", "g", F.col("c").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return _jt_from_cells(cells)

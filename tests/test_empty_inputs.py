@@ -205,6 +205,7 @@ _FAMILIES = [
     "ql_dirichlet_retrieval",
     "neyman_stratified_sample",
     "purchase_rate_wilson",
+    "stream_jonckheere",
     # round-14: CC + survivorship over the EMPTY match graph
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -192,6 +192,7 @@ _REGRESSIONS = [
     "ql_dirichlet_retrieval",
     "neyman_stratified_sample",
     "purchase_rate_wilson",
+    "stream_jonckheere",
     # round-14: NULL-keyed/NULL-field records through blocking + CC
     "linkage_golden_records",
     "incremental_linkage_maintenance",

@@ -107,6 +107,7 @@ _REGRESSIONS = [
     "ql_dirichlet_retrieval",
     "neyman_stratified_sample",
     "purchase_rate_wilson",
+    "stream_jonckheere",
     # round-14: multi-byte names through the length-based survivorship
     "linkage_golden_records",
     "incremental_linkage_maintenance",
