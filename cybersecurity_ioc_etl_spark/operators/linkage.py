@@ -69,12 +69,18 @@ def _lnk_sides(
     return c, dirty
 
 
-def _lnk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lnk_pairs(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Blocked candidate pairs with agreement vector + ground truth —
-    shared by the supervised FS query and the EM-bootstrap round."""
+    shared by the supervised FS query and the EM-bootstrap round.
+    ``materialize=False`` skips the localCheckpoint for single-pass
+    consumers (the converged-EM census), which would otherwise pay an
+    extra full materialization job for a frame read exactly once
+    (optimization guide §5: cache only what is reused)."""
     c, dirty = _lnk_sides(spark, sf_dir)
     ag = lambda a, b: F.when(F.col(a) == F.col(b), 1).otherwise(0)  # noqa: E731
-    return (
+    out = (
         c.alias("o")
         .join(dirty.alias("d"), F.col("o.nat") == F.col("d.nat"))
         .select(
@@ -85,8 +91,8 @@ def _lnk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("is_match"),
         )
-        .localCheckpoint(eager=True)
     )
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 _LNK_SIDES_SQL = f"""cust AS (
@@ -799,96 +805,134 @@ FROM w
 """
 
 
-def _em_spark_factors(qm, qu):
-    """Clamped likelihood-product columns for the 3-bit agreement
-    pattern under per-field param getters (grain _EM_G)."""
-    lm, lu = None, None
-    for f in _LNK_FIELDS:
-        fm = F.when(F.col(f"a_{f}") == 1, qm(f)).otherwise(_EM_G - qm(f))
-        fu = F.when(F.col(f"a_{f}") == 1, qu(f)).otherwise(_EM_G - qu(f))
-        lm = fm if lm is None else lm * fm
-        lu = fu if lu is None else lu * fu
-    return lm, lu
+def _em_fold_sql() -> str:
+    """ALL EM rounds as ONE JVM expression: fold ``sequence(0,
+    _EM_ROUNDS)`` over the collected 8-pattern census array, emitting
+    the per-round (ll_num, params) trajectory.
 
+    Exactly the arithmetic the per-round DataFrame loop computed
+    through r13 (clamped integer likelihood products, one G-grain
+    downscale, responsibility-weighted M-step censuses, FLOOR-quantized
+    ln terms) — but EM state is the 2³ agreement-pattern census, which
+    is SCHEMA-bounded, so the rounds need no cluster barriers at all:
+    the r13 shape paid ~2 Spark jobs per round (one eager M-step
+    checkpoint plus the round's branch of the final 33-way union =
+    208 jobs / 270 single-row tasks measured by tools/jobstat_probe.py,
+    ~100 ms of pure scheduling each).  Optimization guide §1.2: fix the
+    distributed algorithm first — the only data-scale work is the one
+    census pass; everything after folds over 8 structs.
 
-def _em_estep_frame(pat: DataFrame, params: DataFrame) -> DataFrame:
-    """One Spark E-step: pattern-grain mixture + clamped responsibility
-    under the broadcast 1-row ``params`` frame (qp, qm_f, qu_f)."""
-    lm, lu = _em_spark_factors(
-        lambda f: F.col(f"qm_{f}"), lambda f: F.col(f"qu_{f}")
+    The inner ``aggregate(array(<sums>), acc, (a, s) -> ...)`` is a
+    let-binding: it evaluates the round's census sums struct once and
+    binds it as ``s`` (SQL lambdas have no WITH), so the M-step's seven
+    divisions and the emit share one evaluation.  Empty-census
+    behavior matches the frame loop bit-for-bit: SUM over no rows was
+    NULL there, so ``ll_num`` is NULLed when n_all = 0; the clamped
+    params degenerate to 1 on both paths."""
+    G = _EM_G
+    one = "CAST(1 AS BIGINT)"
+    lm = " * ".join(
+        f"(CASE WHEN x.a_{f} = 1 THEN acc.qm_{f}"
+        f" ELSE {G} - acc.qm_{f} END)"
+        for f in _LNK_FIELDS
     )
-    return (
-        pat.crossJoin(F.broadcast(params))
-        .select(
-            "a_name", "a_seg", "a_bal", "n", "n_true", "qp",
-            lm.alias("lmraw"), lu.alias("luraw"),
-        )
-        .select(
-            "a_name", "a_seg", "a_bal", "n", "n_true",
-            (
-                F.col("qp")
-                * F.greatest(
-                    F.expr(f"CAST(lmraw div {_EM_G} AS BIGINT)"), F.lit(1)
-                )
-            ).alias("mixm"),
-            (
-                (_EM_G - F.col("qp"))
-                * F.greatest(
-                    F.expr(f"CAST(luraw div {_EM_G} AS BIGINT)"), F.lit(1)
-                )
-            ).alias("mixu"),
-        )
-        .select(
-            "a_name", "a_seg", "a_bal", "n", "n_true",
-            (F.col("mixm") + F.col("mixu")).alias("mix"),
-            F.expr(
-                f"CAST(least(mixm div greatest((mixm + mixu) div {_EM_G},"
-                f" 1), {_EM_G}) AS BIGINT)"
-            ).alias("g_q"),
-        )
+    lu = " * ".join(
+        f"(CASE WHEN x.a_{f} = 1 THEN acc.qu_{f}"
+        f" ELSE {G} - acc.qu_{f} END)"
+        for f in _LNK_FIELDS
     )
-
-
-def _em_mstep_frame(e: DataFrame) -> DataFrame:
-    """One Spark M-step: responsibility-weighted censuses → clamped
-    (0,1) params, checkpointed so the round loop's lineage stays flat."""
-    clamp = lambda c: F.least(  # noqa: E731
-        F.greatest(c.cast("bigint"), F.lit(1)), F.lit(_EM_G - 1)
-    )
-    m = e.agg(
-        F.sum(F.col("n") * F.col("g_q")).cast("bigint").alias("den_m"),
-        F.sum(F.col("n") * (_EM_G - F.col("g_q")))
-        .cast("bigint")
-        .alias("den_u"),
-        F.sum("n").cast("bigint").alias("n_all"),
-        *[
-            x
+    mixm = f"(acc.qp * greatest(({lm}) div {G}, {one}))"
+    mixu = f"(({G} - acc.qp) * greatest(({lu}) div {G}, {one}))"
+    e = f"""transform(pat, x -> struct(
+      x.n AS n,
+      {", ".join(f"x.a_{f} AS a_{f}" for f in _LNK_FIELDS)},
+      {mixm} + {mixu} AS mix,
+      CAST(least({mixm} div greatest(({mixm} + {mixu}) div {G}, {one}),
+                 CAST({G} AS BIGINT)) AS BIGINT) AS g_q))"""
+    zero = "CAST(0 AS BIGINT)"
+    sums_init = ", ".join(
+        [
+            f"{zero} AS ll",
+            f"{zero} AS den_m",
+            f"{zero} AS den_u",
+            f"{zero} AS n_all",
+        ]
+        + [
+            z
             for f in _LNK_FIELDS
-            for x in (
-                F.sum(F.col("n") * F.col("g_q") * F.col(f"a_{f}"))
-                .cast("bigint")
-                .alias(f"nm_{f}"),
-                F.sum(F.col("n") * (_EM_G - F.col("g_q")) * F.col(f"a_{f}"))
-                .cast("bigint")
-                .alias(f"nu_{f}"),
-            )
-        ],
+            for z in (f"{zero} AS nm_{f}", f"{zero} AS nu_{f}")
+        ]
     )
-    return m.select(
-        clamp(F.expr("den_m div greatest(n_all, 1)")).alias("qp"),
-        *[
-            x
+    sums_step = ", ".join(
+        [
+            "s.ll + x.n * CAST(FLOOR(1000000.0 *"
+            " ln(CAST(x.mix AS DOUBLE))) AS BIGINT) AS ll",
+            "s.den_m + x.n * x.g_q AS den_m",
+            f"s.den_u + x.n * ({G} - x.g_q) AS den_u",
+            "s.n_all + x.n AS n_all",
+        ]
+        + [
+            z
             for f in _LNK_FIELDS
-            for x in (
-                clamp(
-                    F.expr(f"(nm_{f} * {_EM_G}) div greatest(den_m, 1)")
-                ).alias(f"qm_{f}"),
-                clamp(
-                    F.expr(f"(nu_{f} * {_EM_G}) div greatest(den_u, 1)")
-                ).alias(f"qu_{f}"),
+            for z in (
+                f"s.nm_{f} + x.n * x.g_q * x.a_{f} AS nm_{f}",
+                f"s.nu_{f} + x.n * ({G} - x.g_q) * x.a_{f} AS nu_{f}",
             )
-        ],
-    ).localCheckpoint(eager=True)
+        ]
+    )
+    s_expr = (
+        f"aggregate({e}, struct({sums_init}),"
+        f" (s, x) -> struct({sums_step}))"
+    )
+    clamp = (
+        lambda c: f"least(greatest(CAST({c} AS BIGINT), {one}),"
+        f" CAST({G - 1} AS BIGINT))"
+    )
+    upd = ", ".join(
+        [clamp(f"s.den_m div greatest(s.n_all, {one})") + " AS qp"]
+        + [
+            u
+            for f in _LNK_FIELDS
+            for u in (
+                clamp(f"(s.nm_{f} * {G}) div greatest(s.den_m, {one})")
+                + f" AS qm_{f}",
+                clamp(f"(s.nu_{f} * {G}) div greatest(s.den_u, {one})")
+                + f" AS qu_{f}",
+            )
+        ]
+    )
+    emit = (
+        "array_append(a.out, struct("
+        "CAST(k AS BIGINT) AS round, "
+        "CASE WHEN s.n_all = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE s.ll END AS ll_num, "
+        "a.qp AS qp, a.qm_name AS qmn, a.qu_name AS qun, "
+        "s.n_all AS n_all))"
+    )
+    params_init = ", ".join(
+        [f"CAST({_EM_P0} AS BIGINT) AS qp"]
+        + [
+            p
+            for f in _LNK_FIELDS
+            for p in (
+                f"CAST({_EM_M0} AS BIGINT) AS qm_{f}",
+                f"CAST({_EM_U0} AS BIGINT) AS qu_{f}",
+            )
+        ]
+        + [
+            "CAST(array() AS array<struct<round: bigint, ll_num: bigint,"
+            " qp: bigint, qmn: bigint, qun: bigint, n_all: bigint>>)"
+            " AS out"
+        ]
+    )
+    return f"""aggregate(
+  sequence(0, {_EM_ROUNDS}),
+  struct({params_init}),
+  (acc, k) -> aggregate(
+    array({s_expr}),
+    acc,
+    (a, s) -> struct({upd}, {emit})),
+  acc -> acc.out)"""
 
 
 @query("linkage_em_converged", oracle=_lnk_em_conv_oracle())
@@ -919,80 +963,46 @@ def q_linkage_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     so parameter convergence is visible alongside likelihood
     convergence.
 
-    Scale shape: EM state is the 2³ agreement-pattern census — every
-    round after the one blocked-pairs census pass costs a 8-row
-    E-step + one map-side-combined M-step regardless of pair count
-    (the linkage_em_round law, times _EM_ROUNDS).  At 100 TB the
-    unroll bound is the lever, exactly as Louvain's pair cap: the
-    probe sizes it per dataset, and larger fixtures converge FASTER
-    (sf0.1 stops at round 10 vs sf0.001's 28) because the match
-    prior separates sooner."""
-    pairs = _lnk_pairs(spark, sf_dir)
-    pat = (
+    Scale shape: EM state is the 2³ agreement-pattern census — after
+    the one blocked-pairs census pass, ALL rounds run as a single
+    sequence-fold JVM expression over the collected 8-struct array
+    (`_em_fold_sql`), so the whole trajectory costs ONE job however
+    many rounds the unroll bound allows (r14 optimization: the
+    per-round frame loop measured 208 jobs / 270 single-row tasks —
+    pure scheduling).  At 100 TB the unroll bound is the lever,
+    exactly as Louvain's pair cap: the probe sizes it per dataset,
+    and larger fixtures converge FASTER (sf0.1 stops at round 10 vs
+    sf0.001's 28) because the match prior separates sooner."""
+    pairs = _lnk_pairs(spark, sf_dir, materialize=False)
+    cens = (
         pairs.groupBy("a_name", "a_seg", "a_bal")
+        .agg(F.count("*").cast("bigint").alias("n"))
         .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.sum("is_match").cast("bigint").alias("n_true"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    na = pat.agg(
-        F.coalesce(F.sum("n").cast("bigint"), F.lit(0).cast("bigint")).alias(
-            "n_all"
+            F.collect_list(
+                F.struct("a_name", "a_seg", "a_bal", "n")
+            ).alias("pat")
         )
     )
-    params = spark.range(1).select(
-        F.lit(_EM_P0).cast("bigint").alias("qp"),
-        *[
-            x
-            for f in _LNK_FIELDS
-            for x in (
-                F.lit(_EM_M0).cast("bigint").alias(f"qm_{f}"),
-                F.lit(_EM_U0).cast("bigint").alias(f"qu_{f}"),
-            )
-        ],
-    )
-    llterm = lambda c: F.sum(  # noqa: E731
-        F.col("n")
-        * F.floor(F.lit(1e6) * F.log(c.cast("double"))).cast("bigint")
-    ).cast("bigint")
-    rows = []
-    for k in range(_EM_ROUNDS + 1):
-        e = _em_estep_frame(pat, params)
-        rows.append(
-            e.agg(llterm(F.col("mix")).alias("ll_num"))
-            .crossJoin(F.broadcast(params))
-            .select(
-                F.lit(k).cast("bigint").alias("round"),
-                "ll_num",
-                "qp",
-                F.col("qm_name").alias("qmn"),
-                F.col("qu_name").alias("qun"),
-            )
-        )
-        if k < _EM_ROUNDS:
-            params = _em_mstep_frame(e)
-    t = rows[0]
-    for r in rows[1:]:
-        t = t.unionByName(r)
-    t = t.localCheckpoint(eager=True)
+    rounds = cens.select(
+        F.explode(F.expr(_em_fold_sql())).alias("r")
+    ).select("r.*")
     w_r = Window.orderBy("round")
-    w = t.select(
+    w = rounds.select(
         "round",
         "ll_num",
         "qp",
         "qmn",
         "qun",
+        "n_all",
         (F.col("ll_num") - F.lag("ll_num").over(w_r)).alias("dll"),
     ).localCheckpoint(eager=True)
-    s = w.crossJoin(F.broadcast(na)).agg(
+    s = w.agg(
         F.min(
             F.when(F.col("dll") <= F.col("n_all"), F.col("round"))
         ).alias("stop_round")
     )
     return (
         w.crossJoin(F.broadcast(s))
-        .crossJoin(F.broadcast(na))
         .select(
             F.col("round").cast("bigint").alias("round"),
             F.col("ll_num").cast("bigint").alias("ll_num"),
