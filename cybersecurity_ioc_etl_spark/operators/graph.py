@@ -2492,6 +2492,124 @@ FROM w
 """
 
 
+def _lvc_fold_sql(pairs: int) -> str:
+    """ALL Louvain move pairs as ONE JVM expression: fold
+    ``sequence(1, pairs)`` over the collected nation-graph edge array,
+    each step applying the two semi-synchronous greedy half-steps and
+    emitting the pair's (move counts, exact q_num, ncomm) row.
+
+    Exactly the `_louvain_half` / `_qnum` arithmetic (neighbor-
+    community censuses, ΔQ·(2m)² integer gains, ties to the smallest
+    community, strict-positive move rule, representative-counted
+    communities) — but the nation graph is SCHEMA-bounded (≤ 25 nodes,
+    ≤ 650 directed edges), so after the one data-scale edge-derivation
+    pass the whole loop is scalar work: the r13 per-round frame shape
+    paid 2 eager label checkpoints per pair plus a 5-way union whose
+    branches re-ran the lazy move/Q audits (306 jobs / 642 stages
+    measured by tools/jobstat_probe.py).  Optimization guide §1.2 /
+    §2.4: remove the barriers outright when the state is bounded.
+
+    Generated-SQL hygiene (the CLAUDE.md comprehension-shadowing
+    gotcha, Spark-lambda edition): every nested lambda uses a UNIQUE
+    variable name (lmn/dmn/ne/kc0/kc2/cf/cc/qs/qm/...) — an inner
+    ``m`` shadowing an outer fold's ``m`` silently turns the
+    per-community degree sum into the global degree sum (hit while
+    prototyping; the parity sweep caught it)."""
+    one = "CAST(1 AS BIGINT)"
+    zero = "CAST(0 AS BIGINT)"
+    lookup = lambda ns, vid: (  # noqa: E731 — label of node `vid`
+        f"aggregate(filter({ns}, lmn -> lmn.id = {vid}),"
+        f" CAST(NULL AS BIGINT), (lr, lmn) -> lmn.lbl)"
+    )
+    d_of = lambda ns, c: (  # noqa: E731 — Σtot degree of community c
+        f"aggregate({ns}, {zero},"
+        f" (ds, dmn) -> ds + CASE WHEN dmn.lbl = ({c}) THEN dmn.k"
+        f" ELSE {zero} END)"
+    )
+
+    def half(ns: str, p: int) -> str:
+        nbrs = (
+            f"transform(filter(eg, ne -> ne.a = n.id),"
+            f" ne -> {lookup(ns, 'ne.b')})"
+        )
+        kicur = f"size(filter({nbrs}, kc0 -> kc0 = n.lbl))"
+        cand = f"""transform(filter({nbrs}, cf -> cf != n.lbl), cc -> struct(
+            2 * CAST(size(eg) AS BIGINT) * CAST(size(filter({nbrs}, kc2 -> kc2 = cc)) - {kicur} AS BIGINT)
+            - 2 * n.k * ({d_of(ns, 'cc')} - {d_of(ns, 'n.lbl')} + n.k) AS g,
+            cc AS c))"""
+        best = f"""aggregate({cand},
+            CAST(NULL AS struct<g: bigint, c: bigint>),
+            (bst, t) -> CASE WHEN bst IS NULL OR t.g > bst.g
+                              OR (t.g = bst.g AND t.c < bst.c)
+                        THEN t ELSE bst END)"""
+        newlbl = (
+            f"CASE WHEN ({best}).g > 0 THEN ({best}).c ELSE n.lbl END"
+        )
+        ns2x = f"""transform({ns}, n -> CASE WHEN n.id % 2 = {p}
+            THEN struct(n.id AS id, {newlbl} AS lbl, n.k AS k, n.lbl AS old)
+            ELSE struct(n.id AS id, n.lbl AS lbl, n.k AS k, n.lbl AS old) END)"""
+        # aggregate(array(x), ...) is the let-binding idiom: evaluate
+        # the post-move node array once, derive (labels, move count)
+        return f"""aggregate(array({ns2x}),
+            CAST(NULL AS struct<ns: array<struct<id: bigint, lbl: bigint, k: bigint>>, nmv: bigint>),
+            (zz, t) -> struct(
+              transform(t, x -> struct(x.id AS id, x.lbl AS lbl, x.k AS k)) AS ns,
+              CAST(size(filter(t, x -> x.lbl != x.old)) AS BIGINT) AS nmv))"""
+
+    def qnum(ns: str) -> tuple[str, str, str]:
+        intra2 = (
+            f"aggregate(eg, {zero}, (qs, qe) -> qs +"
+            f" CASE WHEN {lookup(ns, 'qe.a')} = {lookup(ns, 'qe.b')}"
+            f" THEN {one} ELSE {zero} END)"
+        )
+        rep = "size(filter({ns}, m2 -> m2.lbl = qm.lbl AND m2.id < qm.id)) = 0"
+        sum_d2 = f"""CASE WHEN size({ns}) = 0 THEN CAST(NULL AS BIGINT)
+            ELSE aggregate({ns}, {zero}, (qs, qm) -> qs +
+              CASE WHEN {rep.format(ns=ns)}
+              THEN ({d_of(ns, 'qm.lbl')}) * ({d_of(ns, 'qm.lbl')})
+              ELSE {zero} END) END"""
+        ncomm = f"""aggregate({ns}, {zero}, (qs, qm) -> qs +
+            CASE WHEN {rep.format(ns=ns)} THEN {one} ELSE {zero} END)"""
+        return intra2, sum_d2, ncomm
+
+    i0, sd0, nc0 = qnum("ns0")
+    i1, sd1, nc1 = qnum("h1.ns")
+    emit_row = lambda pair, nme, nmo, intra2, sum_d2, ncomm: f"""struct(
+        CAST({pair} AS BIGINT) AS pair,
+        {nme} AS n_moved_even,
+        {nmo} AS n_moved_odd,
+        ({intra2}) * CAST(size(eg) AS BIGINT) - ({sum_d2}) AS q_num,
+        {ncomm} AS ncomm,
+        CAST(size(eg) AS BIGINT) AS two_m)"""  # noqa: E731
+    rows_t = (
+        "array<struct<pair: bigint, n_moved_even: bigint,"
+        " n_moved_odd: bigint, q_num: bigint, ncomm: bigint,"
+        " two_m: bigint>>"
+    )
+    ns0 = f"""transform(array_distinct(transform(eg, e -> e.a)),
+        v -> struct(CAST(v AS BIGINT) AS id, CAST(v AS BIGINT) AS lbl,
+                    CAST(size(filter(eg, e -> e.a = v)) AS BIGINT) AS k))"""
+    nullb = "CAST(NULL AS BIGINT)"
+    return f"""aggregate(
+  array({ns0}),
+  CAST(NULL AS {rows_t}),
+  (z, ns0) -> aggregate(
+    sequence(1, {pairs}),
+    struct(ns0 AS ns,
+           array({emit_row(0, nullb, nullb, i0, sd0, nc0)}) AS out),
+    (acc, kk) -> aggregate(
+      array({half('acc.ns', 0)}),
+      acc,
+      (a0, h0) -> aggregate(
+        array({half('h0.ns', 1)}),
+        a0,
+        (a1, h1) -> struct(
+          h1.ns AS ns,
+          array_append(a1.out, {emit_row('kk', 'h0.nmv', 'h1.nmv', i1, sd1, nc1)}) AS out))),
+    acc -> acc.out),
+  z -> z)"""
+
+
 @query("trade_louvain_converged_level", oracle=_lvc_oracle())
 def q_trade_louvain_converged_level(
     spark: SparkSession, sf_dir: str
@@ -2517,13 +2635,18 @@ def q_trade_louvain_converged_level(
     scalars — the empty-moves/fixed-point receipt VERDICT-r12 item 7
     asked for, with the oscillation case documented instead of hidden.
 
-    Scale shape: each half-step is the trade_louvain_move plan
-    (edge-keyed neighbor census + broadcast community stats); the
-    per-pair Q audit is two map-side-combined folds; the convergence
-    frame is PAIRS+1 rows of scalars.  At 100 TB the unroll bound is
+    Scale shape: the data-scale work is the one `_trade_edges`
+    derivation pass; the nation graph itself is SCHEMA-bounded
+    (≤ 25 nodes), so every half-step, move census, and exact-Q audit
+    runs inside a single sequence-fold JVM expression over the
+    collected edge array (`_lvc_fold_sql`) — ONE job for the whole
+    loop (r14 optimization: the per-round frame shape measured 306
+    jobs / 642 stages of scheduling).  At 100 TB the unroll bound is
     the lever (production Louvain caps phase-1 sweeps — Blondel et
     al. report a handful suffice; the probe sizes the cap per
-    dataset)."""
+    dataset); a data-scale community graph would use the checkpointed
+    `_louvain_half` frame loop instead (trade_louvain_move keeps that
+    plan pinned)."""
     from pyspark.sql import Window
 
     e0 = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
@@ -2531,76 +2654,26 @@ def q_trade_louvain_converged_level(
         e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    lab = (
-        ue.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint(eager=True)
+    one = ue.agg(
+        F.collect_list(
+            F.struct(
+                F.col("a").cast("bigint").alias("a"),
+                F.col("b").cast("bigint").alias("b"),
+            )
+        ).alias("eg")
     )
-    deg = (
-        ue.groupBy(F.col("a").alias("id"))
-        .agg(F.count("*").alias("k"))
-        .localCheckpoint(eager=True)
-    )
-    two_m = ue.agg(F.count("*").alias("two_m"))
-
-    def qrow(lab_k: DataFrame, k: int, mv_e, mv_o) -> DataFrame:
-        qn = _qnum(ue, deg, lab_k).crossJoin(F.broadcast(two_m)).select(
-            (F.col("intra2") * F.col("two_m") - F.col("sum_d2")).alias(
-                "q_num"
-            ),
-            F.col("ncomm"),
-        )
-        base = qn.select(
-            F.lit(k).cast("bigint").alias("pair"),
-            "q_num",
-            "ncomm",
-        )
-        if mv_e is None:
-            return base.select(
-                "pair",
-                F.lit(None).cast("bigint").alias("n_moved_even"),
-                F.lit(None).cast("bigint").alias("n_moved_odd"),
-                "q_num",
-                "ncomm",
-            )
-        return (
-            base.crossJoin(F.broadcast(mv_e))
-            .crossJoin(F.broadcast(mv_o))
-            .select(
-                "pair",
-                F.col("nme").cast("bigint").alias("n_moved_even"),
-                F.col("nmo").cast("bigint").alias("n_moved_odd"),
-                "q_num",
-                "ncomm",
-            )
-        )
-
-    rows = [qrow(lab, 0, None, None)]
-    for k in range(1, _LVC_PAIRS + 1):
-        lab, mv0 = _louvain_half(ue, deg, two_m, lab, 0)
-        lab, mv1 = _louvain_half(ue, deg, two_m, lab, 1)
-        rows.append(
-            qrow(
-                lab,
-                k,
-                mv0.agg(F.count("*").alias("nme")),
-                mv1.agg(F.count("*").alias("nmo")),
-            )
-        )
-    t = rows[0]
-    for r in rows[1:]:
-        t = t.unionByName(r)
-    t = t.localCheckpoint(eager=True)
+    rows = one.select(
+        F.explode(F.expr(_lvc_fold_sql(_LVC_PAIRS))).alias("r")
+    ).select("r.*")
     w_p = Window.orderBy("pair")
-    w = t.select(
+    w = rows.select(
         "pair",
         "n_moved_even",
         "n_moved_odd",
         "q_num",
         "ncomm",
+        "two_m",
         (F.col("q_num") - F.lag("q_num").over(w_p)).alias("dq"),
     ).localCheckpoint(eager=True)
     s = w.agg(
@@ -2624,7 +2697,6 @@ def q_trade_louvain_converged_level(
     return (
         w.crossJoin(F.broadcast(s))
         .crossJoin(F.broadcast(b))
-        .crossJoin(F.broadcast(two_m))
         .select(
             F.col("pair").cast("bigint").alias("pair"),
             F.col("n_moved_even").cast("bigint").alias("n_moved_even"),
