@@ -23,6 +23,34 @@ from pyspark.sql import types as T
 
 from ..functions import ioc as K
 
+# Micro-batch shuffle/state-store partition count, scoped per stream run
+# (sinks.bucketed.scoped_conf): stateful streams pin their state-store
+# partition count from spark.sql.shuffle.partitions at FIRST query
+# start, so the batch engine's core-count default (32 here) would give
+# every micro-batch 32 state commits + 32 reduce tasks for
+# trigger-sized inputs — per-batch volume, not cluster width, is the
+# right sizing (optimization guide §2.2: fewer, larger partitions).
+# Production deployments raise this via the env to match real trigger
+# volume; checkpoints replay under the same scoped value, so resume
+# tests see a consistent layout.
+_STREAM_SHUFFLE_PARTS = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
+
+def _start_drained(spark: SparkSession, writer) -> "object":
+    """Start ``writer`` under the stream-scoped shuffle-partition conf
+    and drain it to completion (every stream here triggers
+    availableNow, so the run is synchronous).  The conf must be in
+    scope at ``.start()`` — Structured Streaming clones the session
+    conf when the query starts, not per batch."""
+    from ..sinks.bucketed import scoped_conf
+
+    with scoped_conf(
+        spark, "spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTS
+    ):
+        q = writer.start()
+        q.awaitTermination()
+    return q
+
 # tweet envelope schema (firehose.py:20-37) — explicit StructType replacing
 # json.loads duck-typing; PERMISSIVE parsing puts malformed payloads in
 # _corrupt_record instead of crashing the stream.
@@ -171,9 +199,8 @@ def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return spark.table(name)
 
 
@@ -226,9 +253,8 @@ def run_dedup_stream(
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     out = spark.table(name)
     # pin the drained rows before the tmp source dir can go away
     return out.localCheckpoint(eager=True)
@@ -332,9 +358,8 @@ def run_dedup_evicting_stream(
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     if leg_out is not None:
         leg_out["drain_s"] = time.time() - _t_drain
     if progress_out is not None:
@@ -403,9 +428,8 @@ def run_neardup_stream(
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return spark.table(name).localCheckpoint(eager=True)
 
 
@@ -460,9 +484,8 @@ def run_stream_ann(
         stream.writeStream.foreachBatch(answer)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     # an empty query stream writes nothing: read.parquet on a fileless
     # dir throws UNABLE_TO_INFER_SCHEMA, so hand back the plan's schema
     # with zero rows — the serving path's answer to a quiet trigger
@@ -515,9 +538,8 @@ def run_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(score)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
         schema = classify_docs(test, grid).schema
         pred = spark.createDataFrame([], schema)
@@ -567,9 +589,8 @@ def run_stream_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(score)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
         return spark.createDataFrame(
             [],
@@ -681,9 +702,8 @@ def run_ioc_aging_stream(
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     versions = _committed_versions()
     if not versions:
         return spark.createDataFrame(
@@ -743,9 +763,8 @@ def run_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(keep)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
         kept = spark.createDataFrame([], d.schema)
     else:
@@ -797,9 +816,8 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return spark.table(name)
 
 
@@ -851,9 +869,8 @@ def run_partitioned_event_sink(
         stream.writeStream.foreachBatch(write_day_partitions)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return spark.read.parquet(out_dir)
 
 
@@ -881,9 +898,8 @@ def run_ioc_stream(
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
+        q = _start_drained(spark, q)
         return spark.read.parquet(out_dir)
     name = f"ioc_stream_{uuid.uuid4().hex[:8]}"
     q = (
@@ -892,9 +908,8 @@ def run_ioc_stream(
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return spark.table(name)
 
 
@@ -986,9 +1001,8 @@ def run_click_error_join_stream(
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return spark.table(name)
 
 
@@ -1035,9 +1049,8 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1099,9 +1112,8 @@ def run_session_window_stream_append(
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return spark.table(name)
 
 
@@ -1111,7 +1123,15 @@ def _write_partial_bid(df: DataFrame, out_dir: str, bid: int) -> None:
     blind append double-counts a replayed batch; an overwrite of the
     bid's own subdir makes the replay recompute the identical partial
     instead (the run_ioc_aging_stream committed-version discipline
-    applied to append-only partial sinks)."""
+    applied to append-only partial sinks).
+
+    Callers whose fold is exactly one partial write do NOT pre-check
+    ``batch.isEmpty()``: the check is its own Spark job per trigger
+    (~0.15 s of pure scheduling at fixture scale, measured r14), and
+    an empty batch just writes an empty committed partial that the
+    merge unions as zero rows — identical result, half the jobs.
+    Folds with side semantics beyond the write (sentinel rows,
+    crash injection, versioned merges) keep their guards."""
     df.write.mode("overwrite").parquet(os.path.join(out_dir, f"b{bid}"))
 
 
@@ -1186,9 +1206,8 @@ def run_stream_countmin(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame([], "i bigint, b bigint, c bigint")
@@ -1248,8 +1267,6 @@ def run_stream_cdc_retraction(
     schema = spark.read.parquet(src).schema
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
         _write_partial_bid(
             batch.groupBy("o_orderpriority").agg(
@@ -1272,9 +1289,8 @@ def run_stream_cdc_retraction(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
@@ -1326,8 +1342,6 @@ def run_stream_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         _write_partial_bid(
             batch.groupBy("release", "key").agg(
                 F.count("*").alias("c")
@@ -1345,9 +1359,8 @@ def run_stream_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
@@ -1400,8 +1413,6 @@ def run_stream_conformal_scores(
     schema = spark.read.parquet(src).schema
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         _write_partial_bid(
             batch.groupBy("event_type", "s").agg(
                 F.count("*").alias("c")
@@ -1419,9 +1430,8 @@ def run_stream_conformal_scores(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
@@ -1462,8 +1472,6 @@ def _run_stream_count_fold(
     schema = spark.read.parquet(src).schema
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         _write_partial_bid(
             batch.groupBy(*keys).agg(F.count("*").alias("c")),
             out_dir,
@@ -1479,9 +1487,8 @@ def _run_stream_count_fold(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         fields = ", ".join(
@@ -1567,8 +1574,6 @@ def run_stream_span_occurrences(
     schema = spark.read.parquet(src).schema
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         _write_partial_bid(_span_occ(_span_tokens(batch)), out_dir, bid)
 
     stream = (
@@ -1580,9 +1585,8 @@ def run_stream_span_occurrences(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame([], "doc_id bigint, p int, h bigint")
@@ -1614,8 +1618,6 @@ def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.repartition(4).write.mode("overwrite").parquet(src)
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         _write_partial_bid(kmv_bottom_k(kmv_token_hashes(batch)), out_dir, bid)
 
     stream = (
@@ -1627,9 +1629,8 @@ def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
@@ -1712,9 +1713,8 @@ def run_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     return spark.table(name).localCheckpoint(eager=True)
 
 
@@ -1790,9 +1790,8 @@ def run_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
@@ -1876,8 +1875,6 @@ def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.repartition(4).write.mode("overwrite").parquet(src)
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         _write_partial_bid(hll_batch_registers(batch), out_dir, bid)
 
     stream = (
@@ -1889,9 +1886,8 @@ def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
@@ -1980,9 +1976,8 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(partial_bars)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
@@ -2031,8 +2026,6 @@ def run_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim.repartition(4).write.mode("overwrite").parquet(src)
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         _write_partial_bid(bloom_bits(batch), out_dir, bid)
 
     stream = (
@@ -2044,9 +2037,8 @@ def run_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if dirs:
         bits = spark.read.parquet(*dirs).distinct()
@@ -2075,8 +2067,6 @@ def run_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.repartition(4).write.mode("overwrite").parquet(src)
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         _write_partial_bid(drift_partial_sums(batch), out_dir, bid)
 
     stream = (
@@ -2090,9 +2080,8 @@ def run_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
@@ -2144,8 +2133,6 @@ def run_stream_topk_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
 
     def fold(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         from pyspark.sql import Window as W
 
         w = W.partitionBy("event_type").orderBy(
@@ -2168,9 +2155,8 @@ def run_stream_topk_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    q = _start_drained(spark, q)
     dirs = _committed_partial_dirs(out_dir)
     if not dirs:
         return spark.createDataFrame(
