@@ -4226,32 +4226,59 @@ def _gs_beam(
     ``per_query`` the seed frame already carries (qid, u) — the
     IVF-routed seeding mode — instead of one global seed set."""
     pairs = seeds if per_query else qids.crossJoin(seeds)
-    visited = _gs_qdist(pairs, qcomp, ccomp).localCheckpoint(eager=True)
-    expanded = qids.limit(0).select(
-        "qid", F.lit(None).cast("bigint").alias("u")
+    # One (qid, u, d2, exp) state frame instead of separate
+    # visited/expanded frames: the r13 shape materialized BOTH per hop
+    # (2 eager checkpoints + a frontier recompute each), so every hop
+    # paid two barrier jobs for beam-sized data (r14 jobstat: the two
+    # serve rows were 110/275 jobs of ~0.1 s scheduling).  The exp flag
+    # tracks exactly the old expanded-set membership, so frontier
+    # selection, neighbor expansion, and dedup are unchanged — one
+    # checkpoint per hop.
+    st = (
+        _gs_qdist(pairs, qcomp, ccomp)
+        .withColumn("exp", F.lit(False))
+        .localCheckpoint(eager=True)
     )
     w_beam = Window.partitionBy("qid").orderBy("d2", "u")
     for _t in range(h):
         frontier = (
-            visited.join(expanded, ["qid", "u"], "left_anti")
+            st.filter(~F.col("exp"))
             .withColumn("rn", F.row_number().over(w_beam))
             .filter(F.col("rn") <= b)
             .select("qid", "u")
-        )
-        expanded = expanded.unionByName(frontier).localCheckpoint(
-            eager=True
         )
         nbr = (
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.u") == F.col("e.v"))
             .select("f.qid", F.col("e.u").alias("u"))
             .distinct()
-            .join(visited.select("qid", "u"), ["qid", "u"], "left_anti")
+            .join(st.select("qid", "u"), ["qid", "u"], "left_anti")
         )
-        visited = visited.unionByName(
-            _gs_qdist(nbr, qcomp, ccomp)
-        ).localCheckpoint(eager=True)
-    return visited
+        st = (
+            st.alias("s")
+            .join(
+                frontier.select(
+                    "qid", "u", F.lit(True).alias("newexp")
+                ).alias("fr"),
+                ["qid", "u"],
+                "left",
+            )
+            .select(
+                "qid",
+                "u",
+                "d2",
+                (F.col("exp") | F.coalesce(F.col("newexp"), F.lit(False))).alias(
+                    "exp"
+                ),
+            )
+            .unionByName(
+                _gs_qdist(nbr, qcomp, ccomp).withColumn(
+                    "exp", F.lit(False)
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    return st.select("qid", "u", "d2")
 
 
 _GS_RK_SQL = f"""SELECT vec_id,
@@ -4502,19 +4529,36 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = qcomp.select("qid").distinct()
     w_beam = Window.partitionBy("qid").orderBy("d2", "u")
-    visited = _gs_beam(qids, seeds, qcomp, ccomp, edges, _GS_H, _GS_B)
-    served = visited.withColumn("rn", F.row_number().over(w_beam))
-    exact = _gs_qdist(
-        qids.crossJoin(
-            ccomp.select("vec_id").distinct().select(
-                F.col("vec_id").alias("u")
+    # The beam walk and the exact-audit leg are independent job chains
+    # of small barriers; overlap them from two driver threads so the
+    # audit's tasks back-fill the beam's idle capacity (optimization
+    # guide §2.6 — actions are only sequential because the driver
+    # calls them sequentially).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact_leg() -> DataFrame:
+        return (
+            _gs_qdist(
+                qids.crossJoin(
+                    ccomp.select("vec_id").distinct().select(
+                        F.col("vec_id").alias("u")
+                    )
+                ),
+                qcomp,
+                ccomp,
             )
-        ),
-        qcomp,
-        ccomp,
-    ).withColumn("rn", F.row_number().over(w_beam)).localCheckpoint(
-        eager=True
-    )
+            .withColumn("rn", F.row_number().over(w_beam))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_beam = pool.submit(
+            _gs_beam, qids, seeds, qcomp, ccomp, edges, _GS_H, _GS_B
+        )
+        fut_exact = pool.submit(_exact_leg)
+        visited = fut_beam.result()
+        exact = fut_exact.result()
+    served = visited.withColumn("rn", F.row_number().over(w_beam))
     hits = (
         served.filter(F.col("rn") <= _GS_TOPK)
         .select("qid", "u")
@@ -4868,18 +4912,30 @@ def q_nn_graph_serve_recall_table(
     aseeds = rc.join(assign3, "cid").select(
         "qid", F.col("vec_id").alias("u")
     )
-    out = None
-    for h, b, mode in _GSA_SETTINGS:
-        visited = _gs_beam(
-            qids,
-            seeds if mode == "stride" else aseeds,
-            qcomp,
-            ccomp,
-            edges,
-            h,
-            b,
-            per_query=mode == "ivf",
+    # The three settings' beam walks are independent checkpoint chains;
+    # run them from a small driver thread pool so their barrier jobs
+    # overlap (optimization guide §2.6) — results are per-setting
+    # frames, identical to the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_GSA_SETTINGS)) as pool:
+        beams = list(
+            pool.map(
+                lambda s: _gs_beam(
+                    qids,
+                    seeds if s[2] == "stride" else aseeds,
+                    qcomp,
+                    ccomp,
+                    edges,
+                    s[0],
+                    s[1],
+                    per_query=s[2] == "ivf",
+                ),
+                _GSA_SETTINGS,
+            )
         )
+    out = None
+    for (h, b, mode), visited in zip(_GSA_SETTINGS, beams):
         served = visited.withColumn("rn", F.row_number().over(w_beam))
         hits = (
             served.filter(F.col("rn") <= _GS_TOPK)
