@@ -3146,37 +3146,49 @@ LIMIT 20
 """
 
 
-def _em_dp(
-    words: DataFrame, edges_c: DataFrame, direction: str, init_pos
-) -> DataFrame:
-    """Min-plus DP over (w, pos, pk) to fixpoint in _EM_ROUNDS rounds
-    — the viterbi_segment loop parameterized by direction."""
-    on, to = ("j", "i") if direction == "fwd" else ("i", "j")
-    dist = words.select(
-        "w", init_pos.alias("pos"), F.lit(0).cast("bigint").alias("pk")
-    ).localCheckpoint(eager=True)
-    for r in range(_EM_ROUNDS):
-        relaxed = (
-            dist.alias("d")
-            .join(
-                edges_c.alias("e"),
-                (F.col("d.w") == F.col("e.w"))
-                & (F.col("d.pos") == F.col(f"e.{on}")),
-            )
-            .select(
-                F.col("e.w").alias("w"),
-                F.col(f"e.{to}").alias("pos"),
-                (F.col("d.pk") + F.col("e.c16")).alias("pk"),
-            )
+def _em_word_dp_sql(es: str, wlen: str, direction: str) -> str:
+    """Whole min-plus DP of ONE word as a JVM array fold (r14
+    optimization): the DP state (w, pos, pk) never crosses words —
+    every edge relaxes positions WITHIN its word — so after grouping
+    the costed edges per word the fixpoint the round-relaxation loop
+    reached in ``_EM_ROUNDS`` cluster rounds is computable as
+    ``aggregate(sequence(1, wlen), ...)`` filling positions in
+    topological order (fwd: 1..wlen from acc[0]=0; bwd: wlen-1..0 from
+    acc[wlen]=0).  Identical integer arithmetic and MIN tie semantics,
+    zero per-round shuffles or eager barriers; the result equals the
+    round form because with positions filled in order every shortest
+    path is complete when its endpoint is filled (paths use <= wlen
+    edges, the bound the round unroll relied on).  Unreachable
+    positions stay NULL, mirroring rows absent from the relax state.
+    Every lambda var is unique (emacc/emp/emx/emxi/eme/emf — the
+    Louvain-fold shadowing lesson)."""
+    if direction == "fwd":
+        init = (
+            f"concat(array(CAST(0 AS BIGINT)),"
+            f" array_repeat(CAST(NULL AS BIGINT), {wlen}))"
         )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("w", "pos")
-            .agg(F.min("pk").alias("pk"))
+        pos = "emp"
+        relax = (
+            f"array_min(transform(filter({es},"
+            f" eme -> eme.i = emp AND emacc[eme.j] IS NOT NULL),"
+            f" emf -> emacc[emf.j] + emf.c16))"
         )
-        if (r + 1) % 3 == 0 or r == _EM_ROUNDS - 1:
-            dist = dist.localCheckpoint(eager=True)
-    return dist
+    else:
+        init = (
+            f"concat(array_repeat(CAST(NULL AS BIGINT), {wlen}),"
+            f" array(CAST(0 AS BIGINT)))"
+        )
+        pos = f"{wlen} - emp"
+        relax = (
+            f"array_min(transform(filter({es},"
+            f" eme -> eme.j = {wlen} - emp AND emacc[eme.i] IS NOT NULL),"
+            f" emf -> emf.c16 + emacc[emf.i]))"
+        )
+    return (
+        f"aggregate(sequence(1, {wlen}), {init},"
+        f" (emacc, emp) -> transform(emacc,"
+        f" (emx, emxi) -> IF(emxi = {pos}, {relax}, emx)))"
+    )
 
 
 @query("unigram_em_round", oracle=_EM_ORACLE)
@@ -3207,11 +3219,17 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: everything runs at the DISTINCT-WORD grain off the
     one corpus-wide word-count shuffle (the BPE/viterbi economics);
-    the E-step census is one join of the edge table against the two
-    DP states — vocabulary-sized, map-side combined; each DP round is
-    an equi-join + integer MIN with checkpoint cadence.  A production
-    trainer iterates this round and prunes by likelihood-loss
-    quantile instead of zero-usage — same plan, different threshold."""
+    the DPs are WORD-LOCAL (every edge relaxes positions within its
+    word), so after one group-edges-per-word exchange the fwd/bwd DPs
+    and the re-segmentation run as JVM array folds inside the word
+    rows — zero per-round shuffles, zero iteration barriers (r14
+    optimization, guide §1.2/§2.4: was 3 chains × {_EM_ROUNDS} relax
+    rounds of join+union+groupBy with checkpoint cadence, measured
+    job-count-bound at 106 Spark jobs); the E-step census explodes
+    the on-path edges from the same word rows — vocabulary-sized,
+    map-side combined.  A production trainer iterates this round and
+    prunes by likelihood-loss quantile instead of zero-usage — same
+    plan, different threshold."""
     d = load_table(spark, sf_dir, "documents", fan_out=True).filter(
         F.col("text").isNotNull()
     )
@@ -3254,7 +3272,9 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("wf").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    ec = (
+    # costed edges grouped PER WORD: the one exchange the word-local
+    # DPs need; fwd, bwd and the total all come out of the same pass
+    ecg = (
         edges.join(census, "piece")
         .select(
             "w",
@@ -3263,36 +3283,32 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "piece",
             (16 * F.expr("1000000000000 div cnt") + 1).alias("c16"),
         )
+        .groupBy("w")
+        .agg(
+            F.collect_list(F.struct("j", "i", "piece", "c16")).alias("eds")
+        )
+    )
+    wd = (
+        words.join(ecg, "w")
+        .withColumn("wlen", F.length("w"))
+        .withColumn("fwdarr", F.expr(_em_word_dp_sql("eds", "wlen", "fwd")))
+        .withColumn("bwdarr", F.expr(_em_word_dp_sql("eds", "wlen", "bwd")))
+        .withColumn("tpk", F.expr("fwdarr[wlen]"))
         .localCheckpoint(eager=True)
     )
-    fwd = _em_dp(words, ec, "fwd", F.lit(0))
-    bwd = _em_dp(words, ec, "bwd", F.length("w"))
-    tot = fwd.filter(F.col("pos") == F.length("w")).select(
-        "w", F.col("pk").alias("tpk")
-    )
+    # E-step census: an edge is on an optimal path iff fwd[j] + cost +
+    # bwd[i] == total — NULL (unreachable) endpoints compare NULL and
+    # drop, mirroring rows absent from the old relax state
     usage = (
-        ec.alias("e")
-        .join(
-            fwd.alias("f"),
-            (F.col("f.w") == F.col("e.w"))
-            & (F.col("f.pos") == F.col("e.j")),
-        )
-        .join(
-            bwd.alias("b"),
-            (F.col("b.w") == F.col("e.w"))
-            & (F.col("b.pos") == F.col("e.i")),
-        )
-        .join(tot.alias("t"), F.col("t.w") == F.col("e.w"))
-        .join(
-            words.select("w", "wf").alias("wd"),
-            F.col("wd.w") == F.col("e.w"),
+        wd.filter(F.col("tpk").isNotNull())
+        .select(
+            "wf", "tpk", "fwdarr", "bwdarr", F.explode("eds").alias("em")
         )
         .filter(
-            F.col("f.pk") + F.col("e.c16") + F.col("b.pk")
-            == F.col("t.tpk")
+            F.expr("fwdarr[em.j] + em.c16 + bwdarr[em.i]") == F.col("tpk")
         )
-        .groupBy("e.piece")
-        .agg(F.sum("wd.wf").cast("bigint").alias("used"))
+        .groupBy(F.col("em.piece").alias("piece"))
+        .agg(F.sum("wf").cast("bigint").alias("used"))
     )
     vocab2 = (
         census.join(usage, "piece", "left")
@@ -3312,21 +3328,29 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    ec2 = (
+    # re-segment on the pruned vocabulary: same group-per-word + fold
+    ecg2 = (
         edges.select("w", "j", "i", "piece")
         .join(vocab2, "piece")
-        .select("w", "j", "i", "piece", "c16")
+        .groupBy("w")
+        .agg(F.collect_list(F.struct("j", "i", "c16")).alias("eds"))
+    )
+    wd2 = (
+        words.select("w", "wf")
+        .join(ecg2, "w")
+        .withColumn("wlen", F.length("w"))
+        .withColumn("fwd2", F.expr(_em_word_dp_sql("eds", "wlen", "fwd")))
         .localCheckpoint(eager=True)
     )
-    fwd2 = _em_dp(words, ec2, "fwd", F.lit(0))
-    tot2 = fwd2.filter(F.col("pos") == F.length("w")).select(
-        "w", F.col("pk").alias("tpk2")
-    )
+    tot2 = wd2.select(
+        "w", "wf", F.expr("fwd2[wlen]").alias("tpk2")
+    ).filter(F.col("tpk2").isNotNull())
     seg_ok = (
         words.agg(F.count("*").alias("nw"))
         .crossJoin(F.broadcast(tot2.agg(F.count("*").alias("ns"))))
         .select((F.col("nw") == F.col("ns")).alias("all_segmentable"))
     )
+    reach = wd.filter(F.col("tpk").isNotNull())
     scal = (
         census.agg(F.count("*").alias("vocab_before"))
         .crossJoin(
@@ -3334,8 +3358,7 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(
             F.broadcast(
-                tot.join(words, "w")
-                .agg(
+                reach.agg(
                     F.sum(F.col("wf") * F.expr("tpk div 16")).alias(
                         "corpus_cost0"
                     )
@@ -3344,8 +3367,7 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(
             F.broadcast(
-                tot2.join(words, "w")
-                .agg(
+                tot2.agg(
                     F.sum(F.col("wf") * F.expr("tpk2 div 16")).alias(
                         "corpus_cost1"
                     )
@@ -3355,8 +3377,8 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(seg_ok))
     )
     return (
-        words.join(tot, "w")
-        .join(tot2, "w")
+        reach.select("w", "wf", "tpk")
+        .join(tot2.select("w", "tpk2"), "w")
         .crossJoin(F.broadcast(scal))
         .select(
             F.col("w").alias("word"),
