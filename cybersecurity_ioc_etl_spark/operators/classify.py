@@ -586,8 +586,8 @@ def q_lang_classifier_cv_folds(
         "fold", hash_bucket(F.col("doc_id")) % _CV_K
     )
     tok = tok.localCheckpoint(eager=True)
-    rows = None
-    for f in range(_CV_K):
+
+    def _fold_leg(f: int) -> DataFrame:
         tr = tok.filter(F.col("fold") != f)
         ct = (
             tr.groupBy("b", F.col("lang").alias("cls"))
@@ -624,7 +624,7 @@ def q_lang_classifier_cv_folds(
             )
             .select("doc_id", "lang", F.col("best.cls").alias("pred_lang"))
         )
-        fr = pred.agg(
+        return pred.agg(
             F.lit(f).cast("bigint").alias("fold"),
             F.count("*").cast("bigint").alias("n_test"),
             F.sum(
@@ -633,7 +633,19 @@ def q_lang_classifier_cv_folds(
             .cast("bigint")
             .alias("n_correct"),
         )
-        rows = fr if rows is None else rows.unionByName(fr)
+
+    # The five folds are independent train+score chains off the one
+    # checkpointed token pass (each pins its own grid checkpoints):
+    # build them from a driver thread pool (guide §2.6) so their
+    # barrier jobs back-fill each other's stragglers; the union is
+    # assembled in fold order, identical to the sequential plan.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=_CV_K) as pool:
+        frames = list(pool.map(_fold_leg, range(_CV_K)))
+    rows = frames[0]
+    for fr in frames[1:]:
+        rows = rows.unionByName(fr)
     folds = rows.localCheckpoint(eager=True)
     facc = F.col("n_correct").cast("double") / F.nullif(
         F.col("n_test").cast("double"), F.lit(0.0)

@@ -2751,10 +2751,20 @@ def q_incremental_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_neardup_new_batch); the per-batch cost is the batch's
     band probe + a pointer-jumping run whose frontier is the batch and
     the components it touches."""
-    folded = incremental_cc_fold(spark, sf_dir)
-    recomputed = neardup_components(spark, sf_dir).select(
-        "doc_id", F.col("component").alias("rc")
-    )
+    # The fold leg and the from-scratch audit leg are independent
+    # chains of small barrier jobs (each pins its own eager
+    # checkpoints while building): run them from a 2-thread driver
+    # pool (guide §2.6) so one chain's tasks back-fill the other's
+    # stragglers; results identical to the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_fold = pool.submit(incremental_cc_fold, spark, sf_dir)
+        fut_re = pool.submit(neardup_components, spark, sf_dir)
+        folded = fut_fold.result()
+        recomputed = fut_re.result().select(
+            "doc_id", F.col("component").alias("rc")
+        )
     return folded.join(recomputed, "doc_id").select(
         "doc_id",
         F.col("fc").alias("component"),

@@ -1761,7 +1761,9 @@ FROM ents e
 def _cc_iterate(lab: DataFrame, edges: DataFrame, rounds: int) -> DataFrame:
     """Bounded min-label propagation (both sides aliased per the
     AMBIGUOUS_SELF_JOIN gotcha; each round checkpointed to cut the
-    iterative lineage)."""
+    iterative lineage.  A 2-round checkpoint cadence was tried in r14
+    and measured WORSE — the lazy odd round's double self-reference
+    added stages without removing wall — so every-round stays)."""
     for _ in range(rounds):
         lab = (
             lab.alias("n")
@@ -1938,40 +1940,63 @@ def q_incremental_linkage_maintenance(
 
     bedges = _bi_edges(bmatch, 1).localCheckpoint(eager=True)
     nedges = _bi_edges(nmatch, 2).localCheckpoint(eager=True)
-    slab0 = bedges.select(F.col("a").alias("v")).distinct().select(
-        "v", F.col("v").alias("lbl")
-    )
-    slab = _cc_iterate(slab0, bedges, _INCR_RE_ROUNDS)
-    stars = slab.select(
-        F.col("v").alias("a"), F.col("lbl").alias("b")
-    ).unionByName(
-        slab.select(F.col("lbl").alias("a"), F.col("v").alias("b"))
-    )
-    fedges = stars.unionByName(nedges).localCheckpoint(eager=True)
-    new_nodes = (
-        nmatch.select(
-            (F.lit(3) * F.col("dk") + 2).cast("bigint").alias("v")
+
+    # The FOLD leg (stored components -> star edges -> batch fold) and
+    # the RECOMPUTE leg (from-scratch over both batches — the audit
+    # receipt) are independent chains of small barrier jobs off the
+    # same materialized edge frames.  Run them from a 2-thread driver
+    # pool (guide §2.6) so one chain's tasks back-fill the other's
+    # idle capacity; per-leg results are identical to the sequential
+    # order (each leg only reads bedges/nedges, already checkpointed).
+    def _fold_leg() -> tuple[DataFrame, DataFrame]:
+        slab0 = bedges.select(F.col("a").alias("v")).distinct().select(
+            "v", F.col("v").alias("lbl")
         )
-        .distinct()
-        .select("v", F.col("v").alias("lbl"))
-    )
-    nmatch_orig = (
-        nmatch.select((F.lit(3) * F.col("ok")).cast("bigint").alias("v"))
-        .distinct()
-        .join(slab.select("v"), "v", "left_anti")
-        .select("v", F.col("v").alias("lbl"))
-    )
-    flab0 = slab.select("v", "lbl").unionByName(new_nodes).unionByName(
-        nmatch_orig
-    ).localCheckpoint(eager=True)
-    flab = _cc_iterate(flab0, fedges, _INCR_FOLD_ROUNDS)
-    fprobe = _cc_iterate(flab, fedges, 1)
-    redges = bedges.unionByName(nedges).localCheckpoint(eager=True)
-    rlab0 = redges.select(F.col("a").alias("v")).distinct().select(
-        "v", F.col("v").alias("lbl")
-    )
-    rlab = _cc_iterate(rlab0, redges, _INCR_RE_ROUNDS)
-    rprobe = _cc_iterate(rlab, redges, 1)
+        slab = _cc_iterate(slab0, bedges, _INCR_RE_ROUNDS)
+        stars = slab.select(
+            F.col("v").alias("a"), F.col("lbl").alias("b")
+        ).unionByName(
+            slab.select(F.col("lbl").alias("a"), F.col("v").alias("b"))
+        )
+        fedges = stars.unionByName(nedges).localCheckpoint(eager=True)
+        new_nodes = (
+            nmatch.select(
+                (F.lit(3) * F.col("dk") + 2).cast("bigint").alias("v")
+            )
+            .distinct()
+            .select("v", F.col("v").alias("lbl"))
+        )
+        nmatch_orig = (
+            nmatch.select(
+                (F.lit(3) * F.col("ok")).cast("bigint").alias("v")
+            )
+            .distinct()
+            .join(slab.select("v"), "v", "left_anti")
+            .select("v", F.col("v").alias("lbl"))
+        )
+        flab0 = slab.select("v", "lbl").unionByName(new_nodes).unionByName(
+            nmatch_orig
+        ).localCheckpoint(eager=True)
+        flab = _cc_iterate(flab0, fedges, _INCR_FOLD_ROUNDS)
+        fprobe = _cc_iterate(flab, fedges, 1)
+        return flab, fprobe, _canon(flab).localCheckpoint(eager=True)
+
+    def _recompute_leg() -> tuple[DataFrame, DataFrame]:
+        redges = bedges.unionByName(nedges).localCheckpoint(eager=True)
+        rlab0 = redges.select(F.col("a").alias("v")).distinct().select(
+            "v", F.col("v").alias("lbl")
+        )
+        rlab = _cc_iterate(rlab0, redges, _INCR_RE_ROUNDS)
+        rprobe = _cc_iterate(rlab, redges, 1)
+        return rlab, rprobe, _canon(rlab).localCheckpoint(eager=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_fold = pool.submit(_fold_leg)
+        fut_re = pool.submit(_recompute_leg)
+        flab, fprobe, cf = fut_fold.result()
+        rlab, rprobe, cr = fut_re.result()
 
     def _changes(probe: DataFrame, final: DataFrame) -> DataFrame:
         return (
@@ -1991,8 +2016,6 @@ def q_incremental_linkage_maintenance(
 
     fch = _changes(fprobe, flab)
     rch = _changes(rprobe, rlab)
-    cf = _canon(flab).localCheckpoint(eager=True)
-    cr = _canon(rlab).localCheckpoint(eager=True)
     cmp_ = (
         cf.alias("a")
         .join(cr.alias("b"), F.col("a.v") == F.col("b.v"))

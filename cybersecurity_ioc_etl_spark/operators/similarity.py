@@ -2214,12 +2214,25 @@ def build_ivfpq_index(
     cent3 = _trained_centroids(comp).localCheckpoint(eager=True)
     assign3 = _trained_inverted_file(comp, cent3=cent3)
     codes = _pq_codes_frame(spark, sf_dir, comp=comp)
-    _write_ivfpq_segment(spark, assign3, codes, f"{prefix}_idx")
-    # trained centroids: k·dims rows — tiny, plain table (the SAME
-    # checkpointed frame the assignment pass used, trained once)
-    cent3.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_cent"
-    )
+    # the segment write and the centroid-table write are independent
+    # actions off the same checkpointed artifacts — overlap them from a
+    # 2-thread driver pool (guide §2.6; distinct table names, so the
+    # catalog operations do not contend)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_seg = pool.submit(
+            _write_ivfpq_segment, spark, assign3, codes, f"{prefix}_idx"
+        )
+        # trained centroids: k·dims rows — tiny, plain table (the SAME
+        # checkpointed frame the assignment pass used, trained once)
+        fut_cent = pool.submit(
+            lambda: cent3.write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{prefix}_cent")
+        )
+        fut_seg.result()
+        fut_cent.result()
     return f"{prefix}_idx", f"{prefix}_cent"
 
 
@@ -2306,51 +2319,67 @@ def serve_ivfpq_stored(
         )
         .select("i", _mi(F.col("x")).alias("qx"))
     )
-    # 1. route against stored centroids (exact-int argmin, ties low cid)
+    # 1+2. routing and the ADC LUT are two independent driver
+    # round-trips (route reads the stored centroid table, the LUT the
+    # pushed-down vec_id < K codebook scan) — collect them from a
+    # 2-thread pool (guide §2.6) so the serving node pays one round
+    # trip of latency, not two
     cent = spark.table(cent_table)
-    routed = (
-        cent.join(F.broadcast(q), "i")
-        .groupBy("cid")
-        .agg(
-            F.sum(F.col("ci") * F.col("ci")).alias("sq_c"),
-            F.sum(F.col("ci") * F.col("qx")).alias("dot_i"),
+
+    def _route_leg() -> list:
+        return (
+            cent.join(F.broadcast(q), "i")
+            .groupBy("cid")
+            .agg(
+                F.sum(F.col("ci") * F.col("ci")).alias("sq_c"),
+                F.sum(F.col("ci") * F.col("qx")).alias("dot_i"),
+            )
+            .orderBy(F.col("sq_c") - 2 * F.col("dot_i"), "cid")
+            .limit(1)
+            .collect()  # driver-ok: LIMIT-1 routing state (the probe cid)
         )
-        .orderBy(F.col("sq_c") - 2 * F.col("dot_i"), "cid")
-        .limit(1)
-        .collect()  # driver-ok: LIMIT-1 routing state (the probe cid)
-    )
+
+    def _lut_leg() -> list:
+        cb = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < _PQ_K)
+            .select(
+                "vec_id",
+                F.posexplode(
+                    F.col("embedding").cast("array<double>")
+                ).alias("i", "x"),
+            )
+            .select(
+                F.col("vec_id").alias("c"),
+                F.expr(f"i div {_PQ_DIMS}").alias("m"),
+                "i",
+                _mi(F.col("x")).alias("ci"),
+            )
+        )
+        return (
+            cb.join(F.broadcast(q), "i")
+            .groupBy("c", "m")
+            .agg(
+                F.sum(
+                    (F.col("qx") - F.col("ci"))
+                    * (F.col("qx") - F.col("ci"))
+                ).alias("dist_i")
+            )
+            .collect()  # driver-ok: K·M LUT rows (codebook-bounded)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_route = pool.submit(_route_leg)
+        fut_lut = pool.submit(_lut_leg)
+        routed = fut_route.result()
+        lut_rows = fut_lut.result()
     if not routed:  # empty corpus → empty index, nothing to route to
         return spark.createDataFrame(
             [], "vec_id bigint, cid bigint, adc_dist double"
         )
     probe_cid = routed[0]["cid"]
-    # 2. ADC lookup table from the seeded codebook (vec_id < K pushdown)
-    cb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _PQ_K)
-        .select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "i", "x"
-            ),
-        )
-        .select(
-            F.col("vec_id").alias("c"),
-            F.expr(f"i div {_PQ_DIMS}").alias("m"),
-            "i",
-            _mi(F.col("x")).alias("ci"),
-        )
-    )
-    lut_rows = (
-        cb.join(F.broadcast(q), "i")
-        .groupBy("c", "m")
-        .agg(
-            F.sum(
-                (F.col("qx") - F.col("ci")) * (F.col("qx") - F.col("ci"))
-            ).alias("dist_i")
-        )
-        .collect()  # driver-ok: K·M LUT rows (codebook-bounded, not data)
-    )
     lut = {(r["m"], r["c"]): int(r["dist_i"]) for r in lut_rows}
     n_sub = 1 + max(m for m, _ in lut)
     # 3. zero-Exchange serve: bucket-pruned scan + literal-array lookups
@@ -2612,14 +2641,27 @@ def build_ivfpq_upsert_segments(
     comp_all = _kmeans_comp(spark, sf_dir)
     base = comp_all.filter(F.col("vec_id") % 10 != 7)
     # ---- build: train on base, write segment 1 + the centroid table
+    # (the two writes are independent actions off the checkpointed
+    # centroids — overlapped per guide §2.6, the build_ivfpq_index
+    # shape; the upsert leg below reads the STORED centroid table, so
+    # it starts only after both writes land)
+    from concurrent.futures import ThreadPoolExecutor
+
     _t_build = _time.time()
     cent3 = _trained_centroids(base).localCheckpoint(eager=True)
     assign_b, _, _ = _lloyd_round(base, cent3)
     codes_b = _pq_codes_frame(spark, sf_dir, comp=base)
-    _write_ivfpq_segment(spark, assign_b, codes_b, f"{prefix}_base")
-    cent3.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_cent"
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_seg = pool.submit(
+            _write_ivfpq_segment, spark, assign_b, codes_b, f"{prefix}_base"
+        )
+        fut_cent = pool.submit(
+            lambda: cent3.write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{prefix}_cent")
+        )
+        fut_seg.result()
+        fut_cent.result()
     _t_upsert = _time.time()
     if leg_out is not None:
         leg_out["build_s"] = _t_upsert - _t_build
@@ -3596,6 +3638,11 @@ def q_embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_components pattern), border resolution as a grouped MIN."""
     from .dedup import connected_components
 
+    # (r14 note: a broadcast + zip_with per-pair fold of this census
+    # was tried and measured SLOWER — 1.15 s vs 0.97 s isolated — the
+    # interpreted array lambdas lose to the codegen'd dim-join at the
+    # 300-vector bound; the dim-keyed exchange is skew-bounded by the
+    # slice, so the original shape stays.)
     comp = (
         load_table(spark, sf_dir, "embeddings", fan_out=True)
         .filter((F.col("vec_id") < _DB_SLICE) & F.col("embedding").isNotNull())
@@ -5080,29 +5127,36 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold ride one probe-keyed window shuffle; output is corpus-sized
     (one row per train point), the whole point of the operator."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "i", "x"
-        ),
-    ).select("vec_id", "i", _mi(F.col("x")).alias("xi"))
+    # Exact L2 as a per-pair JVM array fold (r14 optimization): the old
+    # shape exploded components and equi-joined probes to corpus on the
+    # DIMENSION INDEX — a join whose key has only dim distinct values,
+    # capping parallelism at dim tasks and materializing a
+    # probes × corpus × dims intermediate through one skewed exchange
+    # (measured: 4.8 s in 14 tasks).  The probe side is the bounded
+    # set (the docstring's audit-leg framing), so broadcast the probe
+    # VECTORS and compute d2 = Σ(qi−ti)² with zip_with+aggregate on the
+    # corpus scan: same round-quantized integers, same exact integer
+    # sum (order-independent), no wide intermediate, corpus-scan
+    # parallelism.
+    arr = F.col("embedding").cast("array<double>")
+    qv = emb.filter(F.col("vec_id") % _KSH_QMOD == 7).select(
+        F.col("vec_id").alias("qid"),
+        F.transform(arr, _mi).alias("qarr"),
+    )
+    tv = emb.filter(F.col("vec_id") % _KSH_QMOD != 7).select(
+        F.col("vec_id").alias("tid"),
+        F.transform(arr, _mi).alias("tarr"),
+    )
     lab = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    qc = comp.filter(F.col("vec_id") % _KSH_QMOD == 7)
-    tc = comp.filter(F.col("vec_id") % _KSH_QMOD != 7)
-    d = (
-        qc.alias("q")
-        .join(tc.alias("t"), F.col("t.i") == F.col("q.i"))
-        .groupBy(
-            F.col("q.vec_id").alias("qid"),
-            F.col("t.vec_id").alias("tid"),
-        )
-        .agg(
-            F.sum(
-                (F.col("q.xi") - F.col("t.xi"))
-                * (F.col("q.xi") - F.col("t.xi"))
-            ).alias("d2")
-        )
-        .localCheckpoint(eager=True)
+    sqdiffs = F.zip_with(
+        F.col("qarr"), F.col("tarr"), lambda kq, kt: (kq - kt) * (kq - kt)
+    )
+    d = tv.crossJoin(F.broadcast(qv)).select(
+        "qid",
+        "tid",
+        F.aggregate(
+            sqdiffs, F.lit(0).cast("bigint"), lambda kacc, kx: kacc + kx
+        ).alias("d2"),
     )
     w_rk = Window.partitionBy("qid").orderBy("d2", "tid")
     w_q = Window.partitionBy("qid")
