@@ -2045,39 +2045,30 @@ def viterbi_segment(d: DataFrame) -> DataFrame:
         )
     )
     census = edges.groupBy("piece").agg(F.sum("wf").alias("cnt"))
-    edges_c = (
+    # Whole DP as a per-word JVM array fold (r14 optimization, the
+    # unigram-EM recipe: the DP is WORD-LOCAL, so after one
+    # group-edges-per-word exchange the 12 relax rounds collapse into
+    # aggregate(sequence(1, wlen), ...) — identical packed-int
+    # arithmetic and MIN ties, zero per-round shuffles/barriers; was
+    # 12 join+union+groupBy rounds with checkpoint cadence)
+    ecg = (
         edges.join(census, "piece")
         .select(
             "w", "j", "i",
             (16 * F.expr("1000000000000 div cnt") + 1).alias("c16"),
         )
-        .localCheckpoint(eager=True)  # static across rounds
+        .groupBy("w")
+        .agg(F.collect_list(F.struct("j", "i", "c16")).alias("eds"))
     )
-    dist = words.select(
-        "w", F.lit(0).alias("pos"), F.lit(0).cast("bigint").alias("pk")
-    ).localCheckpoint(eager=True)
-    for r in range(_VIT_ROUNDS):
-        relaxed = (
-            dist.alias("d")
-            .join(
-                edges_c.alias("e"),
-                (F.col("d.w") == F.col("e.w"))
-                & (F.col("d.pos") == F.col("e.j")),
-            )
-            .select(
-                F.col("e.w").alias("w"),
-                F.col("e.i").alias("pos"),
-                (F.col("d.pk") + F.col("e.c16")).alias("pk"),
-            )
+    final = (
+        words.join(ecg, "w")
+        .withColumn("wlen", F.length("w"))
+        .withColumn(
+            "fwdarr", F.expr(_em_word_dp_sql("eds", "wlen", "fwd"))
         )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("w", "pos")
-            .agg(F.min("pk").alias("pk"))
-        )
-        if (r + 1) % 3 == 0 or r == _VIT_ROUNDS - 1:
-            dist = dist.localCheckpoint(eager=True)
-    final = dist.filter(F.col("pos") == F.length("w")).join(words, "w")
+        .select("w", "wf", F.expr("fwdarr[wlen]").alias("pk"))
+        .filter(F.col("pk").isNotNull())
+    )
     return (
         final.select(
             F.col("w").alias("word"),
