@@ -1470,7 +1470,10 @@ def q_linkage_golden_records(
             )
         ).cast("bigint")
         wcols += [wa.alias(f"wa_{f}"), wd.alias(f"wd_{f}")]
-    wts = rates.select(*wcols).localCheckpoint(eager=True)
+    # wts is a 1-row frame consumed once (broadcast into the match
+    # filter) and lab0 a distinct consumed by the checkpointed round-1
+    # — their eager checkpoints were pure barrier cost (r14: -2 jobs)
+    wts = rates.select(*wcols)
     score = None
     for f in _LNK_FIELDS:
         term = F.when(
@@ -1492,7 +1495,7 @@ def q_linkage_golden_records(
     )
     lab = gedges.select(F.col("a").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
-    ).localCheckpoint(eager=True)
+    )
     prev = lab
     for _ in range(_GR_ROUNDS + 1):  # +1 stability-probe round
         prev = lab

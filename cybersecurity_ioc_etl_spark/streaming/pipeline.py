@@ -328,7 +328,12 @@ def run_dedup_evicting_stream(
     )
     src_dir = tempfile.mkdtemp(prefix="stream_dedup_evict_")
     t0 = time.time() - 3600
-    for k in range(n_batches):
+
+    # the n_batches single-file staging writes are independent jobs off
+    # the checkpointed staged frame — run them from a driver thread
+    # pool (guide §2.6) instead of sequentially; names and mtimes are
+    # computed per k, so the staged layout is byte-identical
+    def _stage_one(k: int) -> None:
         tmp = os.path.join(src_dir, f"_tmp{k}")
         staged.filter(F.col("b") == k).drop("b").coalesce(1).write.parquet(
             tmp
@@ -338,6 +343,11 @@ def run_dedup_evicting_stream(
         shutil.move(os.path.join(tmp, part[0]), target)
         shutil.rmtree(tmp)
         os.utime(target, (t0 + 60 * k, t0 + 60 * k))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, n_batches)) as pool:
+        list(pool.map(_stage_one, range(n_batches)))
     _t_drain = time.time()
     if leg_out is not None:
         leg_out["staging_s"] = _t_drain - _t_stage
@@ -1753,7 +1763,9 @@ def run_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     import shutil
 
-    for k in range(4):
+    # independent single-file staging writes — overlapped (guide §2.6),
+    # the run_dedup_evicting_stream staging shape
+    def _stage_one(k: int) -> None:
         tmp = os.path.join(work_dir, f"_tmp{k}")
         staged.filter(F.col("b") == k).drop("b").coalesce(1).write.parquet(
             tmp
@@ -1764,6 +1776,11 @@ def run_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(src, f"{k:02d}.parquet"),
         )
         shutil.rmtree(tmp)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_stage_one, range(4)))
 
     def fold(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
