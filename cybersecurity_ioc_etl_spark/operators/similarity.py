@@ -5139,11 +5139,16 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum (order-independent), no wide intermediate, corpus-scan
     # parallelism.
     arr = F.col("embedding").cast("array<double>")
-    qv = emb.filter(F.col("vec_id") % _KSH_QMOD == 7).select(
+    # NULL/empty embeddings must vanish exactly as they did under
+    # posexplode (and as the oracle's unnest does) — keeping them as
+    # NULL arrays would rank NULL-d2 pairs (the null-probe pin caught
+    # this)
+    has_vec = F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    qv = emb.filter(has_vec & (F.col("vec_id") % _KSH_QMOD == 7)).select(
         F.col("vec_id").alias("qid"),
         F.transform(arr, _mi).alias("qarr"),
     )
-    tv = emb.filter(F.col("vec_id") % _KSH_QMOD != 7).select(
+    tv = emb.filter(has_vec & (F.col("vec_id") % _KSH_QMOD != 7)).select(
         F.col("vec_id").alias("tid"),
         F.transform(arr, _mi).alias("tarr"),
     )
