@@ -31,6 +31,19 @@ from cybersecurity_ioc_etl_spark import operators as _ops  # noqa: E402
 # restated sketch audits).
 _DRIVER_CHECKED = frozenset(
     {
+        # r14 window (CORRECTNESS_r14: 50/50 hash-green — the 3-row
+        # _PRIORITY head, the 18 round-14 additions below, the 8-row r6
+        # remainder, and 21 r7-latest re-confirmations already listed in
+        # earlier windows)
+        "tdigest_quantile_serve", "ql_dirichlet_retrieval",
+        "neyman_stratified_sample", "trade_closeness_centrality",
+        "events_bh_fdr_battery", "event_value_anova",
+        "event_value_kruskal_wallis", "stream_bh_fdr_battery",
+        "event_cmh_weekend_purchase", "stream_cmh_weekend_purchase",
+        "event_value_jonckheere", "purchase_rate_wilson",
+        "stream_jonckheere", "linkage_em_converged",
+        "linkage_blocking_recall", "linkage_golden_records",
+        "incremental_linkage_maintenance", "image_patch_stats",
         # r13 window (CORRECTNESS_r13: 50/50 hash-green — the 14 round-13
         # additions below + 36 oldest-first re-confirmations already
         # listed in earlier windows)
@@ -229,41 +242,22 @@ _DRIVER_CHECKED = frozenset(
 
 # Head of the rotation: queries whose OUTPUT CHANGED this round and
 # therefore need a fresh driver hash despite being in _DRIVER_CHECKED
-# (r14: nn_graph_serve_recall_table gains the ivf-seeded third row per
-# VERDICT-r13 item 7 — its r13 hash is stale by design).
-_PRIORITY: list[str] = [
-    "nn_graph_serve_recall_table",
-    # ADVICE-r13 touched code (domain guard / LEAST clamp) — outputs
-    # unchanged on the fixture (parity re-verified at sf0.01) but the
-    # changed plans earn a fresh driver hash:
-    "tdigest_merge_audit",
-    "linkage_em_round",
-]
+# (r15: none — optimization round 2 changes no query's output by
+# contract; add here only if a restructure forces a fresh hash).
+_PRIORITY: list[str] = []
 
 # High-value re-confirmations filling leftover window slots after the
-# head + any new round-14 queries.  Recency recomputed from the r1-r13
-# CORRECTNESS JSONs at r14 open: latest-green distribution is r6×8,
-# r7×50, r8×50, r9×50, r10×50, r11×49, r12×50, r13×50.  This window
-# finishes the r6-latest remainder (8 rows) then starts the r7-latest
-# tranche (50 rows, alphabetical).  With ~1 head + N new r14 queries
-# ahead of these, the gate's 50-row cut lands ~41-N into the tranche;
-# the remainder rolls to r15.
+# head + any new round-15 queries.  Recency recomputed from the r1-r14
+# CORRECTNESS JSONs at r15 open: latest-green distribution is r7×29,
+# r8×50, r9×50, r10×50, r11×49, r12×50, r13×47, r14×50.  This window
+# finishes the r7-latest remainder (29 rows, alphabetical from
+# hits_hubs_authorities) then starts the r8-latest tranche (first 21 of
+# 50, alphabetical).  Optimization rounds add no queries, so the gate's
+# 50-row cut should land exactly at inverted_index_postings; the r8
+# remainder (29 rows from ivf_multiprobe_topk) rolls to r16.
 _RECONFIRM = [
-    # r6-latest remainder (8 rows, alphabetical)
-    "stored_model_confusion", "stream_countmin_merge", "stream_ohlc_bars",
-    "stream_stateful_type_totals", "top_orders", "tweet_batch_pipeline",
-    "unified_ioc_table", "viterbi_segment_stats",
-    # r7-latest tranche (50 rows, alphabetical)
-    "asof_next_purchase_tolerance", "audio_rms_profile",
-    "benford_price_audit", "bloom_semijoin_audit", "cdc_snapshot_fold",
-    "cohort_ltv_triangle", "dedup_exact_groups", "dedup_keep_first",
-    "doc_readability_scores", "event_dow_residuals",
-    "event_hourly_autocorrelation", "event_transition_matrix",
-    "event_type_stationary_dist", "event_value_quantile_normalized",
-    "event_value_trend_ols", "events_cusum_alarms",
-    "events_debounced_counts", "events_ewma_half_life",
-    "events_lttb_downsample", "funnel_click_purchase",
-    "greedy_coverage_docs", "hits_hubs_authorities", "hll_register_audit",
+    # r7-latest remainder (29 rows, alphabetical)
+    "hits_hubs_authorities", "hll_register_audit",
     "ioc_host_dga_scores", "ioc_ip_prefix_rollup",
     "ioc_typosquat_candidates", "jl_projection_audit", "k_anonymity_audit",
     "kmv_distinct_audit", "l_diversity_audit", "lang_token_fertility",
@@ -275,31 +269,29 @@ _RECONFIRM = [
     "token_cooccurrence_pmi", "trade_degree_assortativity",
     "trade_kcore_membership", "user_active_intervals",
     "user_survival_curve", "video_scene_cuts", "zorder_layout_audit",
+    # r8-latest tranche (first 21 of 50, alphabetical)
+    "anchor_recall_audit", "ann_bucketed_topk", "audio_silence_segments",
+    "boolean_and_retrieval", "bootstrap_order_means", "dedup_components",
+    "deterministic_sample", "doc_fingerprint", "doc_lang_id",
+    "doc_quality", "doc_token_stats", "embedding_centroid_drift",
+    "embedding_lsh_neardup_pairs", "event_burstiness_index",
+    "events_changepoint_split", "events_forecast_backtest",
+    "events_holt_linear", "events_theil_sen", "funnel_three_step_strict",
+    "incremental_agg_maintenance", "inverted_index_postings",
 ]
 
 # Unchecked queries deliberately deferred past this round's window
-# (none yet for r14 — add here if the window fills past 50).
-# ROUND-15 ROTATION NOTE: fold the 50 names the r14 CORRECTNESS gate
+# (none yet for r15 — add here if the window fills past 50).
+# ROUND-16 ROTATION NOTE: fold the 50 names the r15 CORRECTNESS gate
 # sampled (run `list(queries())[:50]` to confirm against
-# CORRECTNESS_r14.json — the composition as of round-14 close, all
-# 50 verified green at sf0.01 by the builder's gate replica: the
-# 3-row _PRIORITY head, the NINETEEN round-14 additions
-# (tdigest_quantile_serve, ql_dirichlet_retrieval,
-# neyman_stratified_sample, trade_closeness_centrality,
-# events_bh_fdr_battery, event_value_anova,
-# event_value_kruskal_wallis, stream_bh_fdr_battery,
-# event_cmh_weekend_purchase, stream_cmh_weekend_purchase,
-# event_value_jonckheere, linkage_em_converged,
-# linkage_blocking_recall, linkage_golden_records,
-# incremental_linkage_maintenance, image_patch_stats,
-# purchase_rate_wilson, stream_jonckheere — and
-# nn_graph_serve_recall_table rehashed in the head), the 8-row r6
-# remainder, and the r7-latest tranche through greedy_coverage_docs)
-# into _DRIVER_CHECKED, clear _PRIORITY unless an oracle changed,
-# promote any _DEFER entries, continue _RECONFIRM oldest-first with
-# the r7-latest remainder the cut left (alphabetical from
-# hits_hubs_authorities) plus the r8-latest tranche (alphabetical),
-# and keep head + new <= 50.
+# CORRECTNESS_r15.json — as of round-15 close the window is exactly the
+# _RECONFIRM list above: the 29-row r7-latest remainder plus the first
+# 21 rows of the r8-latest tranche, no head and no new queries since
+# r15 was an optimization round) into _DRIVER_CHECKED, clear _PRIORITY
+# unless an oracle changed, promote any _DEFER entries, continue
+# _RECONFIRM oldest-first with the r8-latest remainder (29 rows,
+# alphabetical from ivf_multiprobe_topk) plus the start of the
+# r9-latest tranche (alphabetical), and keep head + new <= 50.
 _DEFER: list[str] = []
 
 

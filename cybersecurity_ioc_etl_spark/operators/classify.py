@@ -641,6 +641,10 @@ def q_lang_classifier_cv_folds(
     # assembled in fold order, identical to the sequential plan.
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=_CV_K) as pool:
         frames = list(pool.map(_fold_leg, range(_CV_K)))
     rows = frames[0]

@@ -2758,6 +2758,10 @@ def q_incremental_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stragglers; results identical to the sequential order.
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_fold = pool.submit(incremental_cc_fold, spark, sf_dir)
         fut_re = pool.submit(neardup_components, spark, sf_dir)

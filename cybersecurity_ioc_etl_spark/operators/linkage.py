@@ -1951,7 +1951,7 @@ def q_incremental_linkage_maintenance(
     # pool (guide §2.6) so one chain's tasks back-fill the other's
     # idle capacity; per-leg results are identical to the sequential
     # order (each leg only reads bedges/nedges, already checkpointed).
-    def _fold_leg() -> tuple[DataFrame, DataFrame]:
+    def _fold_leg() -> tuple[DataFrame, DataFrame, DataFrame]:
         slab0 = bedges.select(F.col("a").alias("v")).distinct().select(
             "v", F.col("v").alias("lbl")
         )
@@ -1984,7 +1984,7 @@ def q_incremental_linkage_maintenance(
         fprobe = _cc_iterate(flab, fedges, 1)
         return flab, fprobe, _canon(flab).localCheckpoint(eager=True)
 
-    def _recompute_leg() -> tuple[DataFrame, DataFrame]:
+    def _recompute_leg() -> tuple[DataFrame, DataFrame, DataFrame]:
         redges = bedges.unionByName(nedges).localCheckpoint(eager=True)
         rlab0 = redges.select(F.col("a").alias("v")).distinct().select(
             "v", F.col("v").alias("lbl")
@@ -1995,6 +1995,10 @@ def q_incremental_linkage_maintenance(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_fold = pool.submit(_fold_leg)
         fut_re = pool.submit(_recompute_leg)

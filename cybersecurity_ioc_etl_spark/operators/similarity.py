@@ -2220,6 +2220,10 @@ def build_ivfpq_index(
     # catalog operations do not contend)
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_seg = pool.submit(
             _write_ivfpq_segment, spark, assign3, codes, f"{prefix}_idx"
@@ -2370,6 +2374,10 @@ def serve_ivfpq_stored(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_route = pool.submit(_route_leg)
         fut_lut = pool.submit(_lut_leg)
@@ -2651,6 +2659,10 @@ def build_ivfpq_upsert_segments(
     cent3 = _trained_centroids(base).localCheckpoint(eager=True)
     assign_b, _, _ = _lloyd_round(base, cent3)
     codes_b = _pq_codes_frame(spark, sf_dir, comp=base)
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_seg = pool.submit(
             _write_ivfpq_segment, spark, assign_b, codes_b, f"{prefix}_base"
@@ -4598,6 +4610,10 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_beam = pool.submit(
             _gs_beam, qids, seeds, qcomp, ccomp, edges, _GS_H, _GS_B
@@ -4965,6 +4981,10 @@ def q_nn_graph_serve_recall_table(
     # frames, identical to the sequential order.
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=len(_GSA_SETTINGS)) as pool:
         beams = list(
             pool.map(
@@ -5153,8 +5173,17 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(arr, _mi).alias("tarr"),
     )
     lab = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    sqdiffs = F.zip_with(
-        F.col("qarr"), F.col("tarr"), lambda kq, kt: (kq - kt) * (kq - kt)
+    # ADVICE-r14: zip_with pads length mismatches with NULL and a NULL
+    # element NULL-poisons its term, where the oracle's unnest join
+    # SUMs over the non-NULL overlapping dims (SUM skips NULLs) — drop
+    # NULL terms before the fold so ragged/element-NULL feeds rank
+    # identically to the oracle (fixture vectors are fixed-dims
+    # non-NULL, so fixture output is unchanged).
+    sqdiffs = F.filter(
+        F.zip_with(
+            F.col("qarr"), F.col("tarr"), lambda kq, kt: (kq - kt) * (kq - kt)
+        ),
+        lambda kt: kt.isNotNull(),
     )
     d = tv.crossJoin(F.broadcast(qv)).select(
         "qid",

@@ -346,6 +346,10 @@ def run_dedup_evicting_stream(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=min(4, n_batches)) as pool:
         list(pool.map(_stage_one, range(n_batches)))
     _t_drain = time.time()
@@ -1148,7 +1152,14 @@ def _write_partial_bid(df: DataFrame, out_dir: str, bid: int) -> None:
 def _committed_partial_dirs(out_dir: str) -> list[str]:
     """Bid subdirs whose write COMMITTED (Spark's ``_SUCCESS`` marker) —
     a half-written partial from a crash mid-write is invisible to the
-    fold, and its replay overwrites it."""
+    fold, and its replay overwrites it.
+
+    ADVICE-r14: an EMPTY batch commits a dir holding only ``_SUCCESS``
+    (empty-relation plans write zero part files), which
+    ``spark.read.parquet`` cannot infer a schema from — skip dirs with
+    no data file (they union as zero rows by definition), so an
+    all-empty run returns [] and the caller's typed-empty fallback
+    fires instead of UNABLE_TO_INFER_SCHEMA."""
     out = []
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
@@ -1156,6 +1167,10 @@ def _committed_partial_dirs(out_dir: str) -> list[str]:
             name.startswith("b")
             and name[1:].isdigit()
             and os.path.exists(os.path.join(p, "_SUCCESS"))
+            and any(
+                f.startswith("part-") and not f.endswith(".crc")
+                for f in os.listdir(p)
+            )
         ):
             out.append(p)
     return out
@@ -1779,6 +1794,10 @@ def run_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
+    # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
+    # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
+    # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=4) as pool:
         list(pool.map(_stage_one, range(4)))
 

@@ -297,3 +297,35 @@ def test_update_mode_emits_only_revised_groups(spark):
     rows = [(r.k, r["count"]) for r in spark.table(name).collect()]
     # batch 1 emits a=2, b=1; batch 2 revises ONLY a -> a=3
     assert sorted(rows) == [("a", 2), ("a", 3), ("b", 1)]
+
+
+def test_committed_partial_dirs_skip_datafile_free_commits(spark, tmp_path):
+    """ADVICE-r14: an empty micro-batch's bid-keyed overwrite commits a
+    dir holding only _SUCCESS (empty-relation plans write no part
+    files); the fold must skip such dirs — reading them throws
+    UNABLE_TO_INFER_SCHEMA — and an ALL-empty run must return [] so the
+    caller's typed-empty fallback fires."""
+    from cybersecurity_ioc_etl_spark.streaming.pipeline import (
+        _committed_partial_dirs,
+        _write_partial_bid,
+    )
+
+    out = str(tmp_path)
+    # a data-file-free commit (this Spark version usually writes one
+    # zero-row part file even for empty relations, so simulate the
+    # zero-partition commit directly: _SUCCESS and nothing else)
+    os.makedirs(os.path.join(out, "b0"))
+    open(os.path.join(out, "b0", "_SUCCESS"), "w").close()
+    assert _committed_partial_dirs(out) == []
+    df = spark.range(3).selectExpr("id AS i", "id AS b", "id AS c")
+    _write_partial_bid(df, out, 1)  # non-empty commit is kept
+    assert _committed_partial_dirs(out) == [os.path.join(out, "b1")]
+    # a zero-ROW part file still counts as a schema-bearing data file
+    _write_partial_bid(df.filter("i < 0"), out, 2)
+    assert _committed_partial_dirs(out) == [
+        os.path.join(out, "b1"),
+        os.path.join(out, "b2"),
+    ]
+    # uncommitted dir (no _SUCCESS) stays invisible
+    os.makedirs(os.path.join(out, "b3"))
+    assert _committed_partial_dirs(out)[-1] == os.path.join(out, "b2")
