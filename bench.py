@@ -277,6 +277,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
     spark = get_spark("ioc-etl-bench")
     spark.sparkContext.setLogLevel("WARN")
     queries = entrymod.queries()
@@ -353,6 +354,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "cpus": int(cpus),
         "canary": {
             "first": canary_first, "mid": canary_mid, "last": canary_last,
         },
@@ -371,8 +373,26 @@ def main() -> None:
         if abs(float(sf) - 0.1) < 1e-9
         else f"BENCH_FULL_sf{sf}.json"
     )
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, full_name)
     with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # Per-core-count copy (VERDICT r14 item 2): the driver benches the
+    # SAME tree at a reduced core count, and that run used to overwrite
+    # BENCH_FULL.json, destroying the full-core per-query map — PERF
+    # came back with n_common=0 and an empty scaling block.  A
+    # c{cpus}-suffixed sibling survives both runs so per-query deltas
+    # and the per-query core-scaling ratio stay computable.  Pure
+    # addition: stdout line, BENCH_FULL.json, and the timing
+    # methodology are unchanged.
+    core_path = os.path.join(
+        here,
+        f"BENCH_FULL_c{cpus}.json"
+        if abs(float(sf) - 0.1) < 1e-9
+        else f"BENCH_FULL_sf{sf}_c{cpus}.json",
+    )
+    with open(core_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
 
@@ -381,8 +401,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": float(sf),
+        "cpus": int(cpus),
         "n_queries": len(timings),
         "queries": f"see {os.path.basename(out_path)}",
+        "queries_by_cpus": os.path.basename(core_path),
+        "slowest10": {
+            n: timings[n]
+            for n in sorted(timings, key=timings.get, reverse=True)[:10]
+        },
         "canary": {
             "first": canary_first, "mid": canary_mid, "last": canary_last,
         },

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sinks.bucketed import drop_table_and_location, write_bucketed
-from ..sources.readers import load_table
+from ..sources.readers import fan_out_small_frame, load_table
 from .registry import query
 
 _S = 7  # mantissa scale: |x|<=1 → |xi|<=1e7; xi*yi<=1e14; 64-dim sum<=6.4e15 < 2^63
@@ -4101,22 +4101,31 @@ def _nnd_round_frames(
         .select(F.col("x.v").alias("v"), F.col("y.u").alias("u"))
     )
     allc = nb0.unionByName(cand).distinct()
+    # r15: per-pair d2 as the array fold (keyed joins on v then u — the
+    # plan pin's no-all-pairs law is untouched; what changes is the
+    # pairs×dims row blowup + groupBy exchange collapsing into two
+    # vector-table joins and a JVM zip_with fold, identical exact
+    # integer sums).  The pair frame is spread before the fold: its
+    # distinct-exchange is sub-advisory at fixture scale, so AQE would
+    # hand the interpreted fold ONE partition (pairs ≤ n·(k²+2k), ~24
+    # bytes each — the estimate drives the scale-adaptive spread).
+    # varr stays LAZY: it auto-broadcasts into both joins, and the two
+    # ~n-row groupBy re-evaluations off the checkpointed comp are
+    # cheaper than an extra eager-checkpoint barrier (A/B'd at sf0.1:
+    # 0.94 s checkpointed vs 0.65 s lazy at k=4, tie with the old
+    # dim-join; the fold pulls ahead at the serve build's k=8).
+    varr = _vec_arrs(comp)
+    allc = fan_out_small_frame(allc, n_nodes * (k * k + 2 * k) * 24)
     scored = (
-        allc.alias("c")
-        .join(comp.alias("pv"), F.col("pv.vec_id") == F.col("c.v"))
+        allc.join(
+            varr.select(F.col("vid").alias("v"), F.col("arr").alias("va")),
+            "v",
+        )
         .join(
-            comp.alias("pu"),
-            (F.col("pu.vec_id") == F.col("c.u"))
-            & (F.col("pu.i") == F.col("pv.i")),
+            varr.select(F.col("vid").alias("u"), F.col("arr").alias("ua")),
+            "u",
         )
-        .groupBy("c.v", "c.u")
-        .agg(
-            F.sum(
-                (F.col("pv.xi") - F.col("pu.xi"))
-                * (F.col("pv.xi") - F.col("pu.xi"))
-            ).alias("d2")
-        )
-        .select(F.col("v"), F.col("u"), F.col("d2"))
+        .select("v", "u", _arr_d2(F.col("va"), F.col("ua")).alias("d2"))
         .localCheckpoint(eager=True)
     )
     rn = F.row_number().over(
@@ -4142,33 +4151,59 @@ _GS_QMOD = 23  # query set: vec_id % 23 == 7 (held-out perturbed probes)
 _GS_SEED_MULT = 4  # entry seeds = 4·ncl, evenly spaced on the LSH ring
 
 
-def _gs_ring(spark: SparkSession, ccomp: DataFrame) -> DataFrame:
+def _gs_ring(
+    spark: SparkSession, ccomp: DataFrame, tarr: DataFrame | None = None
+) -> DataFrame:
     """LSH-bit ring ordering over a (vec_id, i, xi) component frame:
     _GS_NBITS md5-derived hyperplane sign bits pack into one key whose
     rank orders the node ring (shared by the clustered serve row and
-    the adversarial audit)."""
+    the adversarial audit).
+
+    r15 shape: the hyperplane coefficient hp(j, i) has only
+    _GS_NBITS × dims distinct values, but the old crossJoin computed
+    its md5 once per (vector, j, i) row — n·bits·dims hashes plus a
+    two-level aggregation of the exploded frame (measured 3.7 s of the
+    10.1 s serve-audit row at sf0.1).  Precompute the tiny coefficient
+    table ONCE as per-j arrays (bits × dims md5s total), broadcast it,
+    and fold each vector's dot products with zip_with+aggregate —
+    identical exact-integer sums, one small exchange instead of two
+    exploded ones (guide §1.2: don't recompute what a lookup holds)."""
     from .dedup import _shingle_int
 
     spark_ = ccomp.sparkSession
+    dmax = ccomp.agg(F.max("i")).first()[0] or 0
     jdf = spark_.range(_GS_NBITS).select(
         F.col("id").cast("int").alias("j")
     )
-    hp = (
-        _shingle_int(
+    hparr = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dmax))),
+        lambda i: _shingle_int(
             F.concat(
                 F.lit("h:"),
                 F.col("j").cast("string"),
                 F.lit(":"),
-                F.col("i").cast("string"),
+                i.cast("string"),
             )
         )
         % 2001
-        - 1000
+        - 1000,
+    )
+    hpdf = jdf.select("j", hparr.alias("hparr"))
+    if tarr is None:
+        tarr = _vec_arrs(ccomp)
+    dot = F.aggregate(
+        F.filter(
+            F.zip_with(
+                F.col("arr"), F.col("hparr"), lambda x, c: x * c
+            ),
+            lambda t: t.isNotNull(),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
     )
     zk = (
-        ccomp.crossJoin(jdf)
-        .groupBy("vec_id", "j")
-        .agg(F.sum(hp * F.col("xi")).alias("dot"))
+        tarr.crossJoin(F.broadcast(hpdf))
+        .select(F.col("vid").alias("vec_id"), "j", dot.alias("dot"))
         .groupBy("vec_id")
         .agg(
             F.sum(
@@ -4245,84 +4280,125 @@ def _gs_probes(ccomp: DataFrame) -> DataFrame:
     )
 
 
-def _gs_qdist(
-    pairs: DataFrame, qcomp: DataFrame, ccomp: DataFrame
+def _vec_arrs(
+    comp: DataFrame, id_col: str = "vec_id", val_col: str = "xi"
 ) -> DataFrame:
-    """Exact-integer L2 of (qid, u) candidate pairs against the query
-    components."""
-    return (
-        pairs.alias("p")
-        .join(qcomp.alias("q"), F.col("p.qid") == F.col("q.qid"))
-        .join(
-            ccomp.alias("n"),
-            (F.col("n.vec_id") == F.col("p.u"))
-            & (F.col("n.i") == F.col("q.i")),
-        )
-        .groupBy("p.qid", "p.u")
-        .agg(
-            F.sum(
-                (F.col("q.qi") - F.col("n.xi"))
-                * (F.col("q.qi") - F.col("n.xi"))
-            ).alias("d2")
-        )
-        .select("qid", "u", "d2")
+    """(id, arr) frame from a (id, i, val) component frame, arr ordered
+    by dim index i — the array-fold d2 representation (the knn_shapley
+    r14 discipline applied family-wide in r15: per-pair distances as
+    one JVM zip_with+aggregate fold instead of a ×dims row blowup
+    through a dim-keyed join + groupBy exchange)."""
+    return comp.groupBy(F.col(id_col).alias("vid")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("i").alias("i"), F.col(val_col).alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("arr")
     )
 
 
-def _gs_beam(
-    qids: DataFrame,
-    seeds: DataFrame,
-    qcomp: DataFrame,
-    ccomp: DataFrame,
+def _arr_d2(a, b):
+    """Exact-integer L2 between two component arrays: quantized-integer
+    terms summed as exact bigints (order-independent, so bit-identical
+    to the dim-join + SUM it replaces).  NULL terms (zip_with length
+    padding / NULL elements) are dropped exactly as the inner dim join
+    dropped non-matching dims."""
+    return F.aggregate(
+        F.filter(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            lambda t: t.isNotNull(),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _gs_qdist_arr(
+    pairs: DataFrame, qarr: DataFrame, tarr: DataFrame
+) -> DataFrame:
+    """Exact-integer L2 of (qid, u) candidate pairs — the array-fold
+    form of the old dim-join pyramid: attach the (bounded) probe
+    vectors broadcast, join the corpus vectors on u (keyed — the
+    corpus side stays a partitioned scan at scale), fold per pair.
+    No groupBy exchange and no pairs×dims intermediate.  Any extra
+    pairs columns (the multi-setting cfg tag) ride through."""
+    keep = list(pairs.columns)
+    return (
+        pairs.join(
+            F.broadcast(qarr.select(F.col("vid").alias("qid"), F.col("arr").alias("qa"))),
+            "qid",
+        )
+        .join(
+            tarr.select(F.col("vid").alias("u"), F.col("arr").alias("ta")),
+            "u",
+        )
+        .select(*keep, _arr_d2(F.col("qa"), F.col("ta")).alias("d2"))
+    )
+
+
+def _gs_beam_multi(
+    seed_pairs: DataFrame,
+    bw: dict[int, int],
+    qarr: DataFrame,
+    tarr: DataFrame,
     edges: DataFrame,
     h: int,
-    b: int,
-    per_query: bool = False,
 ) -> DataFrame:
-    """Best-first beam search: h hops of width b from the seed set;
-    returns the visited (qid, u, d2) frame (serve work per query is
-    bounded by seeds + h·b expansions, never the corpus).  With
-    ``per_query`` the seed frame already carries (qid, u) — the
-    IVF-routed seeding mode — instead of one global seed set."""
-    pairs = seeds if per_query else qids.crossJoin(seeds)
-    # One (qid, u, d2, exp) state frame instead of separate
-    # visited/expanded frames: the r13 shape materialized BOTH per hop
-    # (2 eager checkpoints + a frontier recompute each), so every hop
-    # paid two barrier jobs for beam-sized data (r14 jobstat: the two
-    # serve rows were 110/275 jobs of ~0.1 s scheduling).  The exp flag
-    # tracks exactly the old expanded-set membership, so frontier
-    # selection, neighbor expansion, and dedup are unchanged — one
-    # checkpoint per hop.
+    """Best-first beam search for SEVERAL settings sharing one hop
+    count, as ONE cfg-tagged chain: ``seed_pairs`` carries
+    (cfg, qid, u), ``bw`` maps cfg → beam width.  Per-(cfg, qid)
+    frontier selection, neighbor expansion and dedup are exactly the
+    single-setting algebra with cfg joined into every key, so each
+    setting's visited set is byte-identical to its own chain — but the
+    recall table's 3 settings (all h=4) now pay 4 hop barriers instead
+    of 12 (r15; the r14 jobstat showed these rows are scheduling-bound
+    at ~0.1 s/job).  One (cfg, qid, u, d2, exp) state frame, one
+    checkpoint per hop; serve work per query stays bounded by
+    seeds + h·b expansions, never the corpus."""
+    bexpr = None
+    for cfg, b in bw.items():
+        case = F.when(F.col("cfg") == cfg, F.lit(b))
+        bexpr = case if bexpr is None else bexpr.when(
+            F.col("cfg") == cfg, F.lit(b)
+        )
     st = (
-        _gs_qdist(pairs, qcomp, ccomp)
+        _gs_qdist_arr(seed_pairs, qarr, tarr)
         .withColumn("exp", F.lit(False))
         .localCheckpoint(eager=True)
     )
-    w_beam = Window.partitionBy("qid").orderBy("d2", "u")
+    w_beam = Window.partitionBy("cfg", "qid").orderBy("d2", "u")
     for _t in range(h):
         frontier = (
             st.filter(~F.col("exp"))
             .withColumn("rn", F.row_number().over(w_beam))
-            .filter(F.col("rn") <= b)
-            .select("qid", "u")
+            .filter(F.col("rn") <= bexpr)
+            .select("cfg", "qid", "u")
         )
         nbr = (
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.u") == F.col("e.v"))
-            .select("f.qid", F.col("e.u").alias("u"))
+            .select("f.cfg", "f.qid", F.col("e.u").alias("u"))
             .distinct()
-            .join(st.select("qid", "u"), ["qid", "u"], "left_anti")
+            .join(
+                st.select("cfg", "qid", "u"),
+                ["cfg", "qid", "u"],
+                "left_anti",
+            )
         )
         st = (
             st.alias("s")
             .join(
                 frontier.select(
-                    "qid", "u", F.lit(True).alias("newexp")
+                    "cfg", "qid", "u", F.lit(True).alias("newexp")
                 ).alias("fr"),
-                ["qid", "u"],
+                ["cfg", "qid", "u"],
                 "left",
             )
             .select(
+                "cfg",
                 "qid",
                 "u",
                 "d2",
@@ -4331,13 +4407,39 @@ def _gs_beam(
                 ),
             )
             .unionByName(
-                _gs_qdist(nbr, qcomp, ccomp).withColumn(
+                _gs_qdist_arr(nbr, qarr, tarr).withColumn(
                     "exp", F.lit(False)
                 )
             )
             .localCheckpoint(eager=True)
         )
-    return st.select("qid", "u", "d2")
+    return st.select("cfg", "qid", "u", "d2")
+
+
+def _gs_beam(
+    qids: DataFrame,
+    seeds: DataFrame,
+    qarr: DataFrame,
+    tarr: DataFrame,
+    edges: DataFrame,
+    h: int,
+    b: int,
+    per_query: bool = False,
+) -> DataFrame:
+    """Single-setting beam search: h hops of width b from the seed set;
+    returns the visited (qid, u, d2) frame.  With ``per_query`` the
+    seed frame already carries (qid, u) — the IVF-routed seeding mode —
+    instead of one global seed set.  Thin wrapper over the cfg-tagged
+    chain (one setting, cfg 0)."""
+    pairs = seeds if per_query else qids.crossJoin(seeds)
+    return _gs_beam_multi(
+        pairs.select(F.lit(0).alias("cfg"), "qid", "u"),
+        {0: b},
+        qarr,
+        tarr,
+        edges,
+        h,
+    ).select("qid", "u", "d2")
 
 
 _GS_RK_SQL = f"""SELECT vec_id,
@@ -4580,7 +4682,13 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    rk = _gs_ring(spark, ccomp)
+    # spread before the folds: AQE collapses the sub-advisory groupBy
+    # exchange to 1 partition, serializing the exact-leg fold behind
+    # one core (~1 KB/row bounds the 64-dim integer arrays)
+    tarr = fan_out_small_frame(_vec_arrs(ccomp), n * 1024).localCheckpoint(
+        eager=True
+    )
+    rk = _gs_ring(spark, ccomp, tarr=tarr)
     edges = _gs_edges(ccomp, rk, n)
     qcomp = _gs_probes(ccomp)
     seeds = rk.filter((F.col("r") - 1) % stride == 0).select(
@@ -4588,6 +4696,13 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = qcomp.select("qid").distinct()
     w_beam = Window.partitionBy("qid").orderBy("d2", "u")
+    # Array-fold d2 frames (r15): corpus and probe vectors as per-id
+    # arrays, distances as broadcast-probe zip_with folds — the exact
+    # leg loses its probes×corpus×dims dim-join pyramid (the
+    # knn_shapley shape), the beam hops lose one exchange each.
+    qarr = _vec_arrs(qcomp, id_col="qid", val_col="qi").localCheckpoint(
+        eager=True
+    )
     # The beam walk and the exact-audit leg are independent job chains
     # of small barriers; overlap them from two driver threads so the
     # audit's tasks back-fill the beam's idle capacity (optimization
@@ -4597,14 +4712,16 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _exact_leg() -> DataFrame:
         return (
-            _gs_qdist(
-                qids.crossJoin(
-                    ccomp.select("vec_id").distinct().select(
-                        F.col("vec_id").alias("u")
+            tarr.select(F.col("vid").alias("u"), F.col("arr").alias("ta"))
+            .crossJoin(
+                F.broadcast(
+                    qarr.select(
+                        F.col("vid").alias("qid"), F.col("arr").alias("qa")
                     )
-                ),
-                qcomp,
-                ccomp,
+                )
+            )
+            .select(
+                "qid", "u", _arr_d2(F.col("qa"), F.col("ta")).alias("d2")
             )
             .withColumn("rn", F.row_number().over(w_beam))
             .localCheckpoint(eager=True)
@@ -4616,7 +4733,7 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_beam = pool.submit(
-            _gs_beam, qids, seeds, qcomp, ccomp, edges, _GS_H, _GS_B
+            _gs_beam, qids, seeds, qarr, tarr, edges, _GS_H, _GS_B
         )
         fut_exact = pool.submit(_exact_leg)
         visited = fut_beam.result()
@@ -4925,7 +5042,13 @@ def q_nn_graph_serve_recall_table(
     n = ccomp.select("vec_id").distinct().count()
     ncl = max(_GS_NC_MIN, n // _GS_CELL)
     stride = max(1, n // (_GS_SEED_MULT * ncl))
-    rk = _gs_ring(spark, ccomp)
+    # spread before the folds: AQE collapses the sub-advisory groupBy
+    # exchange to 1 partition, serializing the exact-leg fold behind
+    # one core (~1 KB/row bounds the 64-dim integer arrays)
+    tarr = fan_out_small_frame(_vec_arrs(ccomp), n * 1024).localCheckpoint(
+        eager=True
+    )
+    rk = _gs_ring(spark, ccomp, tarr=tarr)
     edges = _gs_edges(ccomp, rk, n)
     qcomp = _gs_probes(ccomp)
     seeds = rk.filter((F.col("r") - 1) % stride == 0).select(
@@ -4933,76 +5056,92 @@ def q_nn_graph_serve_recall_table(
     )
     qids = qcomp.select("qid").distinct()
     w_beam = Window.partitionBy("qid").orderBy("d2", "u")
-    exactr = (
-        _gs_qdist(
-            qids.crossJoin(
-                ccomp.select("vec_id").distinct().select(
-                    F.col("vec_id").alias("u")
+    # Array-fold d2 frames (r15) — see q_nn_graph_serve_topk
+    qarr = _vec_arrs(qcomp, id_col="qid", val_col="qi").localCheckpoint(
+        eager=True
+    )
+    def _exact_leg() -> DataFrame:
+        return (
+            tarr.select(F.col("vid").alias("u"), F.col("arr").alias("ta"))
+            .crossJoin(
+                F.broadcast(
+                    qarr.select(
+                        F.col("vid").alias("qid"), F.col("arr").alias("qa")
+                    )
                 )
-            ),
-            qcomp,
-            ccomp,
+            )
+            .select(
+                "qid", "u", _arr_d2(F.col("qa"), F.col("ta")).alias("d2")
+            )
+            .withColumn("rn", F.row_number().over(w_beam))
+            .localCheckpoint(eager=True)
         )
-        .withColumn("rn", F.row_number().over(w_beam))
-        .localCheckpoint(eager=True)
-    )
-    ebest = exactr.filter(F.col("rn") == 1).select(
-        "qid", F.col("u").alias("eu")
-    )
-    etop = exactr.filter(F.col("rn") <= _GS_TOPK).select("qid", "u")
-    # IVF seeding lever: train the coarse quantizer on the SAME raw
-    # fixture (the ivf_trained_topk recipe), route each query to its
-    # cell, seed the beam from that cell's members
-    cent3 = _trained_centroids(ccomp).localCheckpoint(eager=True)
-    assign3 = _trained_inverted_file(ccomp, cent3=cent3)
-    qsqc = cent3.groupBy("cid").agg(
-        F.sum(F.col("ci") * F.col("ci")).alias("sq_c")
-    )
-    qdots = (
-        qcomp.join(F.broadcast(cent3), "i")
-        .groupBy("qid", "cid")
-        .agg(F.sum(F.col("qi") * F.col("ci")).alias("dot_i"))
-    )
-    rdist = F.col("sq_c") - F.lit(2) * F.col("dot_i")
-    rc = (
-        qdots.join(F.broadcast(qsqc), "cid")
-        .groupBy("qid")
-        .agg(
-            F.min(F.struct(rdist.alias("d"), F.col("cid"))).alias("best")
+
+    def _beam_leg() -> DataFrame:
+        # IVF seeding lever: train the coarse quantizer on the SAME raw
+        # fixture (the ivf_trained_topk recipe), route each query to its
+        # cell, seed the beam from that cell's members
+        cent3 = _trained_centroids(ccomp).localCheckpoint(eager=True)
+        assign3 = _trained_inverted_file(ccomp, cent3=cent3)
+        qsqc = cent3.groupBy("cid").agg(
+            F.sum(F.col("ci") * F.col("ci")).alias("sq_c")
         )
-        .select("qid", F.col("best.cid").alias("cid"))
-    )
-    aseeds = rc.join(assign3, "cid").select(
-        "qid", F.col("vec_id").alias("u")
-    )
-    # The three settings' beam walks are independent checkpoint chains;
-    # run them from a small driver thread pool so their barrier jobs
-    # overlap (optimization guide §2.6) — results are per-setting
-    # frames, identical to the sequential order.
+        qdots = (
+            qcomp.join(F.broadcast(cent3), "i")
+            .groupBy("qid", "cid")
+            .agg(F.sum(F.col("qi") * F.col("ci")).alias("dot_i"))
+        )
+        rdist = F.col("sq_c") - F.lit(2) * F.col("dot_i")
+        rc = (
+            qdots.join(F.broadcast(qsqc), "cid")
+            .groupBy("qid")
+            .agg(
+                F.min(F.struct(rdist.alias("d"), F.col("cid"))).alias("best")
+            )
+            .select("qid", F.col("best.cid").alias("cid"))
+        )
+        aseeds = rc.join(assign3, "cid").select(
+            "qid", F.col("vec_id").alias("u")
+        )
+        # All three settings share h=4, so they run as ONE cfg-tagged
+        # chain: 4 hop barriers total instead of 4 per setting (r15;
+        # each setting's visited set is byte-identical to its own
+        # chain — the cfg tag is in every key).
+        seed_pairs = None
+        for cfg, (_h, _b, mode) in enumerate(_GSA_SETTINGS):
+            sp = (
+                (qids.crossJoin(seeds) if mode == "stride" else aseeds)
+                .select(F.lit(cfg).alias("cfg"), "qid", "u")
+            )
+            seed_pairs = sp if seed_pairs is None else seed_pairs.unionByName(sp)
+        bw = {cfg: s[1] for cfg, s in enumerate(_GSA_SETTINGS)}
+        hops = _GSA_SETTINGS[0][0]
+        return _gs_beam_multi(seed_pairs, bw, qarr, tarr, edges, hops)
+
+    # The exact-audit leg and the (IVF train → unified beam chain) leg
+    # are independent job chains off the same checkpointed frames; run
+    # them from two driver threads so the audit's tasks back-fill the
+    # chain's barriers (optimization guide §2.6).
     from concurrent.futures import ThreadPoolExecutor
 
     # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
     # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
     # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
     # class).  Legs here only run jobs on already-checkpointed frames.
-    with ThreadPoolExecutor(max_workers=len(_GSA_SETTINGS)) as pool:
-        beams = list(
-            pool.map(
-                lambda s: _gs_beam(
-                    qids,
-                    seeds if s[2] == "stride" else aseeds,
-                    qcomp,
-                    ccomp,
-                    edges,
-                    s[0],
-                    s[1],
-                    per_query=s[2] == "ivf",
-                ),
-                _GSA_SETTINGS,
-            )
-        )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_exact = pool.submit(_exact_leg)
+        fut_beams = pool.submit(_beam_leg)
+        exactr = fut_exact.result()
+        visited_all = fut_beams.result()
+    ebest = exactr.filter(F.col("rn") == 1).select(
+        "qid", F.col("u").alias("eu")
+    )
+    etop = exactr.filter(F.col("rn") <= _GS_TOPK).select("qid", "u")
     out = None
-    for (h, b, mode), visited in zip(_GSA_SETTINGS, beams):
+    for cfg, (h, b, mode) in enumerate(_GSA_SETTINGS):
+        visited = visited_all.filter(F.col("cfg") == cfg).select(
+            "qid", "u", "d2"
+        )
         served = visited.withColumn("rn", F.row_number().over(w_beam))
         hits = (
             served.filter(F.col("rn") <= _GS_TOPK)

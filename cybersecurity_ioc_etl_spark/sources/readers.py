@@ -81,6 +81,37 @@ def fan_out_narrow_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out_small_frame(df: DataFrame, est_bytes: int) -> DataFrame:
+    """``fan_out_narrow_scan``'s counterpart for INTERMEDIATE frames
+    feeding a CPU-bound array-fold stage (zip_with/aggregate distance
+    folds): AQE coalesces any sub-advisory exchange to ~1 partition,
+    which then serializes the interpreted fold behind one core
+    (measured 1.5 s single-task vs 0.25 s spread for the graph-serve
+    exact leg at sf0.1).  When the caller's size estimate is below
+    cores × advisory partition size — exactly the regime AQE collapses
+    — pin the partitioning at core parallelism; otherwise leave the
+    frame alone (at scale the natural partitioning already exceeds
+    cores and AQE sizes it by bytes).  ``repartition(n)`` with an
+    explicit n is never re-coalesced by AQE, so the spread sticks."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        adv = spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+        )
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        adv_b = (
+            int(adv[:-1]) * mult[adv[-1].lower()]
+            if adv[-1].lower() in mult
+            else int(adv.rstrip("b"))
+        )
+    except (ValueError, KeyError):
+        adv_b = 64 << 20
+    if est_bytes < cores * adv_b:
+        return df.repartition(cores)
+    return df
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize events.ts to TimestampType whatever the parquet encoding:
 
