@@ -1480,11 +1480,14 @@ def q_linkage_golden_records(
             F.col(f"a_{f}") == 1, F.col(f"wa_{f}")
         ).otherwise(F.col(f"wd_{f}"))
         score = term if score is None else score + term
+    # matched is consumed only by gedges — fold its projection into the
+    # gedges checkpoint instead of materializing twice (r15 barrier
+    # trim; same census as incremental maintenance: these rows are
+    # scheduling-bound, ~60 ms/job)
     matched = (
         kp.crossJoin(F.broadcast(wts))
         .filter(score > 0)
         .select("ok", "dk")
-        .localCheckpoint(eager=True)
     )
     ov = (F.lit(2) * F.col("ok")).cast("bigint")
     dv = (F.lit(2) * F.col("dk") + 1).cast("bigint")
@@ -1867,7 +1870,18 @@ def q_incremental_linkage_maintenance(
             .localCheckpoint(eager=True)
         )
 
-    kp = _pairs(dirty, with_truth=True)
+    # The two blocked-pair censuses are independent barrier chains —
+    # build them from a 2-thread pool (§2.6; this row is
+    # scheduling-bound, see the r15 note below).
+    from concurrent.futures import ThreadPoolExecutor as _TPE0
+
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global
+    # conf; legs only run jobs on source scans.
+    with _TPE0(max_workers=2) as _pool0:
+        _fut_kp = _pool0.submit(_pairs, dirty, True)
+        _fut_p2 = _pool0.submit(_pairs, dirty2, False)
+        kp = _fut_kp.result()
+        p2 = _fut_p2.result()
     z = F.lit(0).cast("bigint")
     rates = kp.agg(
         F.coalesce(F.sum("is_match").cast("bigint"), z).alias("nm"),
@@ -1923,16 +1937,13 @@ def q_incremental_linkage_maintenance(
         ).otherwise(F.col(f"wd_{f}"))
         score = term if score is None else score + term
 
-    def _match(p: DataFrame) -> DataFrame:
-        return (
+    def _match(p: DataFrame, materialize: bool = True) -> DataFrame:
+        out = (
             p.crossJoin(F.broadcast(wts))
             .filter(score > 0)
             .select("ok", "dk")
-            .localCheckpoint(eager=True)
         )
-
-    bmatch = _match(kp)
-    nmatch = _match(_pairs(dirty2, with_truth=False))
+        return out.localCheckpoint(eager=True) if materialize else out
 
     def _bi_edges(m: DataFrame, off: int) -> DataFrame:
         a = (F.lit(3) * F.col("ok")).cast("bigint")
@@ -1941,8 +1952,38 @@ def q_incremental_linkage_maintenance(
             m.select(b.alias("a"), a.alias("b"))
         )
 
-    bedges = _bi_edges(bmatch, 1).localCheckpoint(eager=True)
-    nedges = _bi_edges(nmatch, 2).localCheckpoint(eager=True)
+    # r15 barrier trim (guide §5 — the jobstat census shows this row is
+    # scheduling-bound: 111 jobs over 160 TASKS, ~60 ms/job):
+    # - bmatch is consumed ONLY by bedges → fold its projection into
+    #   the bedges checkpoint instead of materializing twice;
+    # - the two independent (pairs → match → edges) chains run from a
+    #   2-thread pool so their serial barriers overlap (§2.6);
+    # - nedges stays checkpointed: every slab/flab/redges round below
+    #   re-reads the edge frames.
+    # (A join-strategy A/B inside _cc_iterate — merge and shuffle_hash
+    # hints replacing the per-round broadcasts — measured WORSE at
+    # sf0.1: 6.2-7.8 s and +8 jobs vs 5.1-7.2 s for the broadcast
+    # rounds; the broadcast jobs are cheaper than the extra exchanges.)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    # INVARIANT (ADVICE-r14): no pooled leg may touch session-global
+    # conf; legs only run jobs on already-checkpointed frames (kp, wts).
+    with _TPE(max_workers=2) as _pool:
+        fut_b = _pool.submit(
+            lambda: _bi_edges(_match(kp, materialize=False), 1)
+            .localCheckpoint(eager=True)
+        )
+        fut_n = _pool.submit(
+            lambda: _bi_edges(
+                _match(p2, materialize=False), 2
+            ).localCheckpoint(eager=True)
+        )
+        bedges = fut_b.result()
+        nedges = fut_n.result()
+    # nmatch stays lazy: its two consumers (nedges above, nmatch_orig
+    # in the fold leg) each recompute one broadcast-filter from the
+    # checkpointed p2 — cheaper than a third materialization barrier.
+    nmatch = _match(p2, materialize=False)
 
     # The FOLD leg (stored components -> star edges -> batch fold) and
     # the RECOMPUTE leg (from-scratch over both batches — the audit
