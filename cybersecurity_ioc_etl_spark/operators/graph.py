@@ -1942,6 +1942,147 @@ FROM super_e se
 """
 
 
+def _lv_pair_labels_sql(weighted: bool) -> str:
+    """ONE semi-synchronous parity pair (even half then odd half) as a
+    single JVM expression over a collected edge array — the
+    `_lvc_fold_sql` machinery reduced to its label output: returns
+    struct(labs: array<struct<id, lbl>>, nmv_even, nmv_odd).
+
+    The nation graph (and its contracted community graph) is
+    SCHEMA-bounded, so after the one data-scale `_trade_edges` pass
+    the greedy pair is scalar work; the r14 jobstat showed the
+    per-half frame chains cost ~25 jobs each of pure scheduling
+    (trade_louvain_two_level: 168 jobs, trade_louvain_contract: 73).
+    ``weighted`` switches to the contracted-graph algebra
+    (`_louvain_whalf`): eg elements carry w, strengths include
+    self-loops, the neighbor census excludes them, and two_m is the
+    CONSERVED original Σw.  Identical ΔQ·(2m)² integers, ties to the
+    smallest community, strict-positive move rule.
+
+    Lambda-variable hygiene (CLAUDE.md): every nested lambda var is
+    unique (wlm/wdm/wne/wk0/wk2/wcf/wcc/wls/wbs/...) — an inner var
+    shadowing an outer fold's var silently corrupts the census."""
+    one = "CAST(1 AS BIGINT)"
+    zero = "CAST(0 AS BIGINT)"
+    w_of = "wne.w" if weighted else one
+    self_excl = " AND wne.a != wne.b" if weighted else ""
+    lookup = lambda ns, vid: (  # noqa: E731 — label of node `vid`
+        f"aggregate(filter({ns}, wlm -> wlm.id = {vid}),"
+        f" CAST(NULL AS BIGINT), (wlr, wlm) -> wlm.lbl)"
+    )
+    d_of = lambda ns, c: (  # noqa: E731 — Σtot strength of community c
+        f"aggregate({ns}, {zero},"
+        f" (wds, wdm) -> wds + CASE WHEN wdm.lbl = ({c}) THEN wdm.k"
+        f" ELSE {zero} END)"
+    )
+    two_m = (
+        f"aggregate(eg, {zero}, (wts, wte) -> wts + wte.w)"
+        if weighted
+        else "CAST(size(eg) AS BIGINT)"
+    )
+
+    def half(ns: str, p: int) -> str:
+        # (community label, weight) of each non-self neighbor edge
+        nbrl = (
+            f"transform(filter(eg, wne -> wne.a = n.id{self_excl}),"
+            f" wne -> struct({lookup(ns, 'wne.b')} AS l,"
+            f" CAST({w_of} AS BIGINT) AS w))"
+        )
+        kicur = (
+            f"aggregate(filter({nbrl}, wk0 -> wk0.l = n.lbl), {zero},"
+            f" (wks, wk0) -> wks + wk0.w)"
+        )
+        kic_cc = (
+            f"aggregate(filter({nbrl}, wk2 -> wk2.l = wcc), {zero},"
+            f" (wks2, wk2) -> wks2 + wk2.w)"
+        )
+        cand = f"""transform(
+            array_distinct(transform(filter({nbrl}, wcf -> wcf.l != n.lbl),
+                                     wcf2 -> wcf2.l)),
+            wcc -> struct(
+              2 * ({two_m}) * ({kic_cc} - {kicur})
+              - 2 * n.k * ({d_of(ns, 'wcc')} - {d_of(ns, 'n.lbl')} + n.k) AS g,
+              wcc AS c))"""
+        best = f"""aggregate({cand},
+            CAST(NULL AS struct<g: bigint, c: bigint>),
+            (wbs, wt) -> CASE WHEN wbs IS NULL OR wt.g > wbs.g
+                               OR (wt.g = wbs.g AND wt.c < wbs.c)
+                         THEN wt ELSE wbs END)"""
+        newlbl = (
+            f"CASE WHEN ({best}).g > 0 THEN ({best}).c ELSE n.lbl END"
+        )
+        ns2x = f"""transform({ns}, n -> CASE WHEN n.id % 2 = {p}
+            THEN struct(n.id AS id, {newlbl} AS lbl, n.k AS k, n.lbl AS old)
+            ELSE struct(n.id AS id, n.lbl AS lbl, n.k AS k, n.lbl AS old) END)"""
+        return f"""aggregate(array({ns2x}),
+            CAST(NULL AS struct<ns: array<struct<id: bigint, lbl: bigint, k: bigint>>, nmv: bigint>),
+            (wzz, wtt) -> struct(
+              transform(wtt, wx -> struct(wx.id AS id, wx.lbl AS lbl, wx.k AS k)) AS ns,
+              CAST(size(filter(wtt, wx2 -> wx2.lbl != wx2.old)) AS BIGINT) AS nmv))"""
+
+    k_of = (
+        f"aggregate(filter(eg, wke -> wke.a = wv), {zero},"
+        f" (wks3, wke) -> wks3 + wke.w)"
+        if weighted
+        else "CAST(size(filter(eg, wke -> wke.a = wv)) AS BIGINT)"
+    )
+    ns0 = f"""transform(array_distinct(transform(eg, wie -> wie.a)),
+        wv -> struct(CAST(wv AS BIGINT) AS id, CAST(wv AS BIGINT) AS lbl,
+                     CAST({k_of} AS BIGINT) AS k))"""
+    out_t = (
+        "struct<labs: array<struct<id: bigint, lbl: bigint>>,"
+        " nmv_even: bigint, nmv_odd: bigint>"
+    )
+    return f"""aggregate(
+  array({ns0}),
+  CAST(NULL AS {out_t}),
+  (wz, wns0) -> aggregate(
+    array({half('wns0', 0)}),
+    CAST(NULL AS {out_t}),
+    (wa0, wh0) -> aggregate(
+      array({half('wh0.ns', 1)}),
+      wa0,
+      (wa1, wh1) -> struct(
+        transform(wh1.ns, wn -> struct(wn.id AS id, wn.lbl AS lbl)) AS labs,
+        wh0.nmv AS nmv_even,
+        wh1.nmv AS nmv_odd))),
+  wz -> wz)"""
+
+
+def _lv_pair_labels(
+    edges: DataFrame, weighted: bool
+) -> DataFrame:
+    """(id, lbl) labels after one greedy parity pair, via the collected
+    JVM fold — plus the two half move counts as repeated columns.
+    ``edges`` is (a, b) or (a, b, w)."""
+    cols = [
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        (
+            F.col("w").cast("bigint")
+            if weighted
+            else F.lit(1).cast("bigint")
+        ).alias("w"),
+    ]
+    one = edges.select(cols).agg(
+        F.collect_list(F.struct("a", "b", "w")).alias("eg")
+    )
+    r = one.select(
+        F.expr(_lv_pair_labels_sql(weighted)).alias("r")
+    ).select(
+        F.explode("r.labs").alias("l"), "r.nmv_even", "r.nmv_odd"
+    )
+    # restore the caller's id dtype (the fold computes in bigint; the
+    # frame-loop labels carried the edge table's own key type)
+    idt = edges.schema["a"].dataType
+    return r.select(
+        F.col("l.id").cast(idt).alias("id"),
+        F.col("l.lbl").cast(idt).alias("lbl"),
+        "nmv_even",
+        "nmv_odd",
+    )
+
+
 @query("trade_louvain_contract", oracle=_CONTRACT_ORACLE)
 def q_trade_louvain_contract(
     spark: SparkSession, sf_dir: str
@@ -1979,17 +2120,19 @@ def q_trade_louvain_contract(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    lab0 = (
-        ue.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
+    deg = ue.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("k"))
+    two_m = ue.agg(F.count("*").alias("two_m"))
+    # r15: the nation graph is schema-bounded, so the two greedy
+    # half-steps run as one collected JVM fold (the
+    # trade_louvain_converged_level recipe, `_lv_pair_labels`) — the
+    # per-half frame chains were ~25 jobs each of pure scheduling
+    # (jobstat: this row was 73 jobs / 76 tasks).  Identical
+    # ΔQ·(2m)² integers; the labels frame below is byte-identical.
+    lab2 = (
+        _lv_pair_labels(ue, weighted=False)
+        .select("id", "lbl")
         .localCheckpoint(eager=True)
     )
-    deg = ue.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("k"))
-    deg = deg.localCheckpoint(eager=True)
-    two_m = ue.agg(F.count("*").alias("two_m"))
-    lab1, _ = _louvain_half(ue, deg, two_m, lab0, 0)
-    lab2, _ = _louvain_half(ue, deg, two_m, lab1, 1)
     super_e = (
         ue.alias("u")
         .join(
@@ -2321,8 +2464,18 @@ def q_trade_louvain_two_level(
     deg = ue.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("k"))
     deg = deg.localCheckpoint(eager=True)
     two_m = ue.agg(F.count("*").alias("two_m"))
-    lab1, _ = _louvain_half(ue, deg, two_m, lab0, 0)
-    lab2, _ = _louvain_half(ue, deg, two_m, lab1, 1)
+    # r15: both levels' greedy pairs run as collected JVM folds — the
+    # nation graph and its contracted community graph are
+    # schema-bounded, and the four per-half frame chains were ~25 jobs
+    # each of scheduling (jobstat: this row was 168 jobs / 171 tasks).
+    # Identical ΔQ·(2m)² integers at both levels (`_lv_pair_labels`,
+    # weighted=True for the contracted level: strengths include
+    # self-loops, census excludes them, two_m conserved).
+    lab2 = (
+        _lv_pair_labels(ue, weighted=False)
+        .select("id", "lbl")
+        .localCheckpoint(eager=True)
+    )
     we = (
         ue.alias("u")
         .join(F.broadcast(lab2.alias("la")), F.col("u.a") == F.col("la.id"))
@@ -2331,23 +2484,17 @@ def q_trade_louvain_two_level(
         .agg(F.count("*").alias("w"))
         .localCheckpoint(eager=True)
     )
-    wlab0 = (
-        we.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    wdeg = (
-        we.groupBy(F.col("a").alias("id"))
-        .agg(F.sum("w").alias("k"))
-        .localCheckpoint(eager=True)
-    )
-    wlab1, wmv1 = _louvain_whalf(we, wdeg, two_m, wlab0, 0)
-    wlab2, wmv2 = _louvain_whalf(we, wdeg, two_m, wlab1, 1)
-    n_moved = (
-        wmv1.agg(F.count("*").alias("nm1"))
-        .crossJoin(F.broadcast(wmv2.agg(F.count("*").alias("nm2"))))
-        .select((F.col("nm1") + F.col("nm2")).alias("n_moved_l2"))
+    wdeg = we.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("k"))
+    wfold = _lv_pair_labels(we, weighted=True).localCheckpoint(eager=True)
+    wlab2 = wfold.select("id", "lbl")
+    # agg (not limit(1)): on an EMPTY graph the fold frame has zero
+    # rows and a limit would erase the single output row the old
+    # count-agg form always produced
+    n_moved = wfold.agg(
+        (
+            F.coalesce(F.max("nmv_even"), F.lit(0))
+            + F.coalesce(F.max("nmv_odd"), F.lit(0))
+        ).alias("n_moved_l2")
     )
     flat = (
         lab2.alias("l")
