@@ -3648,7 +3648,7 @@ def q_embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the recursive-closure form over the core-core edges (the
     dedup_components pattern), border resolution as a grouped MIN."""
-    from .dedup import connected_components
+    from .dedup import connected_components_fold
 
     # (r14 note: a broadcast + zip_with per-pair fold of this census
     # was tried and measured SLOWER — 1.15 s vs 0.97 s isolated — the
@@ -3706,9 +3706,20 @@ def q_embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(core.select(F.col("v").alias("cw")), F.col("w") == F.col("cw"))
         .select(F.col("v").alias("src"), F.col("w").alias("dst"))
     )
-    comps = connected_components(
-        core.select(F.col("v").alias("vid")), ce, id_col="vid"
-    ).select(F.col("nid").alias("v"), F.col("component").alias("cid"))
+    # r15: the core graph is SLICE-bounded (vec_id < _DB_SLICE is the
+    # oracle's affordability bound), so exact components come from the
+    # one-pass collected union-find fold instead of the checkpointed
+    # pointer-jumping loop (~58 jobs of scheduling; A/B receipt in
+    # connected_components_fold — labels byte-identical, 0.22 s vs
+    # 4.1 s at sf0.1).  comps is re-read by border and the final
+    # census, so materialize it once.
+    comps = (
+        connected_components_fold(
+            core.select(F.col("v").alias("vid")), ce, id_col="vid"
+        )
+        .select(F.col("nid").alias("v"), F.col("component").alias("cid"))
+        .localCheckpoint(eager=True)
+    )
     border = (
         sym.join(comps.select(F.col("v").alias("w2"), "cid"), F.col("w") == F.col("w2"))
         .join(comps.select(F.col("v").alias("not_core")), F.col("v") == F.col("not_core"), "left_anti")
