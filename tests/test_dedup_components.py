@@ -47,3 +47,35 @@ def test_check_every_amortization_identical_labels(spark):
     expect = {i: 0 for i in range(8)} | {8: 8, 9: 8, 10: 8, 11: 11}
     for k in (1, 2, 3):
         assert _labels(spark, nodes, edges, check_every=k) == expect
+
+
+def test_fold_matches_loop_on_known_shapes(spark):
+    """connected_components_fold (the slice-bounded one-pass union-find,
+    r15) must produce byte-identical min-member labels to the
+    pointer-jumping loop on the same graphs — chain, triangle+isolate,
+    two components, empty edges."""
+    from cybersecurity_ioc_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_fold,
+    )
+
+    shapes = [
+        ([1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 4), (4, 5)]),
+        ([1, 2, 3, 9], [(1, 2), (2, 3), (3, 1)]),
+        ([1, 2, 3, 4], [(1, 2), (3, 4)]),
+        ([7, 8], []),
+    ]
+    for nodes, edges in shapes:
+        n = spark.createDataFrame([(x,) for x in nodes], "id bigint")
+        e = spark.createDataFrame(
+            [(a, b) for a, b in edges], "src bigint, dst bigint"
+        )
+        loop = {
+            (r.nid, r.component)
+            for r in connected_components(n, e, id_col="id").collect()
+        }
+        fold = {
+            (r.nid, r.component)
+            for r in connected_components_fold(n, e, id_col="id").collect()
+        }
+        assert fold == loop, (nodes, edges)
