@@ -4699,12 +4699,7 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tarr = fan_out_small_frame(_vec_arrs(ccomp), n * 1024).localCheckpoint(
         eager=True
     )
-    rk = _gs_ring(spark, ccomp, tarr=tarr)
-    edges = _gs_edges(ccomp, rk, n)
     qcomp = _gs_probes(ccomp)
-    seeds = rk.filter((F.col("r") - 1) % stride == 0).select(
-        F.col("vec_id").alias("u")
-    )
     qids = qcomp.select("qid").distinct()
     w_beam = Window.partitionBy("qid").orderBy("d2", "u")
     # Array-fold d2 frames (r15): corpus and probe vectors as per-id
@@ -4714,11 +4709,10 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qarr = _vec_arrs(qcomp, id_col="qid", val_col="qi").localCheckpoint(
         eager=True
     )
-    # The beam walk and the exact-audit leg are independent job chains
-    # of small barriers; overlap them from two driver threads so the
-    # audit's tasks back-fill the beam's idle capacity (optimization
-    # guide §2.6 — actions are only sequential because the driver
-    # calls them sequentially).
+    # The exact-audit leg needs only (tarr, qarr), so the WHOLE build
+    # chain (LSH ring → NND edges → beam walk) overlaps it from two
+    # driver threads (guide §2.6) — r15 moved ring/edges inside the
+    # beam leg; they were ~2.7 s of serial barriers ahead of the pool.
     from concurrent.futures import ThreadPoolExecutor
 
     def _exact_leg() -> DataFrame:
@@ -4738,14 +4732,20 @@ def q_nn_graph_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
+    def _beam_leg() -> DataFrame:
+        rk = _gs_ring(spark, ccomp, tarr=tarr)
+        edges = _gs_edges(ccomp, rk, n)
+        seeds = rk.filter((F.col("r") - 1) % stride == 0).select(
+            F.col("vec_id").alias("u")
+        )
+        return _gs_beam(qids, seeds, qarr, tarr, edges, _GS_H, _GS_B)
+
     # INVARIANT (ADVICE-r14): no pooled leg may touch session-global conf
     # (scoped_conf / bucket_filter_pruning) -- a scoped restore inside one
     # leg would race the sibling leg's lazy plans (the ADVICE-r6 leak
     # class).  Legs here only run jobs on already-checkpointed frames.
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_beam = pool.submit(
-            _gs_beam, qids, seeds, qarr, tarr, edges, _GS_H, _GS_B
-        )
+        fut_beam = pool.submit(_beam_leg)
         fut_exact = pool.submit(_exact_leg)
         visited = fut_beam.result()
         exact = fut_exact.result()
@@ -5059,15 +5059,12 @@ def q_nn_graph_serve_recall_table(
     tarr = fan_out_small_frame(_vec_arrs(ccomp), n * 1024).localCheckpoint(
         eager=True
     )
-    rk = _gs_ring(spark, ccomp, tarr=tarr)
-    edges = _gs_edges(ccomp, rk, n)
     qcomp = _gs_probes(ccomp)
-    seeds = rk.filter((F.col("r") - 1) % stride == 0).select(
-        F.col("vec_id").alias("u")
-    )
     qids = qcomp.select("qid").distinct()
     w_beam = Window.partitionBy("qid").orderBy("d2", "u")
-    # Array-fold d2 frames (r15) — see q_nn_graph_serve_topk
+    # Array-fold d2 frames (r15) — see q_nn_graph_serve_topk; the ring/
+    # edges build moved inside the beam leg so the exact-audit leg
+    # overlaps the whole build chain, not just the walk (§2.6)
     qarr = _vec_arrs(qcomp, id_col="qid", val_col="qi").localCheckpoint(
         eager=True
     )
@@ -5088,11 +5085,32 @@ def q_nn_graph_serve_recall_table(
             .localCheckpoint(eager=True)
         )
 
+    def _graph_subleg() -> tuple[DataFrame, DataFrame, DataFrame]:
+        rk = _gs_ring(spark, ccomp, tarr=tarr)
+        edges = _gs_edges(ccomp, rk, n)
+        seeds = rk.filter((F.col("r") - 1) % stride == 0).select(
+            F.col("vec_id").alias("u")
+        )
+        return rk, edges, seeds
+
     def _beam_leg() -> DataFrame:
+        # the IVF quantizer training needs only ccomp — overlap it with
+        # the ring/edges graph build on a nested 2-thread pool (§2.6;
+        # both sub-legs were serial links of this leg's critical path)
+        from concurrent.futures import ThreadPoolExecutor as _TPE2
+
+        with _TPE2(max_workers=2) as _p2:
+            _fut_graph = _p2.submit(_graph_subleg)
+            _fut_cent = _p2.submit(
+                lambda: _trained_centroids(ccomp).localCheckpoint(
+                    eager=True
+                )
+            )
+            rk, edges, seeds = _fut_graph.result()
+            cent3 = _fut_cent.result()
         # IVF seeding lever: train the coarse quantizer on the SAME raw
         # fixture (the ivf_trained_topk recipe), route each query to its
         # cell, seed the beam from that cell's members
-        cent3 = _trained_centroids(ccomp).localCheckpoint(eager=True)
         assign3 = _trained_inverted_file(ccomp, cent3=cent3)
         qsqc = cent3.groupBy("cid").agg(
             F.sum(F.col("ci") * F.col("ci")).alias("sq_c")
